@@ -1,0 +1,574 @@
+"""FeatureStore facade: the reference's public API re-expressed on Spark.
+
+API parity target: /root/reference/bytehub/_base.py:61-260 (method names &
+semantics) and core.py (CoreFeatureStore behavior). The read path builds ONE
+lazy DataFrame plan — scan (Catalyst pushdown + Hive partition pruning) →
+time-travel predicate → bitemporal dedup window → resample/align LOCF —
+executed only at the caller's action.
+
+Query lifecycle parity map (SURVEY.md §3.1):
+  seed lookup        core._load_feature           [dask.py:142-148]
+  pushdown scan      storage.scan                 [dask.py:85-106]
+  default range      core._load_feature           [dask.py:150-155]
+  time travel        timeseries.time_travel       [dask.py:119-122]
+  dedup              timeseries.dedup_latest      [dask.py:156-165]
+  resample/slice     timeseries.resample          [dask.py:169-191]
+  alias + align      core.load_dataframe          [core.py:275-276]
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Iterator, Sequence
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import timeseries as ts
+from .catalog import Catalog
+from .exceptions import (
+    MissingFeatureException,
+    TransformError,
+    ValidationError,
+)
+from .storage import SparkStorage
+from .utils import (
+    deserialize_fn,
+    join_name,
+    serialize_fn,
+    split_name,
+    unpack_feature_list,
+)
+
+ENVELOPE_COLS = {ts.TIME_COL, ts.CREATED_COL}
+
+
+def _qcol(name: str):
+    """Column ref safe for names containing '.' (valid in feature names)."""
+    return F.col(f"`{name}`")
+
+
+class FeatureStore:
+    """Spark-native feature store (core/local mode).
+
+    ``connection_string`` is a sqlite path (or ':memory:') holding the
+    metadata catalog; the data plane lives at each namespace's ``url``.
+    """
+
+    def __init__(
+        self,
+        connection_string: str = "bytehub.db",
+        spark: SparkSession | None = None,
+        enable_transforms: bool = True,
+    ):
+        if connection_string.startswith("sqlite:///"):
+            connection_string = connection_string[len("sqlite:///"):]
+        self.catalog = Catalog(connection_string)
+        self._spark = spark
+        self.enable_transforms = enable_transforms
+        self._storages: dict[str, SparkStorage] = {}
+
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            from .session import get_spark
+
+            self._spark = get_spark()
+        return self._spark
+
+    # ------------------------------------------------------------------
+    # Namespace CRUD (§2.11)
+    # ------------------------------------------------------------------
+
+    def create_namespace(self, name: str, url: str, **kwargs) -> None:
+        self.catalog.create_namespace(name, url, **kwargs)
+
+    def list_namespaces(self, **kwargs) -> pd.DataFrame:
+        rows = self.catalog.list_namespaces(
+            name=kwargs.get("name"), regex=kwargs.get("regex")
+        )
+        cols = ["name", "description", "url", "storage_options", "meta", "version"]
+        return pd.DataFrame(rows, columns=cols)
+
+    def update_namespace(self, name: str, **kwargs) -> None:
+        self.catalog.update_namespace(name, **kwargs)
+
+    def delete_namespace(self, name: str) -> None:
+        self.catalog.delete_namespace(name)
+
+    def clean_namespace(self, name: str) -> list[str]:
+        """GC: delete stored datasets with no catalog entry (anti-join J4)."""
+        storage = self._storage(name)
+        in_catalog = {f["name"] for f in self.catalog.list_features(namespace=name)}
+        orphans = [d for d in storage.ls() if d not in in_catalog]
+        for d in orphans:
+            storage.delete(d)
+        return orphans
+
+    # ------------------------------------------------------------------
+    # Feature CRUD (§2.11)
+    # ------------------------------------------------------------------
+
+    def create_feature(
+        self, name: str, namespace: str | None = None, **kwargs
+    ) -> None:
+        nsp, nm = split_name(name, namespace)
+        if nsp is None:
+            raise ValidationError("create_feature requires a namespace")
+        self.catalog.create_feature(nsp, nm, **kwargs)
+
+    def list_features(self, **kwargs) -> pd.DataFrame:
+        nsp, nm = (None, None)
+        if kwargs.get("name"):
+            nsp, nm = split_name(kwargs["name"], kwargs.get("namespace"))
+        else:
+            nsp = kwargs.get("namespace")
+        rows = self.catalog.list_features(
+            namespace=nsp, name=nm, regex=kwargs.get("regex")
+        )
+        if kwargs.get("friendly", True):
+            for r in rows:
+                r["transform"] = bool(r["transform"])
+        cols = [
+            "namespace", "name", "description", "partition",
+            "serialized", "transform", "meta", "version",
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    def update_feature(self, name: str, namespace: str | None = None, **kwargs) -> None:
+        nsp, nm = split_name(name, namespace)
+        self.catalog.update_feature(nsp, nm, **kwargs)
+
+    def delete_feature(
+        self, name: str, namespace: str | None = None, delete_data: bool = False
+    ) -> None:
+        nsp, nm = split_name(name, namespace)
+        self.catalog.delete_feature(nsp, nm)
+        if delete_data:
+            self._storage(nsp).delete(nm)
+
+    def clone_feature(
+        self, name: str, namespace: str | None = None, from_name: str | None = None,
+        from_namespace: str | None = None,
+    ) -> None:
+        """Metadata clone + data copy (unless transform) — core.py:194-208."""
+        src_ns, src_nm = split_name(from_name, from_namespace)
+        dst_ns, dst_nm = split_name(name, namespace)
+        src = self.catalog.clone_feature(src_ns, src_nm, dst_ns, dst_nm)
+        if not src["transform"]:
+            self._storage(src_ns).copy(src_nm, dst_nm, self._storage(dst_ns))
+
+    # ------------------------------------------------------------------
+    # Read path
+    # ------------------------------------------------------------------
+
+    def load_dataframe(
+        self,
+        features: Any,
+        from_date=None,
+        to_date=None,
+        freq: str | None = None,
+        time_travel: str | None = None,
+    ) -> DataFrame:
+        """Wide frame: `time` + one column per feature named "ns/name".
+
+        Returns a LAZY Spark DataFrame ordered by time.
+        """
+        pairs = unpack_feature_list(features)
+        frames: list[DataFrame] = []
+        for nsp, nm in pairs:
+            sdf = self._load_feature(
+                nsp, nm, from_date, to_date, freq, time_travel, callers=[]
+            )
+            frames.append(
+                sdf.select(
+                    ts.TIME_COL, F.col(ts.VALUE_COL).alias(join_name(nsp, nm))
+                )
+            )
+        out = ts.align(frames, ffill=len(frames) > 1)
+        return out.orderBy(ts.TIME_COL)
+
+    def load_pandas(self, features: Any, **kwargs) -> pd.DataFrame:
+        """Reference-shaped result: pandas frame indexed by time; serialized
+        feature values decoded back to Python objects."""
+        pairs = unpack_feature_list(features)
+        sdf = self.load_dataframe(features, **kwargs)
+        pdf = sdf.toPandas()
+        if len(pdf):
+            pdf = pdf.set_index(ts.TIME_COL)
+        else:
+            pdf = pdf.set_index(ts.TIME_COL)
+        pdf.index.name = ts.TIME_COL
+        for nsp, nm in pairs:
+            meta = self.catalog.get_feature(nsp, nm)
+            if meta and meta["serialized"]:
+                col = join_name(nsp, nm)
+                pdf[col] = pdf[col].map(
+                    lambda s: json.loads(s) if isinstance(s, str) else s
+                )
+        return pdf
+
+    def last(self, features: Any) -> dict[str, Any]:
+        """Latest value per feature (None when empty) — core.py:315-331."""
+        out: dict[str, Any] = {}
+        for nsp, nm in unpack_feature_list(features):
+            sdf = self._load_feature(
+                nsp, nm, None, None, None, None, callers=[], last_only=True
+            )
+            rows = ts.last_row(sdf).collect()
+            key = join_name(nsp, nm)
+            if not rows:
+                out[key] = None
+            else:
+                val = rows[0][ts.VALUE_COL]
+                meta = self.catalog.get_feature(nsp, nm)
+                if meta and meta["serialized"] and isinstance(val, str):
+                    val = json.loads(val)
+                out[key] = val
+        return out
+
+    # -- internal ------------------------------------------------------
+
+    def _storage(self, namespace: str) -> SparkStorage:
+        st = self._storages.get(namespace)
+        if st is None:
+            nsrow = self.catalog.get_namespace(namespace)
+            if nsrow is None:
+                raise MissingFeatureException(f"Namespace {namespace!r} does not exist")
+            st = SparkStorage(self.spark, nsrow["url"])
+            self._storages[namespace] = st
+        return st
+
+    def _load_feature(
+        self,
+        namespace: str,
+        name: str,
+        from_date,
+        to_date,
+        freq: str | None,
+        time_travel: str | None,
+        callers: list[str],
+        last_only: bool = False,
+    ) -> DataFrame:
+        """Single feature -> DataFrame(time, value). Dispatches transforms."""
+        meta = self.catalog.get_feature(namespace, name)
+        if meta is None:
+            raise MissingFeatureException(f"Feature {namespace}/{name} does not exist")
+        full = join_name(namespace, name)
+        if full in callers:  # U3 cycle detection (_model.py:194-197)
+            raise TransformError(f"Recursive transform: cycle at {full}")
+        if meta["transform"]:
+            return self._load_transform(
+                meta, from_date, to_date, freq, time_travel,
+                callers=[*callers, full], last_only=last_only,
+            )
+
+        storage = self._storage(namespace)
+        scheme = meta["partition"]
+
+        if last_only:
+            parts = storage.list_partitions(name, reverse=True)
+            if not parts:
+                return storage.scan(name)  # canonical empty frame
+            df = self.spark.read.parquet(storage.feature_path(name)).where(
+                F.col("partition") == parts[0]
+            ).drop("partition")
+            return ts.dedup_latest(df)
+
+        # default range = data min/max (dask.py:150-155)
+        eff_from, eff_to = from_date, to_date
+        if eff_from is None or eff_to is None:
+            mn, mx = ts.time_bounds(storage.scan(name, scheme=scheme))
+            if eff_from is None:
+                eff_from = mn
+            if eff_to is None:
+                eff_to = mx
+        if eff_from is None and eff_to is None:
+            # feature has no data at all
+            empty = storage.scan(name, scheme=scheme)
+            if freq is not None and from_date is not None and to_date is not None:
+                return ts.resample(empty, from_date, to_date, freq)
+            return empty
+        if eff_to is not None and eff_from is not None:
+            if pd.Timestamp(eff_to) < pd.Timestamp(eff_from):
+                eff_to = eff_from  # clamp (dask.py:154-155)
+
+        # seed lookup (J3, dask.py:142-148): extend scan to the last point
+        # at/before from so LOCF has a value at the range boundary
+        scan_from = eff_from
+        if eff_from is not None:
+            seed_df = storage.scan(name, to_date=eff_from, scheme=scheme)
+            if time_travel:
+                seed_df = ts.time_travel(seed_df, time_travel)
+            seed_t = seed_df.agg(F.max(ts.TIME_COL).alias("t")).collect()[0]["t"]
+            if seed_t is not None:
+                scan_from = seed_t
+
+        df = storage.scan(name, from_date=scan_from, to_date=eff_to, scheme=scheme)
+        if time_travel:
+            df = ts.time_travel(df, time_travel)
+        df = ts.dedup_latest(df)
+        df = df.drop(ts.CREATED_COL)
+
+        if freq is not None:
+            return ts.resample(df, eff_from, eff_to, freq)
+        if from_date is not None:
+            df = df.where(
+                F.col(ts.TIME_COL) >= F.lit(pd.Timestamp(eff_from)).cast("timestamp")
+            )
+        if to_date is not None:
+            df = df.where(
+                F.col(ts.TIME_COL) <= F.lit(pd.Timestamp(eff_to)).cast("timestamp")
+            )
+        return df
+
+    # ------------------------------------------------------------------
+    # Transforms (U1–U4)
+    # ------------------------------------------------------------------
+
+    def transform(
+        self, name: str, namespace: str | None = None,
+        from_features: Sequence[str] = (), **kwargs
+    ) -> Callable:
+        """Decorator registering a virtual feature (core.py:220-244)."""
+        def decorator(fn: Callable) -> Callable:
+            payload = {
+                "format": "cloudpickle",
+                "function": serialize_fn(fn),
+                "args": list(from_features),
+            }
+            nsp, nm = split_name(name, namespace)
+            existing = self.catalog.get_feature(nsp, nm)
+            if existing is None:
+                self.catalog.create_feature(
+                    nsp, nm, transform=payload, **kwargs
+                )
+            else:
+                self.catalog.update_feature(nsp, nm, transform=payload)
+            return fn
+
+        return decorator
+
+    def _load_transform(
+        self, meta: dict, from_date, to_date, freq, time_travel,
+        callers: list[str], last_only: bool = False,
+    ) -> DataFrame:
+        if not self.enable_transforms:
+            raise TransformError(
+                "Transforms are disabled on this store (enable_transforms=False)"
+            )
+        payload = meta["transform"]
+        fn = deserialize_fn(payload["function"])
+        args: list[str] = payload["args"]
+
+        inputs: list[DataFrame] = []
+        for full in args:
+            nsp, nm = split_name(full)
+            sdf = self._load_feature(
+                nsp, nm, from_date, to_date, freq, time_travel,
+                callers=callers, last_only=last_only,
+            )
+            inputs.append(
+                sdf.select(ts.TIME_COL, F.col(ts.VALUE_COL).alias(full))
+            )
+        wide = ts.align(inputs, ffill=len(inputs) > 1)
+
+        # Infer output type by applying fn to a small driver-side sample
+        sample = wide.limit(100).toPandas().set_index(ts.TIME_COL)
+        sample = sample[args] if args else sample
+        try:
+            sample_out = fn(sample)
+        except Exception as e:
+            raise TransformError(f"Transform function failed on sample: {e}") from e
+        if isinstance(sample_out, pd.DataFrame):
+            if sample_out.shape[1] != 1:
+                raise TransformError(
+                    "Transform must return a single column "
+                    f"(got {sample_out.shape[1]})"
+                )
+            out_dtype = sample_out.iloc[:, 0]
+        elif isinstance(sample_out, pd.Series):
+            out_dtype = sample_out
+        else:
+            raise TransformError(
+                "Transform must return a pandas DataFrame or Series"
+            )
+        value_type = _pandas_dtype_to_spark(out_dtype)
+
+        out_schema = T.StructType(
+            [
+                T.StructField(ts.TIME_COL, T.TimestampType()),
+                T.StructField(ts.VALUE_COL, value_type),
+            ]
+        )
+
+        arg_list = list(args)
+
+        def apply_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                frame = pdf.set_index(ts.TIME_COL)[arg_list]
+                res = fn(frame)
+                if isinstance(res, pd.Series):
+                    res = res.to_frame(ts.VALUE_COL)
+                res.columns = [ts.VALUE_COL]
+                res = res.reset_index()
+                res.columns = [ts.TIME_COL, ts.VALUE_COL]
+                yield res
+
+        # Transforms run per-batch (parity with the reference's dask
+        # map_partitions contract: elementwise / same-index functions).
+        return wide.mapInPandas(apply_fn, schema=out_schema)
+
+    # ------------------------------------------------------------------
+    # Write path
+    # ------------------------------------------------------------------
+
+    def save_dataframe(
+        self, df: Any, name: str | None = None, namespace: str | None = None
+    ) -> None:
+        """Save a pandas or Spark frame (core.py:278-313).
+
+        Single-feature form: columns {time?, created_time?, value} + explicit
+        name; or the payload column itself named "ns/name". Wide form: k
+        feature-named columns → split into per-feature saves (unpivot).
+        """
+        if isinstance(df, pd.DataFrame):
+            self._save_pandas(df, name, namespace)
+        elif isinstance(df, DataFrame):
+            self._save_spark(df, name, namespace)
+        else:
+            raise ValidationError(
+                f"save_dataframe expects a pandas or Spark DataFrame, got {type(df)}"
+            )
+
+    def _save_pandas(self, pdf: pd.DataFrame, name, namespace) -> None:
+        pdf = pdf.copy()
+        if isinstance(pdf.index, pd.DatetimeIndex):
+            if ts.TIME_COL in pdf.columns:
+                raise ValidationError(
+                    "Ambiguous time: both DatetimeIndex and 'time' column present"
+                )
+            pdf = pdf.reset_index().rename(columns={pdf.index.name or "index": ts.TIME_COL})
+        if ts.TIME_COL not in pdf.columns:
+            raise ValidationError("save requires a 'time' column or DatetimeIndex")
+
+        payload_cols = [c for c in pdf.columns if c not in ENVELOPE_COLS and c != ts.TIME_COL]
+        if not payload_cols:
+            raise ValidationError("No value column to save")
+        if len(payload_cols) > 1 or (payload_cols[0] != ts.VALUE_COL and "/" in payload_cols[0]):
+            # wide form: each column is a feature
+            for col in payload_cols:
+                sub_cols = [ts.TIME_COL] + ([ts.CREATED_COL] if ts.CREATED_COL in pdf.columns else [])
+                sub = pdf[sub_cols + [col]].rename(columns={col: ts.VALUE_COL})
+                nsp, nm = split_name(col, namespace if "/" not in col else None)
+                self._save_pandas(sub, nm, nsp)
+            return
+
+        col = payload_cols[0]
+        if col != ts.VALUE_COL:
+            nsp, nm = split_name(col, namespace)
+            pdf = pdf.rename(columns={col: ts.VALUE_COL})
+        else:
+            if name is None:
+                raise ValidationError(
+                    "Column named 'value' requires an explicit feature name"
+                )
+            nsp, nm = split_name(name, namespace)
+        meta = self.catalog.get_feature(nsp, nm)
+        if meta is None:
+            raise MissingFeatureException(f"Feature {nsp}/{nm} does not exist")
+
+        if ts.CREATED_COL not in pdf.columns:
+            pdf[ts.CREATED_COL] = pd.Timestamp.now()
+        pdf[ts.TIME_COL] = pd.to_datetime(pdf[ts.TIME_COL])
+        pdf[ts.CREATED_COL] = pd.to_datetime(pdf[ts.CREATED_COL])
+        pdf = pdf[[ts.TIME_COL, ts.CREATED_COL, ts.VALUE_COL]]
+
+        if meta["serialized"]:
+            pdf[ts.VALUE_COL] = pdf[ts.VALUE_COL].map(json.dumps)
+
+        # pyarrow inference mirrors the reference's schema derivation
+        # (dask.py:66-69): dict payloads become structs, not strings.
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        sdf = self.spark.createDataFrame(table)
+        sdf = sdf.withColumn(ts.TIME_COL, F.col(ts.TIME_COL).cast("timestamp"))
+        sdf = sdf.withColumn(ts.CREATED_COL, F.col(ts.CREATED_COL).cast("timestamp"))
+        self._storage(nsp).write(nm, sdf, scheme=meta["partition"])
+
+    def _save_spark(self, sdf: DataFrame, name, namespace) -> None:
+        payload_cols = [c for c in sdf.columns if c not in ENVELOPE_COLS and c != ts.TIME_COL]
+        if ts.TIME_COL not in sdf.columns:
+            raise ValidationError("save requires a 'time' column")
+        if not payload_cols:
+            raise ValidationError("No value column to save")
+        if len(payload_cols) > 1 or (payload_cols[0] != ts.VALUE_COL and "/" in payload_cols[0]):
+            for col in payload_cols:
+                keep = [ts.TIME_COL] + ([ts.CREATED_COL] if ts.CREATED_COL in sdf.columns else [])
+                sub = sdf.select(*keep, _qcol(col).alias(ts.VALUE_COL))
+                nsp, nm = split_name(col, namespace if "/" not in col else None)
+                self._save_spark(sub, nm, nsp)
+            return
+
+        col = payload_cols[0]
+        if col != ts.VALUE_COL:
+            nsp, nm = split_name(col, namespace)
+            sdf = sdf.withColumnRenamed(col, ts.VALUE_COL)
+        else:
+            if name is None:
+                raise ValidationError(
+                    "Column named 'value' requires an explicit feature name"
+                )
+            nsp, nm = split_name(name, namespace)
+        meta = self.catalog.get_feature(nsp, nm)
+        if meta is None:
+            raise MissingFeatureException(f"Feature {nsp}/{nm} does not exist")
+
+        if ts.CREATED_COL not in sdf.columns:
+            sdf = sdf.withColumn(ts.CREATED_COL, F.current_timestamp())
+        sdf = sdf.withColumn(ts.TIME_COL, F.col(ts.TIME_COL).cast("timestamp"))
+        sdf = sdf.withColumn(ts.CREATED_COL, F.col(ts.CREATED_COL).cast("timestamp"))
+
+        if meta["serialized"]:
+            vt = sdf.schema[ts.VALUE_COL].dataType
+            if isinstance(vt, (T.StructType, T.ArrayType, T.MapType)):
+                sdf = sdf.withColumn(ts.VALUE_COL, F.to_json(ts.VALUE_COL))
+            else:
+                enc = F.pandas_udf(
+                    lambda s: s.map(lambda v: json.dumps(v) if v is not None else None),
+                    T.StringType(),
+                )
+                sdf = sdf.withColumn(ts.VALUE_COL, enc(F.col(ts.VALUE_COL)))
+
+        self._storage(nsp).write(nm, sdf.select(*[ts.TIME_COL, ts.CREATED_COL, ts.VALUE_COL]),
+                                 scheme=meta["partition"])
+
+
+def _pandas_dtype_to_spark(series: pd.Series) -> T.DataType:
+    """Infer a Spark type for a transform's output column."""
+    import numpy as np
+
+    dt = series.dtype
+    if pd.api.types.is_float_dtype(dt):
+        return T.DoubleType()
+    if pd.api.types.is_integer_dtype(dt):
+        return T.LongType()
+    if pd.api.types.is_bool_dtype(dt):
+        return T.BooleanType()
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return T.TimestampType()
+    if dt == object and len(series):
+        v = series.dropna()
+        if len(v):
+            first = v.iloc[0]
+            if isinstance(first, str):
+                return T.StringType()
+            if isinstance(first, (int, np.integer)):
+                return T.LongType()
+            if isinstance(first, (float, np.floating)):
+                return T.DoubleType()
+    return T.DoubleType()

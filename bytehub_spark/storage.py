@@ -1,0 +1,256 @@
+"""Data plane: one Hive-partitioned Parquet dataset per feature.
+
+Layout (parity with /root/reference/bytehub/_storage/dask.py:35-36,62-83):
+
+    {namespace.url}/feature/{name}/partition=<p>/part-*.snappy.parquet
+
+Schema envelope is pinned:  time TIMESTAMP, created_time TIMESTAMP,
+value <T>, partition STRING — appends never overwrite (bitemporal MVCC);
+reads resolve the latest created_time per time (timeseries.dedup_latest).
+
+Scale design:
+- the `partition` column is a Hive partition dir → Catalyst static partition
+  pruning; read() derives partition predicates from the time range so scans
+  at 100 TB touch only the needed days/years.
+- time-range predicates are pushed to the parquet row-group stats.
+- appends write through `partitionBy("partition")` so ingest is append-only
+  and parallel; no small-file compaction here (delegate to table format —
+  Delta/Iceberg — when their jars are on the classpath).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Sequence
+from urllib.parse import urlparse
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import timeseries as ts
+from .exceptions import StorageError, ValidationError
+
+ENVELOPE = (ts.TIME_COL, ts.CREATED_COL, ts.VALUE_COL)
+PARTITION_COL = "partition"
+
+
+def partition_expr(scheme: str):
+    """time -> partition value; 'date' → 'yyyy-MM-dd', 'year' → 'yyyy'.
+
+    Strings in both cases so range predicates compare lexicographically
+    (ISO dates sort correctly as strings). Parity: dask.py:52-60.
+    """
+    if scheme == "date":
+        return F.date_format(F.col(ts.TIME_COL), "yyyy-MM-dd")
+    if scheme == "year":
+        return F.date_format(F.col(ts.TIME_COL), "yyyy")
+    raise ValidationError(f"Unknown partition scheme {scheme!r}")
+
+
+def partition_bound(value, scheme: str) -> str:
+    v = pd.Timestamp(value)
+    return v.strftime("%Y-%m-%d") if scheme == "date" else v.strftime("%Y")
+
+
+class SparkStorage:
+    """Parquet read/write for one namespace's features."""
+
+    def __init__(self, spark: SparkSession, url: str):
+        self.spark = spark
+        parsed = urlparse(url)
+        if parsed.scheme in ("", "file"):
+            self.base = parsed.path or url
+        else:
+            # s3a://, gs://, abfs:// … — handed to Hadoop FS connectors as-is
+            self.base = url
+        self._is_local = parsed.scheme in ("", "file")
+
+    # ------------------------------------------------------------------
+
+    def feature_path(self, name: str) -> str:
+        return os.path.join(self.base, "feature", name)
+
+    def exists(self, name: str) -> bool:
+        if self._is_local:
+            return os.path.isdir(self.feature_path(name))
+        try:
+            self.spark.read.parquet(self.feature_path(name)).schema
+            return True
+        except Exception:
+            return False
+
+    def ls(self) -> list[str]:
+        """Feature datasets present on storage (S3 listing for GC)."""
+        root = os.path.join(self.base, "feature")
+        if self._is_local:
+            if not os.path.isdir(root):
+                return []
+            return sorted(
+                d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+            )
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(root)
+        fs = path.getFileSystem(conf)
+        if not fs.exists(path):
+            return []
+        return sorted(
+            st.getPath().getName() for st in fs.listStatus(path) if st.isDirectory()
+        )
+
+    def list_partitions(self, name: str, reverse: bool = False) -> list[str]:
+        """Sorted `partition=` values for a feature (dask.py:38-50).
+
+        Driver-side directory listing — O(#partitions), no data scan.
+        """
+        root = self.feature_path(name)
+        if self._is_local:
+            if not os.path.isdir(root):
+                return []
+            vals = [
+                d.split("=", 1)[1]
+                for d in os.listdir(root)
+                if d.startswith(f"{PARTITION_COL}=")
+            ]
+        else:
+            jvm = self.spark._jvm
+            conf = self.spark._jsc.hadoopConfiguration()
+            path = jvm.org.apache.hadoop.fs.Path(root)
+            fs = path.getFileSystem(conf)
+            if not fs.exists(path):
+                return []
+            vals = [
+                st.getPath().getName().split("=", 1)[1]
+                for st in fs.listStatus(path)
+                if st.isDirectory() and st.getPath().getName().startswith(f"{PARTITION_COL}=")
+            ]
+        return sorted(vals, reverse=reverse)
+
+    # ------------------------------------------------------------------
+    # S2 — append sink
+    # ------------------------------------------------------------------
+
+    def write(self, name: str, df: DataFrame, scheme: str = "date") -> None:
+        """Append rows (time, created_time, value) as Hive-partitioned parquet.
+
+        Schema-evolution guard (parity with parquet-append failure for
+        non-serialized features, tests/test_featurestore.py:494-521): an
+        append whose `value` type differs from the existing dataset raises.
+        """
+        for c in (ts.TIME_COL, ts.VALUE_COL):
+            if c not in df.columns:
+                raise ValidationError(f"save requires a {c!r} column")
+        existing = self.schema(name)
+        if existing is not None:
+            old_t = existing[ts.VALUE_COL].dataType
+            new_t = df.schema[ts.VALUE_COL].dataType
+            if old_t != new_t:
+                raise StorageError(
+                    f"Schema mismatch appending to feature {name!r}: "
+                    f"existing value type {old_t.simpleString()}, "
+                    f"incoming {new_t.simpleString()} (use serialized=True "
+                    f"for evolving schemas)"
+                )
+        out = (
+            df.select(ts.TIME_COL, ts.CREATED_COL, ts.VALUE_COL)
+            .withColumn(PARTITION_COL, partition_expr(scheme))
+        )
+        try:
+            (
+                out.write.mode("append")
+                .partitionBy(PARTITION_COL)
+                .parquet(self.feature_path(name))
+            )
+        except Exception as e:  # report the feature path (fixes ref bug dask.py:83)
+            raise StorageError(
+                f"Failed to write feature dataset at {self.feature_path(name)}: {e}"
+            ) from e
+
+    def schema(self, name: str) -> T.StructType | None:
+        if not self.exists(name):
+            return None
+        try:
+            return self.spark.read.parquet(self.feature_path(name)).schema
+        except Exception:
+            return None
+
+    # ------------------------------------------------------------------
+    # S1 — scan with pushdown + partition pruning
+    # ------------------------------------------------------------------
+
+    def scan(
+        self,
+        name: str,
+        from_date=None,
+        to_date=None,
+        scheme: str = "date",
+        value_type: T.DataType | None = None,
+    ) -> DataFrame:
+        """Raw ranged scan (inclusive bounds); returns the canonical envelope.
+
+        Derives `partition` predicates from the time bounds so Catalyst
+        prunes Hive partitions *and* pushes the time filters to row-group
+        stats. Empty/missing datasets return a 0-row frame with the
+        canonical schema (parity: dask.py:108-114).
+        """
+        if not self.exists(name):
+            vt = value_type or T.DoubleType()
+            empty_schema = T.StructType(
+                [
+                    T.StructField(ts.TIME_COL, T.TimestampType()),
+                    T.StructField(ts.CREATED_COL, T.TimestampType()),
+                    T.StructField(ts.VALUE_COL, vt),
+                ]
+            )
+            return self.spark.createDataFrame([], empty_schema)
+        df = self.spark.read.parquet(self.feature_path(name))
+        if from_date is not None:
+            df = df.where(
+                (F.col(ts.TIME_COL) >= F.lit(pd.Timestamp(from_date)).cast("timestamp"))
+                & (F.col(PARTITION_COL) >= partition_bound(from_date, scheme))
+            )
+        if to_date is not None:
+            df = df.where(
+                (F.col(ts.TIME_COL) <= F.lit(pd.Timestamp(to_date)).cast("timestamp"))
+                & (F.col(PARTITION_COL) <= partition_bound(to_date, scheme))
+            )
+        return df.drop(PARTITION_COL)
+
+    # ------------------------------------------------------------------
+    # S5/S6 — export / import / copy / delete
+    # ------------------------------------------------------------------
+
+    def export(self, name: str) -> DataFrame:
+        """Raw dataset including the partition column (dask.py:279-287)."""
+        if not self.exists(name):
+            raise StorageError(f"No data for feature {name!r}")
+        return self.spark.read.parquet(self.feature_path(name))
+
+    def import_(self, name: str, df: DataFrame) -> None:
+        cols = set(df.columns)
+        if not {ts.TIME_COL, ts.VALUE_COL, PARTITION_COL} <= cols:
+            raise ValidationError("import requires time/value/partition columns")
+        (
+            df.write.mode("append")
+            .partitionBy(PARTITION_COL)
+            .parquet(self.feature_path(name))
+        )
+
+    def copy(self, from_name: str, to_name: str, dest: "SparkStorage") -> None:
+        if self.exists(from_name):
+            dest.import_(to_name, self.export(from_name))
+
+    def delete(self, name: str) -> None:
+        path = self.feature_path(name)
+        if self._is_local:
+            shutil.rmtree(path, ignore_errors=True)
+            return
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)

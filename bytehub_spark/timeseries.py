@@ -1,0 +1,320 @@
+"""Timeseries kernel operators (Spark-first).
+
+These are the dataflow building blocks of the reference engine
+(SURVEY.md §2), re-expressed as Spark DataFrame plans:
+
+- dedup_latest   (A1)  latest created_time per event time   [_storage/dask.py:156-165]
+- time_travel    (P2)  created_time <= time + delta         [_storage/dask.py:119-122]
+- locf           (J1/J2 core) last-observation-carried-forward
+- time_grid      (J2)  regular timestamp grid via sequence()
+- resample       (J2)  grid + as-of LOCF join               [_storage/dask.py:169-188]
+- align          (J1)  multi-feature outer join + ffill     [_timeseries.py:11-26]
+- first_row/last_row (A2/A3)                                [_storage/dask.py:196-221]
+
+Scale notes
+-----------
+A global ``Window.orderBy("time")`` (no partitionBy) collapses to ONE task —
+correct but a straggler at 100 TB. ``locf`` therefore uses a two-pass
+algorithm when no partition keys are given:
+
+  pass 1: range-partition by time, compute each partition's last non-null
+          value per column (tiny: one row per partition, collected to driver)
+  pass 2: running prefix of those seeds broadcast back; per-partition pandas
+          ffill seeded with the prefix — an embarrassingly parallel map.
+
+This keeps LOCF fully distributed: no single-task sort, no full shuffle
+beyond the one range partitioning (which the subsequent operators reuse).
+With partition keys (long format, one series per key) it uses an ordinary
+per-key window, which parallelizes across keys.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .utils import freq_to_interval, parse_timedelta_interval
+
+TIME_COL = "time"
+CREATED_COL = "created_time"
+VALUE_COL = "value"
+
+# Rows per range partition in the two-pass LOCF; at 100 TB this is the knob
+# that sizes tasks (set so one partition's arrow batches fit in executor RAM).
+DEFAULT_ROWS_PER_RANGE = 2_000_000
+
+
+# ---------------------------------------------------------------------------
+# A1 — bitemporal dedup: keep the most recently ingested row per event time
+# ---------------------------------------------------------------------------
+
+def dedup_latest(
+    df: DataFrame,
+    time_col: str = TIME_COL,
+    created_col: str = CREATED_COL,
+    partition_by: Sequence[str] = (),
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Latest ``created_col`` wins per (partition_by..., time_col).
+
+    Globally correct (shuffle-based window), unlike the reference's
+    per-partition dask shortcut which relies on index divisions
+    (_storage/dask.py:156-165). Ties on created_time break on ``tiebreak``
+    (descending) when provided, else arbitrarily.
+    """
+    order = [F.col(created_col).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(*partition_by, time_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — time travel: what did we know as of event-time + delta
+# ---------------------------------------------------------------------------
+
+def time_travel(
+    df: DataFrame,
+    delta: str,
+    time_col: str = TIME_COL,
+    created_col: str = CREATED_COL,
+) -> DataFrame:
+    """Keep rows with ``created_time <= time + delta`` (delta e.g. '-15min').
+
+    A row-vs-row theta predicate — no join needed (_storage/dask.py:119-122).
+    """
+    interval = parse_timedelta_interval(delta)
+    return df.where(
+        F.col(created_col) <= F.col(time_col) + F.expr(interval)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LOCF — last observation carried forward
+# ---------------------------------------------------------------------------
+
+def locf(
+    df: DataFrame,
+    cols: Sequence[str],
+    time_col: str = TIME_COL,
+    partition_by: Sequence[str] = (),
+    order_extra: Sequence[str] = (),
+    rows_per_range: int = DEFAULT_ROWS_PER_RANGE,
+) -> DataFrame:
+    """Forward-fill ``cols`` in time order.
+
+    With ``partition_by``: per-key window (parallel across keys).
+    Without: two-pass distributed fill (see module docstring) — avoids the
+    single-task global window.
+    ``order_extra`` breaks ordering ties within equal timestamps (e.g. the
+    grid-marker column in ``resample``: data rows sort before grid rows).
+    """
+    if partition_by:
+        w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(time_col, *order_extra)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = df
+        for c in cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        return out
+    return _locf_two_pass(df, cols, time_col, list(order_extra), rows_per_range)
+
+
+def _locf_two_pass(
+    df: DataFrame,
+    cols: Sequence[str],
+    time_col: str,
+    order_extra: list[str],
+    rows_per_range: int,
+) -> DataFrame:
+    spark = df.sparkSession
+    sort_cols = [time_col, *order_extra]
+
+    n = df.count()
+    if n == 0:
+        return df
+    num_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                           (n + rows_per_range - 1) // rows_per_range))
+
+    parted = (
+        df.repartitionByRange(num_parts, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    parted.persist()
+    try:
+        # pass 1: last non-null value per column per physical partition
+        # (max_by ignores rows whose ordering key is NULL, i.e. null values)
+        order_expr = F.struct(*[F.col(c) for c in sort_cols])
+        aggs = [
+            F.max_by(F.col(c), F.when(F.col(c).isNotNull(), order_expr)).alias(c)
+            for c in cols
+        ]
+        seeds_rows = sorted(
+            parted.groupBy("__pid").agg(*aggs).collect(), key=lambda r: r["__pid"]
+        )
+        # prefix-scan: seed for partition p = last non-null among partitions < p
+        prefix: dict[int, dict] = {}
+        carry: dict = {c: None for c in cols}
+        for r in seeds_rows:
+            prefix[r["__pid"]] = dict(carry)
+            for c in cols:
+                if r[c] is not None:
+                    carry[c] = r[c]
+
+        fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                           for f in parted.schema.fields)
+        cols_l = list(cols)
+
+        def fill(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            state: dict | None = None
+            for pdf in it:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                if state is None:
+                    pid = int(pdf["__pid"].iloc[0])
+                    state = dict(prefix.get(pid, {c: None for c in cols_l}))
+                for c in cols_l:
+                    s = pdf[c]
+                    if state.get(c) is not None and len(s) and pd.isna(s.iloc[0:1]).any():
+                        # seed leading nulls, then ordinary ffill
+                        s = s.copy()
+                        if pd.isna(s.iloc[0]):
+                            s.iloc[0] = state[c]
+                    s = s.ffill()
+                    pdf[c] = s
+                    last_valid = s.last_valid_index()
+                    if last_valid is not None:
+                        state[c] = s.loc[last_valid]
+                yield pdf
+
+        return parted.mapInPandas(fill, schema=fields).drop("__pid")
+    finally:
+        parted.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# J2 — resample to a regular grid with as-of (LOCF) semantics
+# ---------------------------------------------------------------------------
+
+def time_grid(spark: SparkSession, start, end, freq: str) -> DataFrame:
+    """Regular grid [start..end] stepping by freq, as a 1-col DataFrame.
+
+    ``sequence()`` is evaluated JVM-side; the explode distributes rows.
+    """
+    interval = freq_to_interval(freq)
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(pd.Timestamp(start)).cast("timestamp"),
+                    F.lit(pd.Timestamp(end)).cast("timestamp"),
+                    F.expr(interval),
+                )
+            ).alias(TIME_COL)
+        )
+    )
+
+
+def resample(
+    df: DataFrame,
+    from_date,
+    to_date,
+    freq: str,
+    value_cols: Sequence[str] | None = None,
+    time_col: str = TIME_COL,
+    partition_by: Sequence[str] = (),
+    keys_df: DataFrame | None = None,
+) -> DataFrame:
+    """pandas ``resample(freq).ffill()`` semantics on a (deduped) series.
+
+    grid point g takes the latest value with time <= g (inclusive; a data row
+    exactly at g wins). Implemented as union(data, grid) + LOCF ordered by
+    (time, is_grid) + filter to grid rows — one range shuffle, no self-join.
+
+    With ``partition_by`` (long format, e.g. per user_id), ``keys_df``
+    supplies the key set (default: distinct keys of df) and the grid is
+    cross-joined onto the keys; LOCF runs per key in parallel.
+    """
+    spark = df.sparkSession
+    value_cols = list(value_cols) if value_cols is not None else [
+        c for c in df.columns if c not in (time_col, *partition_by)
+    ]
+    grid = time_grid(spark, from_date, to_date, freq)
+    if partition_by:
+        keys = keys_df if keys_df is not None else df.select(*partition_by).distinct()
+        grid = keys.crossJoin(grid)
+
+    data = df.select(
+        *partition_by, time_col, F.lit(0).alias("__grid"), *value_cols
+    ).where(F.col(time_col) <= F.lit(pd.Timestamp(to_date)).cast("timestamp"))
+    gridded = grid.select(
+        *partition_by, time_col, F.lit(1).alias("__grid"),
+        *[F.lit(None).cast(data.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    unioned = data.unionByName(gridded)
+    filled = locf(
+        unioned,
+        value_cols,
+        time_col=time_col,
+        partition_by=partition_by,
+        order_extra=["__grid"],
+    )
+    return filled.where(F.col("__grid") == 1).drop("__grid")
+
+
+# ---------------------------------------------------------------------------
+# J1 — multi-feature alignment: full outer join on time + forward fill
+# ---------------------------------------------------------------------------
+
+def align(
+    dfs: Sequence[DataFrame],
+    time_col: str = TIME_COL,
+    ffill: bool = True,
+) -> DataFrame:
+    """Outer-join k single-series frames on time; carry each series forward
+    onto the union time axis (_timeseries.py:11-26).
+
+    Each input must have columns (time, <unique series name>). The join keys
+    are sorted-merge friendly; for large k prefer long-format + pivot.
+    """
+    if not dfs:
+        raise ValueError("align() needs at least one frame")
+    out = dfs[0]
+    for nxt in dfs[1:]:
+        out = out.join(nxt, on=time_col, how="outer")
+    value_cols = [c for c in out.columns if c != time_col]
+    if ffill:
+        out = locf(out, value_cols, time_col=time_col)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A2/A4 — first/last row, min/max of the time axis
+# ---------------------------------------------------------------------------
+
+def first_row(df: DataFrame, time_col: str = TIME_COL):
+    return df.orderBy(F.col(time_col).asc()).limit(1)
+
+
+def last_row(df: DataFrame, time_col: str = TIME_COL):
+    return df.orderBy(F.col(time_col).desc()).limit(1)
+
+
+def time_bounds(df: DataFrame, time_col: str = TIME_COL):
+    """(min, max) of the time axis as python values (None, None) if empty."""
+    row = df.agg(
+        F.min(time_col).alias("mn"), F.max(time_col).alias("mx")
+    ).collect()[0]
+    return row["mn"], row["mx"]
