@@ -1,0 +1,74 @@
+"""Data lifecycle — delete with data, clean_namespace GC, clone with copy
+(reference scenarios tests/test_featurestore.py:274-347)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def _save(fs, name, n=5):
+    fs.create_feature(name)
+    idx = pd.date_range("2021-01-01", periods=n, freq="D")
+    vals = np.arange(float(n))
+    fs.save_dataframe(pd.DataFrame({"time": idx, "value": vals}), name)
+    return vals
+
+
+def test_delete_feature_with_data(fs):
+    _save(fs, "test/del1")
+    storage = fs._storage("test")
+    assert storage.exists("del1")
+    fs.delete_feature("test/del1", delete_data=True)
+    assert not storage.exists("del1")
+    assert len(fs.list_features(namespace="test")) == 0
+
+
+def test_delete_feature_keeps_data_then_gc(fs):
+    _save(fs, "test/del2")
+    storage = fs._storage("test")
+    fs.delete_feature("test/del2")  # metadata only
+    assert storage.exists("del2")
+    orphans = fs.clean_namespace("test")
+    assert orphans == ["del2"]
+    assert not storage.exists("del2")
+
+
+def test_clone_feature_with_data(fs):
+    vals = _save(fs, "test/cl_src")
+    fs.clone_feature("test/cl_dst", from_name="test/cl_src")
+    out = fs.load_pandas("test/cl_dst")
+    np.testing.assert_allclose(out["test/cl_dst"].values, vals)
+    # metadata copied
+    row = fs.list_features(name="test/cl_dst").iloc[0]
+    assert row["partition"] == "date"
+
+
+def test_clone_transform_feature_copies_no_data(fs):
+    _save(fs, "test/cl_raw")
+
+    @fs.transform("test/cl_t", from_features=["test/cl_raw"])
+    def t(df):
+        return df + 1
+
+    fs.clone_feature("test/cl_t2", from_name="test/cl_t")
+    storage = fs._storage("test")
+    assert not storage.exists("cl_t2")  # virtual: no dataset
+    out = fs.load_pandas("test/cl_t2")
+    np.testing.assert_allclose(out["test/cl_t2"].values, np.arange(5.0) + 1)
+
+
+def test_partition_layout_year(fs):
+    """partition='year' lays out partition=YYYY dirs; 'date' partition=YYYY-MM-DD."""
+    fs.create_feature("test/py1", partition="year")
+    idx = pd.date_range("2020-12-30", periods=4, freq="D")
+    fs.save_dataframe(pd.DataFrame({"time": idx, "value": [1.0, 2, 3, 4]}),
+                      "test/py1")
+    storage = fs._storage("test")
+    assert storage.list_partitions("py1") == ["2020", "2021"]
+
+    fs.create_feature("test/pd1", partition="date")
+    fs.save_dataframe(pd.DataFrame({"time": idx, "value": [1.0, 2, 3, 4]}),
+                      "test/pd1")
+    assert storage.list_partitions("pd1") == [
+        "2020-12-30", "2020-12-31", "2021-01-01", "2021-01-02"]
