@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() maps SURVEY.md §2 operators (expressed over the driver's testdata
+tables) to engine calls in bytehub_spark.operators / bytehub_spark.timeseries;
+oracle_sql() carries the DuckDB-equivalent SQL. Cross-engine float policy:
+- elementwise arithmetic is written with identical operand order (IEEE
+  doubles are deterministic per-op) → exact match, no rounding;
+- order-sensitive SUMs go through DECIMAL accumulation (exact) and are cast
+  back to DOUBLE;
+- reductions over arrays (cosine) are rounded to 4 decimals before ranking.
 """
 
 from __future__ import annotations
@@ -13,26 +16,346 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bytehub_spark.operators import dedup, events_ops, similarity, text, tpch
+from bytehub_spark.sources import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-user hourly LOCF resample (the as-of/forward-fill
+    retrieval at the heart of the feature store) on sf0.001."""
+    events = load_table(spark, SF_SMOKE, "events")
+    return events_ops.resample_locf(events, "1h")
+
+
+def _q(fn, *tables):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(*[load_table(spark, sf_dir, t) for t in tables])
+
+    return runner
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- timeseries / feature-store kernel (SURVEY §2.2-§2.6) ---
+        "ts_dedup_latest": _q(events_ops.dedup_latest_per_key, "events"),
+        "ts_time_travel": _q(events_ops.time_travel_summary, "events"),
+        "ts_resample_locf": _q(events_ops.resample_locf, "events"),
+        "ts_align_ffill": _q(events_ops.align_ffill_types, "events"),
+        "ts_seed_lookup": lambda spark, sf: events_ops.seed_lookup(
+            load_table(spark, sf, "events"), "2024-01-15"
+        ),
+        "ts_last_per_key": _q(events_ops.last_per_key, "events"),
+        "ts_time_bounds": _q(events_ops.time_bounds_per_type, "events"),
+        "ts_topk_per_key": _q(events_ops.topk_per_key, "events"),
+        "ts_range_scan": lambda spark, sf: events_ops.range_scan(
+            load_table(spark, sf, "events"), "2024-01-10", "2024-01-20", 50.0
+        ),
+        "ts_partition_derive": _q(events_ops.partition_derivation, "events"),
+        "ts_json_extract": _q(events_ops.json_extract_props, "events"),
+        # --- analytical joins/aggregations (SURVEY §2.3-§2.4) ---
+        "tpch_q1": _q(tpch.q1_pricing_summary, "lineitem"),
+        "tpch_q3": _q(tpch.q3_shipping_priority, "customer", "orders", "lineitem"),
+        "tpch_q5": _q(
+            tpch.q5_local_supplier_volume,
+            "region", "nation", "customer", "supplier", "orders", "lineitem",
+        ),
+        "tpch_q6": _q(tpch.q6_forecast_revenue, "lineitem"),
+        "join_anti_inactive_customers": _q(
+            tpch.customers_without_recent_orders, "customer", "orders"
+        ),
+        "join_semi_big_spenders": _q(
+            tpch.customers_with_big_orders, "customer", "orders"
+        ),
+        # --- LLM-pipeline: text analysis ---
+        "doc_text_stats": _q(text.text_stats, "documents"),
+        "doc_token_counts": _q(text.token_counts, "documents"),
+        "doc_lang_id": _q(text.lang_id, "documents"),
+        "doc_fingerprint": _q(text.fingerprint, "documents"),
+        # --- LLM-pipeline: dedup ---
+        "dedup_exact": _q(dedup.exact_dedup, "documents"),
+        "dedup_ngram_jaccard": _q(dedup.ngram_jaccard_pairs, "documents"),
+        "dedup_minhash_lsh": _q(dedup.minhash_lsh_pairs, "documents"),  # rows-only
+        "dedup_simhash": _q(dedup.simhash64, "documents"),  # rows-only
+        # --- LLM-pipeline: similarity search ---
+        "emb_cosine_topk": lambda spark, sf: similarity.cosine_topk(
+            load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
+        ),
+        "emb_lsh_topk": lambda spark, sf: similarity.lsh_cosine_topk(
+            load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
+        ),  # rows-only (approximate by design)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ts_dedup_latest": """
+            SELECT user_id, event_type, ts AS last_ts, value AS last_value
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "ts_time_travel": """
+            SELECT event_type, count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM (
+                SELECT *, ts + (event_id % 7) * INTERVAL 1 MINUTE AS created_time
+                FROM events
+            )
+            WHERE created_time <= ts + INTERVAL 3 MINUTE
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "ts_resample_locf": """
+            WITH b AS (SELECT date_trunc('hour', min(ts)) AS t0, max(ts) AS t1 FROM events),
+            grid AS (SELECT unnest(generate_series(
+                (SELECT t0 FROM b), (SELECT t1 FROM b), INTERVAL 1 HOUR)) AS time),
+            users AS (SELECT DISTINCT user_id FROM events),
+            ug AS (SELECT u.user_id, g.time FROM users u CROSS JOIN grid g),
+            dedup AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+                      FROM events GROUP BY user_id, ts)
+            SELECT ug.user_id, ug.time, d.value
+            FROM ug ASOF LEFT JOIN dedup d
+              ON d.user_id = ug.user_id AND d.ts <= ug.time
+        """,
+        "ts_align_ffill": """
+            WITH ranked AS (
+                SELECT event_type, date_trunc('hour', ts) AS time, value,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            hourly AS (
+                SELECT event_type, time, value AS v FROM ranked WHERE rn = 1
+            ),
+            axis AS (SELECT DISTINCT time FROM hourly),
+            c AS (SELECT time, v FROM hourly WHERE event_type = 'click'),
+            p AS (SELECT time, v FROM hourly WHERE event_type = 'purchase'),
+            j AS (SELECT a.time, c.v AS cv, p.v AS pv
+                  FROM axis a LEFT JOIN c ON c.time = a.time
+                  LEFT JOIN p ON p.time = a.time)
+            SELECT time,
+                last_value(cv IGNORE NULLS) OVER (ORDER BY time
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_value,
+                last_value(pv IGNORE NULLS) OVER (ORDER BY time
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_value
+            FROM j
+        """,
+        "ts_seed_lookup": """
+            SELECT user_id, ts AS seed_ts, value AS seed_value
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "ts_last_per_key": """
+            SELECT user_id, ts AS last_ts, value AS last_value
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "ts_time_bounds": """
+            SELECT event_type, min(ts) AS min_ts, max(ts) AS max_ts,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ts_topk_per_key": """
+            SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, value
+            FROM (
+                SELECT event_type, event_id, value, row_number() OVER (
+                    PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+                FROM events
+            ) WHERE rank <= 3 ORDER BY event_type, rank
+        """,
+        "ts_range_scan": """
+            SELECT event_id, ts, user_id, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-20 00:00:00'
+              AND value > 50.0
+        """,
+        "ts_partition_derive": """
+            SELECT strftime(ts, '%Y-%m-%d') AS partition, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "ts_json_extract": """
+            SELECT event_type,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # --- analytical ---
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+                CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+                count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM region, nation, customer, supplier, orders, lineitem
+            WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+        """,
+        "tpch_q6": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.02 AND l_discount <= 0.06
+              AND l_quantity < 24.0
+        """,
+        "join_anti_inactive_customers": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+            ) ORDER BY c_custkey
+        """,
+        "join_semi_big_spenders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 400000.0
+            ) ORDER BY c_custkey
+        """,
+        # --- text analysis ---
+        "doc_text_stats": """
+            SELECT doc_id,
+                CAST(length(text) AS INTEGER) AS n_chars,
+                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+                CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS INTEGER) AS n_stopwords,
+                CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS avg_word_len,
+                CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS stopword_ratio,
+                0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                    + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+                        / len(string_split(text, ' '))) AS quality_score
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_token_counts": """
+            SELECT source,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+                CAST(SUM(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS regex_tokens,
+                count(*) AS n_docs
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "doc_lang_id": """
+            SELECT doc_id, lang,
+                CASE
+                    WHEN regexp_matches(text, '(^| )(der|die|das|und|nicht)( |$)') THEN 'de'
+                    WHEN regexp_matches(text, '(^| )(el|los|las|una|por)( |$)') THEN 'es'
+                    WHEN regexp_matches(text, '(^| )(le|les|des|une|est)( |$)') THEN 'fr'
+                    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN regexp_matches(text, '(^| )(the|a|and|of|to)( |$)') THEN 'en'
+                    ELSE 'unknown'
+                END AS lang_guess,
+                CAST(lang = CASE
+                    WHEN regexp_matches(text, '(^| )(der|die|das|und|nicht)( |$)') THEN 'de'
+                    WHEN regexp_matches(text, '(^| )(el|los|las|una|por)( |$)') THEN 'es'
+                    WHEN regexp_matches(text, '(^| )(le|les|des|une|est)( |$)') THEN 'fr'
+                    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN regexp_matches(text, '(^| )(the|a|and|of|to)( |$)') THEN 'en'
+                    ELSE 'unknown'
+                END AS INTEGER) AS is_match
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        # --- dedup ---
+        "dedup_exact": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                   min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY 1 ORDER BY keep_id
+        """,
+        "dedup_ngram_jaccard": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE len(string_split(text, ' ')) >= 3
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, len(ws) - 2),
+                    i -> array_to_string(ws[i + 1 : i + 3], ' ')))) AS shingle
+                FROM w
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2
+            ORDER BY doc_a, doc_b
+        """,
+        # --- similarity ---
+        "emb_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+                WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            pairs AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                    round(
+                        list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[])))),
+                        4) AS cosine_sim
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine_sim
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+                FROM pairs
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+    }

