@@ -93,21 +93,21 @@ class Catalog:
         self.path = path
         if path != ":memory:":
             os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-        self._local = threading.local()
+        # One shared connection + lock: catalog traffic is metadata-scale,
+        # and callers may hit it from streaming foreachBatch worker threads
+        # (":memory:" would otherwise be a fresh empty DB per connection).
+        self._lock = threading.RLock()
+        self._shared = sqlite3.connect(self.path, timeout=30, check_same_thread=False)
+        self._shared.row_factory = sqlite3.Row
+        self._shared.execute("PRAGMA journal_mode=WAL")
         con = self._con()
-        with con:
+        with self._lock, con:
             con.executescript(_SCHEMA)
             if not con.execute("SELECT 1 FROM bytehub_version").fetchone():
                 con.execute("INSERT INTO bytehub_version VALUES ('1')")
 
     def _con(self) -> sqlite3.Connection:
-        con = getattr(self._local, "con", None)
-        if con is None:
-            con = sqlite3.connect(self.path, timeout=30)
-            con.row_factory = sqlite3.Row
-            con.execute("PRAGMA journal_mode=WAL")
-            self._local.con = con
-        return con
+        return self._shared
 
     # ------------------------------------------------------------------
     # Namespaces
@@ -126,7 +126,7 @@ class Catalog:
             raise ValidationError("Namespace requires a url")
         con = self._con()
         try:
-            with con:
+            with self._lock, con:
                 con.execute(
                     "INSERT INTO namespaces (name, description, url, storage_options, meta)"
                     " VALUES (?,?,?,?,?)",
@@ -171,7 +171,7 @@ class Catalog:
         meta: dict | None = None,
     ) -> None:
         con = self._con()
-        with con:
+        with self._lock, con:
             row = con.execute(
                 "SELECT * FROM namespaces WHERE name = ?", (name,)
             ).fetchone()
@@ -192,7 +192,7 @@ class Catalog:
 
     def delete_namespace(self, name: str) -> None:
         con = self._con()
-        with con:
+        with self._lock, con:
             if con.execute(
                 "SELECT 1 FROM features WHERE namespace = ? LIMIT 1", (name,)
             ).fetchone():
@@ -224,7 +224,7 @@ class Catalog:
         if self.get_namespace(namespace) is None:
             raise MissingFeatureException(f"Namespace {namespace!r} does not exist")
         try:
-            with con:
+            with self._lock, con:
                 con.execute(
                     "INSERT INTO features (namespace, name, description, partition,"
                     " serialized, transform, meta) VALUES (?,?,?,?,?,?,?)",
@@ -281,7 +281,7 @@ class Catalog:
         meta: dict | None = None,
     ) -> None:
         con = self._con()
-        with con:
+        with self._lock, con:
             row = con.execute(
                 "SELECT * FROM features WHERE namespace = ? AND name = ?",
                 (namespace, name),
@@ -306,7 +306,7 @@ class Catalog:
 
     def delete_feature(self, namespace: str, name: str) -> None:
         con = self._con()
-        with con:
+        with self._lock, con:
             cur = con.execute(
                 "DELETE FROM features WHERE namespace = ? AND name = ?",
                 (namespace, name),

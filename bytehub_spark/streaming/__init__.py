@@ -1,0 +1,15 @@
+from .ingest import (
+    sessionize,
+    sessionize_batch,
+    stream_events,
+    stream_into_feature,
+    windowed_event_stats,
+)
+
+__all__ = [
+    "stream_events",
+    "stream_into_feature",
+    "windowed_event_stats",
+    "sessionize",
+    "sessionize_batch",
+]

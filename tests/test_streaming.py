@@ -1,0 +1,98 @@
+"""Structured Streaming extension tests: windowed agg, foreachBatch ingest
+into the feature store, stateful sessionization."""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bytehub_spark import streaming as st
+from bytehub_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Copy sf0.001 events to a stream-source dir with µs timestamps."""
+    src = load_table(spark, SF, "events")
+    out = str(tmp_path / "events_stream")
+    src.repartition(4).write.parquet(out)
+    return out
+
+
+def test_windowed_event_stats(spark, events_dir):
+    stream = st.stream_events(spark, events_dir)
+    agg = st.windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_stats")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM win_stats").toPandas()
+    # batch oracle: tumbling hourly counts (append mode emits closed windows)
+    batch = load_table(spark, SF, "events").toPandas()
+    batch["w"] = batch["ts"].dt.floor("h")
+    oracle = batch.groupby(["w", "event_type"]).size()
+    merged = got.set_index(["window_start", "event_type"])["n"]
+    # every emitted window matches the batch count exactly
+    assert len(got) > 0
+    for (w, et), n in merged.items():
+        assert oracle.loc[(w, et)] == n
+
+
+def test_stream_into_feature_bitemporal(fs, spark, events_dir, tmp_path):
+    fs.create_feature("test/stream_value")
+    stream = st.stream_events(spark, events_dir).where(F.col("user_id") == 1)
+    q = st.stream_into_feature(
+        stream, fs, "test/stream_value", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    out = fs.load_pandas("test/stream_value")
+    batch = (
+        load_table(spark, SF, "events")
+        .where(F.col("user_id") == 1)
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    # one row per distinct event time, latest ingest wins
+    exp = batch.groupby("ts")["value"].last()
+    assert len(out) == len(exp)
+    np.testing.assert_allclose(out["test/stream_value"].values, exp.values)
+
+
+def test_sessionize_stream_vs_batch(spark, events_dir):
+    events = load_table(spark, SF, "events").where(F.col("user_id") < 5)
+    batch_sessions = st.sessionize_batch(events, gap_minutes=120).toPandas()
+
+    stream = st.stream_events(spark, events_dir).where(F.col("user_id") < 5)
+    q = (
+        st.sessionize(stream, gap_minutes=120, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM sessions").toPandas()
+
+    # the stream emits only sessions closed by the watermark; every emitted
+    # session must exactly match a batch session
+    assert len(got) > 0
+    batch_keys = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch_sessions.itertuples()
+    }
+    for r in got.itertuples():
+        assert (r.user_id, r.session_start, r.session_end, r.n_events) in batch_keys
