@@ -164,9 +164,13 @@ def minhash_lsh_pairs(
 
 
 def simhash64(
-    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    ngram: int = 3,
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (vectorized numpy, Arrow batches).
+    """64-bit SimHash over word n-gram features (vectorized numpy, Arrow
+    batches). N-grams (not unigrams) so corpora with a narrow vocabulary
+    still discriminate — unigram multisets of same-domain docs are nearly
+    identical, their 3-gram sets are not.
 
     Near-dups are pairs within small Hamming distance; at scale, bucket on
     bit-chunks (4×16-bit keys) and compare within buckets.
@@ -178,13 +182,19 @@ def simhash64(
         for i, t in enumerate(texts):
             if not t:
                 continue
-            tokens = t.split()
+            words = t.split()
+            tokens = (
+                [" ".join(words[j : j + ngram]) for j in range(len(words) - ngram + 1)]
+                if len(words) >= ngram
+                else words
+            )
             if not tokens:
                 continue
             # deterministic 64-bit token hashes (FNV-1a, pure numpy-friendly)
             hs = np.array([_fnv1a64(tok) for tok in tokens], dtype=np.uint64)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-            votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 majority per bit
+            # +1/-1 majority per bit (signed! uint64 would wrap on negatives)
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
             sim = np.uint64(0)
             for b in np.nonzero(votes > 0)[0]:
                 sim |= np.uint64(1) << np.uint64(b)

@@ -1,0 +1,175 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schema, partition-friendly
+layout, Arrow-batched UDF signatures over mapInPandas; the codec step is a
+clearly-marked stub (decode libraries are not in this container): pass
+``fake=True`` for a deterministic fake decoder so pipelines are testable
+end-to-end, or leave the default to get ``NotImplementedError`` at the
+codec boundary.
+
+Design for 100 TB: binary payloads ride in their own column so parquet
+column pruning skips them unless the operator needs bytes; metadata-only
+queries (resolution histograms, duration sums) never read the blobs.
+mapInPandas streams Arrow record batches, so one task holds only a batch
+of blobs in memory, never a whole partition.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),        # image | audio | video
+        T.StructField("content", T.BinaryType()),     # opaque encoded bytes
+        T.StructField("format", T.StringType()),      # png/jpeg/wav/mp4/...
+        T.StructField("width", T.IntegerType()),      # images/video
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),   # audio/video
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def synthesize_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table for tests (seeded bytes)."""
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(n):
+        payload = rng.integers(0, 256, size=256 + (i % 7) * 32, dtype=np.uint8)
+        rows.append(
+            (
+                i,
+                kind,
+                bytes(payload.tobytes()),
+                "png" if kind == "image" else "wav",
+                64 + i % 4, 64, None if kind == "image" else 1000 + i, 16000,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_stub(content: bytes, fmt: str, fake: bool) -> np.ndarray:
+    """Codec boundary. Real decoders (PIL/libav) are not in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires codec libraries not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    # deterministic fake: interpret bytes as uint8 pixels/samples
+    return np.frombuffer(content, dtype=np.uint8).astype(np.float32)
+
+
+def featurize(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode + fixed-dim feature per blob via Arrow-batched mapInPandas.
+
+    The feature is a FEATURE_DIM-bucket normalized byte histogram of the
+    decoded payload — stands in for an embedding model forward pass; the
+    batching/schema/shuffle shape is exactly what a real model UDF needs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, nbytes = [], []
+            for content, fmt in zip(pdf["content"], pdf["format"]):
+                raw = _decode_stub(content, fmt, fake)
+                hist, _ = np.histogram(raw, bins=FEATURE_DIM, range=(0, 256))
+                total = max(hist.sum(), 1)
+                feats.append((hist / total).astype(np.float32).tolist())
+                nbytes.append(len(content))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": nbytes,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=_FEATURIZE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize op: same plumbing, returns re-encoded binary (stubbed codec)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content, fmt in zip(pdf["content"], pdf["format"]):
+                raw = _decode_stub(content, fmt, fake)
+                # fake resize: decimate/pad the byte stream to the target size
+                target = width * height
+                resized = np.resize(raw, target).astype(np.uint8)
+                out.append(bytes(resized.tobytes()))
+            res = pdf.copy()
+            res["content"] = out
+            res["width"] = width
+            res["height"] = height
+            yield res
+
+    return media.where(F.col("kind") == "image").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
+    """Frame sampling for video rows: explode one row per sampled frame."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, content, fmt, dur in zip(
+                pdf["media_id"], pdf["content"], pdf["format"], pdf["duration_ms"]
+            ):
+                raw = _decode_stub(content, fmt, fake)
+                n_frames = max(int((dur or 0) // every_ms), 1)
+                for k in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(k)
+                    tss.append(k * every_ms)
+                    lo = (k * len(raw)) // n_frames
+                    hi = ((k + 1) * len(raw)) // n_frames
+                    frames.append(bytes(raw[lo:hi].astype(np.uint8).tobytes()))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(run, schema=schema)
+
+
+def metadata_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate: never touches the binary column (column
+    pruning keeps the blobs out of the scan — verify via ReadSchema)."""
+    return (
+        media.groupBy("kind", "format")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("duration_ms", F.lit(0))).alias("total_duration_ms"),
+            F.avg(F.col("width") * F.col("height")).alias("avg_pixels"),
+        )
+        .orderBy("kind", "format")
+    )

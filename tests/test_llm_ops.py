@@ -1,0 +1,142 @@
+"""Quality tests for the LLM-pipeline operators: dedup recall, similarity
+recall, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bytehub_spark.operators import dedup, multimodal, similarity, text
+from bytehub_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, documents):
+    # plant exact + whitespace-variant duplicates
+    dups = documents.limit(3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.substring("text", 1, 0)), F.col("text"),
+                 F.lit("   ")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    planted = documents.unionByName(dups)
+    groups = dedup.exact_dedup(planted).toPandas()
+    assert (groups["n_copies"] > 1).sum() == 3
+    assert groups["n_copies"].sum() == planted.count()
+
+
+def test_minhash_lsh_recall_vs_true_jaccard(spark, documents):
+    """LSH candidates must cover all high-jaccard pairs (recall) and its
+    jaccard estimate must correlate with the exact value."""
+    true_pairs = dedup.ngram_jaccard_pairs(documents, threshold=0.3).toPandas()
+    cand = dedup.minhash_lsh_pairs(documents).toPandas()
+    cand_set = set(zip(cand["doc_a"], cand["doc_b"]))
+    missed = [
+        (a, b)
+        for a, b, j in zip(true_pairs["doc_a"], true_pairs["doc_b"], true_pairs["jaccard"])
+        if (a, b) not in cand_set
+    ]
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+    # estimates within 0.35 of truth for found pairs (64 hashes → σ≈0.06)
+    merged = cand.merge(true_pairs, on=["doc_a", "doc_b"])
+    if len(merged):
+        assert (merged["est_jaccard"] - merged["jaccard"]).abs().max() < 0.35
+
+
+def test_simhash_near_dup_vs_distinct(spark, documents):
+    """Near-identical docs get near-identical simhashes; unrelated docs don't."""
+    base = documents.limit(5)
+    # perturb: append one word (small token-multiset change)
+    near = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    hashes = dedup.simhash64(base.unionByName(near)).toPandas()
+    hm = dict(zip(hashes["doc_id"], hashes["simhash"]))
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    ids = sorted(k for k in hm if k < 100000)
+    near_d = [hamming(hm[i], hm[i + 100000]) for i in ids]
+    cross_d = [hamming(hm[ids[i]], hm[ids[j]])
+               for i in range(len(ids)) for j in range(i + 1, len(ids))]
+    assert max(near_d) <= 12, f"perturbed docs too far: {near_d}"
+    assert min(cross_d) > 12, f"unrelated docs too close: {cross_d}"
+
+
+def test_lsh_cosine_recall(spark, embeddings):
+    """Bucketed ANN recalls a decent fraction of true top-5 at tiny scale
+    and every returned neighbor's similarity is exact (re-ranked)."""
+    qids = [0, 1, 2, 3, 4]
+    exact = similarity.cosine_topk(embeddings, qids, 5).toPandas()
+    approx = similarity.lsh_cosine_topk(embeddings, qids, 5, n_planes=4).toPandas()
+    exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
+    if len(approx):
+        hits = sum((q, n) in exact_set
+                   for q, n in zip(approx["query_id"], approx["neighbor_id"]))
+        assert hits / len(exact_set) > 0.2
+        # approximate results carry true cosine values
+        merged = approx.merge(exact, on=["query_id", "neighbor_id"])
+        if len(merged):
+            np.testing.assert_allclose(
+                merged["cosine_sim_x"], merged["cosine_sim_y"], atol=1e-9
+            )
+
+
+def test_text_ops_shapes(spark, documents):
+    stats = text.text_stats(documents).toPandas()
+    assert (stats["n_words"] > 0).all()
+    assert ((stats["stopword_ratio"] >= 0) & (stats["stopword_ratio"] <= 1)).all()
+    assert ((stats["quality_score"] >= 0) & (stats["quality_score"] <= 1)).all()
+    tokens = text.token_counts(documents).toPandas()
+    assert (tokens["regex_tokens"] >= tokens["ws_tokens"]).all()
+    langs = text.lang_id(documents).toPandas()
+    assert set(langs["lang_guess"]) <= {"en", "de", "es", "fr", "zh", "unknown"}
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthesize_media(spark, n=32, kind="image")
+    feats = multimodal.featurize(media, fake=True).toPandas()
+    assert len(feats) == 32
+    assert all(len(f) == multimodal.FEATURE_DIM for f in feats["feature"])
+    np.testing.assert_allclose(
+        [sum(f) for f in feats["feature"]], 1.0, atol=1e-3
+    )
+
+    resized = multimodal.resize_images(media, 32, 32, fake=True).toPandas()
+    assert (resized["width"] == 32).all()
+    assert all(len(c) == 32 * 32 for c in resized["content"])
+
+    video = multimodal.synthesize_media(spark, n=4, kind="video")
+    frames = multimodal.sample_frames(video, every_ms=500, fake=True).toPandas()
+    assert len(frames) >= 4
+    assert (frames["frame_ts_ms"] % 500 == 0).all()
+
+    stats = multimodal.metadata_stats(media).toPandas()
+    assert stats["n"].sum() == 32
+
+    # codec boundary is a marked stub without fake=True
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.featurize(media, fake=False).collect()
+
+
+def test_multimodal_blob_pruning(spark, tmp_path):
+    """Metadata-only queries must not read the binary column."""
+    media = multimodal.synthesize_media(spark, n=16)
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    plan = multimodal.metadata_stats(spark.read.parquet(path))._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan, "binary column leaked into a metadata-only scan"
