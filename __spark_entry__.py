@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bytehub_spark.operators import dedup, events_ops, similarity, text, tpch
+from bytehub_spark.operators import dedup, events_ops, ivf, similarity, text, tpch
 from bytehub_spark.sources import load_table
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
         ),
         "emb_lsh_topk": lambda spark, sf: similarity.lsh_cosine_topk(
+            load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
+        ),  # rows-only (approximate by design)
+        "emb_ivf_topk": lambda spark, sf: ivf.ivf_topk(
             load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
         ),  # rows-only (approximate by design)
     }

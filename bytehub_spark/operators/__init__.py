@@ -1,3 +1,3 @@
-from . import dedup, events_ops, similarity, text, tpch
+from . import dedup, events_ops, ivf, multimodal, similarity, text, tpch
 
-__all__ = ["dedup", "events_ops", "similarity", "text", "tpch"]
+__all__ = ["dedup", "events_ops", "ivf", "multimodal", "similarity", "text", "tpch"]

@@ -97,12 +97,23 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature per doc: sig[j] = min over shingles of
-    xxhash64(shingle, seed=j). One pass over exploded shingles, n_hashes
-    min-aggregates — a single shuffle on doc id."""
+    """MinHash signature per doc: sig[j] = min over shingles of h_j(shingle).
+
+    h_j uses Kirsch-Mitzenmacher double hashing — h_j = (h1 + j·h2) mod p
+    (p = 2^31-1) from TWO xxhash64 evaluations per shingle instead of
+    n_hashes (32× fewer hash calls in the hot path; minwise independence
+    is preserved because both terms are uniform mod the SAME prime — a
+    truncated/unreduced variant correlates the j-th hashes). All arithmetic
+    fits in 38 bits (no ANSI overflow). One pass over exploded shingles,
+    n_hashes min-aggregates — a single shuffle on doc id.
+    """
+    p = 2147483647  # 2^31 - 1 (Mersenne prime)
     sh = shingle_sets(documents, text_col, id_col, n)
+    h1 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(p))
+    h2 = F.pmod(F.xxhash64(F.col("shingle"), F.lit(7)), F.lit(p - 1)) + F.lit(1)
+    sh = sh.select(F.col(id_col), h1.alias("__h1"), h2.alias("__h2"))
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"h{j}")
+        F.min(F.pmod(F.col("__h1") + F.lit(j) * F.col("__h2"), F.lit(p))).alias(f"h{j}")
         for j in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -111,7 +122,7 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     documents: DataFrame,
     n_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -119,9 +130,11 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     rows/band = n_hashes/bands; a pair collides if any band matches
-    (P ≈ 1-(1-j^r)^b). Self-join happens only inside (band, band_hash)
-    buckets. Returns candidates with estimated jaccard (signature
-    agreement fraction).
+    (P ≈ 1-(1-j^r)^b; defaults b=32, r=2 → detection threshold ≈ 0.18,
+    j=0.5 pairs caught w.p. ≈ 1-(1-0.25)^32 ≈ 1). Self-join happens only
+    inside (band, band_hash) buckets. Returns candidates with estimated
+    jaccard (signature agreement fraction); filter on it to trade
+    precision/recall.
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands

@@ -139,11 +139,10 @@ def _locf_two_pass(
     spark = df.sparkSession
     sort_cols = [time_col, *order_extra]
 
-    n = df.count()
-    if n == 0:
-        return df
-    num_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-                           (n + rows_per_range - 1) // rows_per_range))
+    # partition count: shuffle-partitions ceiling; on a real cluster size
+    # instead by rows_per_range from table stats. No count() job — the
+    # algorithm is correct for any partitioning, including empty input.
+    num_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
 
     parted = (
         df.repartitionByRange(num_parts, *[F.col(c) for c in sort_cols])
