@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ts_partition_derive": _q(events_ops.partition_derivation, "events"),
         "ts_json_extract": _q(events_ops.json_extract_props, "events"),
+        "ts_asof_join": _q(events_ops.purchases_with_last_click, "events"),
         # --- analytical joins/aggregations (SURVEY §2.3-§2.4) ---
         "tpch_q1": _q(tpch.q1_pricing_summary, "lineitem"),
         "tpch_q3": _q(tpch.q3_shipping_priority, "customer", "orders", "lineitem"),
@@ -192,6 +193,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                    count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ts_asof_join": """
+            WITH p AS (
+                SELECT user_id, ts AS time, event_id, value FROM events
+                WHERE event_type = 'purchase'
+            ),
+            c0 AS (
+                SELECT user_id, ts AS time, value AS click_value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                           ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'
+            ),
+            c AS (SELECT user_id, time, click_value FROM c0 WHERE rn = 1)
+            SELECT p.user_id, p.time, p.event_id, p.value,
+                   c.click_value AS click_value_right
+            FROM p ASOF LEFT JOIN c
+              ON c.user_id = p.user_id AND c.time <= p.time
         """,
         # --- analytical ---
         "tpch_q1": """

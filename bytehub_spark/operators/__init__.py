@@ -1,3 +1,5 @@
-from . import dedup, events_ops, ivf, multimodal, similarity, text, tpch
+from . import asof, dedup, events_ops, ivf, multimodal, similarity, text, tpch
 
-__all__ = ["dedup", "events_ops", "ivf", "multimodal", "similarity", "text", "tpch"]
+__all__ = [
+    "asof", "dedup", "events_ops", "ivf", "multimodal", "similarity", "text", "tpch",
+]

@@ -1,0 +1,84 @@
+"""Generic as-of join — the operator Spark lacks natively (SURVEY §2.3 J2
+is the grid special case; this is the general backward as-of merge).
+
+For each left row, attach the latest right row with
+``right.time <= left.time`` within the same ``by`` key.
+
+Implementation: union the two sides with a side tag, one per-key window
+pass carrying the right payload forward (right rows sort before left rows
+at equal timestamps → inclusive semantics), then keep left rows. ONE
+shuffle on the key — no range join, no per-key merge_asof UDF, and skew on
+the time axis is irrelevant because the partitioning key is `by`.
+
+At 100 TB: both sides shuffle once on `by`; with bucketed tables on `by`
+the shuffle disappears entirely. Compare pyspark_guide.md's alternatives
+(bucketize range + equi-join, or applyInPandas merge_asof): this plan
+needs no range bucketing parameter and stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str = "time",
+    by: Sequence[str] = (),
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join (pandas merge_asof semantics, inclusive).
+
+    ``tolerance``: optional max staleness (e.g. '1h') — matches older than
+    ``left.time - tolerance`` become NULL.
+    """
+    by = list(by)
+    value_cols = list(value_cols) if value_cols is not None else [
+        c for c in right.columns if c != time_col and c not in by
+    ]
+    left_cols = [c for c in left.columns if c != time_col and c not in by]
+
+    l_tagged = left.select(
+        *by, time_col, F.lit(1).alias("__side"),
+        *left_cols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in value_cols],
+        F.lit(None).cast("timestamp").alias("__rtime"),
+    )
+    r_tagged = right.select(
+        *by, time_col, F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col(time_col).alias("__rtime"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # right rows first at equal time → right.time <= left.time is inclusive
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(time_col, "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    for c in [*[f"{c}{suffix}" for c in value_cols], "__rtime"]:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+
+    out = filled.where(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        from ..utils import freq_to_interval
+
+        stale = F.col("__rtime") < (F.col(time_col) - F.expr(freq_to_interval(tolerance)))
+        for c in value_cols:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(stale | F.col("__rtime").isNull(), F.lit(None)).otherwise(
+                    F.col(f"{c}{suffix}")
+                ),
+            )
+    return out.drop("__rtime")

@@ -183,3 +183,24 @@ def json_extract_props(events: DataFrame) -> DataFrame:
         .agg(F.sum("k").alias("sum_k"), F.count("k").alias("n_with_k"))
         .orderBy("event_type")
     )
+
+
+def purchases_with_last_click(events: DataFrame) -> DataFrame:
+    """Generic as-of join demo: each purchase gets the user's latest
+    prior-or-simultaneous click value (operators.asof.asof_join)."""
+    from .asof import asof_join
+
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("time"), "event_id", "value"
+    )
+    clicks = ts.dedup_latest(
+        events.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("time"),
+            F.col("value").alias("click_value"), "event_id",
+        ),
+        time_col="time",
+        created_col="event_id",
+        partition_by=["user_id"],
+    ).select("user_id", "time", "click_value")
+    joined = asof_join(purchases, clicks, time_col="time", by=["user_id"])
+    return joined.select("user_id", "time", "event_id", "value", "click_value_right")

@@ -1,0 +1,17 @@
+from .inspect import (
+    executed_plan,
+    has_broadcast_join,
+    partition_filters,
+    pushed_filters,
+    read_schema,
+    shuffle_count,
+)
+
+__all__ = [
+    "executed_plan",
+    "pushed_filters",
+    "partition_filters",
+    "read_schema",
+    "has_broadcast_join",
+    "shuffle_count",
+]

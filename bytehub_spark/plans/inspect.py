@@ -1,0 +1,58 @@
+"""Physical-plan inspection helpers.
+
+Scale guarantees should be *asserted*, not hoped for: these helpers pull
+the pushdown/pruning/join-strategy facts out of the executed plan so tests
+(and users tuning a query) can check them programmatically. Used by
+tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _extract(plan: str, tag: str) -> list[str]:
+    out = []
+    for m in re.finditer(re.escape(tag) + r":\s*\[", plan):
+        depth, i = 1, m.end()
+        while i < len(plan) and depth:
+            if plan[i] == "[":
+                depth += 1
+            elif plan[i] == "]":
+                depth -= 1
+            i += 1
+        out.append(plan[m.end(): i - 1])
+    return out
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Predicates that reached the parquet reader (row-group stats)."""
+    return [f for seg in _extract(executed_plan(df), "PushedFilters")
+            for f in seg.split(", ") if f]
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """Predicates applied to Hive partition directories (static pruning)."""
+    return [f for seg in _extract(executed_plan(df), "PartitionFilters")
+            for f in seg.split(", ") if f]
+
+
+def read_schema(df: DataFrame) -> list[str]:
+    """Columns actually read from the files (column pruning check)."""
+    m = re.search(r"ReadSchema: struct<([^>]*)>", executed_plan(df))
+    return [c.split(":")[0] for c in m.group(1).split(",") if c] if m else []
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchanges in the plan — the scale cost that matters most."""
+    return executed_plan(df).count("Exchange ")

@@ -21,6 +21,9 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runtime-settable; required for TIMESTAMP(NANOS) columns (events.ts)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # oracle parity: timestamps must collect as UTC instants (duckdb is
+    # UTC-naive), whatever session the caller hands us
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
