@@ -42,6 +42,15 @@ TIME_COL = "time"
 CREATED_COL = "created_time"
 VALUE_COL = "value"
 
+
+def _isna_scalar(v) -> bool:
+    """pd.isna that is False (not an error) for dict/list payloads."""
+    try:
+        res = pd.isna(v)
+    except (TypeError, ValueError):
+        return False
+    return bool(res) if not hasattr(res, "__len__") else False
+
 # Rows per range partition in the two-pass LOCF; at 100 TB this is the knob
 # that sizes tasks (set so one partition's arrow batches fit in executor RAM).
 DEFAULT_ROWS_PER_RANGE = 2_000_000
@@ -140,66 +149,83 @@ def _locf_two_pass(
     sort_cols = [time_col, *order_extra]
 
     # partition count: shuffle-partitions ceiling; on a real cluster size
-    # instead by rows_per_range from table stats. No count() job — the
-    # algorithm is correct for any partitioning, including empty input.
+    # instead by rows_per_range from table stats.
     num_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
 
-    parted = (
-        df.repartitionByRange(num_parts, *[F.col(c) for c in sort_cols])
-        .sortWithinPartitions(*sort_cols)
-        .withColumn("__pid", F.spark_partition_id())
+    # Bucket boundaries are COLLECTED ONCE and baked into both passes as
+    # constants. (repartitionByRange + spark_partition_id would be subtly
+    # wrong: its sampled boundaries can differ when the lazy second pass
+    # recomputes, silently mismatching the seeds.)
+    probs = [i / num_parts for i in range(1, num_parts)]
+    bounds = (
+        df.select(F.unix_micros(F.col(time_col)).alias("__t"))
+        .stat.approxQuantile("__t", probs, 0.01)
+        if probs
+        else []
     )
-    parted.persist()
-    try:
-        # pass 1: last non-null value per column per physical partition
-        # (max_by ignores rows whose ordering key is NULL, i.e. null values)
-        order_expr = F.struct(*[F.col(c) for c in sort_cols])
-        aggs = [
-            F.max_by(F.col(c), F.when(F.col(c).isNotNull(), order_expr)).alias(c)
-            for c in cols
-        ]
-        seeds_rows = sorted(
-            parted.groupBy("__pid").agg(*aggs).collect(), key=lambda r: r["__pid"]
-        )
-        # prefix-scan: seed for partition p = last non-null among partitions < p
-        prefix: dict[int, dict] = {}
-        carry: dict = {c: None for c in cols}
-        for r in seeds_rows:
-            prefix[r["__pid"]] = dict(carry)
-            for c in cols:
-                if r[c] is not None:
-                    carry[c] = r[c]
+    bounds = sorted(set(int(b) for b in bounds))
+    pid_expr = F.lit(0)
+    for b in bounds:
+        pid_expr = pid_expr + (F.unix_micros(F.col(time_col)) > F.lit(b)).cast("int")
 
-        fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
-                           for f in parted.schema.fields)
-        cols_l = list(cols)
+    parted = (
+        df.withColumn("__pid", pid_expr)
+        .repartition(num_parts, "__pid")
+        .sortWithinPartitions("__pid", *sort_cols)
+    )
 
-        def fill(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            state: dict | None = None
-            for pdf in it:
-                if len(pdf) == 0:
-                    yield pdf
-                    continue
-                if state is None:
-                    pid = int(pdf["__pid"].iloc[0])
-                    state = dict(prefix.get(pid, {c: None for c in cols_l}))
+    # pass 1: last non-null value per column per bucket
+    # (max_by ignores rows whose ordering key is NULL, i.e. null values)
+    order_expr = F.struct(*[F.col(c) for c in sort_cols])
+    aggs = [
+        F.max_by(F.col(c), F.when(F.col(c).isNotNull(), order_expr)).alias(c)
+        for c in cols
+    ]
+    seeds_rows = sorted(
+        parted.groupBy("__pid").agg(*aggs).collect(), key=lambda r: r["__pid"]
+    )
+    # prefix-scan: seed for bucket p = last non-null among buckets < p
+    prefix: dict[int, dict] = {}
+    carry: dict = {c: None for c in cols}
+    for r in seeds_rows:
+        prefix[r["__pid"]] = dict(carry)
+        for c in cols:
+            if r[c] is not None:
+                carry[c] = r[c]
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in parted.schema.fields)
+    cols_l = list(cols)
+
+    def fill(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a physical partition may hold several buckets (hash(pid) % n);
+        # they arrive contiguously (sorted by __pid) — reset state per bucket
+        cur_pid: int | None = None
+        state: dict = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            groups = []
+            for pid, g in pdf.groupby("__pid", sort=False):
+                if pid != cur_pid:
+                    cur_pid = int(pid)
+                    state = dict(prefix.get(cur_pid, {c: None for c in cols_l}))
+                g = g.copy()
                 for c in cols_l:
-                    s = pdf[c]
-                    if state.get(c) is not None and len(s) and pd.isna(s.iloc[0:1]).any():
-                        # seed leading nulls, then ordinary ffill
+                    s = g[c]
+                    if state.get(c) is not None and _isna_scalar(s.iloc[0]):
                         s = s.copy()
-                        if pd.isna(s.iloc[0]):
-                            s.iloc[0] = state[c]
+                        s.iloc[0] = state[c]
                     s = s.ffill()
-                    pdf[c] = s
+                    g[c] = s
                     last_valid = s.last_valid_index()
                     if last_valid is not None:
                         state[c] = s.loc[last_valid]
-                yield pdf
+                groups.append(g)
+            yield pd.concat(groups)
 
-        return parted.mapInPandas(fill, schema=fields).drop("__pid")
-    finally:
-        parted.unpersist()
+    return parted.mapInPandas(fill, schema=fields).drop("__pid")
 
 
 # ---------------------------------------------------------------------------
