@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q(dedup.ngram_jaccard_pairs, "documents"),
         "dedup_minhash_lsh": _q(dedup.minhash_lsh_pairs, "documents"),  # rows-only
         "dedup_simhash": _q(dedup.simhash64, "documents"),  # rows-only
+        "dedup_embedding_cosine": lambda spark, sf: dedup.embedding_cosine_dups(
+            load_table(spark, sf, "embeddings"), 0.4
+        ),
         # --- LLM-pipeline: similarity search ---
         "emb_cosine_topk": lambda spark, sf: similarity.cosine_topk(
             load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
@@ -358,6 +361,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         # --- similarity ---
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(
+                    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                    4) AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+                    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                    4) >= 0.4
+            ORDER BY id_a, id_b
+        """,
         "emb_cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings

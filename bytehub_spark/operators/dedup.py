@@ -225,3 +225,51 @@ def _fnv1a64(s: str) -> int:
         h ^= ch
         h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+def embedding_cosine_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity (id_a < id_b).
+
+    Exact mode (``n_planes=None``): all-pairs self-join — the oracle
+    baseline; the smaller side is broadcast so the join is a broadcast
+    nested-loop, never a full shuffle cartesian. Scale mode (``n_planes``
+    set): candidates are blocked on a random-hyperplane LSH bucket first
+    (same deterministic xxhash64 planes as similarity.lsh_cosine_buckets),
+    turning O(n²) pair generation into a bucket equi-join — the only
+    strategy that survives 100 TB. Similarity is rounded to 4 decimals
+    BEFORE thresholding so membership is stable across engines.
+    """
+    from .similarity import _dot, hyperplane_signature
+
+    cols = [F.col(id_col), F.col(vec_col)]
+    if n_planes:
+        cols.append(
+            hyperplane_signature(embeddings, n_planes, vec_col).alias("__bucket")
+        )
+    base = embeddings.select(*cols)
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        *([F.col("__bucket").alias("__ba")] if n_planes else []),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        *([F.col("__bucket").alias("__bb")] if n_planes else []),
+    )
+    if n_planes:
+        joined = a.join(b, (F.col("__ba") == F.col("__bb")) & (F.col("id_a") < F.col("id_b")))
+    else:
+        joined = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    sim = _dot("vec_a", "vec_b") / (
+        F.sqrt(_dot("vec_a", "vec_a")) * F.sqrt(_dot("vec_b", "vec_b"))
+    )
+    return (
+        joined.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )

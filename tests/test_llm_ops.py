@@ -169,3 +169,33 @@ def test_ivf_topk_recall(spark, embeddings):
         np.testing.assert_allclose(
             merged["cosine_sim_x"], merged["cosine_sim_y"], atol=1e-9
         )
+
+
+def test_embedding_cosine_dups_exact_vs_numpy(spark, embeddings):
+    """Exact mode must equal a numpy all-pairs oracle at the same rounding."""
+    got = dedup.embedding_cosine_dups(embeddings, 0.4).toPandas()
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.linalg.norm(M, axis=1)
+    sims = (M @ M.T) / np.outer(norms, norms)
+    exp = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and round(sims[i, j], 4) >= 0.4:
+                exp.add((int(ids[i]), int(ids[j])))
+    assert set(zip(got["id_a"], got["id_b"])) == exp
+    assert len(exp) > 0  # threshold must actually select something at sf0.001
+
+
+def test_embedding_cosine_dups_lsh_mode_subset(spark, embeddings):
+    """LSH-blocked mode returns a subset of the exact pairs (no false positives)."""
+    exact = dedup.embedding_cosine_dups(embeddings, 0.4).toPandas()
+    approx = dedup.embedding_cosine_dups(embeddings, 0.4, n_planes=4).toPandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    approx_pairs = set(zip(approx["id_a"], approx["id_b"]))
+    assert approx_pairs <= exact_pairs
+    # 4 planes -> 16 buckets: recall should be nontrivial on 500 vectors
+    if exact_pairs:
+        assert len(approx_pairs) / len(exact_pairs) > 0.02
