@@ -63,6 +63,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "region", "nation", "customer", "supplier", "orders", "lineitem",
         ),
         "tpch_q6": _q(tpch.q6_forecast_revenue, "lineitem"),
+        "tpch_q4": _q(tpch.q4_order_priority, "orders", "lineitem"),
+        "tpch_q10": _q(tpch.q10_returned_items, "customer", "orders", "lineitem"),
+        "tpch_q12": _q(tpch.q12_priority_shipping, "orders", "lineitem"),
+        "tpch_q14": _q(tpch.q14_promo_revenue, "part", "lineitem"),
         "join_anti_inactive_customers": _q(
             tpch.customers_without_recent_orders, "customer", "orders"
         ),
@@ -262,6 +266,50 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
               AND l_discount >= 0.02 AND l_discount <= 0.06
               AND l_quantity < 24.0
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+              )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q10": """
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "tpch_q14": """
+            SELECT 100.0
+                   * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                         ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS promo_revenue_pct,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
         """,
         "join_anti_inactive_customers": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c

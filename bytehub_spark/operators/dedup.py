@@ -45,8 +45,18 @@ def exact_dedup(
 def shingle_sets(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle) exploded rows."""
-    df = documents.withColumn("__w", F.split(F.col(text_col), " "))
+    """Distinct word n-gram shingles per doc: (id, shingle) exploded rows.
+
+    The explode multiplies rows ~n_words-fold and everything downstream
+    (hashing, min-aggregates, inverted-index joins) is CPU-bound, so the
+    *input* docs are fanned out first — a tiny shuffle that parallelizes
+    the whole expansion stage (no-op when partitioning is already wide).
+    """
+    from ..plans import ensure_parallelism
+
+    df = ensure_parallelism(documents).withColumn(
+        "__w", F.split(F.col(text_col), " ")
+    )
     df = df.where(F.size("__w") >= n)
     shingles = F.expr(
         f"transform(sequence(0, size(__w) - {n}), i -> concat_ws(' ', slice(__w, i + 1, {n})))"
@@ -138,8 +148,16 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    sig = minhash_signatures(documents, n_hashes, n, text_col, id_col)
-    sig = sig.withColumn("sig", F.array(*[F.col(f"h{j}") for j in range(n_hashes)]))
+    # Persist the signature table: it feeds BOTH self-join sides and the
+    # final signature fetch — without it the shingle-explode + 64-way
+    # min-agg DAG executes three times. Signatures are n_docs × 64 longs
+    # (~0.5 KB/doc), orders of magnitude smaller than the corpus, so this
+    # persists fine even at 100 TB corpus scale (MEMORY_AND_DISK spills).
+    from pyspark import StorageLevel
+
+    sig = minhash_signatures(documents, n_hashes, n, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -147,10 +165,11 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
+    # candidate generation carries ONLY ids through the bucket self-join —
+    # the (band, bh) equi-join shuffles slim rows, not signature arrays
     buckets = sig.select(
-        F.col(id_col), "sig", F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a, b2 = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
@@ -162,17 +181,21 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
     )
+    arr = F.array(*[F.col(f"h{j}") for j in range(n_hashes)])
+    sig_a = sig.select(F.col(id_col).alias("doc_a"), arr.alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("doc_b"), arr.alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        .cast("double") / F.lit(float(64 if n_hashes == 64 else n_hashes))
+        .cast("double") / F.lit(float(n_hashes))
     )
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard")).orderBy(
-        "doc_a", "doc_b"
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -214,7 +237,9 @@ def simhash64(
             out[i] = sim
         return pd.Series(out.astype(np.int64))
 
-    return documents.select(
+    from ..plans import ensure_parallelism
+
+    return ensure_parallelism(documents).select(
         F.col(id_col), _simhash(F.col(text_col)).alias("simhash")
     ).orderBy(id_col)
 

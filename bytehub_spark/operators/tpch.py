@@ -149,3 +149,97 @@ def customers_with_big_orders(
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
     )
+
+
+def q4_order_priority(
+    orders: DataFrame, lineitem: DataFrame,
+    d1: str = "1996-01-01", d2: str = "1996-04-01",
+) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): EXISTS semi-join then
+    count per priority. The semi-join shuffles on orderkey; the tiny
+    priority agg broadcasts nothing."""
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(d1).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(d2).cast("timestamp"))
+    )
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    matched = o.join(
+        late,
+        (o.o_orderkey == late.l_orderkey) & (late.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    d1: str = "1996-01-01", d2: str = "1996-04-01", k: int = 20,
+) -> DataFrame:
+    """Returned-item revenue per customer, top-k (TPC-H Q10 shape):
+    fact⋈fact on orderkey, customer broadcast, agg, global top-k."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(d1).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(d2).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(_dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def q12_priority_shipping(
+    orders: DataFrame, lineitem: DataFrame,
+    d1: str = "1996-01-01", d2: str = "1997-01-01",
+) -> DataFrame:
+    """Conditional aggregation over a join (TPC-H Q12 shape): per return
+    flag, how many lines belong to critical- vs normal-priority orders."""
+    l = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(d1).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(d2).cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    o = orders.select("o_orderkey", "o_orderpriority")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(crit).alias("high_line_count"),
+            F.sum(1 - crit).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q14_promo_revenue(
+    part: DataFrame, lineitem: DataFrame,
+    d1: str = "1996-01-01", d2: str = "1996-02-01",
+) -> DataFrame:
+    """Promotion revenue share (TPC-H Q14 shape): broadcast dim join +
+    two conditional decimal sums folded into one ratio."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    l = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(d1).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(d2).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = part.select("p_partkey", "p_type")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return joined.agg(
+        (F.lit(100.0) * _dsum(promo) / _dsum(revenue)).alias("promo_revenue_pct"),
+        _dsum(revenue).alias("total_revenue"),
+    )

@@ -1,4 +1,5 @@
 from .inspect import (
+    ensure_parallelism,
     executed_plan,
     has_broadcast_join,
     partition_filters,
@@ -8,6 +9,7 @@ from .inspect import (
 )
 
 __all__ = [
+    "ensure_parallelism",
     "executed_plan",
     "pushed_filters",
     "partition_filters",

@@ -56,3 +56,21 @@ def has_broadcast_join(df: DataFrame) -> bool:
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchanges in the plan — the scale cost that matters most."""
     return executed_plan(df).count("Exchange ")
+
+
+def ensure_parallelism(df: DataFrame, factor: float = 1.0) -> DataFrame:
+    """Fan a DataFrame out to the session's parallelism when its current
+    partitioning would under-utilize the cluster.
+
+    For CPU-bound stages (Arrow pandas UDFs, shingle explodes, decimal
+    aggregation) a single-row-group parquet file serializes all compute
+    into one task; one round-robin shuffle of the raw rows buys full
+    parallelism for the expensive stage. No-op when the input already has
+    enough partitions — which is always the case at production scale, so
+    this never adds a shuffle to a 100 TB plan.
+    """
+    spark = df.sparkSession
+    target = max(1, int(spark.sparkContext.defaultParallelism * factor))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

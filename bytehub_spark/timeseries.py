@@ -17,20 +17,22 @@ A global ``Window.orderBy("time")`` (no partitionBy) collapses to ONE task —
 correct but a straggler at 100 TB. ``locf`` therefore uses a two-pass
 algorithm when no partition keys are given:
 
-  pass 1: range-partition by time, compute each partition's last non-null
-          value per column (tiny: one row per partition, collected to driver)
-  pass 2: running prefix of those seeds broadcast back; per-partition pandas
-          ffill seeded with the prefix — an embarrassingly parallel map.
+  pass 1: bucket rows by time range (quantile bounds collected once) and
+          forward-fill WITHIN each bucket via a per-bucket window — buckets
+          run in parallel.
+  pass 2: each bucket's last non-null per column (one row per bucket) is
+          prefix-scanned by a window over that tiny frame and broadcast-
+          joined back; leading nulls coalesce to the prior buckets' seed.
 
-This keeps LOCF fully distributed: no single-task sort, no full shuffle
-beyond the one range partitioning (which the subsequent operators reuse).
-With partition keys (long format, one series per key) it uses an ordinary
-per-key window, which parallelizes across keys.
+Both passes are declarative DataFrame plans — no driver collect of seeds,
+no pandas round-trip (map/struct payloads stay JVM-side). With partition
+keys (long format, one series per key) locf uses an ordinary per-key
+window, which parallelizes across keys.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Sequence
+from typing import Iterable, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -41,15 +43,6 @@ from .utils import freq_to_interval, parse_timedelta_interval
 TIME_COL = "time"
 CREATED_COL = "created_time"
 VALUE_COL = "value"
-
-
-def _isna_scalar(v) -> bool:
-    """pd.isna that is False (not an error) for dict/list payloads."""
-    try:
-        res = pd.isna(v)
-    except (TypeError, ValueError):
-        return False
-    return bool(res) if not hasattr(res, "__len__") else False
 
 # Rows per range partition in the two-pass LOCF; at 100 TB this is the knob
 # that sizes tasks (set so one partition's arrow batches fit in executor RAM).
@@ -168,64 +161,43 @@ def _locf_two_pass(
     for b in bounds:
         pid_expr = pid_expr + (F.unix_micros(F.col(time_col)) > F.lit(b)).cast("int")
 
-    parted = (
-        df.withColumn("__pid", pid_expr)
-        .repartition(num_parts, "__pid")
-        .sortWithinPartitions("__pid", *sort_cols)
-    )
+    parted = df.withColumn("__pid", pid_expr)
 
-    # pass 1: last non-null value per column per bucket
-    # (max_by ignores rows whose ordering key is NULL, i.e. null values)
+    # pass 1 (declarative, no driver collect): fill WITHIN each bucket via a
+    # per-bucket window — buckets run in parallel, each a bounded task.
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = parted
+    for c in cols:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w_in))
+
+    # pass 2: seed each bucket with the last non-null value of PRIOR buckets.
+    # Per-bucket last non-nulls (max_by ignores rows whose ordering key is
+    # NULL, i.e. null values) prefix-scanned by a window over the tiny
+    # one-row-per-bucket frame, then broadcast-joined back. Everything stays
+    # JVM-side — no pandas round-trip, so map/struct payloads are preserved
+    # and the plan is one shuffle + one broadcast.
     order_expr = F.struct(*[F.col(c) for c in sort_cols])
-    aggs = [
-        F.max_by(F.col(c), F.when(F.col(c).isNotNull(), order_expr)).alias(c)
-        for c in cols
-    ]
-    seeds_rows = sorted(
-        parted.groupBy("__pid").agg(*aggs).collect(), key=lambda r: r["__pid"]
+    seeds = parted.groupBy("__pid").agg(
+        *[
+            F.max_by(F.col(c), F.when(F.col(c).isNotNull(), order_expr)).alias(c)
+            for c in cols
+        ]
     )
-    # prefix-scan: seed for bucket p = last non-null among buckets < p
-    prefix: dict[int, dict] = {}
-    carry: dict = {c: None for c in cols}
-    for r in seeds_rows:
-        prefix[r["__pid"]] = dict(carry)
-        for c in cols:
-            if r[c] is not None:
-                carry[c] = r[c]
-
-    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
-                       for f in parted.schema.fields)
-    cols_l = list(cols)
-
-    def fill(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # a physical partition may hold several buckets (hash(pid) % n);
-        # they arrive contiguously (sorted by __pid) — reset state per bucket
-        cur_pid: int | None = None
-        state: dict = {}
-        for pdf in it:
-            if len(pdf) == 0:
-                yield pdf
-                continue
-            groups = []
-            for pid, g in pdf.groupby("__pid", sort=False):
-                if pid != cur_pid:
-                    cur_pid = int(pid)
-                    state = dict(prefix.get(cur_pid, {c: None for c in cols_l}))
-                g = g.copy()
-                for c in cols_l:
-                    s = g[c]
-                    if state.get(c) is not None and _isna_scalar(s.iloc[0]):
-                        s = s.copy()
-                        s.iloc[0] = state[c]
-                    s = s.ffill()
-                    g[c] = s
-                    last_valid = s.last_valid_index()
-                    if last_valid is not None:
-                        state[c] = s.loc[last_valid]
-                groups.append(g)
-            yield pd.concat(groups)
-
-    return parted.mapInPandas(fill, schema=fields).drop("__pid")
+    w_prev = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # single-task window, but over <= num_parts rows
+    prefix = seeds.select(
+        "__pid",
+        *[F.last(c, ignorenulls=True).over(w_prev).alias(f"__seed_{c}") for c in cols],
+    )
+    out = filled.join(F.broadcast(prefix), "__pid", "left")
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__seed_{c}")))
+    return out.drop("__pid", *[f"__seed_{c}" for c in cols])
 
 
 # ---------------------------------------------------------------------------

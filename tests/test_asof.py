@@ -81,7 +81,9 @@ def test_asof_join_single_shuffle(spark):
 
 
 def test_plan_helpers_on_scan(spark):
-    li = load_table(spark, SF, "lineitem").where(
+    from bytehub_spark.sources.tables import _cache
+    spark.catalog.clearCache(); _cache.clear()
+    li = load_table(spark, SF, "lineitem", cache_small=False).where(
         F.col("l_shipdate") >= "1996-01-01"
     ).select("l_orderkey", "l_quantity")
     assert any("l_shipdate" in f for f in plans.pushed_filters(li))

@@ -59,7 +59,12 @@ def test_broadcast_joins_in_tpch(spark):
 
 
 def test_lineitem_filter_pushdown(spark):
-    q6 = tpch.q6_forecast_revenue(load_table(spark, SF, "lineitem"))
+    # pushdown is a property of the FILE scan. cache_small=False alone is
+    # not enough: Spark's CacheManager substitutes a cached InMemoryRelation
+    # into ANY matching subplan, so drop caches for this assertion.
+    from bytehub_spark.sources.tables import _cache
+    spark.catalog.clearCache(); _cache.clear()
+    q6 = tpch.q6_forecast_revenue(load_table(spark, SF, "lineitem", cache_small=False))
     plan = _plan(q6)
     pushed = plan.split("PushedFilters:", 1)[1][:400]
     assert "l_shipdate" in pushed and "l_discount" in pushed
