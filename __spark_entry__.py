@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": _q(text.token_counts, "documents"),
         "doc_lang_id": _q(text.lang_id, "documents"),
         "doc_fingerprint": _q(text.fingerprint, "documents"),
+        "doc_clean_text": _q(text.clean_text, "documents"),
+        "doc_repetition": _q(text.repetition_ratio, "documents"),
         # --- LLM-pipeline: dedup ---
         "dedup_exact": _q(dedup.exact_dedup, "documents"),
         "dedup_ngram_jaccard": _q(dedup.ngram_jaccard_pairs, "documents"),
@@ -376,6 +378,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "doc_clean_text": """
+            SELECT doc_id,
+                trim(regexp_replace(
+                    regexp_replace(
+                        regexp_replace(lower(text), 'https?://\\S+', ' ', 'g'),
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+                    '\\s+', ' ', 'g')) AS clean_text,
+                CAST(len(regexp_extract_all(text, 'https?://\\S+')) AS INTEGER) AS n_urls,
+                CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_repetition": """
+            WITH g AS (
+                SELECT doc_id,
+                    list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                        i -> list_extract(string_split(text, ' '), i) || ' '
+                          || list_extract(string_split(text, ' '), i + 1) || ' '
+                          || list_extract(string_split(text, ' '), i + 2)
+                    ) AS grams
+                FROM documents
+            )
+            SELECT doc_id,
+                CAST(len(grams) AS INTEGER) AS n_ngrams,
+                CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+                CASE WHEN len(grams) > 0
+                     THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                     ELSE 0.0 END AS dup_ngram_ratio
+            FROM g ORDER BY doc_id
         """,
         # --- dedup ---
         "dedup_exact": """

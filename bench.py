@@ -25,16 +25,26 @@ BENCH_QUERIES = [
     "ts_resample_locf",
     "ts_align_ffill",
     "ts_last_per_key",
+    "ts_asof_join",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
     "doc_text_stats",
     "doc_token_counts",
+    "doc_lang_id",
+    "doc_clean_text",
+    "doc_repetition",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "emb_cosine_topk",
+    "emb_ivf_topk",
 ]
 
 

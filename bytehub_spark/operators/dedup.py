@@ -252,6 +252,9 @@ def _fnv1a64(s: str) -> int:
     return h
 
 
+MAX_BROADCAST_VECTORS = 2_000_000  # ~0.5 GB at 64 float64 dims
+
+
 def embedding_cosine_dups(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -261,40 +264,88 @@ def embedding_cosine_dups(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity (id_a < id_b).
 
-    Exact mode (``n_planes=None``): all-pairs self-join — the oracle
-    baseline; the smaller side is broadcast so the join is a broadcast
-    nested-loop, never a full shuffle cartesian. Scale mode (``n_planes``
-    set): candidates are blocked on a random-hyperplane LSH bucket first
-    (same deterministic xxhash64 planes as similarity.lsh_cosine_buckets),
-    turning O(n²) pair generation into a bucket equi-join — the only
-    strategy that survives 100 TB. Similarity is rounded to 4 decimals
-    BEFORE thresholding so membership is stable across engines.
+    Exact mode (``n_planes=None``): blocked matrix multiply — the full
+    normalized matrix is broadcast once and each partition of rows computes
+    its similarity block with one numpy GEMM, emitting only above-threshold
+    pairs. A per-pair SQL dot product (higher-order functions are
+    interpreted, not codegen'd) measured 150s on 2k×2k pairs; the GEMM is
+    <0.5s. Bounded by MAX_BROADCAST_VECTORS — beyond that exact all-pairs
+    is infeasible on any engine; use the LSH mode. Scale mode (``n_planes``
+    set): candidates are blocked on a random-hyperplane LSH bucket (same
+    deterministic xxhash64 planes as similarity.lsh_cosine_buckets),
+    turning O(n²) pair generation into a bucket equi-join — the strategy
+    that survives 100 TB. Similarity is rounded to 4 decimals (half-up,
+    matching SQL ROUND) BEFORE thresholding so membership is stable
+    across engines.
     """
     from .similarity import _dot, hyperplane_signature
 
-    cols = [F.col(id_col), F.col(vec_col)]
     if n_planes:
-        cols.append(
-            hyperplane_signature(embeddings, n_planes, vec_col).alias("__bucket")
+        base = embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_signature(embeddings, n_planes, vec_col).alias("__bucket"),
         )
-    base = embeddings.select(*cols)
-    a = base.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-        *([F.col("__bucket").alias("__ba")] if n_planes else []),
-    )
-    b = base.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-        *([F.col("__bucket").alias("__bb")] if n_planes else []),
-    )
-    if n_planes:
-        joined = a.join(b, (F.col("__ba") == F.col("__bb")) & (F.col("id_a") < F.col("id_b")))
-    else:
-        joined = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    sim = _dot("vec_a", "vec_b") / (
-        F.sqrt(_dot("vec_a", "vec_a")) * F.sqrt(_dot("vec_b", "vec_b"))
-    )
-    return (
-        joined.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
-        .where(F.col("cosine_sim") >= F.lit(threshold))
-        .orderBy("id_a", "id_b")
-    )
+        a = base.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+            F.col("__bucket").alias("__ba"),
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+            F.col("__bucket").alias("__bb"),
+        )
+        joined = a.join(
+            b, (F.col("__ba") == F.col("__bb")) & (F.col("id_a") < F.col("id_b"))
+        )
+        sim = _dot("vec_a", "vec_b") / (
+            F.sqrt(_dot("vec_a", "vec_a")) * F.sqrt(_dot("vec_b", "vec_b"))
+        )
+        return (
+            joined.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= F.lit(threshold))
+            .orderBy("id_a", "id_b")
+        )
+
+    spark = embeddings.sparkSession
+    from ..plans import ensure_parallelism
+
+    side = embeddings.select(F.col(id_col), F.col(vec_col)).toPandas()
+    if len(side) > MAX_BROADCAST_VECTORS:
+        raise ValueError(
+            f"exact all-pairs over {len(side)} vectors is infeasible; "
+            "pass n_planes to use LSH-blocked candidates"
+        )
+    ids_b = side[id_col].to_numpy()
+    mat_b = np.array([np.asarray(v, dtype=np.float64) for v in side[vec_col]])
+    mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids_b, mat_b))
+
+    def block(it):
+        b_ids, b_mat = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf[id_col].to_numpy()
+            a_mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ b_mat.T
+            # round half-up to 4 decimals (SQL ROUND semantics; sims at the
+            # threshold are positive so +0.5-floor is exact)
+            sims = np.floor(sims * 1e4 + 0.5) / 1e4
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ii],
+                    "id_b": b_ids[jj],
+                    "cosine_sim": sims[ii, jj],
+                }
+            )
+
+    out = ensure_parallelism(
+        embeddings.select(F.col(id_col), F.col(vec_col))
+    ).mapInPandas(block, schema="id_a long, id_b long, cosine_sim double")
+    return out.orderBy("id_a", "id_b")

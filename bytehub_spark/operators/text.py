@@ -100,3 +100,65 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.md5(normalized).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def clean_text(documents: DataFrame) -> DataFrame:
+    """Training-corpus cleaning pass: strip URLs and e-mail addresses,
+    lowercase, collapse whitespace. Pure JVM regexp_replace chain —
+    whole-stage codegen, no Python in the loop. Patterns are kept in the
+    common RE2/Java subset so the DuckDB oracle uses the same strings.
+    """
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), URL_RE, " "),
+                EMAIL_RE,
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return documents.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.regexp_count(F.col("text"), F.lit(URL_RE)).alias("n_urls"),
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("n_emails"),
+    ).orderBy("doc_id")
+
+
+def repetition_ratio(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): fraction
+    of word n-grams that are duplicates of an earlier n-gram. High values
+    flag boilerplate/spam. Integer-derived ratio — exact cross-engine."""
+    # materialize the words array ONCE per row: referencing split(text)
+    # inside the transform lambda re-splits the text per n-gram (O(words²)
+    # per doc — measured 7s vs 0.3s on 5k docs). Also guard short docs:
+    # sequence(0, -1) is DESCENDING in Spark, not empty.
+    grams = F.expr(
+        f"CASE WHEN size(__w) >= {n} THEN "
+        f"transform(sequence(0, size(__w) - {n}), "
+        f"i -> concat_ws(' ', slice(__w, i + 1, {n}))) "
+        f"ELSE array() END"
+    )
+    return (
+        documents.withColumn("__w", F.split(F.col("text"), " "))
+        .withColumn("__g", grams)
+        .select(
+            "doc_id",
+            F.size("__g").alias("n_ngrams"),
+            F.size(F.array_distinct("__g")).alias("n_distinct"),
+            F.when(
+                F.size("__g") > 0,
+                (F.size("__g") - F.size(F.array_distinct("__g"))).cast("double")
+                / F.size("__g"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ngram_ratio"),
+        )
+        .orderBy("doc_id")
+    )

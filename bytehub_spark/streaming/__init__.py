@@ -1,6 +1,7 @@
 from .ingest import (
     sessionize,
     sessionize_batch,
+    stream_dedup,
     stream_events,
     stream_into_feature,
     windowed_event_stats,
@@ -8,6 +9,7 @@ from .ingest import (
 
 __all__ = [
     "stream_events",
+    "stream_dedup",
     "stream_into_feature",
     "windowed_event_stats",
     "sessionize",

@@ -227,3 +227,20 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .drop("session_id")
     )
+
+
+def stream_dedup(
+    events: DataFrame, watermark: str = "10 minutes", keys: Iterable[str] = ("event_id",)
+) -> DataFrame:
+    """Streaming exact dedup: drop replayed rows within the watermark
+    horizon (at-least-once sources -> effectively-once sink).
+
+    ``dropDuplicatesWithinWatermark`` keeps key state only until the
+    watermark passes, so state is bounded at scale — the streaming twin of
+    the batch ``operators.dedup.exact_dedup`` / bitemporal A1 dedup: the
+    stream sheds duplicate *deliveries*; replays later than the watermark
+    still land and are resolved by the bitemporal read path.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

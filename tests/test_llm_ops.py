@@ -199,3 +199,30 @@ def test_embedding_cosine_dups_lsh_mode_subset(spark, embeddings):
     # 4 planes -> 16 buckets: recall should be nontrivial on 500 vectors
     if exact_pairs:
         assert len(approx_pairs) / len(exact_pairs) > 0.02
+
+
+def test_clean_text_strips_urls_and_emails(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["Visit https://x.io/a?b=1 or mail a.b@c.org  now",
+                 "no noise here"],
+        "source": ["s", "s"], "lang": ["en", "en"],
+    })
+    got = text.clean_text(spark.createDataFrame(pdf)).toPandas()
+    assert got.loc[0, "clean_text"] == "visit or mail now"
+    assert got.loc[0, "n_urls"] == 1 and got.loc[0, "n_emails"] == 1
+    assert got.loc[1, "clean_text"] == "no noise here"
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spam spam spam spam spam spam",   # all 3-grams identical
+                 "a b c d e f g",                    # all distinct
+                 "x y"],                             # shorter than n
+        "source": ["s"] * 3, "lang": ["en"] * 3,
+    })
+    got = text.repetition_ratio(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert got.loc[1, "dup_ngram_ratio"] == 0.75  # 4 grams, 1 distinct
+    assert got.loc[2, "dup_ngram_ratio"] == 0.0
+    assert got.loc[3, "n_ngrams"] == 0 and got.loc[3, "dup_ngram_ratio"] == 0.0

@@ -96,3 +96,27 @@ def test_sessionize_stream_vs_batch(spark, events_dir):
     }
     for r in got.itertuples():
         assert (r.user_id, r.session_start, r.session_end, r.n_events) in batch_keys
+
+
+def test_stream_dedup_drops_replays(spark, tmp_path):
+    """Replayed event_ids within the watermark are delivered exactly once."""
+    src = load_table(spark, SF, "events").limit(200).cache()
+    out = str(tmp_path / "replayed")
+    # write the same 200 events twice: an at-least-once source with replays
+    src.write.parquet(out)
+    src.write.mode("append").parquet(out)
+    stream = st.stream_events(spark, out)
+    deduped = st.stream_dedup(stream, watermark="365 days")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_id FROM dedup_stream").toPandas()
+    assert len(got) == 200
+    assert got["event_id"].is_unique
