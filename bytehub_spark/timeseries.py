@@ -109,6 +109,7 @@ def locf(
     partition_by: Sequence[str] = (),
     order_extra: Sequence[str] = (),
     rows_per_range: int = DEFAULT_ROWS_PER_RANGE,
+    range_hint: tuple | None = None,
 ) -> DataFrame:
     """Forward-fill ``cols`` in time order.
 
@@ -117,6 +118,10 @@ def locf(
     single-task global window.
     ``order_extra`` breaks ordering ties within equal timestamps (e.g. the
     grid-marker column in ``resample``: data rows sort before grid rows).
+    ``range_hint=(t0, t1)``: when the caller already knows the time span
+    (resample does — it built the grid), bucket bounds are interpolated
+    from it instead of running an approxQuantile job. One less Spark job;
+    correctness is unaffected (bounds only steer parallelism).
     """
     if partition_by:
         w = (
@@ -128,7 +133,9 @@ def locf(
         for c in cols:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
         return out
-    return _locf_two_pass(df, cols, time_col, list(order_extra), rows_per_range)
+    return _locf_two_pass(
+        df, cols, time_col, list(order_extra), rows_per_range, range_hint
+    )
 
 
 def _locf_two_pass(
@@ -137,6 +144,7 @@ def _locf_two_pass(
     time_col: str,
     order_extra: list[str],
     rows_per_range: int,
+    range_hint: tuple | None = None,
 ) -> DataFrame:
     spark = df.sparkSession
     sort_cols = [time_col, *order_extra]
@@ -149,13 +157,19 @@ def _locf_two_pass(
     # constants. (repartitionByRange + spark_partition_id would be subtly
     # wrong: its sampled boundaries can differ when the lazy second pass
     # recomputes, silently mismatching the seeds.)
-    probs = [i / num_parts for i in range(1, num_parts)]
-    bounds = (
-        df.select(F.unix_micros(F.col(time_col)).alias("__t"))
-        .stat.approxQuantile("__t", probs, 0.01)
-        if probs
-        else []
-    )
+    if range_hint is not None:
+        t0 = int(pd.Timestamp(range_hint[0]).value // 1000)  # ns -> µs
+        t1 = int(pd.Timestamp(range_hint[1]).value // 1000)
+        step = max(1, (t1 - t0) // num_parts)
+        bounds = [t0 + i * step for i in range(1, num_parts)] if t1 > t0 else []
+    else:
+        probs = [i / num_parts for i in range(1, num_parts)]
+        bounds = (
+            df.select(F.unix_micros(F.col(time_col)).alias("__t"))
+            .stat.approxQuantile("__t", probs, 0.01)
+            if probs
+            else []
+        )
     bounds = sorted(set(int(b) for b in bounds))
     pid_expr = F.lit(0)
     for b in bounds:
@@ -267,6 +281,9 @@ def resample(
         time_col=time_col,
         partition_by=partition_by,
         order_extra=["__grid"],
+        # the grid span is known: seed rows before from_date land in
+        # bucket 0; no quantile job needed
+        range_hint=(from_date, to_date),
     )
     return filled.where(F.col("__grid") == 1).drop("__grid")
 
