@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_partition_derive": _q(events_ops.partition_derivation, "events"),
         "ts_json_extract": _q(events_ops.json_extract_props, "events"),
         "ts_asof_join": _q(events_ops.purchases_with_last_click, "events"),
+        "ts_rollup": _q(events_ops.rollup_counts, "events"),
+        "ts_moving_avg": _q(events_ops.moving_avg_per_user, "events"),
         # --- analytical joins/aggregations (SURVEY §2.3-§2.4) ---
         "tpch_q1": _q(tpch.q1_pricing_summary, "lineitem"),
         "tpch_q3": _q(tpch.q3_shipping_priority, "customer", "orders", "lineitem"),
@@ -219,6 +221,22 @@ def oracle_sql() -> dict[str, str]:
                    c.click_value AS click_value_right
             FROM p ASOF LEFT JOIN c
               ON c.user_id = p.user_id AND c.time <= p.time
+        """,
+        "ts_rollup": """
+            SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+            ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
+        """,
+        "ts_moving_avg": """
+            SELECT user_id, ts, event_id, value,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                   / CAST(COUNT(*) OVER w AS DOUBLE) AS mavg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, ts, event_id
         """,
         # --- analytical ---
         "tpch_q1": """

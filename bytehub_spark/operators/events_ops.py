@@ -204,3 +204,48 @@ def purchases_with_last_click(events: DataFrame) -> DataFrame:
     ).select("user_id", "time", "click_value")
     joined = asof_join(purchases, clicks, time_col="time", by=["user_id"])
     return joined.select("user_id", "time", "event_id", "value", "click_value_right")
+
+
+def rollup_counts(events: DataFrame) -> DataFrame:
+    """Hypertable-style rollup: counts and sums at (event_type, day),
+    (event_type), and grand-total grain in ONE pass (partial aggregation
+    handles all grouping sets map-side; no per-grain rescan)."""
+    return (
+        events.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "value",
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first()
+        )
+    )
+
+
+def moving_avg_per_user(events: DataFrame, window_rows: int = 3) -> DataFrame:
+    """Trailing moving average per user over the last N events (analytic
+    window; parallel across user keys)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    # explicit sum/count (not avg): both engines then compute the same
+    # double division of an exact decimal sum — bit-identical results
+    msum = F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+    mcnt = F.count("*").over(w).cast("double")
+    return (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            (msum / mcnt).alias("mavg"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
