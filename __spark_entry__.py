@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q(text.fingerprint, "documents"),
         "doc_clean_text": _q(text.clean_text, "documents"),
         "doc_repetition": _q(text.repetition_ratio, "documents"),
+        "doc_curation_pipeline": _q(text.curation_pipeline, "documents"),
         # --- LLM-pipeline: dedup ---
         "dedup_exact": _q(dedup.exact_dedup, "documents"),
         "dedup_ngram_jaccard": _q(dedup.ngram_jaccard_pairs, "documents"),
@@ -427,6 +428,26 @@ def oracle_sql() -> dict[str, str]:
                      THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
                      ELSE 0.0 END AS dup_ngram_ratio
             FROM g ORDER BY doc_id
+        """,
+        "doc_curation_pipeline": """
+            WITH dedup AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                    ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            kept AS (
+                SELECT lang, text,
+                    0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+                    + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                          w -> list_contains(['the','a','and','of','to'], w))) AS DOUBLE)
+                          / len(string_split(text, ' '))) AS q
+                FROM dedup WHERE rn = 1
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM kept WHERE q >= 0.5
+            GROUP BY lang ORDER BY lang
         """,
         # --- dedup ---
         "dedup_exact": """

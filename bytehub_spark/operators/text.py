@@ -162,3 +162,41 @@ def repetition_ratio(documents: DataFrame, n: int = 3) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def curation_pipeline(
+    documents: DataFrame, min_quality: float = 0.5
+) -> DataFrame:
+    """End-to-end corpus curation: exact-dedup (keep min doc_id per
+    normalized fingerprint), drop low-quality docs, account retained
+    tokens per language. The composition the whole module exists for —
+    each stage is a pure DataFrame transform, so Catalyst pipelines the
+    dedup window, the quality predicate, and the final aggregate into one
+    shuffle per stage with no materialization between them."""
+    from .dedup import normalized  # same fingerprint as exact_dedup
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(normalized("text"))).orderBy("doc_id")
+    deduped = (
+        documents.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(x) for x in STOPWORDS_EN])
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
+    quality = (
+        F.lit(0.5) * F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.5) * (F.lit(1.0) - n_stop.cast("double") / n_words)
+    )
+    return (
+        deduped.withColumn("__q", quality)
+        .where(F.col("__q") >= F.lit(min_quality))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
