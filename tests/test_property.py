@@ -113,3 +113,58 @@ def test_two_pass_locf_matches_pandas_ffill(spark, n, null_frac, seed):
     a, b = out["value"].to_numpy(), exp.to_numpy()
     assert (np.isnan(a) == np.isnan(b)).all()
     np.testing.assert_allclose(a[~np.isnan(a)], b[~np.isnan(b)])
+
+
+bitemporal_strategy = st.builds(
+    lambda n_appends, n_times, tt, seed: (n_appends, n_times, tt, seed),
+    n_appends=st.integers(min_value=1, max_value=4),
+    n_times=st.integers(min_value=2, max_value=15),
+    tt=st.sampled_from([None, "-30min", "-2h", "1h"]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+
+
+@given(spec=bitemporal_strategy)
+@settings(**SETTINGS)
+def test_bitemporal_load_matches_pandas_model(fs_factory, spec):
+    """Full load path (appends -> dedup -> time travel -> range) vs an
+    independent pandas model of the reference semantics
+    (dask.py:119-122 time travel, dask.py:156-165 dedup)."""
+    n_appends, n_times, tt, seed = spec
+    fs = fs_factory()
+    rng = np.random.default_rng(seed)
+    times = pd.date_range("2021-03-01", periods=n_times, freq="1h")
+    fs.create_feature("test/prop_bt")
+    frames = []
+    for k in range(n_appends):
+        keep = rng.random(n_times) < 0.8
+        keep[rng.integers(0, n_times)] = True
+        f = pd.DataFrame(
+            {
+                "time": times[keep],
+                "created_time": times[keep] + pd.Timedelta(minutes=int(rng.integers(0, 180))),
+                "value": rng.normal(size=keep.sum()),
+            }
+        )
+        fs.save_dataframe(f, "test/prop_bt")
+        frames.append(f)
+
+    lo = times[int(rng.integers(0, n_times))]
+    hi = times[int(rng.integers(0, n_times))]
+    if hi < lo:
+        lo, hi = hi, lo
+    got = fs.load_pandas("test/prop_bt", from_date=lo, to_date=hi, time_travel=tt)
+
+    # pandas model: time travel filter, then latest created_time per time,
+    # then inclusive range slice
+    allf = pd.concat(frames, ignore_index=True)
+    if tt is not None:
+        allf = allf[allf["created_time"] <= allf["time"] + pd.Timedelta(tt)]
+    allf = allf.sort_values(["time", "created_time"]).groupby("time").last()
+    exp = allf.loc[(allf.index >= lo) & (allf.index <= hi), "value"]
+
+    assert len(got) == len(exp)
+    if len(exp):
+        np.testing.assert_allclose(
+            got["test/prop_bt"].to_numpy(), exp.to_numpy(), rtol=1e-12
+        )
