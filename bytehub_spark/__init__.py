@@ -12,6 +12,25 @@ cloud mode is intentionally out of scope (control-plane transport only).
 """
 
 from .core import FeatureStore
+
+
+def connect(connection_string: str = "sqlite:///bytehub.db", **kwargs) -> FeatureStore:
+    """Factory with the reference's dispatch shape (bytehub/__init__.py:33-50):
+    http(s) URLs select the hosted control plane (out of scope here — raise
+    with a pointer), anything else is a local catalog path/URI."""
+    if connection_string.startswith(("http://", "https://")):
+        raise NotImplementedError(
+            "Cloud/REST control plane is out of scope for bytehub_spark; "
+            "use a local catalog path (see README 'Known deltas')"
+        )
+    path = connection_string
+    for prefix in ("sqlite:///", "sqlite://"):
+        if path.startswith(prefix):
+            path = path[len(prefix):] or ":memory:"
+            break
+    return FeatureStore(path, **kwargs)
+
+
 from .exceptions import (
     AlreadyExistsException,
     FeatureStoreException,
@@ -26,6 +45,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "FeatureStore",
+    "connect",
     "get_spark",
     "FeatureStoreException",
     "MissingFeatureException",

@@ -572,3 +572,15 @@ def _pandas_dtype_to_spark(series: pd.Series) -> T.DataType:
             if isinstance(first, (float, np.floating)):
                 return T.DoubleType()
     return T.DoubleType()
+
+
+def _not_implemented_tasks(self, *a, **kw):
+    """Scheduled tasks are a reference roadmap item that raises
+    NotImplementedError there too (_base.py:250-260) — kept for API parity."""
+    raise NotImplementedError("Tasks are not available in bytehub_spark")
+
+
+FeatureStore.create_task = _not_implemented_tasks
+FeatureStore.update_task = _not_implemented_tasks
+FeatureStore.delete_task = _not_implemented_tasks
+FeatureStore.list_tasks = _not_implemented_tasks
