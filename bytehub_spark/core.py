@@ -211,6 +211,33 @@ class FeatureStore:
                 )
         return pdf
 
+    def sql(
+        self,
+        query: str,
+        features: Any,
+        from_date=None,
+        to_date=None,
+        freq: str | None = None,
+        time_travel: str | None = None,
+    ) -> DataFrame:
+        """Run Spark SQL over features registered as temp views.
+
+        Each feature's (deduped, optionally resampled/time-traveled) series
+        becomes a view named from "ns/name" with non-identifier characters
+        mapped to "_" (prod/price -> prod_price), columns (time, value).
+        A Spark-native capability with no reference equivalent: ad-hoc
+        SQL over bitemporally-resolved series, still one lazy plan.
+        """
+        import re as _re
+
+        for nsp, nm in unpack_feature_list(features):
+            sdf = self._load_feature(
+                nsp, nm, from_date, to_date, freq, time_travel, callers=[]
+            )
+            view = _re.sub(r"[^A-Za-z0-9_]", "_", join_name(nsp, nm))
+            sdf.createOrReplaceTempView(view)
+        return self.spark.sql(query)
+
     def last(self, features: Any) -> dict[str, Any]:
         """Latest value per feature (None when empty) — core.py:315-331."""
         out: dict[str, Any] = {}

@@ -107,3 +107,22 @@ def test_append_dedup_latest_wins(fs):
     out = fs.load_pandas("test/dd1")
     assert len(out) == 5
     assert (out["test/dd1"] == 2.0).all()
+
+
+def test_sql_over_features(fs):
+    """fs.sql: features as views, joined and aggregated in one SQL plan."""
+    idx = pd.date_range("2021-01-01", periods=10, freq="D")
+    fs.create_feature("test/price")
+    fs.create_feature("test/volume")
+    fs.save_dataframe(pd.DataFrame({"time": idx, "value": np.arange(10.0)}), "test/price")
+    fs.save_dataframe(pd.DataFrame({"time": idx, "value": np.arange(10.0) * 2}), "test/volume")
+    out = fs.sql(
+        """
+        SELECT p.time, p.value * v.value AS notional
+        FROM test_price p JOIN test_volume v ON p.time = v.time
+        ORDER BY p.time
+        """,
+        ["test/price", "test/volume"],
+    ).toPandas()
+    assert len(out) == 10
+    np.testing.assert_allclose(out["notional"], np.arange(10.0) ** 2 * 2)
