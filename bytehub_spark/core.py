@@ -295,27 +295,29 @@ class FeatureStore:
 
         storage = self._storage(namespace)
         scheme = meta["partition"]
+        # ONE partition-discovery pass per load: every scan below filters
+        # this shared frame (a fresh spark.read per scan re-lists the whole
+        # dataset — multi-second on a daily-partitioned multi-year feature)
+        base = storage.open(name)
 
         if last_only:
             parts = storage.list_partitions(name, reverse=True)
-            if not parts:
-                return storage.scan(name)  # canonical empty frame
-            df = self.spark.read.parquet(storage.feature_path(name)).where(
-                F.col("partition") == parts[0]
-            ).drop("partition")
+            if not parts or base is None:
+                return storage.scan(name, base=base)  # canonical empty frame
+            df = base.where(F.col("partition") == parts[0]).drop("partition")
             return ts.dedup_latest(df)
 
         # default range = data min/max (dask.py:150-155)
         eff_from, eff_to = from_date, to_date
         if eff_from is None or eff_to is None:
-            mn, mx = ts.time_bounds(storage.scan(name, scheme=scheme))
+            mn, mx = ts.time_bounds(storage.scan(name, scheme=scheme, base=base))
             if eff_from is None:
                 eff_from = mn
             if eff_to is None:
                 eff_to = mx
         if eff_from is None and eff_to is None:
             # feature has no data at all
-            empty = storage.scan(name, scheme=scheme)
+            empty = storage.scan(name, scheme=scheme, base=base)
             if freq is not None and from_date is not None and to_date is not None:
                 return ts.resample(empty, from_date, to_date, freq)
             return empty
@@ -327,14 +329,16 @@ class FeatureStore:
         # at/before from so LOCF has a value at the range boundary
         scan_from = eff_from
         if eff_from is not None:
-            seed_df = storage.scan(name, to_date=eff_from, scheme=scheme)
+            seed_df = storage.scan(name, to_date=eff_from, scheme=scheme, base=base)
             if time_travel:
                 seed_df = ts.time_travel(seed_df, time_travel)
             seed_t = seed_df.agg(F.max(ts.TIME_COL).alias("t")).collect()[0]["t"]
             if seed_t is not None:
                 scan_from = seed_t
 
-        df = storage.scan(name, from_date=scan_from, to_date=eff_to, scheme=scheme)
+        df = storage.scan(
+            name, from_date=scan_from, to_date=eff_to, scheme=scheme, base=base
+        )
         if time_travel:
             df = ts.time_travel(df, time_travel)
         df = ts.dedup_latest(df)
