@@ -72,3 +72,21 @@ def test_partition_layout_year(fs):
                       "test/pd1")
     assert storage.list_partitions("pd1") == [
         "2020-12-30", "2020-12-31", "2021-01-01", "2021-01-02"]
+
+
+def test_append_writes_one_file_per_partition(fs, spark):
+    """The write path must not fan each task's rows into every partition
+    dir (tiny-file explosion at scale)."""
+    import os
+
+    idx = pd.date_range("2021-01-01", periods=40, freq="6h")  # 10 days
+    fs.create_feature("test/compact", partition="date")
+    fs.save_dataframe(
+        pd.DataFrame({"time": idx, "value": np.arange(40.0)}), "test/compact"
+    )
+    root = fs._storage("test").feature_path("compact")
+    for d in os.listdir(root):
+        if not d.startswith("partition="):
+            continue
+        files = [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d} has {len(files)} files"
