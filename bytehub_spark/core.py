@@ -211,6 +211,31 @@ class FeatureStore:
                 )
         return pdf
 
+    def materialize(
+        self,
+        source: str,
+        dest: str,
+        freq: str,
+        from_date=None,
+        to_date=None,
+        partition: str = "date",
+    ) -> None:
+        """Persist a resampled rollup of ``source`` as feature ``dest`` —
+        the hypertable/materialized-view pattern: downstream reads hit the
+        small regular-grid rollup instead of re-running grid+LOCF over raw
+        history. dest is created if missing; rows append bitemporally, so
+        re-materializing is an ordinary versioned update."""
+        nsp, nm = split_name(dest)
+        if self.catalog.get_feature(nsp, nm) is None:
+            self.create_feature(dest, partition=partition)
+        rolled = self.load_dataframe(
+            source, from_date=from_date, to_date=to_date, freq=freq
+        )
+        src_col = [c for c in rolled.columns if c != ts.TIME_COL][0]
+        self.save_dataframe(
+            rolled.select(ts.TIME_COL, F.col(src_col).alias(ts.VALUE_COL)), dest
+        )
+
     def sql(
         self,
         query: str,

@@ -126,3 +126,15 @@ def test_sql_over_features(fs):
     ).toPandas()
     assert len(out) == 10
     np.testing.assert_allclose(out["notional"], np.arange(10.0) ** 2 * 2)
+
+
+def test_materialize_rollup(fs):
+    """Materialized daily rollup equals the on-the-fly resample."""
+    idx = pd.date_range("2021-01-01", periods=96, freq="h")
+    fs.create_feature("test/raw")
+    fs.save_dataframe(pd.DataFrame({"time": idx, "value": np.arange(96.0)}), "test/raw")
+    fs.materialize("test/raw", "test/raw_daily", freq="1d")
+    got = fs.load_pandas("test/raw_daily")
+    exp = fs.load_pandas("test/raw", freq="1d")
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["test/raw_daily"].to_numpy(), exp["test/raw"].to_numpy())
