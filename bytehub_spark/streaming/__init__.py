@@ -1,4 +1,6 @@
 from .ingest import (
+    attribution_join_batch,
+    stream_attribution_join,
     sessionize,
     sessionize_batch,
     stream_dedup,
@@ -8,6 +10,8 @@ from .ingest import (
 )
 
 __all__ = [
+    "stream_attribution_join",
+    "attribution_join_batch",
     "stream_events",
     "stream_dedup",
     "stream_into_feature",

@@ -244,3 +244,71 @@ def stream_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def _attribution_join_cond(click, purchase, within: str):
+    return (
+        (click["user_id"] == purchase["p_user_id"])
+        & (purchase["p_ts"] >= click["ts"])
+        & (purchase["p_ts"] <= click["ts"] + F.expr(f"INTERVAL {within}"))
+    )
+
+
+def stream_attribution_join(
+    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to any click by
+    the same user within ``within`` before the purchase.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire join state — the only way a
+    stream-stream join survives unbounded input. Late rows beyond the
+    watermark drop out of attribution but still reach storage via
+    stream_into_feature (bitemporal reads see them).
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("value").alias("click_value"))
+        .withWatermark("ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = clicks.join(purchases, _attribution_join_cond(clicks, purchases, within))
+    return joined.select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        "click_value",
+        F.col("p_ts").alias("purchase_ts"),
+        "p_event_id",
+        F.col("p_value").alias("purchase_value"),
+    )
+
+
+def attribution_join_batch(events: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Batch twin of stream_attribution_join (oracle for tests)."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    joined = clicks.join(purchases, _attribution_join_cond(clicks, purchases, within))
+    return joined.select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        "click_value",
+        F.col("p_ts").alias("purchase_ts"),
+        "p_event_id",
+        F.col("p_value").alias("purchase_value"),
+    )

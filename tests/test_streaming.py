@@ -120,3 +120,29 @@ def test_stream_dedup_drops_replays(spark, tmp_path):
     got = spark.sql("SELECT event_id FROM dedup_stream").toPandas()
     assert len(got) == 200
     assert got["event_id"].is_unique
+
+
+def test_stream_attribution_join_vs_batch(spark, events_dir):
+    """Stream-stream interval join emits exactly the batch join's rows
+    (all data within watermark here, so no drops)."""
+    stream = st.stream_events(spark, events_dir)
+    joined = st.stream_attribution_join(stream, within="1 hour", watermark="365 days")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM attrib").toPandas()
+    exp = st.attribution_join_batch(
+        load_table(spark, SF, "events"), within="1 hour"
+    ).toPandas()
+    key = ["user_id", "click_ts", "p_event_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    exp_s = exp.sort_values(key).reset_index(drop=True)[sorted(exp.columns)]
+    assert len(got_s) == len(exp_s) and len(got_s) > 0
+    pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
