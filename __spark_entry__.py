@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda spark, sf: dedup.embedding_cosine_dups(
             load_table(spark, sf, "embeddings"), 0.4
         ),
+        "dedup_clusters": lambda spark, sf: dedup.connected_components(
+            dedup.ngram_jaccard_pairs(load_table(spark, sf, "documents"), 0.2)
+        ),
         # --- LLM-pipeline: similarity search ---
         "emb_cosine_topk": lambda spark, sf: similarity.cosine_topk(
             load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
@@ -450,6 +453,45 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang ORDER BY lang
         """,
         # --- dedup ---
+        "dedup_clusters": """
+            WITH sh0 AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE len(string_split(text, ' ')) >= 3
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                    list_extract(w, i) || ' ' || list_extract(w, i + 1) || ' '
+                        || list_extract(w, i + 2) AS shingle
+                FROM sh0, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                           JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            rec AS (
+                WITH RECURSIVE reach(src, dst) AS (
+                    SELECT src, dst FROM edges
+                    UNION
+                    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+                )
+                SELECT src, dst FROM reach
+            )
+            SELECT src AS doc_id,
+                   least(src, min(dst)) AS component
+            FROM rec GROUP BY src ORDER BY doc_id
+        """,
         "dedup_exact": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS n_copies

@@ -349,3 +349,79 @@ def embedding_cosine_dups(
         embeddings.select(F.col(id_col), F.col(vec_col))
     ).mapInPandas(block, schema="id_a long, id_b long, cosine_sim double")
     return out.orderBy("id_a", "id_b")
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Dedup clusters from near-dup pairs: connected components by
+    iterative min-label propagation (component id = min doc id reachable).
+
+    Each round does (a) label <- min(label, neighbors' labels) and
+    (b) pointer jumping (label <- label's label), halving the remaining
+    distance to the component minimum — convergence in O(log diameter)
+    rounds, not O(diameter). Every round ends with an EAGER
+    localCheckpoint: without it the iterated plan tree nests per round
+    and planning itself OOMs the driver (observed on a 30-node path).
+    Early exit when no label changes. Vertices default to ids present in
+    pairs; pass the full corpus to include singletons.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if vertices is not None:
+        verts = vertices.select(F.col(id_col).alias("src")).distinct()
+    else:
+        verts = edges.select("src").distinct()
+    labels = verts.withColumn("component", F.col("src")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("src", "dst2"),
+                       F.col("dst") == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer jumping: follow the label one more hop (label of label)
+        parents = stepped.select(
+            F.col("src").alias("p_src"), F.col("component").alias("p_comp")
+        )
+        new_labels = (
+            stepped.join(parents, stepped["component"] == parents["p_src"], "left")
+            .select(
+                "src",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "src")
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(id_col), "component").orderBy(id_col)

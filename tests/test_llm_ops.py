@@ -226,3 +226,21 @@ def test_repetition_ratio_flags_boilerplate(spark):
     assert got.loc[1, "dup_ngram_ratio"] == 0.75  # 4 grams, 1 distinct
     assert got.loc[2, "dup_ngram_ratio"] == 0.0
     assert got.loc[3, "n_ngrams"] == 0 and got.loc[3, "dup_ngram_ratio"] == 0.0
+
+
+def test_connected_components_transitive(spark):
+    """a–b and b–c pairs must land a, b, c in ONE component (min id)."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 10], "doc_b": [2, 3, 11]})
+    )
+    got = dedup.connected_components(pairs).toPandas().set_index("doc_id")["component"]
+    assert got.loc[1] == got.loc[2] == got.loc[3] == 1
+    assert got.loc[10] == got.loc[11] == 10
+
+
+def test_connected_components_includes_singletons(spark):
+    pairs = spark.createDataFrame(pd.DataFrame({"doc_a": [1], "doc_b": [2]}))
+    verts = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 99]}))
+    got = dedup.connected_components(pairs, vertices=verts).toPandas()
+    comp = got.set_index("doc_id")["component"]
+    assert comp.loc[99] == 99 and comp.loc[2] == 1
