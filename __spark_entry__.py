@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_asof_join": _q(events_ops.purchases_with_last_click, "events"),
         "ts_rollup": _q(events_ops.rollup_counts, "events"),
         "ts_moving_avg": _q(events_ops.moving_avg_per_user, "events"),
+        "ts_quantiles": _q(events_ops.value_quantiles, "events"),
+        "ts_histogram": _q(events_ops.value_histogram, "events"),
         # --- analytical joins/aggregations (SURVEY §2.3-§2.4) ---
         "tpch_q1": _q(tpch.q1_pricing_summary, "lineitem"),
         "tpch_q3": _q(tpch.q3_shipping_priority, "customer", "orders", "lineitem"),
@@ -225,6 +227,24 @@ def oracle_sql() -> dict[str, str]:
                    c.click_value AS click_value_right
             FROM p ASOF LEFT JOIN c
               ON c.user_id = p.user_id AND c.time <= p.time
+        """,
+        "ts_quantiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.95) AS p95,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ts_histogram": """
+            -- DuckDB has no width_bucket; this is Spark's exact arithmetic
+            -- shape: floor((v - lo) / ((hi - lo) / n)) + 1, clamped
+            SELECT event_type,
+                   CAST(CASE WHEN value < 0.0 THEN 0
+                             WHEN value >= 100.0 THEN 11
+                             ELSE CAST(floor((value - 0.0) / ((100.0 - 0.0) / 10)) AS INTEGER) + 1
+                        END AS INTEGER) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket
         """,
         "ts_rollup": """
             SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,

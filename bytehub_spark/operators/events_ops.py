@@ -249,3 +249,32 @@ def moving_avg_per_user(events: DataFrame, window_rows: int = 3) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+def value_quantiles(events: DataFrame) -> DataFrame:
+    """Exact percentiles per event type (sort-based percentile(), linear
+    interpolation — same semantics as DuckDB quantile_cont)."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def value_histogram(events: DataFrame, lo: float = 0.0, hi: float = 100.0,
+                    n_buckets: int = 10) -> DataFrame:
+    """Fixed-width value histogram per event type (width_bucket — one
+    shuffle, integer counts, exact cross-engine)."""
+    return (
+        events.select(
+            "event_type",
+            F.width_bucket(F.col("value"), F.lit(lo), F.lit(hi), F.lit(n_buckets)).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
