@@ -72,17 +72,33 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingles, via inverted index.
 
-    Self-join on the shingle (cost ∝ Σ freq²; hot shingles can be capped by
-    a df-frequency filter at larger scale), then jaccard = |∩| / |∪|.
+    Self-join on the shingle (cost ∝ Σ freq²), then jaccard = |∩| / |∪|.
     Integer-derived division — exact cross-engine.
+
+    ``max_doc_freq`` is the scale knob: shingles appearing in more than
+    that many docs are dropped from PAIR GENERATION only (their quadratic
+    blow-up dominates Σ f² while contributing little discrimination — the
+    classic df-cut). Sizes still count every shingle, so jaccard becomes a
+    slight underestimate for pairs whose overlap was mostly stopword-like
+    shingles. None (default) = fully exact, matches the DuckDB oracle.
     """
     sh = shingle_sets(documents, text_col, id_col, n).persist()
+    pair_src = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        pair_src = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = pair_src.alias("a")
+    b = pair_src.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -244,3 +244,37 @@ def test_connected_components_includes_singletons(spark):
     got = dedup.connected_components(pairs, vertices=verts).toPandas()
     comp = got.set_index("doc_id")["component"]
     assert comp.loc[99] == 99 and comp.loc[2] == 1
+
+
+def test_jaccard_df_cut_is_subset(spark, documents):
+    """df-cut pairs ⊆ exact pairs; jaccard never overestimated."""
+    exact = dedup.ngram_jaccard_pairs(documents, 0.2).toPandas()
+    cut = dedup.ngram_jaccard_pairs(documents, 0.2, max_doc_freq=10).toPandas()
+    e = exact.set_index(["doc_a", "doc_b"])["jaccard"]
+    c = cut.set_index(["doc_a", "doc_b"])["jaccard"]
+    assert set(c.index) <= set(e.index)
+    for k, v in c.items():
+        assert v <= e.loc[k] + 1e-12
+
+
+def test_approx_quantiles_near_exact(spark):
+    from bytehub_spark.operators.events_ops import value_quantiles, value_quantiles_approx
+    from bytehub_spark.sources import load_table
+    ev = load_table(spark, SF, "events")
+    from pyspark.sql import functions as F
+    approx = value_quantiles_approx(ev).toPandas().set_index("event_type")
+    # GK guarantees rank error <= 1/accuracy; on 1k rows that's exact RANK,
+    # but the sketch returns an ELEMENT while percentile() interpolates —
+    # so check the approx value lies inside a ±2%-rank band of exact values
+    band = (
+        ev.groupBy("event_type")
+        .agg(*[F.expr(f"percentile(value, {q})").alias(n)
+               for n, q in [("lo50", 0.48), ("hi50", 0.52), ("lo95", 0.93),
+                            ("hi95", 0.97), ("lo99", 0.97), ("hi99", 1.0)]])
+        .toPandas().set_index("event_type")
+    )
+    for et in approx.index:
+        for col, lo, hi in [("p50", "lo50", "hi50"), ("p95", "lo95", "hi95"),
+                            ("p99", "lo99", "hi99")]:
+            v = approx.loc[et, col]
+            assert band.loc[et, lo] <= v <= band.loc[et, hi], (et, col, v)
