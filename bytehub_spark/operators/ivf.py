@@ -128,3 +128,75 @@ def ivf_topk(
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
         .orderBy("query_id", "rank")
     )
+
+
+def write_cell_partitioned(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF index physically: vectors written Hive-
+    partitioned by their cell, one file per cell. Probing then prunes at
+    the parquet layer — a 100 TB corpus scan becomes n_probe directory
+    reads. Returns the centroids (persist them next to the index)."""
+    cents = train_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
+    celled = assign_cells(embeddings, cents, vec_col)
+    (
+        celled.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return cents
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query_vecs: dict[int, list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a cell-partitioned IVF index: only the n_probe nearest cells'
+    partitions are read (static partition pruning — assert via
+    plans.partition_filters). query_vecs maps query_id -> vector."""
+    from .similarity import _dot
+
+    qx = np.array(list(query_vecs.values()), dtype=np.float64)
+    qx /= np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qx @ centroids.T), axis=1)[:, :n_probe]
+    all_cells = sorted({int(c) for row in probe for c in row})
+
+    index = spark.read.parquet(path).where(F.col("cell").isin(all_cells))
+    probes = spark.createDataFrame(
+        [
+            (int(qid), [int(c) for c in cells], [float(x) for x in vec])
+            for (qid, vec), cells in zip(query_vecs.items(), probe)
+        ],
+        "query_id long, probe_cells array<int>, q_vec array<float>",
+    )
+    cand = index.join(
+        F.broadcast(probes),
+        F.array_contains(F.col("probe_cells"), F.col("cell"))
+        & (F.col(id_col) != F.col("query_id")),
+    )
+    sim = _dot(vec_col, "q_vec") / (
+        F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))
+    )
+    scored = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), F.round(sim, 4).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )

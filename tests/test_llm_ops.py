@@ -278,3 +278,32 @@ def test_approx_quantiles_near_exact(spark):
                             ("p99", "lo99", "hi99")]:
             v = approx.loc[et, col]
             assert band.loc[et, lo] <= v <= band.loc[et, hi], (et, col, v)
+
+
+def test_ivf_partitioned_index_prunes(spark, embeddings, tmp_path):
+    """Physically partitioned IVF index: probes read ONLY probe cells
+    (static partition pruning visible in the plan) and agree with the
+    in-memory IVF on the same centroids."""
+    from bytehub_spark import plans
+    from bytehub_spark.operators import ivf
+
+    path = str(tmp_path / "ivf_index")
+    cents = ivf.write_cell_partitioned(embeddings, path, n_cells=8)
+    qs = {r["vec_id"]: list(r["embedding"])
+          for r in embeddings.where(F.col("vec_id") < 3).collect()}
+    topk = ivf.ivf_topk_partitioned(spark, path, cents, qs, k=5, n_probe=2)
+    pf = plans.partition_filters(topk)
+    assert any("cell" in f for f in pf), f"no cell pruning in {pf}"
+    got = topk.toPandas()
+    assert set(got["query_id"]) == set(qs)
+    assert (got.groupby("query_id")["rank"].max() <= 5).all()
+    # neighbors must come only from probed cells
+    probed = spark.read.parquet(path).select("vec_id", "cell").toPandas()
+    cell_of = dict(zip(probed["vec_id"], probed["cell"]))
+    import numpy as np
+    qx = np.array(list(qs.values()), dtype=np.float64)
+    qx /= np.linalg.norm(qx, axis=1, keepdims=True)
+    probe = np.argsort(-(qx @ cents.T), axis=1)[:, :2]
+    allowed = {qid: set(map(int, cells)) for qid, cells in zip(qs, probe)}
+    for _, row in got.iterrows():
+        assert cell_of[row["neighbor_id"]] in allowed[row["query_id"]]
