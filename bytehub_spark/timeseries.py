@@ -292,6 +292,9 @@ def resample(
 # J1 — multi-feature alignment: full outer join on time + forward fill
 # ---------------------------------------------------------------------------
 
+ALIGN_PIVOT_MIN_K = 8
+
+
 def align(
     dfs: Sequence[DataFrame],
     time_col: str = TIME_COL,
@@ -300,14 +303,43 @@ def align(
     """Outer-join k single-series frames on time; carry each series forward
     onto the union time axis (_timeseries.py:11-26).
 
-    Each input must have columns (time, <unique series name>). The join keys
-    are sorted-merge friendly; for large k prefer long-format + pivot.
+    Each input must have columns (time, <unique series name>). Two physical
+    strategies:
+    - k < ALIGN_PIVOT_MIN_K (or mixed value types): fold of outer joins —
+      sort-merge friendly, preserves each column's exact type.
+    - k >= ALIGN_PIVOT_MIN_K with uniform numeric types: long-format union
+      + pivot — ONE shuffle on time instead of k-1 join shuffles; at wide
+      feature counts the join fold's plan depth and exchange count grow
+      linearly while the pivot stays flat.
     """
     if not dfs:
         raise ValueError("align() needs at least one frame")
-    out = dfs[0]
-    for nxt in dfs[1:]:
-        out = out.join(nxt, on=time_col, how="outer")
+    value_names = [
+        [c for c in df.columns if c != time_col][0] for df in dfs
+    ]
+    types = {df.schema[n].dataType.simpleString() for df, n in zip(dfs, value_names)}
+    numeric = types <= {"double", "float", "int", "bigint", "smallint", "tinyint"}
+    if len(dfs) >= ALIGN_PIVOT_MIN_K and numeric:
+        longs = [
+            df.select(
+                F.col(time_col),
+                F.lit(n).alias("__feature"),
+                F.col(n).cast("double").alias("__value"),
+            )
+            for df, n in zip(dfs, value_names)
+        ]
+        unioned = longs[0]
+        for nxt in longs[1:]:
+            unioned = unioned.unionByName(nxt)
+        out = (
+            unioned.groupBy(time_col)
+            .pivot("__feature", value_names)
+            .agg(F.first("__value"))
+        )
+    else:
+        out = dfs[0]
+        for nxt in dfs[1:]:
+            out = out.join(nxt, on=time_col, how="outer")
     value_cols = [c for c in out.columns if c != time_col]
     if ffill:
         out = locf(out, value_cols, time_col=time_col)

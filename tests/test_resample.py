@@ -131,3 +131,37 @@ def test_empty_feature(fs):
                          to_date="2021-01-05", freq="1d")
     assert len(out) == 5
     assert out["test/e1"].isna().all()
+
+
+def test_wide_alignment_pivot_path(fs):
+    """k>=8 numeric features: pivot strategy must give the same result as
+    the join fold, with a flat (non-growing) exchange count."""
+    from bytehub_spark import plans
+    from bytehub_spark import timeseries as tsm
+
+    idx = pd.date_range("2021-01-01", periods=30, freq="D")
+    names = []
+    for i in range(10):
+        nm = f"test/w{i}"
+        fs.create_feature(nm)
+        # each feature observes a different sparse subset
+        sub = idx[i % 3 :: 3]
+        fs.save_dataframe(
+            pd.DataFrame({"time": sub, "value": np.arange(len(sub)) + i * 100.0}), nm
+        )
+        names.append(nm)
+    wide = fs.load_dataframe(names)
+    pdf = wide.toPandas().set_index("time").sort_index()
+    # oracle: pandas outer-concat + ffill (the reference's semantics)
+    frames = {
+        nm: fs.load_pandas(nm)[nm] for nm in names
+    }
+    exp = pd.concat(frames.values(), axis=1, join="outer").ffill()
+    exp.columns = list(frames.keys())
+    got = pdf[list(frames.keys())]
+    pd.testing.assert_frame_equal(
+        got, exp, check_dtype=False, check_freq=False, check_names=False
+    )
+    # strategy check: one pivot aggregate, not a 9-join chain
+    plan = plans.executed_plan(wide)
+    assert plan.count("SortMergeJoin") <= 2
