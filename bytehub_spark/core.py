@@ -178,16 +178,27 @@ class FeatureStore:
         Returns a LAZY Spark DataFrame ordered by time.
         """
         pairs = unpack_feature_list(features)
-        frames: list[DataFrame] = []
-        for nsp, nm in pairs:
+
+        def one(pair) -> DataFrame:
+            nsp, nm = pair
             sdf = self._load_feature(
                 nsp, nm, from_date, to_date, freq, time_travel, callers=[]
             )
-            frames.append(
-                sdf.select(
-                    ts.TIME_COL, F.col(ts.VALUE_COL).alias(join_name(nsp, nm))
-                )
+            return sdf.select(
+                ts.TIME_COL, F.col(ts.VALUE_COL).alias(join_name(nsp, nm))
             )
+
+        if len(pairs) > 1:
+            # each feature's plan construction runs its own driver jobs
+            # (seed lookup, partition discovery); they are independent, so
+            # overlap them — k features cost ~max not ~sum. Spark's
+            # scheduler handles concurrent jobs; the catalog is lock-backed.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(pairs))) as ex:
+                frames = list(ex.map(one, pairs))
+        else:
+            frames = [one(pairs[0])]
         out = ts.align(frames, ffill=len(frames) > 1)
         return out.orderBy(ts.TIME_COL)
 
@@ -285,13 +296,16 @@ class FeatureStore:
     # -- internal ------------------------------------------------------
 
     def _storage(self, namespace: str) -> SparkStorage:
+        # setdefault keeps one SparkStorage per namespace even under the
+        # threaded multi-feature load (two would split the open() memo)
         st = self._storages.get(namespace)
         if st is None:
             nsrow = self.catalog.get_namespace(namespace)
             if nsrow is None:
                 raise MissingFeatureException(f"Namespace {namespace!r} does not exist")
-            st = SparkStorage(self.spark, nsrow["url"])
-            self._storages[namespace] = st
+            st = self._storages.setdefault(
+                namespace, SparkStorage(self.spark, nsrow["url"])
+            )
         return st
 
     def _load_feature(
