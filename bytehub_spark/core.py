@@ -178,29 +178,60 @@ class FeatureStore:
         Returns a LAZY Spark DataFrame ordered by time.
         """
         pairs = unpack_feature_list(features)
+        # ONE Spark job for all per-feature scalar lookups (default-range
+        # time bounds + LOCF seed timestamps) instead of up to 2 jobs per
+        # feature: a k-branch union collected once. Each branch is a
+        # partial-agg over that feature's pruned scan, so the batched job
+        # does the same executor work as the k separate jobs minus the
+        # per-job scheduling latency (~100 ms each on a loaded driver).
+        hints = self._scalar_prepass(pairs, from_date, to_date, time_travel)
 
         def one(pair) -> DataFrame:
             nsp, nm = pair
             sdf = self._load_feature(
-                nsp, nm, from_date, to_date, freq, time_travel, callers=[]
+                nsp, nm, from_date, to_date, freq, time_travel, callers=[],
+                hint=hints.get(pair),
             )
             return sdf.select(
                 ts.TIME_COL, F.col(ts.VALUE_COL).alias(join_name(nsp, nm))
             )
 
         if len(pairs) > 1:
-            # each feature's plan construction runs its own driver jobs
-            # (seed lookup, partition discovery); they are independent, so
-            # overlap them — k features cost ~max not ~sum. Spark's
-            # scheduler handles concurrent jobs; the catalog is lock-backed.
+            # remaining per-feature plan construction (e.g. transform DAG
+            # loads) still runs its own driver work; overlap it — k
+            # features cost ~max not ~sum. The catalog is lock-backed.
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=min(8, len(pairs))) as ex:
                 frames = list(ex.map(one, pairs))
         else:
             frames = [one(pairs[0])]
-        out = ts.align(frames, ffill=len(frames) > 1)
+        out = ts.align(
+            frames,
+            ffill=len(frames) > 1,
+            range_hint=self._range_hint(from_date, to_date, hints),
+        )
         return out.orderBy(ts.TIME_COL)
+
+    @staticmethod
+    def _range_hint(from_date, to_date, hints: dict[tuple, dict]):
+        """Overall (lo, hi) time span of a load, from explicit args and/or
+        the prepass bounds — lets align()'s LOCF derive bucket bounds
+        arithmetically instead of running an eager approxQuantile job that
+        executes the whole join plan during construction. None when the
+        span is unknown (e.g. all-transform loads with omitted range)."""
+        if from_date is not None and to_date is not None:
+            return (from_date, to_date)
+        bs = [h["bounds"] for h in hints.values() if "bounds" in h]
+        mns = [b[0] for b in bs if b[0] is not None]
+        mxs = [b[1] for b in bs if b[1] is not None]
+        lo = from_date if from_date is not None else (min(mns) if mns else None)
+        hi = to_date if to_date is not None else (max(mxs) if mxs else None)
+        if lo is None or hi is None:
+            return None
+        if pd.Timestamp(hi) < pd.Timestamp(lo):
+            hi = lo  # clamp, mirroring the per-feature to<from clamp
+        return (lo, hi)
 
     def load_pandas(self, features: Any, **kwargs) -> pd.DataFrame:
         """Reference-shaped result: pandas frame indexed by time; serialized
@@ -308,6 +339,97 @@ class FeatureStore:
             )
         return st
 
+    def _scalar_prepass(
+        self, pairs, from_date, to_date, time_travel
+    ) -> dict[tuple, dict]:
+        """Batch every per-feature scalar lookup of a multi-feature load
+        into one Spark job.
+
+        Two scalar kinds feed plan construction: default-range time bounds
+        (needed when from/to omitted) and the LOCF seed timestamp (the last
+        point at/before ``from_date`` — only meaningful when ``from_date``
+        is explicit: with it omitted the range starts at the data minimum,
+        which no seed can precede). Each feature contributes ONE pruned
+        scan of slim `(i, time, created_time)` rows; the scans union
+        (narrow — no per-branch query stage) into a single `groupBy(i)`
+        computing min/max/conditional-seed, so the whole prepass is one
+        shuffle and 2-3 scheduler jobs under AQE regardless of k.
+        Transform features are skipped (their leaves load recursively with
+        their own ranges).
+        """
+        from .utils import parse_timedelta_interval
+
+        hints: dict[tuple, dict] = {}
+        branches = []
+        need: dict[int, tuple[bool, bool]] = {}
+        need_bounds = from_date is None or to_date is None
+        need_seed = from_date is not None
+        for i, (nsp, nm) in enumerate(pairs):
+            meta = self.catalog.get_feature(nsp, nm)
+            if meta is None or meta["transform"]:
+                continue  # _load_feature raises / dispatches later
+            storage = self._storage(nsp)
+            base = storage.open(nm)
+            scheme = meta["partition"]
+            hint: dict = {}
+            hints[(nsp, nm)] = hint
+            if base is None:
+                # empty dataset: bounds and seed are definitionally null
+                if need_bounds:
+                    hint["bounds"] = (None, None)
+                if need_seed:
+                    hint["seed"] = None
+                continue
+            if need_bounds:
+                sdf = storage.scan(nm, scheme=scheme, base=base)
+            else:
+                # seed-only: prune the scan to time <= from_date
+                sdf = storage.scan(nm, to_date=from_date, scheme=scheme, base=base)
+            branches.append(
+                sdf.select(
+                    F.lit(i).alias("__i"),
+                    F.col(ts.TIME_COL),
+                    F.col(ts.CREATED_COL),
+                )
+            )
+            need[i] = (need_bounds, need_seed)
+        if branches:
+            allrows = branches[0]
+            for b in branches[1:]:
+                allrows = allrows.unionByName(b)
+            aggs = [
+                F.min(ts.TIME_COL).alias("mn"),
+                F.max(ts.TIME_COL).alias("mx"),
+            ]
+            if need_seed:
+                seed_pred = F.col(ts.TIME_COL) <= F.lit(
+                    pd.Timestamp(from_date)
+                ).cast("timestamp")
+                if time_travel:
+                    seed_pred = seed_pred & (
+                        F.col(ts.CREATED_COL)
+                        <= F.col(ts.TIME_COL)
+                        + F.expr(parse_timedelta_interval(time_travel))
+                    )
+                aggs.append(
+                    F.max(F.when(seed_pred, F.col(ts.TIME_COL))).alias("seed")
+                )
+            for row in allrows.groupBy("__i").agg(*aggs).collect():
+                hint = hints[pairs[row["__i"]]]
+                if need_bounds:
+                    hint["bounds"] = (row["mn"], row["mx"])
+                if need_seed:
+                    hint["seed"] = row["seed"]
+            # features whose scan matched no rows produce no group — their
+            # scalars are null
+            for i in need:
+                hint = hints[pairs[i]]
+                if need_bounds:
+                    hint.setdefault("bounds", (None, None))
+                if need_seed:
+                    hint.setdefault("seed", None)
+        return hints
+
     def _load_feature(
         self,
         namespace: str,
@@ -318,6 +440,7 @@ class FeatureStore:
         time_travel: str | None,
         callers: list[str],
         last_only: bool = False,
+        hint: dict | None = None,
     ) -> DataFrame:
         """Single feature -> DataFrame(time, value). Dispatches transforms."""
         meta = self.catalog.get_feature(namespace, name)
@@ -349,7 +472,10 @@ class FeatureStore:
         # default range = data min/max (dask.py:150-155)
         eff_from, eff_to = from_date, to_date
         if eff_from is None or eff_to is None:
-            mn, mx = ts.time_bounds(storage.scan(name, scheme=scheme, base=base))
+            if hint is not None and "bounds" in hint:
+                mn, mx = hint["bounds"]
+            else:
+                mn, mx = ts.time_bounds(storage.scan(name, scheme=scheme, base=base))
             if eff_from is None:
                 eff_from = mn
             if eff_to is None:
@@ -365,13 +491,21 @@ class FeatureStore:
                 eff_to = eff_from  # clamp (dask.py:154-155)
 
         # seed lookup (J3, dask.py:142-148): extend scan to the last point
-        # at/before from so LOCF has a value at the range boundary
+        # at/before from so LOCF has a value at the range boundary. Only
+        # when from_date is EXPLICIT: an omitted from_date defaults to the
+        # data minimum, which no seed row can precede — the lookup would
+        # be a guaranteed-no-op Spark job.
         scan_from = eff_from
-        if eff_from is not None:
-            seed_df = storage.scan(name, to_date=eff_from, scheme=scheme, base=base)
-            if time_travel:
-                seed_df = ts.time_travel(seed_df, time_travel)
-            seed_t = seed_df.agg(F.max(ts.TIME_COL).alias("t")).collect()[0]["t"]
+        if from_date is not None:
+            if hint is not None and "seed" in hint:
+                seed_t = hint["seed"]
+            else:
+                seed_df = storage.scan(
+                    name, to_date=from_date, scheme=scheme, base=base
+                )
+                if time_travel:
+                    seed_df = ts.time_travel(seed_df, time_travel)
+                seed_t = seed_df.agg(F.max(ts.TIME_COL).alias("t")).collect()[0]["t"]
             if seed_t is not None:
                 scan_from = seed_t
 
@@ -444,7 +578,13 @@ class FeatureStore:
             inputs.append(
                 sdf.select(ts.TIME_COL, F.col(ts.VALUE_COL).alias(full))
             )
-        wide = ts.align(inputs, ffill=len(inputs) > 1)
+        wide = ts.align(
+            inputs,
+            ffill=len(inputs) > 1,
+            range_hint=(from_date, to_date)
+            if from_date is not None and to_date is not None
+            else None,
+        )
 
         # Infer output type by applying fn to a small driver-side sample
         sample = wide.limit(100).toPandas().set_index(ts.TIME_COL)

@@ -299,6 +299,7 @@ def align(
     dfs: Sequence[DataFrame],
     time_col: str = TIME_COL,
     ffill: bool = True,
+    range_hint: tuple | None = None,
 ) -> DataFrame:
     """Outer-join k single-series frames on time; carry each series forward
     onto the union time axis (_timeseries.py:11-26).
@@ -311,6 +312,11 @@ def align(
       + pivot — ONE shuffle on time instead of k-1 join shuffles; at wide
       feature counts the join fold's plan depth and exchange count grow
       linearly while the pivot stays flat.
+
+    ``range_hint=(t0, t1)``: pass the known overall time span so the LOCF
+    bucket bounds are derived arithmetically. Without it, locf samples
+    bounds via approxQuantile — an EAGER job that executes the whole
+    upstream join plan once during plan construction.
     """
     if not dfs:
         raise ValueError("align() needs at least one frame")
@@ -342,7 +348,7 @@ def align(
             out = out.join(nxt, on=time_col, how="outer")
     value_cols = [c for c in out.columns if c != time_col]
     if ffill:
-        out = locf(out, value_cols, time_col=time_col)
+        out = locf(out, value_cols, time_col=time_col, range_hint=range_hint)
     return out
 
 

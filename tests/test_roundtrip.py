@@ -138,3 +138,57 @@ def test_materialize_rollup(fs):
     exp = fs.load_pandas("test/raw", freq="1d")
     assert len(got) == len(exp)
     np.testing.assert_allclose(got["test/raw_daily"].to_numpy(), exp["test/raw"].to_numpy())
+
+
+def _jobs_during(spark, group, fn):
+    """Run fn under a job group; return how many Spark jobs it launched."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "job-count probe")
+    try:
+        out = fn()
+    finally:
+        sc.setJobGroup("probe-done", "")
+    return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_multi_feature_load_batches_scalar_jobs(fs, spark):
+    """Plan construction for a k-feature load runs ONE batched scalar job
+    (seed lookups unioned), not one per feature; the omitted-range path
+    likewise batches the per-feature time-bounds lookups."""
+    import numpy as np
+
+    times = pd.date_range("2021-01-01", periods=50, freq="h")
+    rng = np.random.default_rng(7)
+    for i in range(4):
+        fs.create_feature(f"test/jb{i}")
+        fs.save_dataframe(
+            pd.DataFrame({"time": times, "value": rng.normal(size=len(times))}),
+            f"test/jb{i}",
+        )
+    feats = [f"test/jb{i}" for i in range(4)]
+    # warm the memoized per-feature file index / schema (a one-time
+    # parquet-footer job per feature, not a per-load cost)
+    fs.load_dataframe(feats, from_date="2021-01-01", to_date="2021-01-02")
+
+    # explicit range: ONE batched seed-lookup action. AQE splits the
+    # single groupBy into a map-stage job + final job, so allow <=3 —
+    # the unbatched path was >= k jobs (one collect per feature).
+    df, n = _jobs_during(
+        spark,
+        "jobs-explicit",
+        lambda: fs.load_dataframe(
+            feats, from_date="2021-01-01T06:00", to_date="2021-01-02", freq="1h"
+        ),
+    )
+    assert n <= 3, f"expected one batched scalar action (<=3 AQE jobs), saw {n}"
+    pdf = df.toPandas()
+    assert list(pdf.columns) == ["time"] + feats
+    assert len(pdf) == 19  # inclusive hourly grid 06:00..24:00
+
+    # omitted range: ONE batched bounds action; the per-feature seed
+    # lookup is skipped entirely (it cannot precede the data minimum)
+    df2, n2 = _jobs_during(
+        spark, "jobs-omitted", lambda: fs.load_dataframe(feats)
+    )
+    assert n2 <= 3, f"expected one batched scalar action (<=3 AQE jobs), saw {n2}"
+    assert df2.count() == 50
