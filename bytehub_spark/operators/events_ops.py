@@ -100,7 +100,14 @@ def align_ffill_types(events: DataFrame, types=("click", "purchase")) -> DataFra
             .agg(F.max_by("value", F.struct("ts", "event_id")).alias(f"{t}_value"))
         )
         frames.append(hourly)
-    aligned = ts.align(frames, ffill=True)
+    # range hint from one cheap agg over the raw scan: without it align's
+    # LOCF samples bucket bounds via approxQuantile, executing both
+    # grouped branches a second time
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    ).collect()[0]
+    aligned = ts.align(frames, ffill=True, range_hint=(bounds["t0"], bounds["t1"]))
     return aligned.select("time", *[f"{t}_value" for t in types])
 
 
