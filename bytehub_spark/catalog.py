@@ -50,6 +50,7 @@ CREATE TABLE IF NOT EXISTS features (
     transform TEXT,
     meta TEXT NOT NULL DEFAULT '{}',
     version INTEGER NOT NULL DEFAULT 1,
+    value_schema TEXT,
     PRIMARY KEY (namespace, name),
     FOREIGN KEY (namespace) REFERENCES namespaces(name)
 );
@@ -68,6 +69,7 @@ _FT_FIELDS = (
     "transform",
     "meta",
     "version",
+    "value_schema",
 )
 
 
@@ -103,6 +105,10 @@ class Catalog:
         con = self._con()
         with self._lock, con:
             con.executescript(_SCHEMA)
+            # migration for catalogs created before value_schema existed
+            cols = {r[1] for r in con.execute("PRAGMA table_info(features)")}
+            if "value_schema" not in cols:
+                con.execute("ALTER TABLE features ADD COLUMN value_schema TEXT")
             if not con.execute("SELECT 1 FROM bytehub_version").fetchone():
                 con.execute("INSERT INTO bytehub_version VALUES ('1')")
 
@@ -304,6 +310,20 @@ class Catalog:
                 ),
             )
 
+    def set_value_schema(self, namespace: str, name: str, schema_json: str) -> None:
+        """Record the stored value column's Spark DataType (json form).
+
+        Internal bookkeeping written by the save path so reads can skip
+        parquet schema inference — deliberately does NOT bump the feature
+        version (it's derived state, not a user-visible metadata change).
+        """
+        con = self._con()
+        with self._lock, con:
+            con.execute(
+                "UPDATE features SET value_schema = ? WHERE namespace = ? AND name = ?",
+                (schema_json, namespace, name),
+            )
+
     def delete_feature(self, namespace: str, name: str) -> None:
         con = self._con()
         with self._lock, con:
@@ -334,6 +354,8 @@ class Catalog:
             transform=src["transform"],
             meta=src["meta"],
         )
+        if src.get("value_schema"):  # the data copy carries the same type
+            self.set_value_schema(to_namespace, to_name, src["value_schema"])
         return src
 
     # ------------------------------------------------------------------

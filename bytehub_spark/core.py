@@ -46,6 +46,17 @@ from .utils import (
 ENVELOPE_COLS = {ts.TIME_COL, ts.CREATED_COL}
 
 
+def _value_type(meta: dict | None) -> T.DataType | None:
+    """Catalog-recorded Spark type of a feature's stored value column
+    (written by the save path); None when never saved / pre-migration."""
+    if not meta or not meta.get("value_schema"):
+        return None
+    try:
+        return T._parse_datatype_json_string(meta["value_schema"])
+    except Exception:
+        return None
+
+
 def _qcol(name: str):
     """Column ref safe for names containing '.' (valid in feature names)."""
     return F.col(f"`{name}`")
@@ -186,6 +197,12 @@ class FeatureStore:
         # per-job scheduling latency (~100 ms each on a loaded driver).
         hints = self._scalar_prepass(pairs, from_date, to_date, time_travel)
 
+        fast = self._load_long_format(
+            pairs, hints, from_date, to_date, freq, time_travel
+        )
+        if fast is not None:
+            return fast
+
         def one(pair) -> DataFrame:
             nsp, nm = pair
             sdf = self._load_feature(
@@ -210,6 +227,111 @@ class FeatureStore:
             frames,
             ffill=len(frames) > 1,
             range_hint=self._range_hint(from_date, to_date, hints),
+        )
+        return out.orderBy(ts.TIME_COL)
+
+    def _load_long_format(
+        self, pairs, hints, from_date, to_date, freq, time_travel
+    ) -> DataFrame | None:
+        """Multi-feature ranged resample as ONE long-format plan.
+
+        The generic path builds k independent pipelines (scan → dedup
+        window → two-pass LOCF each) and aligns them — correct for every
+        argument shape, but plan construction is O(k) driver work (~0.6s/
+        feature) and execution runs ~4 stages per feature. When every
+        feature is a stored series of the SAME value type and the caller
+        gave an explicit [from, to] + freq (the training-retrieval hot
+        path), the whole load collapses to:
+
+            union of k slim scans (tagged with the series name)
+              → one time-travel predicate
+              → one dedup window  partitionBy(series, time)
+              → one LOCF resample partitionBy(series)   [per-key window]
+              → one pivot on time
+
+        Three shuffles TOTAL regardless of k, and the LOCF is an ordinary
+        per-key window (parallel across features — no two-pass bucketing
+        needed).
+
+        Measured at 13 features × 35d hourly grid on local[32]: 2.1s vs
+        7.5s for the generic path (plan construction alone drops 6.5→1.6s).
+        The no-freq shapes are NOT routed here: align() already pivots at
+        k>=8, and its per-feature dedup windows execute small parallel
+        shuffles that beat one big union dedup at bench scale — measured
+        wash-or-worse, so the generic path keeps them.
+
+        Returns None when preconditions don't hold (no freq, open-ended
+        range, transforms, mixed/unknown value types) — caller falls back
+        to the generic per-feature path.
+        """
+        if len(pairs) < 2 or freq is None:
+            return None
+        if from_date is None or to_date is None:
+            # per-feature default grids (each its own min/max) — generic path
+            return None
+        metas = {p: self.catalog.get_feature(*p) for p in pairs}
+        if any(m is None or m["transform"] for m in metas.values()):
+            return None
+        vts = {(_value_type(m) or T.DataType()).json() for m in metas.values()}
+        if len(vts) != 1 or _value_type(next(iter(metas.values()))) is None:
+            return None
+
+        if pd.Timestamp(to_date) < pd.Timestamp(from_date):
+            to_date = from_date  # clamp (dask.py:154-155)
+
+        names = [join_name(*p) for p in pairs]
+        branches = []
+        for (nsp, nm), full in zip(pairs, names):
+            meta = metas[nsp, nm]
+            storage = self._storage(nsp)
+            vt = _value_type(meta)
+            # seed row: last point at/before from, carried onto the grid
+            seed = (hints.get((nsp, nm)) or {}).get("seed")
+            scan_from = seed if seed is not None else from_date
+            sdf = storage.scan(
+                nm,
+                from_date=scan_from,
+                to_date=to_date,
+                scheme=meta["partition"],
+                base=storage.open(nm, value_type=vt),
+                value_type=vt,
+            )
+            branches.append(
+                sdf.select(
+                    F.lit(full).alias("__series"),
+                    F.col(ts.TIME_COL),
+                    F.col(ts.CREATED_COL),
+                    F.col(ts.VALUE_COL),
+                )
+            )
+        unioned = branches[0]
+        for b in branches[1:]:
+            unioned = unioned.unionByName(b)
+        if time_travel:
+            unioned = ts.time_travel(unioned, time_travel)
+        deduped = ts.dedup_latest(
+            unioned, partition_by=["__series"]
+        ).drop(ts.CREATED_COL)
+
+        # keys_df = ALL requested series (an empty feature still gets
+        # grid rows with null values — reference semantics for empty+freq)
+        keys = self.spark.createDataFrame(
+            [(n,) for n in names],
+            T.StructType([T.StructField("__series", T.StringType())]),
+        )
+        long_df = ts.resample(
+            deduped,
+            from_date,
+            to_date,
+            freq,
+            value_cols=[ts.VALUE_COL],
+            partition_by=["__series"],
+            keys_df=keys,
+        )
+        out = (
+            long_df.groupBy(ts.TIME_COL)
+            .pivot("__series", names)
+            .agg(F.first(ts.VALUE_COL))
         )
         return out.orderBy(ts.TIME_COL)
 
@@ -364,12 +486,30 @@ class FeatureStore:
         need: dict[int, tuple[bool, bool]] = {}
         need_bounds = from_date is None or to_date is None
         need_seed = from_date is not None
+        metas = {p: self.catalog.get_feature(*p) for p in pairs}
+        stored = [p for p in pairs if metas[p] is not None and not metas[p]["transform"]]
+        # open() builds a fresh parquet file index per feature (~0.5s of
+        # driver+listing latency each); warm all memos concurrently so k
+        # features pay ~max not ~sum. Spark handles concurrent job
+        # submission; _storage() is idempotent under races (setdefault).
+        if len(stored) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(stored))) as ex:
+                list(
+                    ex.map(
+                        lambda p: self._storage(p[0]).open(
+                            p[1], value_type=_value_type(metas[p])
+                        ),
+                        stored,
+                    )
+                )
         for i, (nsp, nm) in enumerate(pairs):
-            meta = self.catalog.get_feature(nsp, nm)
+            meta = metas[nsp, nm]
             if meta is None or meta["transform"]:
                 continue  # _load_feature raises / dispatches later
             storage = self._storage(nsp)
-            base = storage.open(nm)
+            base = storage.open(nm, value_type=_value_type(meta))
             scheme = meta["partition"]
             hint: dict = {}
             hints[(nsp, nm)] = hint
@@ -457,15 +597,17 @@ class FeatureStore:
 
         storage = self._storage(namespace)
         scheme = meta["partition"]
+        vt = _value_type(meta)
         # ONE partition-discovery pass per load: every scan below filters
         # this shared frame (a fresh spark.read per scan re-lists the whole
         # dataset — multi-second on a daily-partitioned multi-year feature)
-        base = storage.open(name)
+        base = storage.open(name, value_type=vt)
 
         if last_only:
             parts = storage.list_partitions(name, reverse=True)
             if not parts or base is None:
-                return storage.scan(name, base=base)  # canonical empty frame
+                # canonical empty frame
+                return storage.scan(name, base=base, value_type=vt)
             df = base.where(F.col("partition") == parts[0]).drop("partition")
             return ts.dedup_latest(df)
 
@@ -475,14 +617,16 @@ class FeatureStore:
             if hint is not None and "bounds" in hint:
                 mn, mx = hint["bounds"]
             else:
-                mn, mx = ts.time_bounds(storage.scan(name, scheme=scheme, base=base))
+                mn, mx = ts.time_bounds(
+                    storage.scan(name, scheme=scheme, base=base, value_type=vt)
+                )
             if eff_from is None:
                 eff_from = mn
             if eff_to is None:
                 eff_to = mx
         if eff_from is None and eff_to is None:
             # feature has no data at all
-            empty = storage.scan(name, scheme=scheme, base=base)
+            empty = storage.scan(name, scheme=scheme, base=base, value_type=vt)
             if freq is not None and from_date is not None and to_date is not None:
                 return ts.resample(empty, from_date, to_date, freq)
             return empty
@@ -501,7 +645,7 @@ class FeatureStore:
                 seed_t = hint["seed"]
             else:
                 seed_df = storage.scan(
-                    name, to_date=from_date, scheme=scheme, base=base
+                    name, to_date=from_date, scheme=scheme, base=base, value_type=vt
                 )
                 if time_travel:
                     seed_df = ts.time_travel(seed_df, time_travel)
@@ -510,7 +654,8 @@ class FeatureStore:
                 scan_from = seed_t
 
         df = storage.scan(
-            name, from_date=scan_from, to_date=eff_to, scheme=scheme, base=base
+            name, from_date=scan_from, to_date=eff_to, scheme=scheme, base=base,
+            value_type=vt,
         )
         if time_travel:
             df = ts.time_travel(df, time_travel)
@@ -708,7 +853,7 @@ class FeatureStore:
         sdf = self.spark.createDataFrame(table)
         sdf = sdf.withColumn(ts.TIME_COL, F.col(ts.TIME_COL).cast("timestamp"))
         sdf = sdf.withColumn(ts.CREATED_COL, F.col(ts.CREATED_COL).cast("timestamp"))
-        self._storage(nsp).write(nm, sdf, scheme=meta["partition"])
+        self._write_feature(nsp, nm, meta, sdf)
 
     def _save_spark(self, sdf: DataFrame, name, namespace) -> None:
         payload_cols = [c for c in sdf.columns if c not in ENVELOPE_COLS and c != ts.TIME_COL]
@@ -754,8 +899,23 @@ class FeatureStore:
                 )
                 sdf = sdf.withColumn(ts.VALUE_COL, enc(F.col(ts.VALUE_COL)))
 
-        self._storage(nsp).write(nm, sdf.select(*[ts.TIME_COL, ts.CREATED_COL, ts.VALUE_COL]),
-                                 scheme=meta["partition"])
+        self._write_feature(
+            nsp, nm, meta, sdf.select(*[ts.TIME_COL, ts.CREATED_COL, ts.VALUE_COL])
+        )
+
+    def _write_feature(self, nsp: str, nm: str, meta: dict, sdf: DataFrame) -> None:
+        """Append + catalog bookkeeping: the first successful save records
+        the stored value type so later reads use an explicit schema (no
+        parquet inference job) and later appends guard against evolution
+        without opening the dataset."""
+        vt = _value_type(meta)
+        self._storage(nsp).write(
+            nm, sdf, scheme=meta["partition"], known_value_type=vt
+        )
+        if vt is None:
+            self.catalog.set_value_schema(
+                nsp, nm, sdf.schema[ts.VALUE_COL].dataType.json()
+            )
 
 
 def _pandas_dtype_to_spark(series: pd.Series) -> T.DataType:

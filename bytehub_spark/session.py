@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Partition discovery: below this many paths, list driver-side
+        # instead of launching a Spark job (~0.3s scheduling overhead per
+        # listing). 1024 favors fast-metadata filesystems (local, HDFS);
+        # deployments on high-latency object stores should lower it via
+        # extra_conf so wide listings fan out to executors.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -137,19 +137,32 @@ class SparkStorage:
     # S2 — append sink
     # ------------------------------------------------------------------
 
-    def write(self, name: str, df: DataFrame, scheme: str = "date") -> None:
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        scheme: str = "date",
+        known_value_type: T.DataType | None = None,
+    ) -> None:
         """Append rows (time, created_time, value) as Hive-partitioned parquet.
 
         Schema-evolution guard (parity with parquet-append failure for
         non-serialized features, tests/test_featurestore.py:494-521): an
         append whose `value` type differs from the existing dataset raises.
+        ``known_value_type`` is the catalog-recorded type of the existing
+        dataset — when supplied the guard compares against it directly
+        instead of opening the dataset (one less file-index build + schema
+        inference per append).
         """
         for c in (ts.TIME_COL, ts.VALUE_COL):
             if c not in df.columns:
                 raise ValidationError(f"save requires a {c!r} column")
-        existing = self.schema(name)
-        if existing is not None:
-            old_t = existing[ts.VALUE_COL].dataType
+        if known_value_type is not None:
+            old_t = known_value_type
+        else:
+            existing = self.schema(name)
+            old_t = None if existing is None else existing[ts.VALUE_COL].dataType
+        if old_t is not None:
             new_t = df.schema[ts.VALUE_COL].dataType
             if old_t != new_t:
                 raise StorageError(
@@ -192,7 +205,9 @@ class SparkStorage:
     # S1 — scan with pushdown + partition pruning
     # ------------------------------------------------------------------
 
-    def open(self, name: str) -> DataFrame | None:
+    def open(
+        self, name: str, value_type: T.DataType | None = None
+    ) -> DataFrame | None:
         """Raw partitioned frame, or None if the dataset doesn't exist.
 
         Each spark.read.parquet builds a fresh file index — on a
@@ -202,13 +217,30 @@ class SparkStorage:
         the frame to scan(base=...) so discovery is paid once. (At
         production scale a metastore/Delta table makes discovery
         incremental; plain-parquet portability keeps this the default.)
+
+        ``value_type`` (catalog-recorded) switches the read to an explicit
+        schema, skipping the footer-reading schema-inference job (~0.3-1s
+        per feature) — the partition column is pinned STRING either way,
+        matching what write() derives and keeping range predicates
+        lexicographic.
         """
         cached = self._open_cache.get(name)
         if cached is not None:
             return cached
         if not self.exists(name):
             return None
-        df = self.spark.read.parquet(self.feature_path(name))
+        if value_type is not None:
+            schema = T.StructType(
+                [
+                    T.StructField(ts.TIME_COL, T.TimestampType()),
+                    T.StructField(ts.CREATED_COL, T.TimestampType()),
+                    T.StructField(ts.VALUE_COL, value_type),
+                    T.StructField(PARTITION_COL, T.StringType()),
+                ]
+            )
+            df = self.spark.read.schema(schema).parquet(self.feature_path(name))
+        else:
+            df = self.spark.read.parquet(self.feature_path(name))
         self._open_cache[name] = df
         return df
 
