@@ -36,6 +36,24 @@ def _q(fn, *tables):
     return runner
 
 
+def _lsh_novelty(documents: DataFrame) -> DataFrame:
+    """Batch twin of streaming.stream_dedup_lsh over the documents table,
+    with arrival time synthesized from doc_id (one doc per minute)."""
+    from pyspark.sql import functions as F
+
+    from bytehub_spark.streaming import dedup_lsh_batch
+
+    docs = documents.select(
+        "doc_id",
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_dt_interval(mins=F.col("doc_id"))
+        ).alias("ts"),
+        "text",
+    )
+    return dedup_lsh_batch(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- timeseries / feature-store kernel (SURVEY §2.2-§2.6) ---
@@ -96,6 +114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": lambda spark, sf: dedup.connected_components(
             dedup.ngram_jaccard_pairs(load_table(spark, sf, "documents"), 0.2)
         ),
+        # streaming LSH novelty, batch twin: arrival order = doc_id order
+        # (synthetic ts). rows-only (bucket ids hinge on xxhash64).
+        "dedup_lsh_novelty": _q(_lsh_novelty, "documents"),
         # --- LLM-pipeline: similarity search ---
         "emb_cosine_topk": lambda spark, sf: similarity.cosine_topk(
             load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5

@@ -428,23 +428,37 @@ class FeatureStore:
         return self.spark.sql(query)
 
     def last(self, features: Any) -> dict[str, Any]:
-        """Latest value per feature (None when empty) — core.py:315-331."""
-        out: dict[str, Any] = {}
-        for nsp, nm in unpack_feature_list(features):
+        """Latest value per feature (None when empty) — core.py:315-331.
+
+        Each feature's lookup is one tiny job (last-partition scan + dedup
+        + limit 1); k features submit concurrently so wall time is ~max,
+        not ~sum (value types differ per feature, so a single unioned job
+        would force casts — concurrency gets the same latency win without
+        touching types)."""
+        pairs = unpack_feature_list(features)
+
+        def one(pair):
+            nsp, nm = pair
             sdf = self._load_feature(
                 nsp, nm, None, None, None, None, callers=[], last_only=True
             )
             rows = ts.last_row(sdf).collect()
-            key = join_name(nsp, nm)
             if not rows:
-                out[key] = None
-            else:
-                val = rows[0][ts.VALUE_COL]
-                meta = self.catalog.get_feature(nsp, nm)
-                if meta and meta["serialized"] and isinstance(val, str):
-                    val = json.loads(val)
-                out[key] = val
-        return out
+                return None
+            val = rows[0][ts.VALUE_COL]
+            meta = self.catalog.get_feature(nsp, nm)
+            if meta and meta["serialized"] and isinstance(val, str):
+                val = json.loads(val)
+            return val
+
+        if len(pairs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(pairs))) as ex:
+                vals = list(ex.map(one, pairs))
+        else:
+            vals = [one(pairs[0])]
+        return {join_name(*p): v for p, v in zip(pairs, vals)}
 
     # -- internal ------------------------------------------------------
 

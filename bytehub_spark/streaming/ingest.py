@@ -246,6 +246,151 @@ def stream_dedup(
     )
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, src_dir: str, max_files: int = 16) -> DataFrame:
+    """Streaming read of a documents directory (doc_id, ts, text)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
+    )
+
+
+def _lsh_band_rows(
+    docs: DataFrame, n_hashes: int, bands: int, ngram: int
+) -> DataFrame:
+    """(doc_id, ts, band, bh) rows — stateless, shared by stream and batch.
+
+    Hash parity with operators.dedup.minhash_signatures: the per-shingle
+    double-hash bases come from the same JVM xxhash64 calls (two small
+    interpreted transform() lambdas per row), and the 64-way min loop runs
+    in a vectorized numpy pandas UDF — the same split the batch kernel
+    uses, so stream and batch agree on every bucket id.
+    """
+    from ..operators.dedup import MINHASH_PRIME as P
+
+    r = n_hashes // bands
+    shingles = F.expr(
+        f"transform(sequence(0, size(__w) - {ngram}),"
+        f" i -> concat_ws(' ', slice(__w, i + 1, {ngram})))"
+    )
+    with_h = (
+        docs.withColumn("__w", F.split(F.col("text"), " "))
+        .where(F.size("__w") >= ngram)
+        .withColumn("__sh", F.array_distinct(shingles))
+        .withColumn("__h1", F.expr(f"transform(__sh, s -> pmod(xxhash64(s), {P}))"))
+        .withColumn(
+            "__h2", F.expr(f"transform(__sh, s -> pmod(xxhash64(s, 7), {P - 1}) + 1)")
+        )
+        .drop("__w", "__sh", "text")
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for h1, h2 in zip(h1s, h2s):
+            a1 = np.asarray(h1, dtype=np.int64)
+            a2 = np.asarray(h2, dtype=np.int64)
+            js = np.arange(n_hashes, dtype=np.int64)
+            out.append(((a1[None, :] + js[:, None] * a2[None, :]) % P).min(axis=1))
+        return pd.Series(out)
+
+    sig = with_h.withColumn("sig", sig_udf("__h1", "__h2")).drop("__h1", "__h2")
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", "ts", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "ts", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def stream_dedup_lsh(
+    docs: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 32,
+    ngram: int = 3,
+    watermark: str = "1 hour",
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Streaming near-duplicate detection: chained stateful LSH dedup.
+
+    Pipeline (all bounded state):
+      1. stateless per-row MinHash signature + banded bucket ids
+         (_lsh_band_rows — bit-identical buckets to the batch operator);
+      2. ``dropDuplicatesWithinWatermark`` on (band, bh): keyed state keeps
+         the FIRST row per bucket inside the watermark horizon, so a later
+         doc sharing a bucket loses that band row;
+      3. windowed count of surviving band rows per doc — emitted on
+         watermark close with ``is_novel = (n_novel_bands = bands)``.
+
+    A doc is flagged non-novel when ANY of its band buckets was already
+    claimed inside the horizon — the streaming twin of
+    operators.dedup.minhash_lsh_pairs candidate generation, with the
+    horizon bounding state exactly like any watermarked join. Two stateful
+    operators chain in append mode; state per bucket is one row, state per
+    window is one count — both O(active keys), never O(corpus).
+
+    Caveats (inherent to streaming LSH): which member of a same-batch
+    near-dup pair survives is arrival-order-dependent (both can lose bands
+    and neither be fully novel), and docs recurring beyond the watermark
+    re-register as novel — the batch pipeline over the stored corpus
+    remains the ground truth, exactly like the bitemporal read path
+    backstops windowed_event_stats.
+    """
+    rows = _lsh_band_rows(docs, n_hashes, bands, ngram).withWatermark(
+        "ts", watermark
+    )
+    survivors = rows.dropDuplicatesWithinWatermark(["band", "bh"])
+    counted = (
+        survivors.groupBy(F.window("ts", window).alias("w"), "doc_id")
+        .agg(F.count("*").alias("n_novel_bands"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "doc_id",
+            "n_novel_bands",
+            (F.col("n_novel_bands") == F.lit(bands)).alias("is_novel"),
+        )
+    )
+    return counted
+
+
+def dedup_lsh_batch(
+    docs: DataFrame, n_hashes: int = 64, bands: int = 32, ngram: int = 3
+) -> DataFrame:
+    """Batch twin of stream_dedup_lsh (oracle for tests): first-seen per
+    bucket ordered by (ts, doc_id), then per-doc surviving-band count."""
+    from pyspark.sql import Window
+
+    rows = _lsh_band_rows(docs, n_hashes, bands, ngram)
+    w = Window.partitionBy("band", "bh").orderBy("ts", "doc_id")
+    survivors = rows.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    return (
+        survivors.groupBy("doc_id")
+        .agg(F.count("*").alias("n_novel_bands"))
+        .select(
+            "doc_id",
+            "n_novel_bands",
+            (F.col("n_novel_bands") == F.lit(bands)).alias("is_novel"),
+        )
+    )
+
+
 def _attribution_join_cond(click, purchase, within: str):
     return (
         (click["user_id"] == purchase["p_user_id"])

@@ -146,3 +146,77 @@ def test_stream_attribution_join_vs_batch(spark, events_dir):
     exp_s = exp.sort_values(key).reset_index(drop=True)[sorted(exp.columns)]
     assert len(got_s) == len(exp_s) and len(got_s) > 0
     pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+
+
+def _mk_docs(tmp_path, spark):
+    """Three stream files in mtime order: originals, near-dups, flusher.
+
+    Docs are 40 draws from a 500-word vocab (seeded); near-dups mutate two
+    words of an original (3-gram jaccard ~0.85, well above the b=32/r=2
+    LSH detection threshold). The flusher's late ts pushes the watermark
+    past both content windows so append mode emits them.
+    """
+    import time as _time
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i:03d}" for i in range(500)]
+
+    def doc(i):
+        return " ".join(rng.choice(vocab, size=40))
+
+    originals = [(i, pd.Timestamp("2024-01-01 10:00:00") + pd.Timedelta(seconds=30 * i), doc(i))
+                 for i in range(20)]
+    dups = []
+    for j in range(5):
+        words = originals[j][2].split()
+        words[10], words[25] = "zzz", "qqq"
+        dups.append((100 + j,
+                     pd.Timestamp("2024-01-01 10:20:00") + pd.Timedelta(seconds=30 * j),
+                     " ".join(words)))
+    flusher = [(999, pd.Timestamp("2024-01-01 12:00:00"), doc(999))]
+
+    src = str(tmp_path / "docs_stream")
+    for k, rows in enumerate((originals, dups, flusher)):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+        sdf = spark.createDataFrame(pdf).select(
+            F.col("doc_id").cast("long"), F.col("ts").cast("timestamp"), "text"
+        )
+        sdf.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    return src
+
+
+def test_stream_dedup_lsh(spark, tmp_path):
+    """Near-dups arriving after their originals are flagged non-novel;
+    unique docs stay novel; surviving-band counts match the batch twin."""
+    src = _mk_docs(tmp_path, spark)
+    stream = st.stream_documents(spark, src, max_files=1)
+    out = st.stream_dedup_lsh(stream, watermark="1 hour", window="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lsh_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM lsh_dedup").toPandas()
+    got = got[got["doc_id"] != 999].set_index("doc_id")
+    assert len(got) == 25, got  # both content windows emitted
+
+    # planted dups: at least one band bucket already claimed by the
+    # original -> non-novel (J~0.73, r=2 -> roughly half the bands collide)
+    for j in range(5):
+        assert not got.loc[100 + j, "is_novel"]
+        assert got.loc[100 + j, "n_novel_bands"] < 32
+    # originals arrived first -> fully novel
+    assert got.loc[range(20), "is_novel"].all()
+
+    # exact agreement with the batch twin (distinct docs share no buckets,
+    # so arrival order within a batch cannot flip any outcome here)
+    batch_src = spark.read.parquet(src).where(F.col("doc_id") != 999)
+    batch = st.dedup_lsh_batch(batch_src).toPandas().set_index("doc_id")
+    for did in got.index:
+        assert got.loc[did, "n_novel_bands"] == batch.loc[did, "n_novel_bands"], did
