@@ -178,7 +178,14 @@ def sessionize(
                 last_us, n, sv = int(t_us), n + 1, sv + float(v)
 
         state.update((start_us, last_us, n, sv))
-        state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
+        # Clamp to the watermark: a group whose last event already trails
+        # the watermark by more than the gap (bulk replay, skewed keys in
+        # a large micro-batch) would otherwise request a timeout in the
+        # past, which GroupState rejects. watermark+1ms fires on the next
+        # trigger — the gap deadline has passed, so the session is due.
+        timeout_ms = last_us // 1000 + gap_minutes * 60 * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         if closed:
             yield pd.DataFrame(
                 {
