@@ -462,6 +462,20 @@ class FeatureStore:
 
     # -- internal ------------------------------------------------------
 
+    def _open_recorded(self, nsp: str, nm: str, meta: dict):
+        """open() with the catalog-recorded value type; when the catalog
+        predates the dataset (rebuilt catalog over existing data), record
+        the inferred type so every later read skips inference and the
+        long-format fast path can engage — self-healing bookkeeping."""
+        storage = self._storage(nsp)
+        vt = _value_type(meta)
+        base = storage.open(nm, value_type=vt)
+        if vt is None and base is not None and ts.VALUE_COL in base.columns:
+            self.catalog.set_value_schema(
+                nsp, nm, base.schema[ts.VALUE_COL].dataType.json()
+            )
+        return base
+
     def _storage(self, namespace: str) -> SparkStorage:
         # setdefault keeps one SparkStorage per namespace even under the
         # threaded multi-feature load (two would split the open() memo)
@@ -511,13 +525,10 @@ class FeatureStore:
 
             with ThreadPoolExecutor(max_workers=min(8, len(stored))) as ex:
                 list(
-                    ex.map(
-                        lambda p: self._storage(p[0]).open(
-                            p[1], value_type=_value_type(metas[p])
-                        ),
-                        stored,
-                    )
+                    ex.map(lambda p: self._open_recorded(*p, metas[p]), stored)
                 )
+            # pick up any value types recorded by the warm pass
+            metas.update({p: self.catalog.get_feature(*p) for p in stored})
         for i, (nsp, nm) in enumerate(pairs):
             meta = metas[nsp, nm]
             if meta is None or meta["transform"]:
@@ -615,7 +626,7 @@ class FeatureStore:
         # ONE partition-discovery pass per load: every scan below filters
         # this shared frame (a fresh spark.read per scan re-lists the whole
         # dataset — multi-second on a daily-partitioned multi-year feature)
-        base = storage.open(name, value_type=vt)
+        base = self._open_recorded(namespace, name, meta)
 
         if last_only:
             parts = storage.list_partitions(name, reverse=True)

@@ -109,3 +109,20 @@ def test_value_schema_recorded_on_save(fs):
     assert meta["value_schema"] == '"double"'
     # version not bumped by the bookkeeping write
     assert meta["version"] == 1
+
+
+def test_value_schema_self_heals_on_read(fs, spark, tmp_path):
+    """A rebuilt catalog over existing datasets has no recorded value
+    types; the first multi-feature load's prepass records them (and the
+    fast path can engage in that same call)."""
+    feats = _build(fs, k=2, with_empty=False)
+    rebuilt = FeatureStore(":memory:", spark=spark)
+    rebuilt.create_namespace("test", url=str(tmp_path / "featurestore"))
+    for f in feats:
+        rebuilt.create_feature(f, partition="date")
+    assert rebuilt.catalog.get_feature("test", "f0")["value_schema"] is None
+    out = rebuilt.load_dataframe(
+        feats, from_date="2024-01-10", to_date="2024-02-10", freq="1d"
+    ).toPandas()
+    assert len(out) == 32
+    assert rebuilt.catalog.get_feature("test", "f0")["value_schema"] == '"double"'
