@@ -16,7 +16,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bytehub_spark.operators import dedup, events_ops, ivf, similarity, text, tpch
+from bytehub_spark.operators import (
+    curation,
+    dedup,
+    events_ops,
+    ivf,
+    similarity,
+    text,
+    tpch,
+)
 from bytehub_spark.sources import load_table
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -103,6 +111,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clean_text": _q(text.clean_text, "documents"),
         "doc_repetition": _q(text.repetition_ratio, "documents"),
         "doc_curation_pipeline": _q(text.curation_pipeline, "documents"),
+        # --- LLM-pipeline: deterministic splits / mixing / packing ---
+        "cur_split_summary": _q(curation.split_summary, "documents"),
+        "cur_mix_sources": lambda spark, sf: curation.mix_sources(
+            load_table(spark, sf, "documents"),
+            {"src0": 10, "src1": 5, "src2": 10_000},
+        ).select("doc_id", "source", "lang").orderBy("doc_id"),
+        "cur_pack_sequences": _q(curation.pack_sequences, "documents"),
+        "cur_pack_greedy": lambda spark, sf: curation.pack_sequences_greedy(
+            load_table(spark, sf, "documents")
+        ).orderBy("doc_id"),  # rows-only: bin ids depend on shard layout
         # --- LLM-pipeline: dedup ---
         "dedup_exact": _q(dedup.exact_dedup, "documents"),
         "dedup_ngram_jaccard": _q(dedup.ngram_jaccard_pairs, "documents"),
@@ -492,6 +510,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
             FROM kept WHERE q >= 0.5
             GROUP BY lang ORDER BY lang
+        """,
+        # --- curation: splits / mixing / packing ---
+        "cur_split_summary": """
+            SELECT CASE WHEN doc_id % 100 < 10 THEN 'test'
+                        WHEN doc_id % 100 < 20 THEN 'val'
+                        ELSE 'train' END AS split,
+                   lang, count(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "cur_mix_sources": """
+            SELECT doc_id, source, lang FROM (
+                SELECT doc_id, source, lang,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            )
+            WHERE rn <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 5
+                                    WHEN 'src2' THEN 10000 ELSE 0 END
+            ORDER BY doc_id
+        """,
+        "cur_pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS cum_before
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor(cum_before / 2048) AS BIGINT) AS start_bin,
+                   CAST(floor((cum_before + n_tokens - 1) / 2048) AS BIGINT) AS end_bin,
+                   CAST(floor((cum_before + n_tokens - 1) / 2048)
+                        - floor(cum_before / 2048) + 1 AS INTEGER) AS n_bins
+            FROM c ORDER BY doc_id
         """,
         # --- dedup ---
         "dedup_clusters": """

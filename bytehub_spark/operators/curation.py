@@ -1,0 +1,166 @@
+"""Corpus curation operators for training-data pipelines: deterministic
+splits, dataset mixing, and sequence packing.
+
+Everything here is DETERMINISTIC — no rand()/sample() — so runs are
+reproducible across engines and cluster layouts, results are oracle-able
+in plain SQL, and incremental re-runs assign unchanged docs to unchanged
+splits/bins. That property (content- or id-keyed assignment, not
+row-order-keyed) is what makes these ops safe at 100 TB where input order
+is never stable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Mapping
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_count_col(text_col: str = "text") -> F.Column:
+    """Whitespace token count (matches text.token_counts ws_tokens)."""
+    return F.size(F.split(F.col(text_col), " "))
+
+
+def train_val_test_split(
+    documents: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic split assignment by id residue (id % 100).
+
+    Residues [0, test_pct) → test, [test_pct, test_pct+val_pct) → val,
+    rest → train. Id-keyed, so adding documents never reshuffles existing
+    assignments (contrast randomSplit, which depends on partition layout).
+    """
+    r = F.pmod(F.col(id_col), F.lit(100))
+    split = (
+        F.when(r < test_pct, F.lit("test"))
+        .when(r < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return documents.withColumn("split", split)
+
+
+def split_summary(
+    documents: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc and token counts per (split, lang) — the mixture report a
+    training run starts from."""
+    assigned = train_val_test_split(documents, val_pct, test_pct, id_col)
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count_col(text_col).cast("bigint")).alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def mix_sources(
+    documents: DataFrame,
+    quotas: Mapping[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic dataset mixing: keep the first ``quotas[source]`` docs
+    per source, by id order.
+
+    The per-source rank is one window (parallel across sources); quota
+    lookup is a literal map — no join. Sources absent from ``quotas`` are
+    dropped (explicit mixture only). Id-ordered quota fill keeps the kept
+    set stable under corpus growth: new (higher-id) docs only enter when a
+    quota isn't already met.
+    """
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    quota = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )[F.col(source_col)]
+    return (
+        documents.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= F.coalesce(quota, F.lit(0)))
+        .drop("__rank")
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    max_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid out in id
+    order as one token stream and cut every ``max_tokens``; each doc
+    reports the bin (chunk) its first token lands in and how many bins it
+    spans.
+
+    This is the streaming-concatenation packing used by LM data pipelines
+    (docs may straddle a boundary; no padding waste), and — unlike greedy
+    bin packing — it is expressible as ONE window cumsum, so it is exact
+    cross-engine and costs a single global ordering. At 100 TB the
+    ordering is the same range-partitioned sort any global window needs;
+    a per-shard variant is ``pack_sequences_greedy``.
+    """
+    n_tok = token_count_col(text_col)
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        documents.select(F.col(id_col), n_tok.alias("n_tokens"))
+        .withColumn("start_bin", F.floor(cum_before / max_tokens).cast("bigint"))
+        .withColumn(
+            "end_bin",
+            F.floor((cum_before + F.col("n_tokens") - 1) / max_tokens).cast("bigint"),
+        )
+        .withColumn("n_bins", (F.col("end_bin") - F.col("start_bin") + 1).cast("int"))
+        .orderBy(id_col)
+    )
+
+
+def pack_sequences_greedy(
+    documents: DataFrame,
+    max_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy whole-document bin packing, shard-parallel: docs are range-
+    partitioned by id; within each shard a sequential pass opens a new bin
+    whenever the current doc would overflow ``max_tokens`` (docs longer
+    than the budget get a bin alone). Bin ids are globally unique as
+    (shard << 32) | local_bin.
+
+    Greedy packing is inherently sequential, so the parallel unit is the
+    shard — exactly how production packers run (one packer per output
+    shard). Deterministic given the id ordering; not SQL-expressible in
+    one pass (rows-only check).
+    """
+    n_tok = token_count_col(text_col)
+    slim = documents.select(F.col(id_col), n_tok.alias("n_tokens"))
+    sharded = slim.repartitionByRange(F.col(id_col)).sortWithinPartitions(id_col)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        shard = TaskContext.get().partitionId()
+        local_bin, used = 0, 0
+        for pdf in batches:
+            bins = []
+            for t in pdf["n_tokens"]:
+                if used > 0 and used + t > max_tokens:
+                    local_bin += 1
+                    used = 0
+                bins.append((shard << 32) | local_bin)
+                used += int(t)
+            out = pdf.copy()
+            out["bin"] = bins
+            yield out
+
+    return sharded.mapInPandas(
+        pack, schema=f"{id_col} long, n_tokens int, bin long"
+    )
