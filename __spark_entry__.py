@@ -97,6 +97,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": _q(tpch.q10_returned_items, "customer", "orders", "lineitem"),
         "tpch_q12": _q(tpch.q12_priority_shipping, "orders", "lineitem"),
         "tpch_q14": _q(tpch.q14_promo_revenue, "part", "lineitem"),
+        "tpch_q7": _q(
+            tpch.q7_volume_shipping,
+            "supplier", "lineitem", "orders", "customer", "nation",
+        ),
+        "tpch_q8": _q(
+            tpch.q8_market_share,
+            "part", "supplier", "lineitem", "orders", "customer", "nation", "region",
+        ),
+        "tpch_q18": _q(tpch.q18_large_orders, "customer", "orders", "lineitem"),
         "join_anti_inactive_customers": _q(
             tpch.customers_without_recent_orders, "customer", "orders"
         ),
@@ -393,6 +402,60 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+        """,
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       year(l.l_shipdate) AS l_year,
+                       l.l_extendedprice, l.l_discount
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+                WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q8": """
+            SELECT year(o.o_orderdate) AS o_year,
+                   CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                       THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                       ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS mkt_share
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q18": """
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, t.total_qty
+            FROM (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150.0
+            ) t
+            JOIN orders o ON t.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY t.total_qty DESC, o.o_orderkey ASC LIMIT 20
         """,
         "join_anti_inactive_customers": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c

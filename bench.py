@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "tpch_q10",
     "tpch_q12",
     "tpch_q14",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q18",
     "doc_text_stats",
     "doc_token_counts",
     "doc_lang_id",

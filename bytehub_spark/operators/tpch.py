@@ -243,3 +243,130 @@ def q14_promo_revenue(
         (F.lit(100.0) * _dsum(promo) / _dsum(revenue)).alias("promo_revenue_pct"),
         _dsum(revenue).alias("total_revenue"),
     )
+
+
+def q7_volume_shipping(
+    supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+    customer: DataFrame, nation: DataFrame,
+    nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+    d1: str = "1996-01-01", d2: str = "1998-01-01",
+) -> DataFrame:
+    """Volume shipping between two nations (TPC-H Q7 shape): 5-way join
+    with a symmetric pair predicate and per-year decimal revenue. Nation
+    is broadcast twice under different aliases; the fact-fact joins
+    shuffle once per key."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    l = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(d1).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(d2).cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    joined = (
+        l.join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dsum(revenue).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(
+    part: DataFrame, supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+    customer: DataFrame, nation: DataFrame, region: DataFrame,
+    target_nation: str = "NATION_3", region_name: str = "ASIA",
+    p_type: str = "PROMO", d1: str = "1996-01-01", d2: str = "1998-01-01",
+) -> DataFrame:
+    """National market share inside a region (TPC-H Q8 shape): 7-way join,
+    then a conditional-sum / total-sum ratio per order year."""
+    l = lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(d1).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(d2).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust_nation = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == region_name)
+                          .select("r_regionkey")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    joined = (
+        l.join(
+            F.broadcast(
+                part.where(F.col("p_type") == p_type).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_nation, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == target_nation, volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((_dsum(target) / _dsum(volume)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q18_large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    min_quantity: float = 150.0, limit: int = 20,
+) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): grouped HAVING on the fact
+    table semi-restricts the join — the heavy groupBy runs once and its
+    output (few keys) drives the rest."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > min_quantity)
+    )
+    return (
+        big.join(orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_name"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(limit)
+    )
