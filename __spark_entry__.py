@@ -106,6 +106,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "part", "supplier", "lineitem", "orders", "customer", "nation", "region",
         ),
         "tpch_q18": _q(tpch.q18_large_orders, "customer", "orders", "lineitem"),
+        "tpch_q2": _q(tpch.q2_min_cost_supplier, "part", "supplier", "lineitem"),
+        "tpch_q9": _q(
+            tpch.q9_product_profit,
+            "part", "supplier", "lineitem", "orders", "nation",
+        ),
+        "tpch_q11": _q(tpch.q11_important_parts, "lineitem", "supplier", "nation"),
+        "tpch_q13": _q(tpch.q13_customer_distribution, "customer", "orders"),
+        "tpch_q15": _q(tpch.q15_top_supplier, "supplier", "lineitem"),
+        "tpch_q16": _q(
+            tpch.q16_parts_supplier_relationship, "part", "supplier", "lineitem"
+        ),
+        "tpch_q17": _q(tpch.q17_small_quantity_revenue, "part", "lineitem"),
+        "tpch_q20": _q(
+            tpch.q20_excess_shippers, "part", "supplier", "lineitem", "nation"
+        ),
+        "tpch_q19": _q(tpch.q19_disjunctive_predicates, "part", "lineitem"),
+        "tpch_q21": _q(
+            tpch.q21_waiting_suppliers, "supplier", "lineitem", "orders", "nation"
+        ),
+        "tpch_q22": _q(tpch.q22_global_sales_opportunity, "customer", "orders"),
         "join_anti_inactive_customers": _q(
             tpch.customers_without_recent_orders, "customer", "orders"
         ),
@@ -456,6 +476,183 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON t.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
             ORDER BY t.total_qty DESC, o.o_orderkey ASC LIMIT 20
+        """,
+        "tpch_q2": """
+            WITH offers AS (
+                SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS offer_price
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_size = 15
+                GROUP BY l_partkey, l_suppkey
+            )
+            SELECT s_acctbal, s_name, p_name, l_partkey, offer_price
+            FROM offers
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE offer_price = (
+                SELECT min(o2.offer_price) FROM offers o2
+                WHERE o2.l_partkey = offers.l_partkey
+            )
+            ORDER BY s_acctbal DESC, l_partkey, s_name
+            LIMIT 100
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY n_name, year(o_orderdate)
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11": """
+            WITH value AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                       AS part_value
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_1'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, part_value FROM value
+            WHERE part_value > (
+                SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE) * 0.001
+                FROM value
+            )
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, s_acctbal, total_revenue
+            FROM revenue JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q17": """
+            WITH l AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#13'
+            ),
+            cut AS (
+                SELECT l_partkey AS a_partkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                           / count(*) * 0.2 AS qty_cut
+                FROM l GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+                   AS avg_yearly,
+                   count(*) AS n_lines
+            FROM l JOIN cut ON l_partkey = a_partkey
+            WHERE l_quantity < qty_cut
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+              )
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q20": """
+            SELECT s_name, s_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+              AND s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                GROUP BY l_suppkey, l_partkey
+                HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 40.0
+              )
+            ORDER BY s_name
+        """,
+        "tpch_q19": """
+            SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 50
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q21": """
+            WITH per_supp AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                           THEN 1 ELSE 0 END) AS supp_late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY l_orderkey, l_suppkey
+            ),
+            per_order AS (
+                SELECT l_orderkey AS g_orderkey, count(*) AS n_supp,
+                       sum(supp_late) AS n_late_supp
+                FROM per_supp GROUP BY l_orderkey
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM per_supp
+            JOIN per_order ON l_orderkey = g_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE supp_late = 1 AND n_supp > 1 AND n_late_supp = 1
+              AND n_name = 'NATION_2'
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
+        """,
+        "tpch_q22": """
+            SELECT c_custkey % 7 AS cntrycode, count(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*)
+                FROM customer WHERE c_acctbal > 0.0
+            )
+            AND NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+            )
+            GROUP BY cntrycode
+            ORDER BY cntrycode
         """,
         "join_anti_inactive_customers": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c
