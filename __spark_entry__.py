@@ -16,11 +16,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from bytehub_spark.operators import (
     curation,
     dedup,
     events_ops,
     ivf,
+    multimodal,
     similarity,
     text,
     tpch,
@@ -164,6 +167,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming LSH novelty, batch twin: arrival order = doc_id order
         # (synthetic ts). rows-only (bucket ids hinge on xxhash64).
         "dedup_lsh_novelty": _q(_lsh_novelty, "documents"),
+        # --- LLM-pipeline: multimodal columns (binary payload + typed
+        # metadata; codec stubbed, plumbing real — media derived
+        # deterministically from documents so DuckDB can oracle the
+        # byte-accounting without decode libraries) ---
+        "mm_featurize_bytes": lambda spark, sf: multimodal.featurize(
+            multimodal.media_from_documents(load_table(spark, sf, "documents")),
+            fake=True,
+        ).select("media_id", "kind", "n_bytes").orderBy("media_id"),
+        "mm_frame_counts": lambda spark, sf: multimodal.sample_frames(
+            multimodal.media_from_documents(load_table(spark, sf, "documents")),
+            1000,
+            fake=True,
+        ).groupBy("media_id").agg(F.count("*").alias("n_frames"))
+        .orderBy("media_id"),
+        "mm_metadata_stats": lambda spark, sf: multimodal.metadata_stats(
+            multimodal.media_from_documents(load_table(spark, sf, "documents"))
+        ),
         # --- LLM-pipeline: similarity search ---
         "emb_cosine_topk": lambda spark, sf: similarity.cosine_topk(
             load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
@@ -895,6 +915,36 @@ def oracle_sql() -> dict[str, str]:
                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
                     4) >= 0.4
             ORDER BY id_a, id_b
+        """,
+        "mm_featurize_bytes": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents ORDER BY media_id
+        """,
+        "mm_frame_counts": """
+            SELECT doc_id AS media_id,
+                   greatest(1, (1000 + (doc_id % 10) * 500) // 1000) AS n_frames
+            FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id
+        """,
+        "mm_metadata_stats": """
+            WITH media AS (
+                SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                       CASE doc_id % 3 WHEN 0 THEN 'png'
+                            WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+                       CASE WHEN doc_id % 3 <> 0
+                            THEN 1000 + (doc_id % 10) * 500 END AS duration_ms,
+                       CASE WHEN doc_id % 3 = 0 THEN 64 + doc_id % 4 END AS width,
+                       CASE WHEN doc_id % 3 = 0 THEN 64 END AS height
+                FROM documents
+            )
+            SELECT kind, format, count(*) AS n,
+                   CAST(SUM(coalesce(duration_ms, 0)) AS BIGINT)
+                       AS total_duration_ms,
+                   avg(width * height) AS avg_pixels
+            FROM media GROUP BY kind, format ORDER BY kind, format
         """,
         "emb_cosine_topk": """
             WITH q AS (

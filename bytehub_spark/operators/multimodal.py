@@ -67,6 +67,39 @@ def synthesize_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents table: the text
+    payload becomes the opaque binary content, kind/format/dimensions are
+    pure functions of doc_id. This gives multimodal pipelines a reproducible
+    input that an external SQL oracle can reason about (byte lengths, frame
+    counts) without decode libraries."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, "png")
+        .when(F.col("doc_id") % 3 == 1, "wav")
+        .otherwise("mp4")
+    )
+    is_image = F.col("doc_id") % 3 == 0
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        fmt.alias("format"),
+        F.when(is_image, (64 + F.col("doc_id") % 4).cast("int")).alias("width"),
+        F.when(is_image, F.lit(64).cast("int")).alias("height"),
+        F.when(
+            ~is_image, (1000 + (F.col("doc_id") % 10) * 500).cast("long")
+        ).alias("duration_ms"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit(16000).cast("int")).alias(
+            "sample_rate"
+        ),
+    )
+
+
 def _decode_stub(content: bytes, fmt: str, fake: bool) -> np.ndarray:
     """Codec boundary. Real decoders (PIL/libav) are not in this container."""
     if not fake:
