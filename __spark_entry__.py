@@ -143,6 +143,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clean_text": _q(text.clean_text, "documents"),
         "doc_repetition": _q(text.repetition_ratio, "documents"),
         "doc_curation_pipeline": _q(text.curation_pipeline, "documents"),
+        # PII scrub: inject deterministic synthetic PII (the corpus has
+        # none) so redaction is value-checked on non-trivial input.
+        "doc_redact_pii": lambda spark, sf: text.redact_pii(
+            load_table(spark, sf, "documents").select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id"),
+                    F.lit("@example.com or +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ).alias("text"),
+            )
+        ),
+        # decontamination: eval set = every 50th doc; flag the rest on
+        # shared 4-gram shingles
+        "dedup_decontaminate": lambda spark, sf: dedup.decontaminate(
+            load_table(spark, sf, "documents").where(F.col("doc_id") % 50 != 0),
+            load_table(spark, sf, "documents").where(F.col("doc_id") % 50 == 0),
+        ),
         # --- LLM-pipeline: deterministic splits / mixing / packing ---
         "cur_split_summary": _q(curation.split_summary, "documents"),
         "cur_mix_sources": lambda spark, sf: curation.mix_sources(
@@ -874,6 +894,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY 1 ORDER BY keep_id
+        """,
+        "doc_redact_pii": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@example.com or +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INTEGER)
+                       AS n_phones,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')
+                       AS redacted
+            FROM aug ORDER BY doc_id
+        """,
+        "dedup_decontaminate": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE len(string_split(text, ' ')) >= 4
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, len(ws) - 3),
+                    i -> array_to_string(ws[i + 1 : i + 4], ' ')))) AS shingle
+                FROM w
+            ),
+            bench AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 50 = 0)
+            SELECT doc_id, count(*) AS n_hit_shingles
+            FROM s
+            WHERE doc_id % 50 <> 0
+              AND shingle IN (SELECT shingle FROM bench)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "dedup_ngram_jaccard": """
             WITH w AS (

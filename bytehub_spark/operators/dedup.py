@@ -116,6 +116,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram shingle with an eval/benchmark corpus.
+
+    Standard practice before training on web-scale corpora (eval answers
+    leak into crawls). The benchmark shingle set is usually tiny relative
+    to the corpus, so the join against it broadcasts under AQE; the
+    training-side shingle explosion is embarrassingly parallel. Returns
+    (id, n_hit_shingles) for contaminated docs — downstream either drops
+    them or masks the overlapping spans.
+    """
+    train_sh = shingle_sets(documents, text_col, id_col, n)
+    bench_sh = (
+        shingle_sets(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        train_sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_shingles"))
+        .orderBy(id_col)
+    )
+
+
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 

