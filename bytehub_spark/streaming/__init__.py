@@ -9,6 +9,7 @@ from .ingest import (
     stream_documents,
     stream_events,
     stream_into_feature,
+    stream_online_features,
     windowed_event_stats,
 )
 
@@ -21,6 +22,7 @@ __all__ = [
     "stream_events",
     "stream_dedup",
     "stream_into_feature",
+    "stream_online_features",
     "windowed_event_stats",
     "sessionize",
     "sessionize_batch",

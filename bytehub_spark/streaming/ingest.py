@@ -236,6 +236,75 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+ONLINE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("last_value", T.DoubleType()),
+    ]
+)
+
+_ONLINE_STATE = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+    ]
+)
+
+
+def stream_online_features(events: DataFrame, watermark: str = "1 hour"):
+    """Online feature serving: continuously maintain the latest value per
+    (user, event_type) — the streaming twin of the A3 `fs.last()` path and
+    of `events_ops.dedup_latest_per_key`.
+
+    Emits an updated snapshot row (update mode) whenever a key's latest
+    value changes; ties on event time break by event_id, matching the
+    batch dedup window's ordering. State per key is O(1) (three scalars),
+    so the online store's memory is #keys-bounded at any throughput —
+    at production scale the sink is a key-value store fed from these
+    updates.
+    """
+
+    def fn(
+        key: Tuple[int, str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id, event_type = key
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        top = rows.iloc[-1]
+        t_us = int(pd.Timestamp(top["ts"]).value // 1000)  # ns → µs
+        eid = int(top["event_id"])
+        val = None if pd.isna(top["value"]) else float(top["value"])
+        if state.exists:
+            lu, le, lv = state.get
+            if (t_us, eid) < (lu, le):
+                t_us, eid, val = lu, le, lv  # batch was all-late: keep state
+        state.update((t_us, eid, val))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "last_ts": [pd.Timestamp(t_us, unit="us")],
+                "last_value": [val],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ONLINE_SCHEMA,
+            stateStructType=_ONLINE_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_dedup(
     events: DataFrame, watermark: str = "10 minutes", keys: Iterable[str] = ("event_id",)
 ) -> DataFrame:

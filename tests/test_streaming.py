@@ -220,3 +220,40 @@ def test_stream_dedup_lsh(spark, tmp_path):
     batch = st.dedup_lsh_batch(batch_src).toPandas().set_index("doc_id")
     for did in got.index:
         assert got.loc[did, "n_novel_bands"] == batch.loc[did, "n_novel_bands"], did
+
+
+def test_stream_online_features_vs_batch(spark, events_dir):
+    """The final online snapshot per (user, event_type) equals the batch
+    bitemporal dedup's latest row for every key."""
+    from bytehub_spark.operators import events_ops
+
+    stream = st.stream_events(spark, events_dir, max_files=2)
+    q = (
+        st.stream_online_features(stream, watermark="365 days")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("online_store")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM online_store").toPandas()
+    # update mode appends every snapshot change; the live value per key is
+    # the one with the greatest (last_ts) — dedup keeping the final update
+    got = (
+        got.sort_values("last_ts")
+        .groupby(["user_id", "event_type"], as_index=False)
+        .last()
+    )
+    exp = events_ops.dedup_latest_per_key(load_table(spark, SF, "events")).toPandas()
+    key = ["user_id", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s) and len(got_s) > 0
+    pd.testing.assert_frame_equal(
+        got_s[key + ["last_ts", "last_value"]],
+        exp_s[key + ["last_ts", "last_value"]],
+        check_dtype=False,
+    )
