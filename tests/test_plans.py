@@ -80,3 +80,48 @@ def test_whole_stage_codegen_active(spark):
     assert "WholeStageCodegen" in plan or "isFinalPlan=true" in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python in the plan
     assert "Project" in plan and "FileScan parquet" in plan  # pure JVM pipeline
+
+
+def test_new_tpch_dims_broadcast(spark):
+    """Q9/Q16/Q19: every dimension side must broadcast — a sort-merge join
+    against part/supplier/nation at 100 TB fact scale would shuffle the
+    fact table once per dim."""
+    t = lambda n: load_table(spark, SF, n)
+    for df, dims in [
+        (tpch.q9_product_profit(t("part"), t("supplier"), t("lineitem"),
+                                t("orders"), t("nation")), 3),
+        (tpch.q16_parts_supplier_relationship(t("part"), t("supplier"),
+                                              t("lineitem")), 2),
+        (tpch.q19_disjunctive_predicates(t("part"), t("lineitem")), 1),
+    ]:
+        plan = _plan(df)
+        assert plan.count("BroadcastHashJoin") >= dims, plan[:1500]
+
+
+def test_q15_revenue_view_not_recomputed(spark):
+    """The quarterly revenue agg feeds both the global max and the
+    join-back; the plan must reuse one exchange, not rescan lineitem."""
+    q15 = tpch.q15_top_supplier(
+        load_table(spark, SF, "supplier"), load_table(spark, SF, "lineitem")
+    )
+    plan = _plan(q15)
+    # one aggregation subtree is reused (ReusedExchange/TableCacheQueryStage)
+    # OR lineitem appears in at most two scans (agg + join-back sides)
+    assert (
+        "ReusedExchange" in plan
+        or plan.count("lineitem.parquet") <= 2
+        or plan.count("InMemoryTableScan") >= 2
+    )
+
+
+def test_q21_self_join_single_shuffle_axis(spark):
+    """The EXISTS/NOT-EXISTS double correlation is one aggregated self-join:
+    both sides partition on l_orderkey — no extra shuffle axes beyond the
+    orderkey exchanges and the final tiny s_name agg."""
+    t = lambda n: load_table(spark, SF, n)
+    q21 = tpch.q21_waiting_suppliers(t("supplier"), t("lineitem"), t("orders"),
+                                     t("nation"))
+    plan = _plan(q21)
+    import re
+    axes = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert axes <= {"l_orderkey", "l_suppkey", "s_name"}, axes
