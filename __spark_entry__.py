@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": lambda spark, sf: dedup.connected_components(
             dedup.ngram_jaccard_pairs(load_table(spark, sf, "documents"), 0.2)
         ),
+        "dedup_canonical": _q(dedup.canonical_per_cluster, "documents"),
         # streaming LSH novelty, batch twin: arrival order = doc_id order
         # (synthetic ts). rows-only (bucket ids hinge on xxhash64).
         "dedup_lsh_novelty": _q(_lsh_novelty, "documents"),
@@ -889,6 +890,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS doc_id,
                    least(src, min(dst)) AS component
             FROM rec GROUP BY src ORDER BY doc_id
+        """,
+        "dedup_canonical": """
+            WITH sh0 AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE len(string_split(text, ' ')) >= 3
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                    list_extract(w, i) || ' ' || list_extract(w, i + 1) || ' '
+                        || list_extract(w, i + 2) AS shingle
+                FROM sh0, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                           JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            rec AS (
+                WITH RECURSIVE reach(src, dst) AS (
+                    SELECT src, dst FROM edges
+                    UNION
+                    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+                )
+                SELECT src, dst FROM reach
+            ),
+            comp AS (
+                SELECT d.doc_id,
+                       coalesce(least(d.doc_id, r.mn), d.doc_id) AS component
+                FROM documents d
+                LEFT JOIN (SELECT src, min(dst) AS mn FROM rec GROUP BY src) r
+                  ON r.src = d.doc_id
+            ),
+            q AS (
+                SELECT doc_id,
+                       0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                       + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                           w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+                           / len(string_split(text, ' '))) AS quality_score
+                FROM documents
+            )
+            SELECT c.doc_id, c.component, q.quality_score,
+                   (row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY q.quality_score DESC, c.doc_id ASC) = 1)
+                   AS is_canonical
+            FROM comp c JOIN q ON q.doc_id = c.doc_id
+            ORDER BY c.doc_id
         """,
         "dedup_exact": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,

@@ -147,6 +147,46 @@ def decontaminate(
     )
 
 
+def canonical_per_cluster(
+    documents: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: cluster near-duplicates (n-gram
+    Jaccard pairs → connected components), then keep the highest-quality
+    member per cluster instead of an arbitrary one — standard practice so
+    dedup does not systematically keep the truncated/boilerplate variant.
+
+    Quality is text_stats' score; ties break to the lowest doc id (exact
+    cross-engine determinism). Singleton docs are their own canonical.
+    Returns (doc_id, component, quality_score, is_canonical) — downstream
+    filters is_canonical to materialize the deduped corpus.
+    """
+    from .text import text_stats
+
+    pairs = ngram_jaccard_pairs(documents, threshold, n, text_col, id_col)
+    comp = connected_components(pairs, vertices=documents, id_col=id_col)
+    quality = text_stats(documents).select(
+        F.col(id_col), F.col("quality_score")
+    )
+    member = comp.join(quality, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        member.withColumn("rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "component",
+            "quality_score",
+            (F.col("rn") == 1).alias("is_canonical"),
+        )
+        .orderBy(id_col)
+    )
+
+
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 

@@ -341,3 +341,17 @@ def test_decontaminate_flags_overlap(spark):
     hits = {r["doc_id"]: r["n_hit_shingles"]
             for r in dedup.decontaminate(train, bench).collect()}
     assert 1 in hits and 3 in hits and 2 not in hits
+
+
+def test_canonical_keeps_highest_quality_not_lowest_id(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (1, base[:60].strip()),           # truncated variant, lower id
+        (2, base.strip()),                # full doc: higher quality, higher id
+        (3, "totally different content with no overlap whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.canonical_per_cluster(df, 0.2).collect()}
+    assert out[1]["component"] == out[2]["component"] == 1
+    assert out[2]["is_canonical"] and not out[1]["is_canonical"]
+    assert out[3]["is_canonical"]  # singleton keeps itself
