@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clean_text": _q(text.clean_text, "documents"),
         "doc_repetition": _q(text.repetition_ratio, "documents"),
         "doc_curation_pipeline": _q(text.curation_pipeline, "documents"),
+        "doc_vocab_topk": _q(text.vocab_topk, "documents"),
         # PII scrub: inject deterministic synthetic PII (the corpus has
         # none) so redaction is value-checked on non-trivial input.
         "doc_redact_pii": lambda spark, sf: text.redact_pii(
@@ -953,6 +954,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY 1 ORDER BY keep_id
+        """,
+        "doc_vocab_topk": """
+            SELECT token, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token ASC
+            LIMIT 100
         """,
         "doc_redact_pii": """
             WITH aug AS (

@@ -164,6 +164,29 @@ def repetition_ratio(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by total occurrences with document
+    frequency — the tokenizer-training / idf-weighting primitive.
+
+    The explode multiplies rows ~n_words-fold, but the count aggregation
+    is map-side-combined before the single shuffle on the token, so
+    shuffle volume is |vocab|, not |corpus|. Top-k is a per-partition
+    TakeOrdered then a driver merge of k rows — no global sort at scale.
+    Ties break lexicographically for cross-engine determinism.
+    """
+    words = F.explode(F.split(F.col("text"), " ")).alias("token")
+    return (
+        documents.select("doc_id", words)
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 # PII patterns kept to syntax shared by Java regex (Spark) and RE2
 # (DuckDB/Go scanners) so the same redaction is reproducible everywhere.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
