@@ -340,6 +340,79 @@ def stream_documents(spark: SparkSession, src_dir: str, max_files: int = 16) -> 
     )
 
 
+def _doc_quality() -> F.Column:
+    """Quality score over a text column — same linear signal as
+    operators.text.text_stats (length + stopword ratio), inlined so the
+    stream stays one stateless codegen stage."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "and", "of", "to")])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    stop_ratio = n_stop.cast("double") / n_words
+    return (
+        F.lit(0.5) * F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.5) * (F.lit(1.0) - stop_ratio)
+    )
+
+
+def stream_quality_filter(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """Streaming corpus curation, stage 1: stateless quality gate.
+
+    Adds quality_score and n_tokens, drops docs below the threshold. Pure
+    JVM expressions — at production throughput this is a narrow map with
+    no state, so it scales with input partitions alone.
+    """
+    return (
+        docs.withColumn("quality_score", _doc_quality())
+        .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+        .where(F.col("quality_score") >= min_quality)
+    )
+
+
+def stream_curation_stats(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming corpus curation, stage 2: watermarked tumbling-window
+    accounting of the retained corpus (docs kept, tokens kept) — the
+    live dashboard counterpart of the batch curation_pipeline."""
+    kept = stream_quality_filter(docs, min_quality)
+    return (
+        kept.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_docs_kept",
+            "tokens_kept",
+        )
+    )
+
+
+def curation_stats_batch(
+    docs: DataFrame, min_quality: float = 0.5, window: str = "10 minutes"
+) -> DataFrame:
+    """Batch twin of stream_curation_stats for equivalence testing."""
+    kept = stream_quality_filter(docs, min_quality)
+    return (
+        kept.groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_docs_kept",
+            "tokens_kept",
+        )
+    )
+
+
 def _lsh_band_rows(
     docs: DataFrame, n_hashes: int, bands: int, ngram: int
 ) -> DataFrame:

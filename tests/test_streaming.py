@@ -257,3 +257,51 @@ def test_stream_online_features_vs_batch(spark, events_dir):
         exp_s[key + ["last_ts", "last_value"]],
         check_dtype=False,
     )
+
+
+def test_stream_curation_stats_vs_batch(spark, tmp_path):
+    """Windowed kept-docs/kept-tokens accounting on the stream equals the
+    batch twin over the same files (all within watermark -> no drops)."""
+    rng = np.random.RandomState(7)
+    vocab = ["the", "a", "and", "of", "to"] + [f"w{i}" for i in range(50)]
+    rows = [
+        (
+            i,
+            pd.Timestamp("2024-01-01 09:00:00") + pd.Timedelta(minutes=int(i)),
+            " ".join(rng.choice(vocab, size=rng.randint(3, 120))),
+        )
+        for i in range(120)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+    src = str(tmp_path / "docs_curation")
+    sdf = spark.createDataFrame(pdf).select(
+        F.col("doc_id").cast("long"), F.col("ts").cast("timestamp"), "text"
+    )
+    sdf.repartition(3).write.parquet(src)
+
+    stream = st.stream_documents(spark, src, max_files=1)
+    q = (
+        st.stream_curation_stats(stream, 0.5, "10 minutes", "365 days")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("curation_stats")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM curation_stats").toPandas()
+    # update mode re-emits windows as they accumulate; keep the last emit
+    got = (
+        got.groupby("window_start", as_index=False).last().sort_values("window_start")
+    )
+    exp = (
+        st.curation_stats_batch(spark.read.parquet(src), 0.5, "10 minutes")
+        .toPandas()
+        .sort_values("window_start")
+    )
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
