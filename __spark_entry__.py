@@ -87,6 +87,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rollup": _q(events_ops.rollup_counts, "events"),
         "ts_moving_avg": _q(events_ops.moving_avg_per_user, "events"),
         "ts_quantiles": _q(events_ops.value_quantiles, "events"),
+        # batch twin of the streaming gap-sessionizer; session keys are
+        # integer/timestamp-exact (sums omitted: order-sensitive doubles)
+        "ts_sessionize": lambda spark, sf: __import__(
+            "bytehub_spark.streaming", fromlist=["sessionize_batch"]
+        ).sessionize_batch(load_table(spark, sf, "events"), 120)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start"),
         "ts_histogram": _q(events_ops.value_histogram, "events"),
         # --- analytical joins/aggregations (SURVEY §2.3-§2.4) ---
         "tpch_q1": _q(tpch.q1_pricing_summary, "lineitem"),
@@ -344,6 +351,30 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.95) AS p95,
                    quantile_cont(value, 0.99) AS p99
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ts_sessionize": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            ),
+            m AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev IS NULL
+                                 OR date_diff('second', prev, ts) > 7200
+                            THEN 1 ELSE 0 END AS brk
+                FROM o
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "ts_histogram": """
             -- DuckDB has no width_bucket; this is Spark's exact arithmetic
