@@ -400,6 +400,16 @@ class FeatureStore:
             rolled.select(ts.TIME_COL, F.col(src_col).alias(ts.VALUE_COL)), dest
         )
 
+    def compact_feature(self, name: str, max_files_per_partition: int = 1) -> dict:
+        """Rewrite a feature's fragmented partitions into target-sized
+        files (storage.compact). Pure reorganization — bitemporal reads
+        are byte-identical before/after; run it off the write path like
+        a Delta OPTIMIZE."""
+        nsp, nm = split_name(name)
+        if self.catalog.get_feature(nsp, nm) is None:
+            raise MissingFeatureException(f"No such feature {name!r}")
+        return self._storage(nsp).compact(nm, max_files_per_partition)
+
     def sql(
         self,
         query: str,

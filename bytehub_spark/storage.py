@@ -194,6 +194,79 @@ class SparkStorage:
             ) from e
         self.invalidate(name)  # the cached file index no longer sees all files
 
+    def partition_file_counts(self, name: str) -> dict[str, int]:
+        """Data-file count per Hive partition (driver-side listing, no scan)."""
+        root = self.feature_path(name)
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(root)
+        fs = path.getFileSystem(conf)
+        if not fs.exists(path):
+            return {}
+        counts: dict[str, int] = {}
+        for st in fs.listStatus(path):
+            nm = st.getPath().getName()
+            if not (st.isDirectory() and nm.startswith(f"{PARTITION_COL}=")):
+                continue
+            n = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            )
+            counts[nm.split("=", 1)[1]] = n
+        return counts
+
+    def compact(self, name: str, max_files_per_partition: int = 1) -> dict:
+        """Rewrite fragmented partitions into target-sized files.
+
+        Every bitemporal append adds at least one file per touched
+        partition, so a hot feature accumulates thousands of small files
+        per partition dir over time — each one a scan task + a footer read
+        at 100 TB. Compaction is pure reorganization: rows (and therefore
+        every bitemporal read) are unchanged.
+
+        Only partitions above ``max_files_per_partition`` are rewritten:
+        compacted data is staged next to the dataset, then swapped in with
+        per-partition atomic renames (delete + rename on the Hadoop FS) —
+        readers never see a partial partition, and untouched partitions
+        are never rewritten. Returns {partitions, files_before, files_after}.
+        """
+        counts = self.partition_file_counts(name)
+        frag = sorted(p for p, n in counts.items() if n > max_files_per_partition)
+        if not frag:
+            return {"partitions": 0, "files_before": 0, "files_after": 0}
+        files_before = sum(counts[p] for p in frag)
+        base = self.open(name)
+        staging = self.feature_path(name) + "__compacting"
+        (
+            base.where(F.col(PARTITION_COL).isin(frag))
+            .repartition(F.col(PARTITION_COL))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 5_000_000)
+            .partitionBy(PARTITION_COL)
+            .parquet(staging)
+        )
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.Path(staging).getFileSystem(conf)
+        for p in frag:
+            live = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(self.feature_path(name), f"{PARTITION_COL}={p}")
+            )
+            staged = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(staging, f"{PARTITION_COL}={p}")
+            )
+            fs.delete(live, True)
+            fs.rename(staged, live)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        self.invalidate(name)
+        files_after = sum(self.partition_file_counts(name)[p] for p in frag)
+        return {
+            "partitions": len(frag),
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+
     def schema(self, name: str) -> T.StructType | None:
         try:
             df = self.open(name)

@@ -90,3 +90,39 @@ def test_append_writes_one_file_per_partition(fs, spark):
             continue
         files = [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
         assert len(files) == 1, f"{d} has {len(files)} files"
+
+
+def test_compact_heals_fragmented_partitions(fs):
+    """8 appends fragment each partition dir into 8 files; compaction
+    rewrites to 1 file/partition and the bitemporal read is unchanged."""
+    import pandas as pd
+
+    fs.create_feature("test/frag")
+    idx = pd.date_range("2021-01-01", periods=10, freq="D")
+    for k in range(8):
+        fs.save_dataframe(
+            pd.DataFrame(
+                {
+                    "time": idx,
+                    "created_time": idx + pd.Timedelta(minutes=k),
+                    "value": [float(k * 100 + i) for i in range(10)],
+                }
+            ),
+            "test/frag",
+        )
+    storage = fs._storage("test")
+    before = storage.partition_file_counts("frag")
+    assert max(before.values()) == 8
+    loaded_before = fs.load_pandas("test/frag")
+
+    stats = fs.compact_feature("test/frag")
+    assert stats["partitions"] == 10
+    assert stats["files_before"] == 80 and stats["files_after"] == 10
+    after = storage.partition_file_counts("frag")
+    assert set(after.values()) == {1}
+
+    loaded_after = fs.load_pandas("test/frag")
+    pd.testing.assert_frame_equal(loaded_before, loaded_after)
+
+    # idempotent: nothing fragmented -> no-op
+    assert fs.compact_feature("test/frag")["partitions"] == 0
