@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rollup": _q(events_ops.rollup_counts, "events"),
         "ts_moving_avg": _q(events_ops.moving_avg_per_user, "events"),
         "ts_quantiles": _q(events_ops.value_quantiles, "events"),
+        "ts_zscore_outliers": _q(events_ops.zscore_outliers, "events"),
         # batch twin of the streaming gap-sessionizer; session keys are
         # integer/timestamp-exact (sums omitted: order-sensitive doubles)
         "ts_sessionize": lambda spark, sf: __import__(
@@ -351,6 +352,21 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.95) AS p95,
                    quantile_cont(value, 0.99) AS p99
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ts_zscore_outliers": """
+            WITH m AS (
+                SELECT user_id AS m_uid, count(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS s2
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, event_id, ts, value,
+                   (value - s1 / n) / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS zscore
+            FROM events JOIN m ON user_id = m_uid
+            WHERE n > 1
+              AND sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) > 0.0
+              AND abs((value - s1 / n) / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))) > 3.0
+            ORDER BY user_id, event_id
         """,
         "ts_sessionize": """
             WITH o AS (

@@ -258,6 +258,35 @@ def moving_avg_per_user(events: DataFrame, window_rows: int = 3) -> DataFrame:
     )
 
 
+def zscore_outliers(events: DataFrame, n_sigma: float = 3.0) -> DataFrame:
+    """Per-user anomaly flags: events more than n_sigma population standard
+    deviations from the user's mean.
+
+    Two-pass as one plan: per-key moments (decimal sums → exact), broadcast
+    back onto the rows. Every float op after the exact sums (divide, sqrt,
+    subtract) is IEEE correctly-rounded with identical operand order in the
+    oracle, so flags and z-scores hash-match bit-for-bit. greatest(var, 0)
+    guards the catastrophic-cancellation negative.
+    """
+    moments = events.groupBy(F.col("user_id").alias("m_uid")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s1"),
+        F.sum(
+            (F.col("value") * F.col("value")).cast("decimal(28,8)")
+        ).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+    sd = F.sqrt(var)
+    z = (F.col("value") - mean) / sd
+    return (
+        events.join(F.broadcast(moments), F.col("user_id") == F.col("m_uid"))
+        .where((F.col("n") > 1) & (sd > 0.0) & (F.abs(z) > n_sigma))
+        .select("user_id", "event_id", "ts", "value", z.alias("zscore"))
+        .orderBy("user_id", "event_id")
+    )
+
+
 def value_quantiles(events: DataFrame) -> DataFrame:
     """Exact percentiles per event type (sort-based percentile(), linear
     interpolation — same semantics as DuckDB quantile_cont)."""
