@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q(text.repetition_ratio, "documents"),
         "doc_curation_pipeline": _q(text.curation_pipeline, "documents"),
         "doc_vocab_topk": _q(text.vocab_topk, "documents"),
+        "doc_tfidf_top_terms": _q(text.tfidf_top_terms, "documents"),
         # PII scrub: inject deterministic synthetic PII (the corpus has
         # none) so redaction is value-checked on non-trivial input.
         "doc_redact_pii": lambda spark, sf: text.redact_pii(
@@ -1012,6 +1013,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n_occurrences DESC, token ASC
             LIMIT 100
+        """,
+        "doc_tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM toks GROUP BY doc_id, token
+            ),
+            dfreq AS (
+                SELECT token AS d_token, count(DISTINCT doc_id) AS df
+                FROM toks GROUP BY token
+            ),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            weighted AS (
+                SELECT doc_id, token, tf, df,
+                       CAST(tf * n_docs AS DOUBLE) / df AS weight
+                FROM tf JOIN dfreq ON token = d_token CROSS JOIN n
+            )
+            SELECT doc_id, token, tf, df, weight, rn
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY weight DESC, token ASC) AS rn
+                FROM weighted
+            )
+            WHERE rn <= 3
+            ORDER BY doc_id, rn
         """,
         "doc_redact_pii": """
             WITH aug AS (

@@ -8,7 +8,7 @@ hash-match exactly without rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS_EN = ("the", "a", "and", "of", "to")
@@ -184,6 +184,42 @@ def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
         )
         .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
         .limit(k)
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, top_per_doc: int = 3) -> DataFrame:
+    """Characteristic terms per document: tf × (N/df) rarity weighting.
+
+    The idf factor is the raw ratio N/df, not log(N/df): log is evaluated
+    by libm and is NOT guaranteed correctly-rounded, so cross-engine
+    hash-equality would break; the ranking is identical either way since
+    log is monotone. All arithmetic is integer products with one double
+    division — bit-exact. Ties break lexicographically.
+
+    Plan shape: one explode + two aggregations sharing the token shuffle
+    key, a broadcast of the (token, df) table, per-doc ranking window —
+    no corpus-sized sort.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = toks.groupBy(F.col("token").alias("d_token")).agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
+    weight = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), F.col("token") == F.col("d_token"))
+        .join(F.broadcast(n_docs))
+        .select("doc_id", "token", "tf", "df", weight.alias("weight"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_per_doc)
+        .select("doc_id", "token", "tf", "df", "weight", "rn")
+        .orderBy("doc_id", "rn")
     )
 
 
