@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_moving_avg": _q(events_ops.moving_avg_per_user, "events"),
         "ts_quantiles": _q(events_ops.value_quantiles, "events"),
         "ts_zscore_outliers": _q(events_ops.zscore_outliers, "events"),
+        # batch twin of the stream-stream interval join
+        "ts_interval_join": lambda spark, sf: __import__(
+            "bytehub_spark.streaming", fromlist=["attribution_join_batch"]
+        ).attribution_join_batch(load_table(spark, sf, "events"), "1 hour"),
         # batch twin of the streaming gap-sessionizer; session keys are
         # integer/timestamp-exact (sums omitted: order-sensitive doubles)
         "ts_sessionize": lambda spark, sf: __import__(
@@ -353,6 +357,15 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.95) AS p95,
                    quantile_cont(value, 0.99) AS p99
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ts_interval_join": """
+            SELECT c.user_id, c.ts AS click_ts, c.value AS click_value,
+                   p.ts AS purchase_ts, p.event_id AS p_event_id,
+                   p.value AS purchase_value
+            FROM events c JOIN events p
+              ON c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         """,
         "ts_zscore_outliers": """
             WITH m AS (
