@@ -25,6 +25,7 @@ from bytehub_spark.operators import (
     ivf,
     multimodal,
     similarity,
+    skew,
     text,
     tpch,
 )
@@ -88,6 +89,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_moving_avg": _q(events_ops.moving_avg_per_user, "events"),
         "ts_quantiles": _q(events_ops.value_quantiles, "events"),
         "ts_zscore_outliers": _q(events_ops.zscore_outliers, "events"),
+        # two-stage salted aggregation: decimal accumulation makes the
+        # result independent of the salting, so it oracles exactly
+        "ts_salted_rollup": lambda spark, sf: (
+            lambda ev: skew.salted_agg(
+                ev.withColumn("value_dec", F.col("value").cast("decimal(18,4)")),
+                ["event_type"],
+                {
+                    "n": ("event_id", "count"),
+                    "sum_value": ("value_dec", "sum"),
+                    "max_value": ("value", "max"),
+                    "min_ts": ("ts", "min"),
+                },
+            )
+            .select(
+                "event_type",
+                "n",
+                F.col("sum_value").cast("double").alias("sum_value"),
+                "max_value",
+                "min_ts",
+            )
+            .orderBy("event_type")
+        )(load_table(spark, sf, "events")),
         # batch twin of the stream-stream interval join
         "ts_interval_join": lambda spark, sf: __import__(
             "bytehub_spark.streaming", fromlist=["attribution_join_batch"]
@@ -356,6 +379,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.5) AS p50,
                    quantile_cont(value, 0.95) AS p95,
                    quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ts_salted_rollup": """
+            SELECT event_type, count(event_id) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+                   max(value) AS max_value, min(ts) AS min_ts
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "ts_interval_join": """
