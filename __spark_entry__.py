@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_moving_avg": _q(events_ops.moving_avg_per_user, "events"),
         "ts_quantiles": _q(events_ops.value_quantiles, "events"),
         "ts_zscore_outliers": _q(events_ops.zscore_outliers, "events"),
+        "ts_funnel": _q(events_ops.funnel_conversion, "events"),
         # two-stage salted aggregation: decimal accumulation makes the
         # result independent of the salting, so it oracles exactly
         "ts_salted_rollup": lambda spark, sf: (
@@ -380,6 +381,24 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.95) AS p95,
                    quantile_cont(value, 0.99) AS p99
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ts_funnel": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ),
+            converted AS (
+                SELECT DISTINCT c.event_id FROM clicks c
+                JOIN events p
+                  ON p.event_type = 'purchase' AND p.user_id = c.user_id
+                 AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            )
+            SELECT date_trunc('day', ts) AS day, count(*) AS n_clicks,
+                   CAST(SUM(CASE WHEN event_id IN (SELECT event_id FROM converted)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                   CAST(SUM(CASE WHEN event_id IN (SELECT event_id FROM converted)
+                            THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS cvr
+            FROM clicks GROUP BY day ORDER BY day
         """,
         "ts_salted_rollup": """
             SELECT event_type, count(event_id) AS n,

@@ -258,6 +258,45 @@ def moving_avg_per_user(events: DataFrame, window_rows: int = 3) -> DataFrame:
     )
 
 
+def funnel_conversion(events: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Daily click→purchase funnel: per click, did the same user purchase
+    within the attribution window; aggregated to (day, n_clicks,
+    n_converted, cvr).
+
+    The existence check is a LEFT SEMI interval join keyed on user_id —
+    no fan-out on multi-purchase users, state bounded by the window at
+    streaming scale. Counts are integers and cvr one double division —
+    exact cross-engine.
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    converted = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") > F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr(f"INTERVAL {within}")),
+        "left_semi",
+    ).select("event_id")
+    flagged = clicks.join(
+        converted.withColumn("converted", F.lit(1)), "event_id", "left"
+    )
+    return (
+        flagged.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias("n_converted"),
+        )
+        .withColumn(
+            "cvr", F.col("n_converted").cast("double") / F.col("n_clicks")
+        )
+        .orderBy("day")
+    )
+
+
 def zscore_outliers(events: DataFrame, n_sigma: float = 3.0) -> DataFrame:
     """Per-user anomaly flags: events more than n_sigma population standard
     deviations from the user's mean.
