@@ -102,23 +102,66 @@ def pack_sequences(
     spans.
 
     This is the streaming-concatenation packing used by LM data pipelines
-    (docs may straddle a boundary; no padding waste), and — unlike greedy
-    bin packing — it is expressible as ONE window cumsum, so it is exact
-    cross-engine and costs a single global ordering. At 100 TB the
-    ordering is the same range-partitioned sort any global window needs;
-    a per-shard variant is ``pack_sequences_greedy``.
+    (docs may straddle a boundary; no padding waste). The global prefix
+    sum is computed in TWO passes so no stage ever sees a partition-less
+    window (which would collapse every row into one task): docs are range-
+    sharded on id with boundaries collected once and baked in as literals;
+    pass 1 is a per-shard cumsum window (shards run in parallel), pass 2
+    prefix-sums the per-shard token totals over the tiny one-row-per-shard
+    frame and broadcast-joins the offsets back. Output is identical to the
+    single global window regardless of boundary placement, so it stays
+    exactly cross-engine oracle-able.
     """
-    n_tok = token_count_col(text_col)
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    spark = documents.sparkSession
+    slim = documents.select(
+        F.col(id_col), token_count_col(text_col).alias("n_tokens")
+    )
+
+    # shard boundaries: collected ONCE driver-side and baked into both
+    # passes as constants (a lazy repartitionByRange could re-sample
+    # different boundaries on recompute, silently mismatching the offsets)
+    num_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    probs = [i / num_parts for i in range(1, num_parts)]
+    bounds = (
+        slim.select(F.col(id_col).cast("double").alias("__i"))
+        .stat.approxQuantile("__i", probs, 0.01)
+        if probs
+        else []
+    )
+    pid_expr = F.lit(0)
+    for b in sorted(set(float(x) for x in bounds)):
+        pid_expr = pid_expr + (F.col(id_col).cast("double") > F.lit(b)).cast("int")
+    parted = slim.withColumn("__pid", pid_expr)
+
+    # pass 1: cumsum WITHIN each id-range shard (parallel, bounded tasks)
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+
+    # pass 2: per-shard totals, prefix-scanned over <= num_parts rows,
+    # broadcast back as the shard offset
+    totals = parted.groupBy("__pid").agg(
+        F.sum("n_tokens").cast("bigint").alias("__tot")
+    )
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__tot").over(w_prev), F.lit(0)).alias("__off"),
+    )
+    cum_before = F.col("__local") + F.col("__off")
     return (
-        documents.select(F.col(id_col), n_tok.alias("n_tokens"))
+        parted.withColumn("__local", local_before)
+        .join(F.broadcast(offsets), "__pid")
         .withColumn("start_bin", F.floor(cum_before / max_tokens).cast("bigint"))
         .withColumn(
             "end_bin",
             F.floor((cum_before + F.col("n_tokens") - 1) / max_tokens).cast("bigint"),
         )
         .withColumn("n_bins", (F.col("end_bin") - F.col("start_bin") + 1).cast("int"))
+        .select(id_col, "n_tokens", "start_bin", "end_bin", "n_bins")
         .orderBy(id_col)
     )
 

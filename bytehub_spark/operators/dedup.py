@@ -153,6 +153,7 @@ def canonical_per_cluster(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Quality-aware canonical selection: cluster near-duplicates (n-gram
     Jaccard pairs → connected components), then keep the highest-quality
@@ -163,10 +164,15 @@ def canonical_per_cluster(
     cross-engine determinism). Singleton docs are their own canonical.
     Returns (doc_id, component, quality_score, is_canonical) — downstream
     filters is_canonical to materialize the deduped corpus.
+
+    ``max_doc_freq`` passes through to the pair stage's df-cut — set it
+    at scale so clustering never pays the quadratic hot-shingle blow-up.
     """
     from .text import text_stats
 
-    pairs = ngram_jaccard_pairs(documents, threshold, n, text_col, id_col)
+    pairs = ngram_jaccard_pairs(
+        documents, threshold, n, text_col, id_col, max_doc_freq
+    )
     comp = connected_components(pairs, vertices=documents, id_col=id_col)
     quality = text_stats(documents).select(
         F.col(id_col), F.col("quality_score")

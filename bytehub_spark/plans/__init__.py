@@ -1,6 +1,7 @@
 from .inspect import (
     ensure_parallelism,
     executed_plan,
+    global_windows,
     has_broadcast_join,
     partition_filters,
     pushed_filters,
@@ -11,6 +12,7 @@ from .inspect import (
 __all__ = [
     "ensure_parallelism",
     "executed_plan",
+    "global_windows",
     "pushed_filters",
     "partition_filters",
     "read_schema",

@@ -58,6 +58,43 @@ def shuffle_count(df: DataFrame) -> int:
     return executed_plan(df).count("Exchange ")
 
 
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a plan-node argument list."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+def global_windows(df: DataFrame) -> list[str]:
+    """Expression lists of Window nodes with an EMPTY partition spec.
+
+    A partition-less window collapses every row into ONE task — the
+    classic straggler at scale. Plans are allowed to keep one over a
+    frame already reduced to O(num_partitions) rows (e.g. per-shard
+    prefix offsets); tests assert the returned expressions only touch
+    such tiny aggregate frames.
+    """
+    out = []
+    for line in executed_plan(df).splitlines():
+        m = re.search(r"(?:^|\s)Window\s+(\[.*)$", line.strip())
+        if not m:
+            continue
+        groups = _bracket_groups(m.group(1))
+        # WindowExec prints [exprs], [partitionSpec], [orderSpec]; the
+        # partition-less form has only [exprs], [orderSpec].
+        if len(groups) == 2:
+            out.append(groups[0])
+    return out
+
+
 def ensure_parallelism(df: DataFrame, factor: float = 1.0) -> DataFrame:
     """Fan a DataFrame out to the session's parallelism when its current
     partitioning would under-utilize the cluster.

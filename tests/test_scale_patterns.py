@@ -71,3 +71,16 @@ def test_bucketed_join_has_no_exchange(spark):
     got_pdf = j.toPandas().sort_values("o_orderkey").reset_index(drop=True)
     exp_pdf = exp.toPandas().sort_values("o_orderkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(got_pdf, exp_pdf)
+
+
+def test_pack_sequences_no_global_data_window(spark):
+    """pack_sequences must never run a partition-less window over the doc
+    frame (single-task straggler); the only allowed one is the prefix scan
+    over the tiny per-shard totals frame (<= shuffle-partitions rows)."""
+    from bytehub_spark.operators import curation
+    from bytehub_spark.sources import load_table
+
+    out = curation.pack_sequences(load_table(spark, SF, "documents"), 512)
+    gw = plans.global_windows(out)
+    assert gw, "expected the per-shard offset prefix scan to be present"
+    assert all("__tot" in g for g in gw), gw
