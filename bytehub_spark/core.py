@@ -495,7 +495,10 @@ class FeatureStore:
             if nsrow is None:
                 raise MissingFeatureException(f"Namespace {namespace!r} does not exist")
             st = self._storages.setdefault(
-                namespace, SparkStorage(self.spark, nsrow["url"])
+                namespace,
+                SparkStorage(
+                    self.spark, nsrow["url"], nsrow.get("storage_options") or {}
+                ),
             )
         return st
 

@@ -55,10 +55,26 @@ def partition_bound(value, scheme: str) -> str:
     return v.strftime("%Y-%m-%d") if scheme == "date" else v.strftime("%Y")
 
 
+# fsspec-style credential names (what the reference accepts in a
+# namespace's storage_options: _storage/dask.py:15-16, _model.py:87) →
+# s3a Hadoop conf suffixes. Unknown keys pass through verbatim when they
+# look like Hadoop keys (contain a '.'), else as fs.<scheme>.<key>.
+_FSSPEC_TO_S3A = {
+    "key": "access.key",
+    "username": "access.key",
+    "secret": "secret.key",
+    "password": "secret.key",
+    "token": "session.token",
+    "endpoint_url": "endpoint",
+}
+
+
 class SparkStorage:
     """Parquet read/write for one namespace's features."""
 
-    def __init__(self, spark: SparkSession, url: str):
+    def __init__(
+        self, spark: SparkSession, url: str, storage_options: dict | None = None
+    ):
         self.spark = spark
         parsed = urlparse(url)
         if parsed.scheme in ("", "file"):
@@ -71,6 +87,28 @@ class SparkStorage:
         # invalidates (external writers bypass this — same staleness
         # contract as any cached file index; call invalidate() to refresh)
         self._open_cache: dict = {}
+        # per-namespace credentials/conf reach the Hadoop connectors here
+        # (reference threads storage_options into every fsspec call); s3a
+        # options scope per-bucket (fs.s3a.bucket.<bucket>.*) so two
+        # namespaces on different buckets never clobber each other.
+        self.applied_conf: dict[str, str] = {}
+        for k, v in (storage_options or {}).items():
+            self.applied_conf[self._conf_key(k, parsed)] = str(v)
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in self.applied_conf.items():
+            hconf.set(k, v)
+
+    @staticmethod
+    def _conf_key(key: str, parsed) -> str:
+        scheme = parsed.scheme or "file"
+        if scheme in ("s3", "s3a", "s3n"):
+            suffix = _FSSPEC_TO_S3A.get(key, key if "." in key else key)
+            if key in _FSSPEC_TO_S3A or "." not in key:
+                return f"fs.s3a.bucket.{parsed.netloc}.{suffix}"
+            return key  # full Hadoop key given explicitly
+        if "." in key:
+            return key
+        return f"fs.{scheme}.{key}"
 
     # ------------------------------------------------------------------
 
@@ -87,22 +125,33 @@ class SparkStorage:
             return False
 
     def ls(self) -> list[str]:
-        """Feature datasets present on storage (S3 listing for GC)."""
+        """Feature datasets present on storage (S3 listing for GC).
+
+        Compaction work dirs (``<name>__compacting`` / ``<name>__retiring``)
+        are transient siblings, not datasets — excluded.
+        """
         root = os.path.join(self.base, "feature")
         if self._is_local:
             if not os.path.isdir(root):
                 return []
-            return sorted(
+            names = (
                 d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
             )
-        jvm = self.spark._jvm
-        conf = self.spark._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(root)
-        fs = path.getFileSystem(conf)
-        if not fs.exists(path):
-            return []
+        else:
+            jvm = self.spark._jvm
+            conf = self.spark._jsc.hadoopConfiguration()
+            path = jvm.org.apache.hadoop.fs.Path(root)
+            fs = path.getFileSystem(conf)
+            if not fs.exists(path):
+                return []
+            names = (
+                st.getPath().getName()
+                for st in fs.listStatus(path)
+                if st.isDirectory()
+            )
         return sorted(
-            st.getPath().getName() for st in fs.listStatus(path) if st.isDirectory()
+            n for n in names
+            if not n.endswith(("__compacting", "__retiring"))
         )
 
     def list_partitions(self, name: str, reverse: bool = False) -> list[str]:
@@ -226,11 +275,19 @@ class SparkStorage:
         every bitemporal read) are unchanged.
 
         Only partitions above ``max_files_per_partition`` are rewritten:
-        compacted data is staged next to the dataset, then swapped in with
-        per-partition atomic renames (delete + rename on the Hadoop FS) —
-        readers never see a partial partition, and untouched partitions
-        are never rewritten. Returns {partitions, files_before, files_after}.
+        compacted data is staged next to the dataset, then swapped in
+        per-partition by renaming the live dir ASIDE (into a ``__retiring``
+        sibling outside the dataset root, so readers never list both
+        copies), renaming the staged dir in, and only then deleting the
+        retired copy. The unreadable window is thus two directory renames,
+        not a recursive delete, and no step loses rows: a crash anywhere
+        leaves either the live or the retired copy intact, and the next
+        compact() (or ``recover_compaction()``) restores/cleans orphans.
+        True no-window atomicity needs a table format (Delta/Iceberg) —
+        see the backend seam. Returns {partitions, files_before,
+        files_after}.
         """
+        self.recover_compaction(name)
         counts = self.partition_file_counts(name)
         frag = sorted(p for p, n in counts.items() if n > max_files_per_partition)
         if not frag:
@@ -238,6 +295,7 @@ class SparkStorage:
         files_before = sum(counts[p] for p in frag)
         base = self.open(name)
         staging = self.feature_path(name) + "__compacting"
+        retiring = self.feature_path(name) + "__retiring"
         (
             base.where(F.col(PARTITION_COL).isin(frag))
             .repartition(F.col(PARTITION_COL))
@@ -249,6 +307,7 @@ class SparkStorage:
         jvm = self.spark._jvm
         conf = self.spark._jsc.hadoopConfiguration()
         fs = jvm.org.apache.hadoop.fs.Path(staging).getFileSystem(conf)
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(retiring))
         for p in frag:
             live = jvm.org.apache.hadoop.fs.Path(
                 os.path.join(self.feature_path(name), f"{PARTITION_COL}={p}")
@@ -256,16 +315,68 @@ class SparkStorage:
             staged = jvm.org.apache.hadoop.fs.Path(
                 os.path.join(staging, f"{PARTITION_COL}={p}")
             )
-            fs.delete(live, True)
+            retired = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(retiring, f"{PARTITION_COL}={p}")
+            )
+            if not fs.exists(staged):
+                # all files in this partition held zero rows — nothing was
+                # staged; leave the live dir untouched (pure-reorg invariant)
+                continue
+            fs.rename(live, retired)
             fs.rename(staged, live)
+            fs.delete(retired, True)
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(retiring), True)
         self.invalidate(name)
-        files_after = sum(self.partition_file_counts(name)[p] for p in frag)
+        after_counts = self.partition_file_counts(name)
+        files_after = sum(after_counts.get(p, 0) for p in frag)
         return {
             "partitions": len(frag),
             "files_before": files_before,
             "files_after": files_after,
         }
+
+    def recover_compaction(self, name: str) -> dict:
+        """Restore/clean orphans from a compact() interrupted mid-swap.
+
+        - a retired copy whose live dir is MISSING is renamed back (the
+          crash hit between rename-aside and rename-in: the retired copy
+          is the only copy);
+        - a retired copy whose live dir exists is deleted (the swap
+          completed; only the cleanup was lost);
+        - a leftover staging dir is deleted (it is partial or already
+          swapped; the next compact rewrites it from live data).
+
+        Idempotent and cheap (directory listings only); compact() runs it
+        first, so recovery needs no separate operational step.
+        """
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        restored = cleaned = 0
+        retiring = jvm.org.apache.hadoop.fs.Path(self.feature_path(name) + "__retiring")
+        fs = retiring.getFileSystem(conf)
+        if fs.exists(retiring):
+            for st in fs.listStatus(retiring):
+                nm = st.getPath().getName()
+                if not nm.startswith(f"{PARTITION_COL}="):
+                    continue
+                live = jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(self.feature_path(name), nm)
+                )
+                if fs.exists(live):
+                    fs.delete(st.getPath(), True)
+                    cleaned += 1
+                else:
+                    fs.rename(st.getPath(), live)
+                    restored += 1
+            fs.delete(retiring, True)
+        staging = jvm.org.apache.hadoop.fs.Path(self.feature_path(name) + "__compacting")
+        if fs.exists(staging):
+            fs.delete(staging, True)
+            cleaned += 1
+        if restored:
+            self.invalidate(name)
+        return {"restored": restored, "cleaned": cleaned}
 
     def schema(self, name: str) -> T.StructType | None:
         try:

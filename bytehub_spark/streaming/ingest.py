@@ -281,7 +281,10 @@ def stream_online_features(events: DataFrame, watermark: str = "1 hour"):
         if state.exists:
             lu, le, lv = state.get
             if (t_us, eid) < (lu, le):
-                t_us, eid, val = lu, le, lv  # batch was all-late: keep state
+                # batch was entirely late: state is unchanged, so emit
+                # NOTHING — update-mode consumers (KV writers, CDC logs)
+                # treat every emission as a change
+                return
         state.update((t_us, eid, val))
         yield pd.DataFrame(
             {

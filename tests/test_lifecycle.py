@@ -126,3 +126,127 @@ def test_compact_heals_fragmented_partitions(fs):
 
     # idempotent: nothing fragmented -> no-op
     assert fs.compact_feature("test/frag")["partitions"] == 0
+
+
+def test_compact_recovers_interrupted_swap(fs):
+    """Simulated crash mid-swap: a partition renamed aside but never
+    swapped back must be restored by the next compact (no lost rows)."""
+    import os
+    import shutil
+
+    fs.create_feature("test/crash")
+    idx = pd.date_range("2021-01-01", periods=6, freq="D")
+    for k in range(3):
+        fs.save_dataframe(
+            pd.DataFrame(
+                {
+                    "time": idx,
+                    "created_time": idx + pd.Timedelta(minutes=k),
+                    "value": [float(k * 10 + i) for i in range(6)],
+                }
+            ),
+            "test/crash",
+        )
+    storage = fs._storage("test")
+    loaded_before = fs.load_pandas("test/crash")
+    root = storage.feature_path("crash")
+
+    # crash scenario A: live dir moved aside, staged rename never happened
+    retiring = root + "__retiring"
+    os.makedirs(retiring, exist_ok=True)
+    victim = "partition=2021-01-02"
+    shutil.move(os.path.join(root, victim), os.path.join(retiring, victim))
+    # crash scenario B: stale staging dir left behind
+    os.makedirs(root + "__compacting", exist_ok=True)
+    storage.invalidate("crash")
+
+    stats = storage.recover_compaction("crash")
+    assert stats["restored"] == 1
+    assert not os.path.exists(retiring)
+    assert not os.path.exists(root + "__compacting")
+    pd.testing.assert_frame_equal(loaded_before, fs.load_pandas("test/crash"))
+
+    # work dirs never leak into the dataset listing
+    assert storage.ls() == ["crash"]
+
+    # a full compact after recovery behaves normally
+    stats = fs.compact_feature("test/crash")
+    assert stats["partitions"] == 6
+    pd.testing.assert_frame_equal(loaded_before, fs.load_pandas("test/crash"))
+
+
+def test_compact_zero_row_partition_untouched(fs, spark):
+    """A partition whose files hold zero rows stages nothing; compact must
+    leave it intact (no KeyError, no dropped dir)."""
+    import os
+
+    import pyspark.sql.types as T
+
+    fs.create_feature("test/zr")
+    idx = pd.date_range("2021-01-01", periods=4, freq="D")
+    for k in range(2):
+        fs.save_dataframe(
+            pd.DataFrame(
+                {
+                    "time": idx,
+                    "created_time": idx + pd.Timedelta(minutes=k),
+                    "value": [float(i) for i in range(4)],
+                }
+            ),
+            "test/zr",
+        )
+    storage = fs._storage("test")
+    root = storage.feature_path("zr")
+    # fabricate a fragmented partition made only of zero-row files
+    schema = T.StructType(
+        [
+            T.StructField("time", T.TimestampType()),
+            T.StructField("created_time", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    zdir = os.path.join(root, "partition=2021-02-01")
+    for k in range(2):
+        spark.createDataFrame([], schema).coalesce(1).write.mode("append").parquet(
+            zdir
+        )
+    storage.invalidate("zr")
+    counts = storage.partition_file_counts("zr")
+    assert counts["2021-02-01"] >= 2
+
+    stats = fs.compact_feature("test/zr")
+    assert os.path.isdir(zdir), "zero-row partition dir must survive"
+    assert stats["files_after"] >= counts["2021-02-01"]
+    after = storage.partition_file_counts("zr")
+    assert set(after) == set(counts)
+
+
+def test_storage_options_reach_hadoop_conf(spark, tmp_path):
+    """Per-namespace storage_options must reach the reader/writer conf
+    (reference: fsspec pass-through at every read/write)."""
+    from bytehub_spark import FeatureStore
+
+    store = FeatureStore(":memory:", spark=spark)
+    store.create_namespace(
+        "s3ns",
+        url="s3a://my-bucket/prefix",
+        description="remote",
+        storage_options={
+            "key": "AKIDEXAMPLE",
+            "secret": "sekrit",
+            "endpoint_url": "http://minio:9000",
+            "fs.s3a.path.style.access": "true",
+        },
+    )
+    st = store._storage("s3ns")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert st.applied_conf["fs.s3a.bucket.my-bucket.access.key"] == "AKIDEXAMPLE"
+    assert hconf.get("fs.s3a.bucket.my-bucket.access.key") == "AKIDEXAMPLE"
+    assert hconf.get("fs.s3a.bucket.my-bucket.secret.key") == "sekrit"
+    assert hconf.get("fs.s3a.bucket.my-bucket.endpoint") == "http://minio:9000"
+    # explicit full Hadoop keys pass through unscoped
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+
+    # local namespaces with no options apply nothing
+    store.create_namespace("loc", url=str(tmp_path / "loc"), description="l")
+    assert store._storage("loc").applied_conf == {}

@@ -194,3 +194,116 @@ def test_q22_any_grouping(tables, con, n_groups, since):
             """
         ),
     )
+
+
+# nations that actually have suppliers at sf0.001 — the default NATION_1/
+# NATION_2 params yield empty results at this sf, which would let a flipped
+# predicate pass unnoticed (ADVICE r01); these tests pin the non-empty path.
+_SUPPLIER_NATIONS = (
+    "NATION_3", "NATION_8", "NATION_12", "NATION_13", "NATION_15",
+    "NATION_18", "NATION_19", "NATION_20", "NATION_21", "NATION_24",
+)
+
+
+@given(
+    nn=st.sampled_from(_SUPPLIER_NATIONS),
+    frac=st.sampled_from([0.0005, 0.001, 0.002, 0.005]),
+)
+@settings(**SETTINGS)
+def test_q11_nonempty_any_nation(tables, con, nn, frac):
+    sdf = tpch.q11_important_parts(
+        tables["lineitem"], tables["supplier"], tables["nation"],
+        nation_name=nn, fraction=frac,
+    )
+    ddf = con.execute(f"""
+        WITH value AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = '{nn}' GROUP BY l_partkey)
+        SELECT l_partkey, part_value FROM value
+        WHERE part_value > (
+            SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE) * {frac}
+            FROM value)
+        ORDER BY part_value DESC, l_partkey
+    """)
+    s = sdf.toPandas()
+    assert len(s) > 0, "parameterization must exercise the non-empty path"
+    _assert_match(sdf, ddf)
+
+
+@given(
+    nn=st.sampled_from(_SUPPLIER_NATIONS),
+    mq=st.sampled_from([1.0, 5.0, 10.0]),
+)
+@settings(**SETTINGS)
+def test_q20_nonempty_any_nation(tables, con, nn, mq):
+    sdf = tpch.q20_excess_shippers(
+        tables["part"], tables["supplier"], tables["lineitem"], tables["nation"],
+        name_prefix="%", nation_name=nn, min_qty=mq,
+    )
+    ddf = con.execute(f"""
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = '{nn}'
+          AND s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > {mq})
+        ORDER BY s_name
+    """)
+    s = sdf.toPandas()
+    assert len(s) > 0, "parameterization must exercise the non-empty path"
+    _assert_match(sdf, ddf)
+
+
+@given(
+    nn=st.sampled_from(_SUPPLIER_NATIONS),
+    gd=st.sampled_from([5, 15, 30, 60]),
+)
+@settings(**SETTINGS)
+def test_q21_matches_any_nation(tables, con, nn, gd):
+    sdf = tpch.q21_waiting_suppliers(
+        tables["supplier"], tables["lineitem"], tables["orders"], tables["nation"],
+        nation_name=nn, grace_days=gd,
+    )
+    ddf = con.execute(f"""
+        WITH per_supp AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL {gd} DAY
+                       THEN 1 ELSE 0 END) AS supp_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey, l_suppkey),
+        per_order AS (
+            SELECT l_orderkey AS g_orderkey, count(*) AS n_supp,
+                   sum(supp_late) AS n_late_supp
+            FROM per_supp GROUP BY l_orderkey)
+        SELECT s_name, count(*) AS numwait
+        FROM per_supp
+        JOIN per_order ON l_orderkey = g_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE supp_late = 1 AND n_supp > 1 AND n_late_supp = 1
+          AND n_name = '{nn}'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """)
+    _assert_match(sdf, ddf)
+
+
+def test_q21_nonempty_path_exercised(tables, con):
+    """At least one configuration returns rows at sf0.001 (NATION_3,
+    grace 5d probed non-empty)."""
+    s = tpch.q21_waiting_suppliers(
+        tables["supplier"], tables["lineitem"], tables["orders"],
+        tables["nation"], nation_name="NATION_3", grace_days=5,
+    ).toPandas()
+    assert len(s) > 0

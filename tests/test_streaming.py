@@ -305,3 +305,44 @@ def test_stream_curation_stats_vs_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_stream_online_features_silent_on_all_late_batch(spark, tmp_path):
+    """A micro-batch that is entirely older than a key's stored state must
+    emit NO row (update-mode consumers treat each emission as a change)."""
+    import os
+    import time
+
+    src = str(tmp_path / "late_stream")
+    os.makedirs(src)
+
+    def write_file(rows, name):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, st.ingest.EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_file([(2, "2024-01-01 12:00:00", 1, "click", 5.0, None)], "f1")
+    time.sleep(1.1)  # file-source orders micro-batches by mtime
+    write_file([(1, "2024-01-01 10:00:00", 1, "click", 3.0, None)], "f2")
+
+    stream = st.stream_events(spark, src, max_files=1)
+    q = (
+        st.stream_online_features(stream, watermark="365 days")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_store")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM late_store").toPandas()
+    # exactly one emission: the first batch; the all-late second batch is
+    # swallowed (state unchanged)
+    assert len(got) == 1, got
+    assert got.iloc[0]["last_value"] == 5.0
