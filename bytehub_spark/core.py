@@ -494,10 +494,15 @@ class FeatureStore:
             nsrow = self.catalog.get_namespace(namespace)
             if nsrow is None:
                 raise MissingFeatureException(f"Namespace {namespace!r} does not exist")
+            from .backends import make_storage
+
             st = self._storages.setdefault(
                 namespace,
-                SparkStorage(
-                    self.spark, nsrow["url"], nsrow.get("storage_options") or {}
+                make_storage(
+                    self.spark,
+                    nsrow["url"],
+                    nsrow.get("storage_options") or {},
+                    (nsrow.get("meta") or {}).get("backend"),
                 ),
             )
         return st
