@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "emb_cosine_topk",
+    "emb_batch_topk",
     "emb_ivf_topk",
 ]
 

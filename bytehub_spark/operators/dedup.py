@@ -85,9 +85,35 @@ def ngram_jaccard_pairs(
     classic df-cut). Sizes still count every shingle, so jaccard becomes a
     slight underestimate for pairs whose overlap was mostly stopword-like
     shingles. None (default) = fully exact, matches the DuckDB oracle.
+
+    Plan shape: each doc's DISTINCT shingle count rides along through the
+    explode (one extra int per row), so there is no separate sizes
+    aggregation and no join of the pair frame back to it — the whole op
+    is explode → (optional df-cut) → one self-join → one groupBy. At any
+    scale that removes one shuffle and two shuffle-joins vs the textbook
+    inverted-index formulation.
     """
-    sh = shingle_sets(documents, text_col, id_col, n).persist()
-    pair_src = sh
+    from ..plans import ensure_parallelism
+
+    df = ensure_parallelism(documents).withColumn(
+        "__w", F.split(F.col(text_col), " ")
+    )
+    df = df.where(F.size("__w") >= n)
+    shingles = F.expr(
+        f"array_distinct(transform(sequence(0, size(__w) - {n}), "
+        f"i -> concat_ws(' ', slice(__w, i + 1, {n}))))"
+    )
+    # two-step select so the transform() evaluates once per row (no CSE in
+    # Spark projections); the Generate node explodes the materialized array
+    arr = df.select(F.col(id_col), shingles.alias("__sh_arr"))
+    sh = arr.select(
+        F.col(id_col),
+        F.size("__sh_arr").alias("n_sh"),
+        F.explode("__sh_arr").alias("shingle"),
+    )
+    # persist: the self-join reads the shingle table twice (and the df-cut
+    # a third time); without it the explode DAG re-executes per reference
+    sh = sh.persist()
     if max_doc_freq is not None:
         rare = (
             sh.groupBy("shingle")
@@ -96,21 +122,23 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         pair_src = sh.join(rare, "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        pair_src = sh
     a = pair_src.alias("a")
     b = pair_src.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
+        .agg(
+            F.count("*").alias("i"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
