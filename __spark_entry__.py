@@ -86,13 +86,13 @@ _GATE_FIRST = [
     "emb_cosine_topk", "emb_lsh_topk", "emb_ivf_topk",
     # --- new this round ---
     "dedup_embedding_cosine_lsh", "dedup_incremental_lsh", "emb_batch_topk",
+    "dedup_substring", "cur_stratified_sample", "dedup_decontaminate_flags",
     # --- re-gated (changed or representative) ---
     "ts_sessionize", "ts_resample_locf", "ts_align_ffill", "ts_asof_join",
     "ts_dedup_latest", "ts_interval_join", "ts_salted_rollup",
     "ts_seed_lookup", "ts_last_per_key", "ts_topk_per_key", "ts_range_scan",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q11",
-    "tpch_q18", "tpch_q20", "tpch_q21", "join_anti_inactive_customers",
-    "doc_text_stats", "doc_lang_id",
+    "tpch_q18", "tpch_q20", "tpch_q21",
 ]
 
 
@@ -270,6 +270,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 docs.where(F.col("doc_id") % 10 == 0),
                 dedup.build_lsh_index(docs.where(F.col("doc_id") % 10 != 0)),
             )
+        )(load_table(spark, sf, "documents")),
+        # exact-substring near-dups via winnowed fingerprints (word-level
+        # MOSS): pairs sharing >= 1 selected k-gram hash, i.e. an exact
+        # 8-word run (guaranteed detection at >= 12 shared words). md5 +
+        # lexicographic window-min are engine-portable — exact oracle.
+        "dedup_substring": _q(dedup.substring_dup_pairs, "documents"),
+        # deterministic per-stratum sampling: md5-residue thresholds, no
+        # RNG — the sample is layout-independent and SQL-reproducible
+        "cur_stratified_sample": lambda spark, sf: curation.stratified_sample_summary(
+            load_table(spark, sf, "documents"),
+            {"de": 0.5, "en": 0.8, "es": 0.25, "fr": 1.0, "zh": 0.1},
+        ),
+        # batch twin of stream_decontaminate (stateless array_intersect
+        # form): per-doc hit counts INCLUDING clean docs — the flag frame
+        # a streaming curation pipeline writes
+        "dedup_decontaminate_flags": lambda spark, sf: (
+            lambda docs: __import__(
+                "bytehub_spark.streaming", fromlist=["decontaminate_flags_batch"]
+            )
+            .decontaminate_flags_batch(
+                docs.where(F.col("doc_id") % 50 != 0),
+                docs.where(F.col("doc_id") % 50 == 0),
+            )
+            .select(
+                "doc_id",
+                "n_hit_shingles",
+                "is_contaminated",
+            )
+            .orderBy("doc_id")
         )(load_table(spark, sf, "documents")),
         # clustering routed through the df-cut (max_doc_freq=50): shingles
         # hot enough to blow up pair generation quadratically are dropped
@@ -1230,6 +1259,79 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 50 <> 0
               AND shingle IN (SELECT shingle FROM bench)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dedup_substring": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE len(string_split(text, ' ')) >= 12
+            ),
+            g AS (
+                SELECT doc_id, list_transform(range(0, len(ws) - 7),
+                    i -> md5(array_to_string(ws[i + 1 : i + 8], ' '))) AS hs
+                FROM w
+            ),
+            win AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    range(0, len(hs) - 4), j -> list_min(hs[j + 1 : j + 5]))) AS fps
+                FROM g
+            ),
+            e AS (SELECT doc_id, unnest(fps) AS fp FROM win)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared_fingerprints
+            FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 1
+            ORDER BY doc_a, doc_b
+        """,
+        "cur_stratified_sample": """
+            WITH h AS (
+                SELECT *, substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang),
+                                    1, 8) AS hx
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM h
+            WHERE (lang = 'de' AND hx < '80000000')
+               OR (lang = 'en' AND hx < 'cccccccc')
+               OR (lang = 'es' AND hx < '40000000')
+               OR  lang = 'fr'
+               OR (lang = 'zh' AND hx < '19999999')
+            GROUP BY lang ORDER BY lang
+        """,
+        "dedup_decontaminate_flags": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE doc_id % 50 <> 0
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, len(ws) - 3),
+                    i -> array_to_string(ws[i + 1 : i + 4], ' ')))) AS shingle
+                FROM w WHERE len(ws) >= 4
+            ),
+            bw AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE doc_id % 50 = 0
+            ),
+            bench AS (
+                SELECT DISTINCT unnest(list_distinct(list_transform(
+                    range(0, len(ws) - 3),
+                    i -> array_to_string(ws[i + 1 : i + 4], ' ')))) AS shingle
+                FROM bw WHERE len(ws) >= 4
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n FROM s
+                WHERE shingle IN (SELECT shingle FROM bench)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(hits.n, 0) AS INTEGER) AS n_hit_shingles,
+                   COALESCE(hits.n, 0) > 0 AS is_contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+            LEFT JOIN hits ON d.doc_id = hits.doc_id
+            ORDER BY d.doc_id
         """,
         "dedup_ngram_jaccard": """
             WITH w AS (

@@ -90,6 +90,67 @@ def mix_sources(
     )
 
 
+def stratified_sample(
+    documents: DataFrame,
+    rates: Mapping[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a document iff the first 8
+    hex chars of md5("<id>:<stratum>") fall below the stratum's threshold.
+
+    The hash residue is content-keyed, so (a) the decision for a given doc
+    never changes as the corpus grows or repartitions — incremental
+    pipelines re-derive identical samples; (b) rates are honored in
+    expectation with no global count pass, no shuffle, and no coordination
+    — the whole op is a narrow filter at any corpus size; (c) md5 and
+    lexicographic compare on lowercase hex are engine-portable, so the
+    sample is reproducible outside Spark (and exactly SQL-oracle-able).
+    Rate granularity is 16^-8 (~4e-10). Strata absent from ``rates`` are
+    dropped (explicit mixture only) — same policy as mix_sources.
+
+    Contrast df.sampleBy(): seeded per-partition RNG, so results change
+    with partitioning and engine — unusable for reproducible corpus work.
+    """
+    digest = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(stratum_col))),
+        1,
+        8,
+    )
+    keep = F.lit(False)
+    for stratum, rate in sorted(rates.items()):
+        if rate >= 1.0:
+            cond = F.lit(True)
+        elif rate <= 0.0:
+            cond = F.lit(False)
+        else:
+            cond = digest < F.lit(format(int(rate * 16**8), "08x"))
+        keep = F.when(F.col(stratum_col) == stratum, cond).otherwise(keep)
+    return documents.where(keep)
+
+
+def stratified_sample_summary(
+    documents: DataFrame,
+    rates: Mapping[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum accounting of a stratified sample: kept docs/tokens —
+    the report that validates a mixture before a training run."""
+    kept = stratified_sample(documents, rates, stratum_col, id_col)
+    return (
+        kept.groupBy(stratum_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count_col(text_col).cast("bigint")).alias("n_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .orderBy(stratum_col)
+    )
+
+
 def pack_sequences(
     documents: DataFrame,
     max_tokens: int = 2048,

@@ -590,6 +590,109 @@ def embedding_cosine_dups(
     return out.orderBy("id_a", "id_b")
 
 
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = 8,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowed substring fingerprints (Schleimer/Wilkerson/Aiken MOSS
+    scheme) at word granularity: hash every k-word gram, then keep only
+    the MINIMUM hash of each window of ``w`` consecutive gram hashes.
+
+    The winnowing guarantee: any two documents sharing an exact run of at
+    least k + w - 1 consecutive words are guaranteed to share at least one
+    selected fingerprint, while only ~2/(w+1) of gram hashes are kept —
+    the index is a fraction of the full gram set, independent of where the
+    shared run falls in either document (window-min selection is content-
+    anchored, not position-anchored, so no alignment is needed).
+
+    This is the practical Spark form of exact-substring dedup (suffix
+    arrays don't distribute; winnowing does): one narrow map stage per doc
+    computes grams → md5 → window-min → distinct, all inside higher-order
+    functions (whole-stage codegen, no Python). md5 + lexicographic min on
+    lowercase hex are engine-portable, so the DuckDB oracle reproduces the
+    selection bit-for-bit. Reference parity: the reference has no
+    substring dedup; this extends its dedup story for LLM corpora.
+    """
+    # CASE guards: sequence(0, negative) is DESCENDING in Spark, not empty,
+    # so short docs must short-circuit to array() BEFORE the transform —
+    # the where() below is not enough because collapsed projections can
+    # evaluate the expression on pre-filter rows
+    grams = F.expr(
+        f"CASE WHEN size(__w) >= {k + w - 1} THEN "
+        f"transform(sequence(0, size(__w) - {k}), "
+        f"i -> md5(concat_ws(' ', slice(__w, i + 1, {k})))) "
+        f"ELSE array() END"
+    )
+    winnowed = F.expr(
+        f"CASE WHEN size(__h) >= {w} THEN "
+        f"array_distinct(transform(sequence(0, size(__h) - {w}), "
+        f"j -> array_min(slice(__h, j + 1, {w})))) "
+        f"ELSE array() END"
+    )
+    from ..plans import ensure_parallelism
+
+    df = ensure_parallelism(documents).withColumn(
+        "__w", F.split(F.col(text_col), " ")
+    )
+    # need at least k+w-1 words to fill one winnow window
+    df = df.where(F.size("__w") >= k + w - 1)
+    return (
+        df.withColumn("__h", grams)
+        .withColumn("__f", winnowed)
+        .select(F.col(id_col), F.explode("__f").alias("fingerprint"))
+    )
+
+
+def substring_dup_pairs(
+    documents: DataFrame,
+    k: int = 8,
+    w: int = 5,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact-substring near-dup pairs: documents sharing >= ``min_hits``
+    winnowed fingerprints — i.e. sharing exact word runs of length >= k
+    (guaranteed detection for shared runs >= k + w - 1; see
+    winnow_fingerprints). The Lee et al. "Deduplicating Training Data"
+    signal, distributed: inverted-index self-join on the fingerprint, so
+    cost is ∝ Σ f(fingerprint)², never n_docs².
+
+    ``max_doc_freq`` is the same scale knob as ngram_jaccard_pairs:
+    fingerprints hot enough to blow up pair generation (boilerplate
+    shared by thousands of docs) are cut from candidate generation.
+    """
+    fp = winnow_fingerprints(documents, k, w, text_col, id_col)
+    if max_doc_freq is not None:
+        fp = fp.persist()
+        rare = (
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("fingerprint")
+        )
+        fp = fp.join(rare, "fingerprint")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared_fingerprints"))
+        .where(F.col("n_shared_fingerprints") >= min_hits)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     vertices: DataFrame | None = None,

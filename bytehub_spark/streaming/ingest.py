@@ -416,6 +416,63 @@ def curation_stats_batch(
     )
 
 
+def benchmark_shingle_set(benchmark: DataFrame, n: int = 4) -> DataFrame:
+    """Distinct word n-gram shingles of an eval/benchmark corpus, packed
+    into ONE sorted array row. Eval benchmarks are small by construction
+    (thousands of prompts), so the packed set broadcasts to every task —
+    the static side of streaming decontamination."""
+    from ..operators.dedup import shingle_sets
+
+    return shingle_sets(benchmark, n=n).agg(
+        F.array_sort(F.collect_set("shingle")).alias("bench_shingles")
+    )
+
+
+def _decontaminate_cols(docs: DataFrame, bench_set: DataFrame, n: int) -> DataFrame:
+    shingles = F.expr(
+        f"CASE WHEN size(__w) >= {n} THEN array_distinct(transform("
+        f"sequence(0, size(__w) - {n}), i -> concat_ws(' ', slice(__w, i + 1, {n}))))"
+        f" ELSE array() END"
+    )
+    return (
+        docs.withColumn("__w", F.split(F.col("text"), " "))
+        .withColumn("__sh", shingles)
+        .join(F.broadcast(bench_set))
+        .withColumn(
+            "n_hit_shingles", F.size(F.array_intersect("__sh", "bench_shingles"))
+        )
+        .withColumn("is_contaminated", F.col("n_hit_shingles") > 0)
+        .drop("__w", "__sh", "bench_shingles")
+    )
+
+
+def stream_decontaminate(
+    docs: DataFrame, benchmark_set: DataFrame, n: int = 4
+) -> DataFrame:
+    """Streaming benchmark decontamination: flag documents sharing any
+    word n-gram with the eval set AS THEY ARRIVE — leaked eval answers
+    never reach the training corpus in the first place.
+
+    Stateless by design: the benchmark shingle set (benchmark_shingle_set)
+    rides in as a broadcast single-row static frame, and the overlap count
+    is array_intersect against the doc's own shingle array — no
+    stream-side explode, no streaming aggregation, no watermark or state
+    store. One narrow codegen stage that scales with input partitions
+    alone, unlike the batch semi-join (operators.dedup.decontaminate)
+    whose per-shingle join would need a stateful streaming agg to
+    reassemble per-doc counts.
+    """
+    return _decontaminate_cols(docs, benchmark_set, n)
+
+
+def decontaminate_flags_batch(
+    docs: DataFrame, benchmark: DataFrame, n: int = 4
+) -> DataFrame:
+    """Batch twin of stream_decontaminate (same expression tree) for
+    stream-vs-batch equality tests and the SQL oracle."""
+    return _decontaminate_cols(docs, benchmark_shingle_set(benchmark, n), n)
+
+
 def _lsh_band_rows(
     docs: DataFrame, n_hashes: int, bands: int, ngram: int
 ) -> DataFrame:

@@ -386,3 +386,59 @@ def test_incremental_lsh_dedup_against_index(spark):
         assert out[1000 + j]["matched_doc"] == j
     for j in range(6):
         assert out[2000 + j]["is_novel"], out[2000 + j]
+
+
+def test_substring_dedup_detects_planted_shared_run(spark):
+    """Two docs sharing an exact 12-word run (k + w - 1) amid otherwise
+    disjoint text MUST share a winnowed fingerprint (the winnowing
+    guarantee is deterministic at that length); fully disjoint docs must
+    not pair."""
+    rng = np.random.RandomState(3)
+    va = [f"a{i:03d}" for i in range(200)]
+    vb = [f"b{i:03d}" for i in range(200)]
+    shared = " ".join(f"s{i:02d}" for i in range(12))
+    rows = [
+        (1, " ".join(rng.choice(va, 30)) + " " + shared + " " + " ".join(rng.choice(va, 30))),
+        (2, " ".join(rng.choice(vb, 25)) + " " + shared + " " + " ".join(rng.choice(vb, 35))),
+        (3, " ".join(rng.choice(va, 60))),  # same vocab as 1, no shared run
+        (4, " ".join(rng.choice(vb, 60))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.substring_dup_pairs(docs).toPandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (1, 2) in got
+    # disjoint-vocab docs can never share a fingerprint
+    assert not any(p in got for p in [(1, 4), (2, 3), (3, 4)])
+
+
+def test_substring_dedup_short_docs_and_df_cut(spark, documents):
+    """Docs below k+w-1 words produce no fingerprints (no descending-
+    sequence crash); the df-cut output is a subset of the exact output."""
+    short = spark.createDataFrame([(1, "a b c"), (2, "a b c")], ["doc_id", "text"])
+    assert dedup.substring_dup_pairs(short).count() == 0
+    exact = dedup.substring_dup_pairs(documents).toPandas()
+    cut = dedup.substring_dup_pairs(documents, max_doc_freq=3).toPandas()
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    cut_pairs = set(zip(cut["doc_a"], cut["doc_b"]))
+    assert cut_pairs <= exact_pairs
+
+
+def test_stratified_sample_nested_deterministic(spark, documents):
+    """md5-threshold sampling: higher rate strictly contains lower rate
+    (nested samples), rate 1.0 keeps everything, rate 0 nothing, and the
+    kept set is invariant under repartitioning (layout-independent)."""
+    from bytehub_spark.operators import curation
+
+    half = curation.stratified_sample(documents, {"en": 0.5})
+    quarter = curation.stratified_sample(documents, {"en": 0.25})
+    ids_half = {r[0] for r in half.select("doc_id").collect()}
+    ids_quarter = {r[0] for r in quarter.select("doc_id").collect()}
+    assert ids_quarter < ids_half
+    n_en = documents.where(F.col("lang") == "en").count()
+    assert curation.stratified_sample(documents, {"en": 1.0}).count() == n_en
+    assert curation.stratified_sample(documents, {"en": 0.0}).count() == 0
+    # layout independence: different partitioning, same sample
+    reparted = curation.stratified_sample(documents.repartition(17), {"en": 0.5})
+    assert {r[0] for r in reparted.select("doc_id").collect()} == ids_half
+    # rate roughly honored (binomial bound, n_en ~ 100)
+    assert 0.3 * n_en < len(ids_half) < 0.7 * n_en

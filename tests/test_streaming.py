@@ -346,3 +346,54 @@ def test_stream_online_features_silent_on_all_late_batch(spark, tmp_path):
     # swallowed (state unchanged)
     assert len(got) == 1, got
     assert got.iloc[0]["last_value"] == 5.0
+
+
+def test_stream_decontaminate_vs_batch(spark, tmp_path):
+    """Streaming decontamination flags exactly the docs the batch twin
+    flags, with identical hit counts — and flags the planted leak."""
+    rng = np.random.RandomState(13)
+    vocab = [f"w{i}" for i in range(80)]
+    bench_text = " ".join(rng.choice(vocab, size=20))
+    rows = []
+    for i in range(60):
+        t = " ".join(rng.choice(vocab, size=rng.randint(10, 40)))
+        if i % 10 == 0:  # plant the leak: embed a benchmark span
+            t = t + " " + bench_text
+        rows.append(
+            (i, pd.Timestamp("2024-01-01 09:00:00") + pd.Timedelta(minutes=int(i)), t)
+        )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+    src = str(tmp_path / "docs_decon")
+    spark.createDataFrame(pdf).select(
+        F.col("doc_id").cast("long"), F.col("ts").cast("timestamp"), "text"
+    ).repartition(3).write.parquet(src)
+
+    bench = spark.createDataFrame([(0, bench_text)], ["doc_id", "text"])
+    bench_set = st.benchmark_shingle_set(bench).cache()
+
+    stream = st.stream_documents(spark, src, max_files=1)
+    q = (
+        st.stream_decontaminate(stream, bench_set)
+        .select("doc_id", "n_hit_shingles", "is_contaminated")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("decon")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM decon").toPandas().sort_values("doc_id")
+    exp = (
+        st.decontaminate_flags_batch(spark.read.parquet(src), bench)
+        .select("doc_id", "n_hit_shingles", "is_contaminated")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert len(got) == 60
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    flagged = set(got[got["is_contaminated"]]["doc_id"])
+    assert {0, 10, 20, 30, 40, 50} <= flagged
