@@ -616,21 +616,29 @@ def winnow_fingerprints(
     selection bit-for-bit. Reference parity: the reference has no
     substring dedup; this extends its dedup story for LLM corpora.
     """
-    # CASE guards: sequence(0, negative) is DESCENDING in Spark, not empty,
-    # so short docs must short-circuit to array() BEFORE the transform —
-    # the where() below is not enough because collapsed projections can
-    # evaluate the expression on pre-filter rows
-    grams = F.expr(
+    # Two traps shape this expression:
+    # (a) sequence(0, negative) is DESCENDING in Spark, not empty, so short
+    #     docs must short-circuit to array() inside a CASE — the where()
+    #     below is not enough once projections collapse.
+    # (b) Spark projections have NO common-subexpression elimination: a
+    #     withColumn("__h", grams) intermediate gets INLINED into every
+    #     slice(__h, j+1, w) of the winnow pass, re-hashing the whole gram
+    #     array per window — O(n_grams²) md5 calls per doc (measured 17s →
+    #     0.65s on 500 docs). Binding the gram array as a LAMBDA VARIABLE
+    #     (transform over a 1-element array) materializes it exactly once
+    #     per row: lambda args are evaluated values, not expression trees.
+    grams = (
         f"CASE WHEN size(__w) >= {k + w - 1} THEN "
         f"transform(sequence(0, size(__w) - {k}), "
         f"i -> md5(concat_ws(' ', slice(__w, i + 1, {k})))) "
         f"ELSE array() END"
     )
     winnowed = F.expr(
-        f"CASE WHEN size(__h) >= {w} THEN "
-        f"array_distinct(transform(sequence(0, size(__h) - {w}), "
-        f"j -> array_min(slice(__h, j + 1, {w})))) "
-        f"ELSE array() END"
+        f"element_at(transform(array({grams}), hh -> "
+        f"CASE WHEN size(hh) >= {w} THEN "
+        f"array_distinct(transform(sequence(0, size(hh) - {w}), "
+        f"j -> array_min(slice(hh, j + 1, {w})))) "
+        f"ELSE array() END), 1)"
     )
     from ..plans import ensure_parallelism
 
@@ -639,11 +647,7 @@ def winnow_fingerprints(
     )
     # need at least k+w-1 words to fill one winnow window
     df = df.where(F.size("__w") >= k + w - 1)
-    return (
-        df.withColumn("__h", grams)
-        .withColumn("__f", winnowed)
-        .select(F.col(id_col), F.explode("__f").alias("fingerprint"))
-    )
+    return df.select(F.col(id_col), F.explode(winnowed).alias("fingerprint"))
 
 
 def substring_dup_pairs(
