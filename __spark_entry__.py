@@ -87,12 +87,14 @@ _GATE_FIRST = [
     # --- new this round ---
     "dedup_embedding_cosine_lsh", "dedup_incremental_lsh", "emb_batch_topk",
     "dedup_substring", "cur_stratified_sample", "dedup_decontaminate_flags",
-    # --- re-gated (changed or representative) ---
+    "cur_chunk_documents", "emb_group_centroids",
+    # --- re-gated (changed or representative; q11/q20/q21 non-empty only
+    # at sf0.01+, so the gate is their value check — see ADVICE r01) ---
     "ts_sessionize", "ts_resample_locf", "ts_align_ffill", "ts_asof_join",
     "ts_dedup_latest", "ts_interval_join", "ts_salted_rollup",
     "ts_seed_lookup", "ts_last_per_key", "ts_topk_per_key", "ts_range_scan",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q11",
-    "tpch_q18", "tpch_q20", "tpch_q21",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q11",
+    "tpch_q20", "tpch_q21",
 ]
 
 
@@ -300,6 +302,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .orderBy("doc_id")
         )(load_table(spark, sf, "documents")),
+        # overlapping word-window chunking (context-window preprocessing):
+        # integer-derived boundaries, narrow map, exact oracle
+        "cur_chunk_documents": _q(curation.chunk_documents, "documents"),
+        # per-(group, dim) mean embeddings: decimal accumulation makes the
+        # centroid independent of row order/partitioning — exact oracle
+        "emb_group_centroids": _q(similarity.group_centroids, "embeddings"),
         # clustering routed through the df-cut (max_doc_freq=50): shingles
         # hot enough to blow up pair generation quadratically are dropped
         # from candidate generation only — the composition that actually
@@ -1332,6 +1340,36 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
             LEFT JOIN hits ON d.doc_id = hits.doc_id
             ORDER BY d.doc_id
+        """,
+        "cur_chunk_documents": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            c AS (
+                SELECT doc_id, t.i AS chunk_idx,
+                       array_to_string(ws[t.i * 24 + 1 : t.i * 24 + 32], ' ')
+                           AS chunk_text,
+                       least(32, len(ws) - t.i * 24) AS n_words
+                FROM w, unnest(range(0,
+                    (greatest(len(ws) - 32, 0) + 23) // 24 + 1)) AS t(i)
+            )
+            SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                   chunk_text, CAST(n_words AS INTEGER) AS n_words
+            FROM c ORDER BY doc_id, chunk_idx
+        """,
+        "emb_group_centroids": """
+            WITH ex AS (
+                SELECT label, CAST(t.i - 1 AS INTEGER) AS dim,
+                       embedding[t.i] AS v
+                FROM embeddings,
+                     unnest(range(1, len(embedding) + 1)) AS t(i)
+            )
+            SELECT label, dim,
+                   CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1e12)
+                                 AS DECIMAL(20,0))) AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE) * 1e12) AS centroid_val,
+                   count(*) AS n_vectors
+            FROM ex GROUP BY label, dim ORDER BY label, dim
         """,
         "dedup_ngram_jaccard": """
             WITH w AS (

@@ -151,6 +151,48 @@ def stratified_sample_summary(
     )
 
 
+def chunk_documents(
+    documents: DataFrame,
+    chunk_words: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the context-
+    window preprocessing step for embedding / retrieval pipelines. Chunk
+    i covers words [i*stride, i*stride + chunk_words) with stride =
+    chunk_words - overlap; the final chunk is the (possibly short) tail.
+
+    Embarrassingly parallel: one narrow map stage, no shuffle — each doc
+    expands independently regardless of corpus size. The words array is
+    bound as a lambda variable so the text is split ONCE per doc (Spark
+    projections have no CSE; see winnow_fingerprints for the measured
+    blow-up when an array intermediate is re-inlined per element).
+    Chunk count, boundaries, and text are integer-derived — exact
+    cross-engine.
+    """
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be smaller than chunk_words")
+    stride = chunk_words - overlap
+    chunks = F.expr(
+        f"element_at(transform(array(split({text_col}, ' ')), ws -> "
+        f"transform(sequence(0, (greatest(size(ws) - {chunk_words}, 0) + {stride} - 1) div {stride}), "
+        f"i -> struct(i AS chunk_idx, "
+        f"concat_ws(' ', slice(ws, i * {stride} + 1, {chunk_words})) AS chunk_text, "
+        f"least({chunk_words}, size(ws) - i * {stride}) AS n_words))), 1)"
+    )
+    return (
+        documents.select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_idx").alias("chunk_idx"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+            F.col("__c.n_words").alias("n_words"),
+        )
+        .orderBy(id_col, "chunk_idx")
+    )
+
+
 def pack_sequences(
     documents: DataFrame,
     max_tokens: int = 2048,

@@ -204,3 +204,51 @@ def lsh_cosine_topk(
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
         .orderBy("query_id", "rank")
     )
+
+
+def group_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean embedding per group (centroid / mean-pooling), one row per
+    (group, dimension) — class prototypes, cluster seeds, or pooled
+    document representations.
+
+    Shape at scale: posexplode fans each vector into dim rows, the sum
+    map-side-combines before ONE shuffle on (group, dim) — shuffle volume
+    is |groups| x dim partial aggregates per task, never corpus-sized.
+
+    Exactness scheme: each value is quantized at 1e-12 via
+    round(v * 1e12) — a correctly-rounded double multiply plus a
+    half-away-from-zero integer round, both of which every engine
+    computes identically on identical doubles — then summed as EXACT
+    decimal(20,0) integers (no overflow below 1e38, vs ~9e6 rows for a
+    bigint at this scale). One final double division. The centroid is
+    therefore independent of row order, partitioning, and engine (float
+    adds are not associative; integer adds are). NOT used: cast to
+    decimal(p,12) — engines disagree on double->decimal ties (DuckDB
+    double-rounds via a 1e12 multiply; the JVM converts exactly), which
+    was measured as 1-ulp sum differences.
+
+    Per-dimension rows rather than an assembled array keep every output
+    column scalar (exactly hashable cross-engine); collect with
+    array_sort(collect_list(struct(dim, val))) downstream if an array
+    form is needed.
+    """
+    ex = embeddings.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    q = F.round(F.col("v").cast("double") * F.lit(1e12)).cast("decimal(20,0)")
+    return (
+        ex.groupBy(group_col, "dim")
+        .agg(
+            (
+                F.sum(q).cast("double")
+                / (F.count("*").cast("double") * F.lit(1e12))
+            ).alias("centroid_val"),
+            F.count("*").alias("n_vectors"),
+        )
+        .orderBy(group_col, "dim")
+    )
