@@ -88,11 +88,12 @@ _GATE_FIRST = [
     "dedup_embedding_cosine_lsh", "dedup_incremental_lsh", "emb_batch_topk",
     "dedup_substring", "cur_stratified_sample", "dedup_decontaminate_flags",
     "cur_chunk_documents", "emb_group_centroids",
+    "cur_cap_per_group", "emb_label_affinity", "doc_quality_rules",
+    "doc_bm25_topk",
     # --- re-gated (changed or representative; q11/q20/q21 non-empty only
     # at sf0.01+, so the gate is their value check — see ADVICE r01) ---
     "ts_sessionize", "ts_resample_locf", "ts_align_ffill", "ts_asof_join",
     "ts_dedup_latest", "ts_interval_join", "ts_salted_rollup",
-    "ts_seed_lookup", "ts_last_per_key", "ts_topk_per_key", "ts_range_scan",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q11",
     "tpch_q20", "tpch_q21",
 ]
@@ -305,9 +306,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # overlapping word-window chunking (context-window preprocessing):
         # integer-derived boundaries, narrow map, exact oracle
         "cur_chunk_documents": _q(curation.chunk_documents, "documents"),
+        # per-domain cap (web-corpus anti-bias): one shuffle on the group
+        # key, per-group heap via partitioned row_number — exact oracle
+        "cur_cap_per_group": _q(curation.cap_per_group, "documents"),
+        # Gopher/C4-style rule gate with per-rule audit flags: zero
+        # shuffles, integer-derived ratios — exact oracle
+        "doc_quality_rules": _q(text.quality_rules, "documents"),
+        # BM25 sparse retrieval (ratio idf — log not cross-engine safe);
+        # matching-terms-only explode + TakeOrdered top-k — exact oracle
+        "doc_bm25_topk": _q(text.bm25_topk, "documents"),
         # per-(group, dim) mean embeddings: decimal accumulation makes the
         # centroid independent of row order/partitioning — exact oracle
         "emb_group_centroids": _q(similarity.group_centroids, "embeddings"),
+        # class-confusability matrix: cosine between every pair of label
+        # centroids; 1e-6 re-quantization makes the dots exact decimal
+        # sums — exact oracle over KB-sized centroid tables
+        "emb_label_affinity": _q(similarity.label_affinity, "embeddings"),
         # clustering routed through the df-cut (max_doc_freq=50): shingles
         # hot enough to blow up pair generation quadratically are dropped
         # from candidate generation only — the composition that actually
@@ -1370,6 +1384,151 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(count(*) AS DOUBLE) * 1e12) AS centroid_val,
                    count(*) AS n_vectors
             FROM ex GROUP BY label, dim ORDER BY label, dim
+        """,
+        "cur_cap_per_group": """
+            SELECT source, doc_id, rank_in_group, n_chars
+            FROM (
+                SELECT source, doc_id, n_chars,
+                       CAST(row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                       ) AS INTEGER) AS rank_in_group
+                FROM documents
+            )
+            WHERE rank_in_group <= 10
+            ORDER BY source, rank_in_group
+        """,
+        "doc_quality_rules": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       string_split(text, ' ') AS ws
+                FROM documents
+            ),
+            tw AS (
+                -- most frequent word count per doc (Spark computes the
+                -- longest equal-neighbour run of the sorted array — same
+                -- number)
+                SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+                    SELECT doc_id, COUNT(*) AS cnt
+                    FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+                    GROUP BY doc_id, word
+                ) GROUP BY doc_id
+            ),
+            m AS (
+                SELECT w.doc_id,
+                       len(ws) AS nw,
+                       len(list_distinct(ws)) AS nd,
+                       top_cnt,
+                       CAST(length(text) - (len(ws) - 1) AS DOUBLE)
+                           / len(ws) AS avg_word_len,
+                       CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+                           / len(ws) AS dup_word_ratio,
+                       CAST(top_cnt AS DOUBLE) / len(ws) AS top_word_ratio
+                FROM w JOIN tw ON w.doc_id = tw.doc_id
+            )
+            SELECT doc_id,
+                   CAST(nw AS INTEGER) AS n_words,
+                   avg_word_len, dup_word_ratio, top_word_ratio,
+                   CAST(nw >= 30 AND nw <= 90 AS INTEGER) AS r_word_count,
+                   CAST(avg_word_len >= 3.0 AND avg_word_len <= 10.0
+                        AS INTEGER) AS r_avg_word_len,
+                   CAST(dup_word_ratio <= 0.75 AS INTEGER) AS r_dup_words,
+                   CAST(top_word_ratio <= 0.2 AS INTEGER) AS r_top_word,
+                   CAST(nw >= 30 AND nw <= 90
+                        AND avg_word_len >= 3.0 AND avg_word_len <= 10.0
+                        AND dup_word_ratio <= 0.75
+                        AND top_word_ratio <= 0.2 AS INTEGER) AS passes_all
+            FROM m ORDER BY doc_id
+        """,
+        "doc_bm25_topk": """
+            WITH toks AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                       t.term AS term
+                FROM documents,
+                     unnest(string_split(text, ' ')) AS t(term)
+                WHERE t.term IN ('join', 'hash', 'scan')
+            ),
+            tf AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf
+                FROM toks GROUP BY doc_id, dl, term
+            ),
+            dfr AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df
+                FROM tf GROUP BY term
+            ),
+            stats AS (
+                SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                           / COUNT(*) AS avgdl
+                FROM documents
+            ),
+            contrib AS (
+                -- identical expression shape to the Spark plan:
+                -- ((idf * (tf*2.2)) / (tf + 1.2*(0.25 + (0.75*dl)/avgdl)));
+                -- float literals MUST be cast: bare 2.2 parses as
+                -- DECIMAL(2,1) in DuckDB, making tf*2.2 exact decimal
+                -- instead of Spark's double multiply (1-ulp mismatch)
+                SELECT tf.doc_id, tf.term,
+                       ((CAST(n_docs AS DOUBLE) / df)
+                            * (tf * CAST(2.2 AS DOUBLE)))
+                       / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                           + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))
+                             / avgdl)) AS c
+                FROM tf
+                JOIN dfr ON tf.term = dfr.term
+                CROSS JOIN stats
+            ),
+            agg AS (
+                SELECT doc_id,
+                       MAX(CASE WHEN term = 'join' THEN c END) AS c0,
+                       MAX(CASE WHEN term = 'hash' THEN c END) AS c1,
+                       MAX(CASE WHEN term = 'scan' THEN c END) AS c2,
+                       COUNT(*) AS n_terms_hit
+                FROM contrib GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   0.0 + COALESCE(c0, 0.0) + COALESCE(c1, 0.0)
+                       + COALESCE(c2, 0.0) AS bm25_score,
+                   n_terms_hit
+            FROM agg
+            ORDER BY bm25_score DESC, doc_id ASC
+            LIMIT 20
+        """,
+        "emb_label_affinity": """
+            WITH ex AS (
+                SELECT label, CAST(t.i - 1 AS INTEGER) AS dim,
+                       embedding[t.i] AS v
+                FROM embeddings,
+                     unnest(range(1, len(embedding) + 1)) AS t(i)
+            ),
+            cent AS (
+                SELECT label, dim,
+                       CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1e12)
+                                     AS DECIMAL(20,0))) AS DOUBLE)
+                           / (CAST(count(*) AS DOUBLE) * 1e12)
+                           AS centroid_val
+                FROM ex GROUP BY label, dim
+            ),
+            cq AS (
+                SELECT label AS g, dim,
+                       CAST(round(centroid_val * 1e6) AS DECIMAL(18,0)) AS q
+                FROM cent
+            ),
+            norms AS (SELECT g, SUM(q * q) AS norm2 FROM cq GROUP BY g),
+            dots AS (
+                SELECT a.g AS label_a, b.g AS label_b, SUM(a.q * b.q) AS dot
+                FROM cq a JOIN cq b ON a.dim = b.dim AND a.g < b.g
+                GROUP BY a.g, b.g
+            )
+            SELECT label_a, label_b,
+                   CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(na.norm2 AS DOUBLE))
+                          * sqrt(CAST(nb.norm2 AS DOUBLE)))
+                       AS centroid_cosine
+            FROM dots
+            JOIN norms na ON na.g = label_a
+            JOIN norms nb ON nb.g = label_b
+            ORDER BY label_a, label_b
         """,
         "dedup_ngram_jaccard": """
             WITH w AS (

@@ -252,3 +252,54 @@ def group_centroids(
         )
         .orderBy(group_col, "dim")
     )
+
+
+def label_affinity(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine similarity between every pair of group centroids — the
+    class-confusability / cluster-separation matrix (upper triangle,
+    label_a < label_b).
+
+    Exactness: centroid values (already engine-exact, see
+    ``group_centroids``) are re-quantized at 1e-6 into decimal integers;
+    dot products and squared norms are then EXACT decimal sums —
+    independent of row order and engine — and the final similarity is
+    dot / (sqrt(na)·sqrt(nb)) on doubles, all correctly-rounded ops.
+    Magnitudes: |q| <= ~1e6, squares <= 1e12, 64-dim sums <= ~6.4e13 —
+    exactly representable as double after the cast (< 2^53).
+
+    Scale shape: the centroid table is |groups| x dim rows — KB-sized for
+    any real label set — so the dim-keyed self-join and the two norm
+    lookups are broadcast joins; nothing here ever touches corpus-sized
+    data (the one big shuffle lives inside group_centroids).
+    """
+    cent = group_centroids(embeddings, group_col=group_col, vec_col=vec_col)
+    q = F.round(F.col("centroid_val") * F.lit(1e6)).cast("decimal(18,0)")
+    cq = cent.select(F.col(group_col).alias("g"), "dim", q.alias("q"))
+    norms = cq.groupBy("g").agg(F.sum(F.col("q") * F.col("q")).alias("norm2"))
+    a = cq.select(F.col("g").alias("label_a"), "dim", F.col("q").alias("qa"))
+    b = cq.select(
+        F.col("g").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("q").alias("qb"),
+    )
+    dots = (
+        a.join(F.broadcast(b), (F.col("dim") == F.col("dim_b")) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    na = norms.select(F.col("g").alias("n_a"), F.col("norm2").alias("norm2_a"))
+    nb = norms.select(F.col("g").alias("n_b"), F.col("norm2").alias("norm2_b"))
+    sim = F.col("dot").cast("double") / (
+        F.sqrt(F.col("norm2_a").cast("double"))
+        * F.sqrt(F.col("norm2_b").cast("double"))
+    )
+    return (
+        dots.join(F.broadcast(na), F.col("label_a") == F.col("n_a"))
+        .join(F.broadcast(nb), F.col("label_b") == F.col("n_b"))
+        .select("label_a", "label_b", sim.alias("centroid_cosine"))
+        .orderBy("label_a", "label_b")
+    )

@@ -251,6 +251,158 @@ def redact_pii(
     ).orderBy(id_col)
 
 
+def quality_rules(
+    documents: DataFrame,
+    min_words: int = 30,
+    max_words: int = 90,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_dup_word_ratio: float = 0.75,
+    max_top_word_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1 and the
+    C4 heuristics, adapted to rules that are pure JVM expressions): each
+    rule is a named boolean column plus the measured value it gates on, and
+    ``passes_all`` is their conjunction. Keeping per-rule flags (rather
+    than just the verdict) is what makes the gate auditable — corpus
+    dashboards report per-rule rejection rates.
+
+    Rules:
+      - ``r_word_count``: min_words <= n_words <= max_words
+      - ``r_avg_word_len``: mean word length within [min, max]
+      - ``r_dup_words``: 1 - distinct/total words <= max_dup_word_ratio
+        (repetition / boilerplate signal)
+      - ``r_top_word``: most frequent word <= max_top_word_ratio of all
+        words (single-token spam signal)
+
+    Scale shape: one narrow map stage, zero shuffles — every rule is
+    computed from the row's own words array (bound once; Spark projections
+    have no CSE). All ratios are integer-derived with one double division
+    each — exact cross-engine.
+    """
+    # words array computed once; top-word count via sort + fold in SQL
+    # (aggregate over the sorted array counts the longest run of equal
+    # neighbours — O(n log n) per row, no per-row hashmap)
+    top_cnt = F.expr(
+        "aggregate(array_sort(__w), struct(0 AS best, 0 AS run, '' AS prev), "
+        "(acc, x) -> struct("
+        "greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1)), "
+        "IF(x = acc.prev, acc.run + 1, 1), x), "
+        "acc -> acc.best)"
+    )
+    d = (
+        documents.withColumn("__w", F.split(F.col("text"), " "))
+        .withColumn("__nw", F.size("__w"))
+        .withColumn("__nd", F.size(F.array_distinct("__w")))
+        .withColumn("__top", top_cnt)
+    )
+    nw = F.col("__nw")
+    avg_len = (F.length("text") - (nw - F.lit(1))).cast("double") / nw
+    dup_ratio = (nw - F.col("__nd")).cast("double") / nw
+    top_ratio = F.col("__top").cast("double") / nw
+    r_wc = (nw >= min_words) & (nw <= max_words)
+    r_awl = (avg_len >= min_avg_word_len) & (avg_len <= max_avg_word_len)
+    r_dup = dup_ratio <= max_dup_word_ratio
+    r_top = top_ratio <= max_top_word_ratio
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        avg_len.alias("avg_word_len"),
+        dup_ratio.alias("dup_word_ratio"),
+        top_ratio.alias("top_word_ratio"),
+        r_wc.cast("int").alias("r_word_count"),
+        r_awl.cast("int").alias("r_avg_word_len"),
+        r_dup.cast("int").alias("r_dup_words"),
+        r_top.cast("int").alias("r_top_word"),
+        (r_wc & r_awl & r_dup & r_top).cast("int").alias("passes_all"),
+    ).orderBy("doc_id")
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = ("join", "hash", "scan"),
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a bag of query terms —
+    the classic sparse-retrieval scorer (Robertson & Zaragoza 2009), the
+    counterpart to the embedding ANN operators in similarity.py.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    idf is the raw ratio N/df rather than its log: libm log is not
+    correctly rounded so cross-engine hash-equality would break, and at
+    one term per summand the ranking is preserved (monotone transform
+    per-term; multi-term totals differ from log-BM25 but deterministically
+    so — documented contract). Remaining arithmetic is int-derived
+    multiplies and divides on doubles (correctly rounded, identical
+    expression shape in the oracle) — bit-exact.
+
+    Scale shape: one explode of only the matching terms (the rlike
+    pre-filter keeps non-matching docs out of the explode), tf aggregation
+    map-side-combines on (doc, term), df and avgdl are two scalar-ish
+    broadcasts, final top-k is TakeOrdered (per-partition heap + driver
+    merge of k rows) — no global sort, no corpus-sized shuffle.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = (
+        documents.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("dl"),
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.array_contains(terms, w),
+                )
+            ).alias("term"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy(F.col("term").alias("d_term")).agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    stats = documents.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    idf = F.col("n_docs").cast("double") / F.col("df")
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)).cast("double") / denom
+    # fold per-term contributions in the FIXED query-term order, not with
+    # a float sum over shuffle-ordered rows: float addition is not
+    # associative, so an order-free SUM(double) would be 1-ulp
+    # nondeterministic both across runs and across engines. One row per
+    # (doc, term) exists post-groupBy, so max() is exact selection.
+    scored = (
+        tf.join(F.broadcast(df_tbl), F.col("term") == F.col("d_term"))
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("term") == t, contrib)).alias(f"__c_{i}")
+                for i, t in enumerate(query_terms)
+            ],
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    total = F.lit(0.0)
+    for i in range(len(query_terms)):
+        total = total + F.coalesce(F.col(f"__c_{i}"), F.lit(0.0))
+    return (
+        scored.select(
+            "doc_id", total.alias("bm25_score"), "n_terms_hit"
+        )
+        .orderBy(F.col("bm25_score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def curation_pipeline(
     documents: DataFrame, min_quality: float = 0.5
 ) -> DataFrame:

@@ -67,7 +67,15 @@ def load_table(
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long via nanosAsLong → µs truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs-native files (driver testdata schema changed between
+            # rounds) arrive as NTZ, which Spark won't cast to double /
+            # compare with LTZ; session TZ is UTC so this cast is exact
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
 
     if cache_small and os.path.getsize(path) <= CACHE_MAX_BYTES:
         cores = spark.sparkContext.defaultParallelism

@@ -442,3 +442,102 @@ def test_stratified_sample_nested_deterministic(spark, documents):
     assert {r[0] for r in reparted.select("doc_id").collect()} == ids_half
     # rate roughly honored (binomial bound, n_en ~ 100)
     assert 0.3 * n_en < len(ids_half) < 0.7 * n_en
+
+
+def test_cap_per_group_bounds_and_order(spark, documents):
+    """Per-group cap keeps at most `cap` docs per source, prefers the
+    longest docs, and never invents rows."""
+    from bytehub_spark.operators import curation
+
+    capped = curation.cap_per_group(documents, cap=3).toPandas()
+    per_group = capped.groupby("source").size()
+    assert (per_group <= 3).all()
+    # kept docs per group are exactly the 3 longest (ties by id)
+    full = documents.select("source", "doc_id", "n_chars").toPandas()
+    for src, grp in full.groupby("source"):
+        want = set(
+            grp.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .head(3)["doc_id"]
+        )
+        got = set(capped[capped["source"] == src]["doc_id"])
+        assert got == want, src
+
+
+def test_quality_rules_flags_consistent(spark, documents):
+    """passes_all is the conjunction of the per-rule flags, and measured
+    values agree with a pandas recomputation."""
+    got = text.quality_rules(documents).toPandas()
+    conj = (
+        got["r_word_count"]
+        & got["r_avg_word_len"]
+        & got["r_dup_words"]
+        & got["r_top_word"]
+    )
+    assert (got["passes_all"] == conj).all()
+    texts = documents.select("doc_id", "text").toPandas().set_index("doc_id")
+    sample = got.sample(n=25, random_state=7)
+    for _, row in sample.iterrows():
+        ws = texts.loc[row["doc_id"], "text"].split(" ")
+        assert row["n_words"] == len(ws)
+        top = max(pd.Series(ws).value_counts())
+        assert row["top_word_ratio"] == pytest.approx(top / len(ws))
+        assert row["dup_word_ratio"] == pytest.approx(
+            (len(ws) - len(set(ws))) / len(ws)
+        )
+
+
+def test_bm25_ranking_matches_pandas(spark, documents):
+    """BM25 scores match a straightforward pandas implementation with the
+    same ratio-idf variant (term order fixed, float-add order fixed)."""
+    terms = ("join", "hash", "scan")
+    got = text.bm25_topk(documents, query_terms=terms, k=10).toPandas()
+    docs = documents.select("doc_id", "text").toPandas()
+    docs["ws"] = docs["text"].str.split(" ")
+    docs["dl"] = docs["ws"].str.len()
+    n_docs = len(docs)
+    avgdl = docs["dl"].sum() / n_docs
+    df_map = {
+        t: int((docs["ws"].apply(lambda ws: t in ws)).sum()) for t in terms
+    }
+    k1, b = 1.2, 0.75
+    scores = {}
+    for _, r in docs.iterrows():
+        total, hits = 0.0, 0
+        for t in terms:
+            tf = r["ws"].count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = n_docs / df_map[t]
+            total += (idf * (tf * (k1 + 1.0))) / (
+                tf + k1 * ((1.0 - b) + b * r["dl"] / avgdl)
+            )
+        if hits:
+            scores[r["doc_id"]] = (total, hits)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    assert list(got["doc_id"]) == [d for d, _ in want]
+    for (_, (score, hits)), (_, row) in zip(want, got.iterrows()):
+        assert row["bm25_score"] == pytest.approx(score, rel=1e-12)
+        assert row["n_terms_hit"] == hits
+
+
+def test_label_affinity_bounds_and_symmetry_free(spark, embeddings):
+    """Centroid cosines are in [-1, 1], the output is the strict upper
+    triangle, and values match a numpy recomputation."""
+    got = similarity.label_affinity(embeddings).toPandas()
+    assert ((got["centroid_cosine"] <= 1.0) & (got["centroid_cosine"] >= -1.0)).all()
+    assert (got["label_a"] < got["label_b"]).all()
+    pdf = embeddings.select("label", "embedding").toPandas()
+    cents = {
+        lab: np.stack(g["embedding"].to_numpy()).astype(np.float64).mean(axis=0)
+        for lab, g in pdf.groupby("label")
+    }
+    for _, row in got.sample(n=min(10, len(got)), random_state=3).iterrows():
+        a = np.round(cents[row["label_a"]] * 1e6)
+        bvec = np.round(cents[row["label_b"]] * 1e6)
+        want = float(
+            a @ bvec / (np.sqrt(a @ a) * np.sqrt(bvec @ bvec))
+        )
+        # float64 mean vs the operator's exact decimal mean can flip the
+        # 1e-6 re-quantization of a component at a near-tie -> ~1.5e-6
+        assert row["centroid_cosine"] == pytest.approx(want, abs=5e-6)
