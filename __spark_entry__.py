@@ -89,13 +89,14 @@ _GATE_FIRST = [
     "dedup_substring", "cur_stratified_sample", "dedup_decontaminate_flags",
     "cur_chunk_documents", "emb_group_centroids",
     "cur_cap_per_group", "emb_label_affinity", "doc_quality_rules",
-    "doc_bm25_topk",
-    # --- re-gated (changed or representative; q11/q20/q21 non-empty only
-    # at sf0.01+, so the gate is their value check — see ADVICE r01) ---
+    "doc_bm25_topk", "doc_span_dedup", "ts_retention_cohorts",
+    "emb_dim_stats", "cur_temperature_mix",
+    # --- re-gated (changed or schema-affected; q11/q20/q21 non-empty only
+    # at sf0.01+, so the gate is their value check — see ADVICE r01; the
+    # ts_* re-gates cover the events NTZ schema change) ---
     "ts_sessionize", "ts_resample_locf", "ts_align_ffill", "ts_asof_join",
     "ts_dedup_latest", "ts_interval_join", "ts_salted_rollup",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q11",
-    "tpch_q20", "tpch_q21",
+    "tpch_q11", "tpch_q20", "tpch_q21",
 ]
 
 
@@ -315,6 +316,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BM25 sparse retrieval (ratio idf — log not cross-engine safe);
         # matching-terms-only explode + TakeOrdered top-k — exact oracle
         "doc_bm25_topk": _q(text.bm25_topk, "documents"),
+        # C4-style duplicate-span accounting: non-overlapping word spans,
+        # md5-compressed shuffle keys, two shuffles — exact oracle
+        "doc_span_dedup": _q(text.span_dedup_stats, "documents"),
+        # weekly cohort retention triangle: co-partitioned user join +
+        # two-level distinct aggregate, integer outputs — exact oracle
+        "ts_retention_cohorts": _q(events_ops.retention_cohorts, "events"),
+        # per-dimension embedding health stats (collapsed/dead dims):
+        # quantized integer sums, one dim-keyed shuffle — exact oracle
+        "emb_dim_stats": _q(similarity.dim_stats, "embeddings"),
+        # sqrt-temperature mixture planning (alpha=0.5 fixed: sqrt is
+        # correctly rounded, pow is not) — exact oracle
+        "cur_temperature_mix": _q(curation.temperature_mix_plan, "documents"),
         # per-(group, dim) mean embeddings: decimal accumulation makes the
         # centroid independent of row order/partitioning — exact oracle
         "emb_group_centroids": _q(similarity.group_centroids, "embeddings"),
@@ -1493,6 +1506,102 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             ORDER BY bm25_score DESC, doc_id ASC
             LIMIT 20
+        """,
+        "doc_span_dedup": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            spans AS (
+                -- spark groups by md5(span); grouping by the span text
+                -- itself gives identical counts (collision-free contract)
+                SELECT doc_id,
+                       array_to_string(
+                           list_slice(ws, i * 8 + 1, i * 8 + 8), ' '
+                       ) AS span
+                FROM w,
+                     unnest(range(0, CAST(floor(len(ws) / 8) AS BIGINT)))
+                         AS t(i)
+                WHERE len(ws) >= 8
+            ),
+            counts AS (
+                SELECT span, COUNT(DISTINCT doc_id) AS docs
+                FROM spans GROUP BY span
+            )
+            SELECT s.doc_id,
+                   COUNT(*) AS n_spans,
+                   CAST(SUM(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_spans,
+                   CAST(SUM(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*) AS dup_span_ratio
+            FROM spans s JOIN counts c ON s.span = c.span
+            GROUP BY s.doc_id ORDER BY s.doc_id
+        """,
+        "ts_retention_cohorts": """
+            WITH wk AS (
+                SELECT user_id, date_trunc('week', ts) AS w FROM events
+            ),
+            coh AS (
+                SELECT user_id, MIN(w) AS cohort FROM wk GROUP BY user_id
+            )
+            SELECT cohort AS cohort_week,
+                   CAST(date_diff('day', CAST(cohort AS DATE),
+                                  CAST(w AS DATE)) / 7 AS INTEGER)
+                       AS week_offset,
+                   COUNT(DISTINCT wk.user_id) AS n_users
+            FROM wk JOIN coh ON wk.user_id = coh.user_id
+            WHERE date_diff('day', CAST(cohort AS DATE),
+                            CAST(w AS DATE)) / 7 <= 8
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "emb_dim_stats": """
+            WITH ex AS (
+                SELECT CAST(t.i - 1 AS INTEGER) AS dim,
+                       CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1e6)
+                            AS DECIMAL(18,0)) AS q,
+                       CAST(embedding[t.i] AS DOUBLE) AS v
+                FROM embeddings,
+                     unnest(range(1, len(embedding) + 1)) AS t(i)
+            ),
+            agg AS (
+                SELECT dim, COUNT(*) AS n_vectors,
+                       SUM(q) AS s, SUM(q * q) AS sq,
+                       MIN(v) AS min_val, MAX(v) AS max_val
+                FROM ex GROUP BY dim
+            )
+            SELECT dim, n_vectors,
+                   CAST(s AS DOUBLE)
+                       / (CAST(n_vectors AS DOUBLE) * 1e6) AS mean_val,
+                   sqrt((CAST(sq AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n_vectors AS DOUBLE))
+                        / CAST(n_vectors AS DOUBLE)) / 1e6 AS std_val,
+                   min_val, max_val
+            FROM agg ORDER BY dim
+        """,
+        "cur_temperature_mix": """
+            WITH g AS (
+                SELECT lang, COUNT(*) AS n_docs,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY lang
+            ),
+            q AS (
+                SELECT lang, n_docs, n_tokens,
+                       CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+                            AS DECIMAL(20,0)) AS wq
+                FROM g
+            ),
+            t AS (SELECT SUM(wq) AS wtot FROM q)
+            SELECT lang, n_docs, n_tokens,
+                   CAST(wq AS DOUBLE) / CAST(wtot AS DOUBLE) AS mix_weight,
+                   CAST(floor((CAST(wq AS DOUBLE) / CAST(wtot AS DOUBLE))
+                              * 100000.0) AS BIGINT) AS token_target,
+                   least(CAST(1.0 AS DOUBLE),
+                         CAST(CAST(floor((CAST(wq AS DOUBLE)
+                                          / CAST(wtot AS DOUBLE))
+                                         * 100000.0) AS BIGINT) AS DOUBLE)
+                         / CAST(n_tokens AS DOUBLE)) AS sample_rate
+            FROM q CROSS JOIN t ORDER BY lang
         """,
         "emb_label_affinity": """
             WITH ex AS (

@@ -221,6 +221,65 @@ def cap_per_group(
     )
 
 
+def temperature_mix_plan(
+    documents: DataFrame,
+    token_budget: int = 100_000,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Temperature-based mixture planning (alpha = 0.5): compute, per
+    group (language / source), the sampling weight proportional to
+    sqrt(group token count) and the per-group token target + sampling
+    rate that hit ``token_budget`` total. This is the standard
+    multilingual rebalancing step (e.g. the mBERT/XLM-R exponential
+    smoothing with alpha = 0.5): raw-frequency sampling drowns low-
+    resource groups, uniform over-samples them; sqrt sits between.
+
+    alpha is FIXED at 0.5 because sqrt is an IEEE correctly-rounded op
+    (bit-exact cross-engine) while pow/exp/log are not — the general-
+    alpha variant of this planner cannot be hash-gated across engines.
+
+    Exactness: sqrt(tokens) is re-quantized at 1e-6 into integers whose
+    grand total is an EXACT integer sum (group order never matters);
+    weight / token_target / sample_rate derive from the two integers with
+    fixed double expression shapes (correctly-rounded divides).
+
+    Scale shape: one map-side-combined groupBy on the group key (output
+    is |groups| rows), one scalar total broadcast back — nothing corpus-
+    sized moves. The plan table then drives mix_sources /
+    stratified_sample; the planner itself never touches row data.
+    """
+    per_group = documents.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    wq = F.round(
+        F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e6)
+    ).cast("decimal(20,0)")
+    g = per_group.select(group_col, "n_docs", "n_tokens", wq.alias("__wq"))
+    total = g.agg(F.sum("__wq").alias("__wtot"))
+    weight = F.col("__wq").cast("double") / F.col("__wtot").cast("double")
+    target = F.floor(
+        weight * F.lit(float(token_budget))
+    ).cast("bigint")
+    rate = F.least(
+        F.lit(1.0),
+        F.col("token_target").cast("double")
+        / F.col("n_tokens").cast("double"),
+    )
+    return (
+        g.join(F.broadcast(total))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            weight.alias("mix_weight"),
+            target.alias("token_target"),
+        )
+        .withColumn("sample_rate", rate)
+        .orderBy(group_col)
+    )
+
+
 def pack_sequences(
     documents: DataFrame,
     max_tokens: int = 2048,

@@ -297,6 +297,47 @@ def funnel_conversion(events: DataFrame, within: str = "1 hour") -> DataFrame:
     )
 
 
+def retention_cohorts(events: DataFrame, max_weeks: int = 8) -> DataFrame:
+    """Weekly cohort retention matrix: users are bucketed by the ISO week
+    of their first event (the cohort), and each cell counts how many of a
+    cohort's users were active ``week_offset`` weeks later — the standard
+    product-analytics retention triangle.
+
+    Scale shape: (1) per-user min-week agg (map-side combine on user_id),
+    (2) events joined to the cohort table on user_id — both sides hash-
+    partition on user_id so the join is co-partitioned with (1)'s output,
+    (3) distinct-user count per (cohort_week, week_offset) — Spark plans
+    count_distinct as a two-level partial aggregate, no single-task
+    collapse. Nothing here is corpus-order-sensitive: every output is an
+    integer count. The cohort table is per-user (large), NOT broadcast —
+    at 100 TB the user dimension is billions of rows.
+    """
+    wk = F.date_trunc("week", F.col("ts"))
+    cohorts = events.groupBy("user_id").agg(
+        F.min(wk).alias("__cohort")
+    )
+    return (
+        events.select("user_id", wk.alias("__week"))
+        .join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "__cohort",
+            (
+                F.datediff(F.col("__week"), F.col("__cohort")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .where(F.col("week_offset") <= max_weeks)
+        # Monday-midnight TIMESTAMP, not DATE: date maps to pandas
+        # object dtype (vs duckdb's datetime64) and breaks hash gating
+        .groupBy(
+            F.col("__cohort").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def zscore_outliers(events: DataFrame, n_sigma: float = 3.0) -> DataFrame:
     """Per-user anomaly flags: events more than n_sigma population standard
     deviations from the user's mean.

@@ -254,6 +254,55 @@ def group_centroids(
     )
 
 
+def dim_stats(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension embedding health statistics: count, mean, std, min,
+    max for every vector dimension. The standard embedding-space
+    diagnostic — collapsed dimensions (std ~ 0), dead dimensions
+    (min = max = 0) and scale outliers show up immediately, and the table
+    is what a whitening / re-normalization step consumes.
+
+    Exactness scheme: values are quantized at 1e-6 (round(v * 1e6) into
+    decimal integers); sums and sums-of-squares over the quantized values
+    are then EXACT integer arithmetic — independent of row order,
+    partitioning, and engine — and mean/std are derived with one fixed
+    double expression shape:  std = sqrt((sq - s*s/n) / n) / 1e6.
+    sqrt and divide are correctly rounded, so the doubles match
+    bit-for-bit cross-engine. Stats are over the quantized values (1e-6
+    is far below any embedding noise floor — documented contract).
+    Overflow: |q| <= ~1e7 (|v| <= 10), q^2 <= 1e14, decimal(38) holds
+    1e9-row sums with 1e14-per-row headroom to spare.
+
+    Scale shape: posexplode fans vectors into dim rows; ONE shuffle on
+    dim with map-side partial aggregation (sum/min/max all combine), and
+    the output is |dim| rows regardless of corpus size.
+    """
+    ex = embeddings.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+    q = F.round(F.col("v").cast("double") * F.lit(1e6)).cast("decimal(18,0)")
+    agg = ex.groupBy("dim").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(q).alias("__s"),
+        F.sum(q * q).alias("__sq"),
+        F.min(F.col("v").cast("double")).alias("min_val"),
+        F.max(F.col("v").cast("double")).alias("max_val"),
+    )
+    n = F.col("n_vectors").cast("double")
+    s = F.col("__s").cast("double")
+    sq = F.col("__sq").cast("double")
+    return agg.select(
+        "dim",
+        "n_vectors",
+        (s / (n * F.lit(1e6))).alias("mean_val"),
+        (
+            F.sqrt((sq - s * s / n) / n) / F.lit(1e6)
+        ).alias("std_val"),
+        "min_val",
+        "max_val",
+    ).orderBy("dim")
+
+
 def label_affinity(
     embeddings: DataFrame,
     group_col: str = "label",

@@ -403,6 +403,78 @@ def bm25_topk(
     )
 
 
+def span_dedup_stats(
+    documents: DataFrame,
+    span_words: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style duplicate-span accounting: cut each document into
+    consecutive NON-overlapping ``span_words``-word spans, count how often
+    each span text occurs corpus-wide, and report per-document how much of
+    the document is made of corpus-duplicated spans. (C4 drops any
+    three-sentence span that occurs more than once in the corpus — the
+    testdata has no sentence boundaries, so fixed word windows stand in
+    for sentences; the pipeline shape is identical.)
+
+    Output per doc: n_spans, n_dup_spans (spans whose text occurs in >= 2
+    documents), dup_span_ratio.
+
+    Scale shape: the explode emits only n_words/span_words rows per doc
+    (~1/8 of the corpus word count, far below the shingle explodes used in
+    near-dup ops). Span texts are md5-compressed before the corpus-wide
+    count so the shuffle carries 16-byte keys, not raw text. Two shuffles:
+    (1) groupBy span hash with map-side partial counts, (2) the
+    hash-keyed join back + per-doc groupBy. The count table is
+    corpus-sized so the join is a shuffle join on the hash — co-partitioned
+    with the agg that produced it, so AQE reuses the exchange.
+    """
+    w = span_words
+    spans = (
+        documents.select(
+            id_col, F.split(F.col("text"), " ").alias("__ws")
+        )
+        # docs shorter than one span emit nothing (and would make the
+        # sequence() stop negative -> descending-sequence error)
+        .where(F.size("__ws") >= w)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(F.size("__ws") / w).cast("int") - 1,
+                )
+            ).alias("__i"),
+            "__ws",
+        )
+        .select(
+            id_col,
+            F.md5(
+                F.concat_ws(" ", F.slice("__ws", F.col("__i") * w + 1, w))
+            ).alias("__h"),
+        )
+    )
+    counts = spans.groupBy("__h").agg(
+        F.count_distinct(id_col).alias("__docs")
+    )
+    return (
+        spans.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("__docs") >= 2).cast("int")).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            (
+                F.col("n_dup_spans").cast("double") / F.col("n_spans")
+            ).alias("dup_span_ratio"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def curation_pipeline(
     documents: DataFrame, min_quality: float = 0.5
 ) -> DataFrame:

@@ -541,3 +541,92 @@ def test_label_affinity_bounds_and_symmetry_free(spark, embeddings):
         # float64 mean vs the operator's exact decimal mean can flip the
         # 1e-6 re-quantization of a component at a near-tie -> ~1.5e-6
         assert row["centroid_cosine"] == pytest.approx(want, abs=5e-6)
+
+
+def test_span_dedup_flags_planted_span(spark):
+    """Two docs sharing an aligned 8-word span are both flagged; a doc
+    shorter than one span emits no row; unique docs have ratio 0."""
+    shared = "q w e r t y u i"
+    rows = [
+        (1, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, shared + " one two three four five six seven eight"),
+        (3, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11 n12 n13 n14 n15 n16"),
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = text.span_dedup_stats(docs, span_words=8).toPandas().set_index("doc_id")
+    assert 4 not in got.index
+    assert got.loc[1, "n_spans"] == 2 and got.loc[1, "n_dup_spans"] == 1
+    assert got.loc[2, "n_dup_spans"] == 1
+    assert got.loc[3, "n_dup_spans"] == 0
+    assert got.loc[1, "dup_span_ratio"] == pytest.approx(0.5)
+
+
+def test_retention_cohorts_synthetic(spark):
+    """Known two-cohort layout produces the expected triangle."""
+    from bytehub_spark.operators import events_ops
+
+    rows = [
+        # users 1,2 first seen week of 2024-01-01; user 1 returns wk+1
+        (1, "2024-01-02 10:00:00"), (2, "2024-01-03 11:00:00"),
+        (1, "2024-01-09 09:00:00"),
+        # user 3 first seen the following week
+        (3, "2024-01-10 12:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "s"]).select(
+        "user_id", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = events_ops.retention_cohorts(ev).toPandas()
+    got["cohort_week"] = got["cohort_week"].astype(str)
+    cells = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for _, r in got.iterrows()
+    }
+    assert cells == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_dim_stats_matches_numpy(spark, embeddings):
+    """Per-dim stats agree with numpy on the 1e-6-quantized values."""
+    got = similarity.dim_stats(embeddings).toPandas()
+    mat = np.stack(
+        embeddings.select("embedding").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    q = np.round(mat * 1e6)
+    assert (got["n_vectors"] == mat.shape[0]).all()
+    np.testing.assert_allclose(
+        got["mean_val"], q.mean(axis=0) / 1e6, rtol=0, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        got["std_val"], q.std(axis=0) / 1e6, rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_array_equal(got["min_val"], mat.min(axis=0))
+    np.testing.assert_array_equal(got["max_val"], mat.max(axis=0))
+
+
+def test_temperature_mix_sqrt_damping(spark):
+    """Weights follow sqrt(token mass): a 4x token group gets 2x weight;
+    weights sum to 1; targets respect the budget; rate caps at 1."""
+    from bytehub_spark.operators import curation
+
+    rows = (
+        [(i, "w " * 99 + "w", "big") for i in range(40)]
+        + [(100 + i, "w " * 99 + "w", "small") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = (
+        curation.temperature_mix_plan(docs, token_budget=3000)
+        .toPandas()
+        .set_index("lang")
+    )
+    assert got["mix_weight"].sum() == pytest.approx(1.0)
+    # sqrt is quantized at 1e-6 (~1.6e-8 relative here) before weighting
+    assert got.loc["big", "mix_weight"] == pytest.approx(
+        2 * got.loc["small", "mix_weight"], rel=1e-6
+    )
+    assert got["token_target"].sum() <= 3000
+    assert got.loc["small", "sample_rate"] == pytest.approx(1.0, rel=1e-6)
+    assert got.loc["big", "sample_rate"] == pytest.approx(0.5, rel=1e-3)
