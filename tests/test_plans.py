@@ -125,3 +125,41 @@ def test_q21_self_join_single_shuffle_axis(spark):
     import re
     axes = set(re.findall(r"hashpartitioning\((\w+)", plan))
     assert axes <= {"l_orderkey", "l_suppkey", "s_name"}, axes
+
+
+def test_new_ops_plan_shapes(spark):
+    """Round-2 operators keep their claimed scale shapes: partitioned
+    windows only, bounded exchange counts, no cartesian products."""
+    from bytehub_spark import plans
+    from bytehub_spark.operators import curation, events_ops, similarity, text
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    ev = load_table(spark, SF, "events")
+
+    # cap_per_group: the row_number window partitions by the group key
+    assert not plans.global_windows(curation.cap_per_group(docs))
+
+    # quality_rules: zero shuffles before the presentation sort
+    p = _plan(text.quality_rules(docs))
+    assert p.count("Exchange") <= 1, p  # only the final orderBy range part.
+
+    # dim_stats: one dim-keyed aggregation shuffle + presentation sort
+    p = _plan(similarity.dim_stats(emb))
+    assert p.count("Exchange") <= 2, p
+    assert "CartesianProduct" not in p
+
+    # retention_cohorts: no cartesian, no global window
+    r = events_ops.retention_cohorts(ev)
+    p = _plan(r)
+    assert "CartesianProduct" not in p
+    assert not plans.global_windows(r)
+
+    # span_dedup_stats: count table joined on the hash key, never
+    # broadcast-nested-loop / cartesian
+    p = _plan(text.span_dedup_stats(docs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+    # temperature_mix_plan: the only broadcast is the 1-row total
+    p = _plan(curation.temperature_mix_plan(docs))
+    assert "CartesianProduct" not in p
