@@ -319,6 +319,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C4-style duplicate-span accounting: non-overlapping word spans,
         # md5-compressed shuffle keys, two shuffles — exact oracle
         "doc_span_dedup": _q(text.span_dedup_stats, "documents"),
+        # BM25 against a materialized postings index (the sparse-retrieval
+        # scale path: term-bucket-partitioned store, query cost scales
+        # with posting lists, not corpus) — bit-identical to doc_bm25_topk
+        "doc_bm25_indexed": lambda spark, sf: text.bm25_query_index(
+            text.build_bm25_index(load_table(spark, sf, "documents")),
+            text.bm25_corpus_stats(load_table(spark, sf, "documents")),
+        ),
         # weekly cohort retention triangle: co-partitioned user join +
         # two-level distinct aggregate, integer outputs — exact oracle
         "ts_retention_cohorts": _q(events_ops.retention_cohorts, "events"),
@@ -1454,6 +1461,61 @@ def oracle_sql() -> dict[str, str]:
             FROM m ORDER BY doc_id
         """,
         "doc_bm25_topk": """
+            WITH toks AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                       t.term AS term
+                FROM documents,
+                     unnest(string_split(text, ' ')) AS t(term)
+                WHERE t.term IN ('join', 'hash', 'scan')
+            ),
+            tf AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf
+                FROM toks GROUP BY doc_id, dl, term
+            ),
+            dfr AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df
+                FROM tf GROUP BY term
+            ),
+            stats AS (
+                SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                           / COUNT(*) AS avgdl
+                FROM documents
+            ),
+            contrib AS (
+                -- identical expression shape to the Spark plan:
+                -- ((idf * (tf*2.2)) / (tf + 1.2*(0.25 + (0.75*dl)/avgdl)));
+                -- float literals MUST be cast: bare 2.2 parses as
+                -- DECIMAL(2,1) in DuckDB, making tf*2.2 exact decimal
+                -- instead of Spark's double multiply (1-ulp mismatch)
+                SELECT tf.doc_id, tf.term,
+                       ((CAST(n_docs AS DOUBLE) / df)
+                            * (tf * CAST(2.2 AS DOUBLE)))
+                       / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                           + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))
+                             / avgdl)) AS c
+                FROM tf
+                JOIN dfr ON tf.term = dfr.term
+                CROSS JOIN stats
+            ),
+            agg AS (
+                SELECT doc_id,
+                       MAX(CASE WHEN term = 'join' THEN c END) AS c0,
+                       MAX(CASE WHEN term = 'hash' THEN c END) AS c1,
+                       MAX(CASE WHEN term = 'scan' THEN c END) AS c2,
+                       COUNT(*) AS n_terms_hit
+                FROM contrib GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   0.0 + COALESCE(c0, 0.0) + COALESCE(c1, 0.0)
+                       + COALESCE(c2, 0.0) AS bm25_score,
+                   n_terms_hit
+            FROM agg
+            ORDER BY bm25_score DESC, doc_id ASC
+            LIMIT 20
+        """,
+        "doc_bm25_indexed": """
+            -- identical to doc_bm25_topk: the indexed path is bit-identical
             WITH toks AS (
                 SELECT doc_id, len(string_split(text, ' ')) AS dl,
                        t.term AS term

@@ -359,15 +359,85 @@ def bm25_topk(
         )
     )
     tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
-    df_tbl = tf.groupBy(F.col("term").alias("d_term")).agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    stats = documents.agg(
+    return _bm25_rank(tf, bm25_corpus_stats(documents), query_terms, k, k1, b)
+
+
+def bm25_corpus_stats(documents: DataFrame) -> DataFrame:
+    """One-row (n_docs, avgdl) corpus statistics frame — the second half
+    of the BM25 index state (build_bm25_index holds the postings)."""
+    return documents.agg(
         F.count("*").alias("n_docs"),
         (
             F.sum(F.size(F.split(F.col("text"), " "))).cast("double")
             / F.count("*")
         ).alias("avgdl"),
+    )
+
+
+def build_bm25_index(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Materialize the BM25 inverted index: one posting row
+    (term, doc_id, tf, dl, tb) per distinct term per document, where
+    ``tb = pmod(xxhash64(term), n_buckets)`` is the partition key to
+    write the postings table under (``partitionBy("tb")``).
+
+    This is the sparse-retrieval scale path mirroring the persisted LSH
+    bucket index (dedup.build_lsh_index): build once with ONE map-side-
+    combined shuffle on (doc, term); at query time only the buckets of
+    the query terms are read (partition pruning, see bm25_query_index),
+    so per-query cost scales with posting-list length, not corpus size.
+    Postings are ~4 ints/term-occurrence-class — far below corpus bytes.
+    """
+    toks = documents.select(
+        id_col,
+        F.size(F.split(F.col("text"), " ")).alias("dl"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    )
+    return toks.groupBy(id_col, "dl", "term").agg(
+        F.count("*").alias("tf")
+    ).withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+
+
+def bm25_query_index(
+    postings: DataFrame,
+    stats: DataFrame,
+    query_terms: tuple[str, ...] = ("join", "hash", "scan"),
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against a PRE-BUILT postings table (build_bm25_index)
+    plus its stats frame — bit-identical to running bm25_topk over the
+    raw corpus, but reading only the query terms' postings.
+
+    When the postings table is stored partitioned by ``tb``, prefix the
+    term filter with ``F.col("tb").isin(<buckets of the query terms>)``
+    so the scan prunes to |terms| partitions (the buckets are xxhash64
+    values, so compute them with one scalar prepass — the seed_lookup
+    pattern). df(t) is re-derived from the filtered postings, which is
+    exact: every posting of a matching term survives the filter.
+    """
+    tf = postings.where(F.col("term").isin(*query_terms)).select(
+        "doc_id", "dl", "term", "tf"
+    )
+    return _bm25_rank(tf, stats, query_terms, k, k1, b)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    stats: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 scorer over a (doc_id, dl, term, tf) frame: broadcast
+    df + corpus stats, fixed-order per-term fold, TakeOrdered top-k."""
+    df_tbl = tf.groupBy(F.col("term").alias("d_term")).agg(
+        F.countDistinct("doc_id").alias("df")
     )
     idf = F.col("n_docs").cast("double") / F.col("df")
     denom = F.col("tf") + F.lit(k1) * (

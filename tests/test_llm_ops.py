@@ -630,3 +630,36 @@ def test_temperature_mix_sqrt_damping(spark):
     assert got["token_target"].sum() <= 3000
     assert got.loc["small", "sample_rate"] == pytest.approx(1.0, rel=1e-6)
     assert got.loc["big", "sample_rate"] == pytest.approx(0.5, rel=1e-3)
+
+
+def test_bm25_index_path_identical_and_prunes(spark, documents, tmp_path):
+    """Query-against-index is bit-identical to the direct scorer, and a
+    tb-partitioned postings store prunes to the query terms' buckets."""
+    direct = text.bm25_topk(documents).toPandas()
+    idx = text.build_bm25_index(documents)
+    stats = text.bm25_corpus_stats(documents)
+    got = text.bm25_query_index(idx, stats).toPandas()
+    pd.testing.assert_frame_equal(direct, got)
+
+    # store partitioned by term bucket; query with the bucket prefilter
+    path = str(tmp_path / "bm25_idx")
+    idx.write.partitionBy("tb").mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    terms = ("join", "hash", "scan")
+    buckets = [
+        r[0]
+        for r in spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.pmod(F.xxhash64(F.lit(t)), F.lit(64)) for t in terms])
+            )
+        )
+        .collect()
+    ]
+    pruned = stored.where(F.col("tb").isin(buckets))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [tb" in plan.replace("#", " ").replace(
+        "CAST", ""
+    ) or "tb" in plan.split("PartitionFilters")[1].split("]")[0]
+    got2 = text.bm25_query_index(pruned, stats, query_terms=terms).toPandas()
+    pd.testing.assert_frame_equal(direct, got2)
