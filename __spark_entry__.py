@@ -335,6 +335,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sqrt-temperature mixture planning (alpha=0.5 fixed: sqrt is
         # correctly rounded, pow is not) — exact oracle
         "cur_temperature_mix": _q(curation.temperature_mix_plan, "documents"),
+        # planner -> md5-threshold sampler end-to-end in ONE plan
+        # (broadcast rates, narrow keep filter) — exact oracle
+        "cur_temperature_sample": _q(
+            curation.temperature_sample_summary, "documents"
+        ),
         # per-(group, dim) mean embeddings: decimal accumulation makes the
         # centroid independent of row order/partitioning — exact oracle
         "emb_group_centroids": _q(similarity.group_centroids, "embeddings"),
@@ -1664,6 +1669,48 @@ def oracle_sql() -> dict[str, str]:
                                          * 100000.0) AS BIGINT) AS DOUBLE)
                          / CAST(n_tokens AS DOUBLE)) AS sample_rate
             FROM q CROSS JOIN t ORDER BY lang
+        """,
+        "cur_temperature_sample": """
+            WITH g AS (
+                SELECT lang, COUNT(*) AS n_docs,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY lang
+            ),
+            q AS (
+                SELECT lang, n_tokens,
+                       CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+                            AS DECIMAL(20,0)) AS wq
+                FROM g
+            ),
+            t AS (SELECT SUM(wq) AS wtot FROM q),
+            plan AS (
+                SELECT lang,
+                       least(CAST(1.0 AS DOUBLE),
+                             CAST(CAST(floor((CAST(wq AS DOUBLE)
+                                              / CAST(wtot AS DOUBLE))
+                                             * 100000.0) AS BIGINT)
+                                  AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE)) AS sample_rate
+                FROM q CROSS JOIN t
+            ),
+            thr AS (
+                SELECT lang, sample_rate,
+                       printf('%08x',
+                              CAST(floor(sample_rate
+                                         * CAST(4294967296 AS DOUBLE))
+                                   AS BIGINT)) AS h
+                FROM plan
+            )
+            SELECT d.lang, sample_rate,
+                   COUNT(*) AS n_docs_kept,
+                   CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+                       AS n_tokens_kept
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE sample_rate >= 1.0
+               OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.lang),
+                         1, 8) < h
+            GROUP BY d.lang, sample_rate ORDER BY d.lang
         """,
         "emb_label_affinity": """
             WITH ex AS (

@@ -280,6 +280,69 @@ def temperature_mix_plan(
     )
 
 
+def temperature_sample_summary(
+    documents: DataFrame,
+    token_budget: int = 100_000,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """END-TO-END temperature rebalancing: the sqrt-temperature planner
+    (temperature_mix_plan) drives the deterministic md5-threshold sampler
+    (stratified_sample's keep rule), all inside one plan — no driver-side
+    collect of the rates. Returns the per-group accounting of the kept
+    set: (group, sample_rate, n_docs_kept, n_tokens_kept).
+
+    Scale shape: the plan table is |groups| rows, broadcast to the corpus
+    scan; the keep decision is a narrow per-row filter (md5 + string
+    compare against the group's threshold) — so the whole rebalance is
+    one broadcast join + one map-side-combined groupBy, at any corpus
+    size. The md5 keep rule is content-keyed: the kept set is stable
+    under corpus growth, repartitioning, and engine (exactly
+    SQL-oracle-able; see stratified_sample).
+
+    Threshold encoding: floor(rate * 16^8) rendered as 8 lowercase hex
+    chars compared against the first 8 md5 hex chars. rate >= 1.0 must
+    bypass the compare (its threshold needs 9 hex digits and lpad would
+    truncate the most significant one).
+    """
+    plan = temperature_mix_plan(documents, token_budget, group_col)
+    thr = F.lpad(
+        F.lower(
+            F.hex(
+                F.floor(
+                    F.col("sample_rate") * F.lit(float(16**8))
+                ).cast("bigint")
+            )
+        ),
+        8,
+        "0",
+    )
+    rates = F.broadcast(
+        plan.select(group_col, "sample_rate", thr.alias("__thr"))
+    )
+    digest = F.substring(
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":"), F.col(group_col)
+            )
+        ),
+        1,
+        8,
+    )
+    kept = (
+        documents.join(rates, group_col)
+        .where((F.col("sample_rate") >= 1.0) | (digest < F.col("__thr")))
+    )
+    return (
+        kept.groupBy(group_col, "sample_rate")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens_kept"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def pack_sequences(
     documents: DataFrame,
     max_tokens: int = 2048,

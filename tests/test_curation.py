@@ -78,3 +78,28 @@ def test_pack_sequences_greedy_invariants(documents):
                 used = 0
             cur = row["bin"]
             used += row["n_tokens"]
+
+
+def test_temperature_sample_consistent_with_stratified(spark):
+    """The in-plan temperature sampler keeps exactly the docs that
+    stratified_sample keeps when fed the planner's collected rates."""
+    from bytehub_spark.operators import curation
+    from bytehub_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    budget = 5000
+    summary = (
+        curation.temperature_sample_summary(docs, token_budget=budget)
+        .toPandas()
+        .set_index("lang")
+    )
+    rates = {
+        r["lang"]: r["sample_rate"]
+        for r in curation.temperature_mix_plan(docs, token_budget=budget)
+        .collect()
+    }
+    kept = curation.stratified_sample(docs, rates).groupBy("lang").count()
+    for row in kept.collect():
+        assert summary.loc[row["lang"], "n_docs_kept"] == row["count"]
+    # budget respected in expectation: kept tokens <= ~budget + slack
+    assert summary["n_tokens_kept"].sum() < 3 * budget
