@@ -329,6 +329,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weekly cohort retention triangle: co-partitioned user join +
         # two-level distinct aggregate, integer outputs — exact oracle
         "ts_retention_cohorts": _q(events_ops.retention_cohorts, "events"),
+        # continuous-aggregate cascade: hour from minute partials, day
+        # from hour — shuffle shrinks ~60x per level; decimal sums are
+        # associative so cascaded == direct (the oracle) — exact oracle
+        "ts_rollup_pyramid": _q(events_ops.rollup_pyramid, "events"),
         # per-dimension embedding health stats (collapsed/dead dims):
         # quantized integer sums, one dim-keyed shuffle — exact oracle
         "emb_dim_stats": _q(similarity.dim_stats, "embeddings"),
@@ -1602,6 +1606,30 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / COUNT(*) AS dup_span_ratio
             FROM spans s JOIN counts c ON s.span = c.span
             GROUP BY s.doc_id ORDER BY s.doc_id
+        """,
+        "ts_rollup_pyramid": """
+            -- direct per-level aggregation: equals the engine's cascade
+            -- because quantized integer sums are associative
+            WITH lv AS (
+                SELECT '1m' AS resolution,
+                       date_trunc('minute', ts) AS bucket_ts,
+                       event_type, value FROM events
+                UNION ALL
+                SELECT '1h', date_trunc('hour', ts), event_type, value
+                FROM events
+                UNION ALL
+                SELECT '1d', date_trunc('day', ts), event_type, value
+                FROM events
+            )
+            SELECT resolution, bucket_ts, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 1e6) AS DECIMAL(20,0)))
+                        AS DOUBLE) / 1e6 AS sum_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM lv
+            GROUP BY resolution, bucket_ts, event_type
+            ORDER BY resolution, bucket_ts, event_type
         """,
         "ts_retention_cohorts": """
             WITH wk AS (

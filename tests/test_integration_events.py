@@ -80,3 +80,37 @@ def test_events_through_feature_store(fs, spark):
             ORDER BY ts DESC, event_id DESC LIMIT 1"""
     ).fetchone()[0]
     assert abs(last["test/ev_purchase"] - lv) < 1e-12
+
+
+def test_rollup_pyramid_cascade_equals_direct(spark):
+    """Cascaded hour/day levels equal direct aggregation from raw events
+    (mergeable aggregates), and bucket counts telescope."""
+    from pyspark.sql import functions as F
+
+    from bytehub_spark.operators import events_ops
+    from bytehub_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    pyr = events_ops.rollup_pyramid(ev).toPandas()
+    day = pyr[pyr["resolution"] == "1d"]
+    q = F.round(F.col("value") * F.lit(1e6)).cast("decimal(20,0)")
+    direct = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket_ts"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(q).cast("double") / F.lit(1e6)).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+    )
+    cols = ["bucket_ts", "event_type"]
+    merged = day.merge(direct, on=cols, suffixes=("_c", "_d"))
+    assert len(merged) == len(direct) == len(day)
+    for c in ("n_events", "sum_value", "min_value", "max_value"):
+        assert (merged[f"{c}_c"] == merged[f"{c}_d"]).all(), c
+    # telescoping: each level's event total is the same
+    tot = pyr.groupby("resolution")["n_events"].sum()
+    assert tot["1m"] == tot["1h"] == tot["1d"] == ev.count()
