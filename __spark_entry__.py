@@ -90,12 +90,13 @@ _GATE_FIRST = [
     "cur_chunk_documents", "emb_group_centroids",
     "cur_cap_per_group", "emb_label_affinity", "doc_quality_rules",
     "doc_bm25_topk", "doc_span_dedup", "ts_retention_cohorts",
-    "emb_dim_stats", "cur_temperature_mix",
+    "emb_dim_stats", "cur_temperature_mix", "ts_rollup_pyramid",
+    "cur_temperature_sample", "doc_bm25_indexed",
     # --- re-gated (changed or schema-affected; q11/q20/q21 non-empty only
     # at sf0.01+, so the gate is their value check — see ADVICE r01; the
-    # ts_* re-gates cover the events NTZ schema change) ---
+    # ts_* re-gates cover the events NTZ schema change; the remaining ts
+    # queries keep their r01 green rows + the local sf0.01/sf0.1 sweeps) ---
     "ts_sessionize", "ts_resample_locf", "ts_align_ffill", "ts_asof_join",
-    "ts_dedup_latest", "ts_interval_join", "ts_salted_rollup",
     "tpch_q11", "tpch_q20", "tpch_q21",
 ]
 
