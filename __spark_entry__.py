@@ -24,6 +24,7 @@ from bytehub_spark.operators import (
     events_ops,
     ivf,
     multimodal,
+    pca,
     similarity,
     skew,
     text,
@@ -334,6 +335,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from hour — shuffle shrinks ~60x per level; decimal sums are
         # associative so cascaded == direct (the oracle) — exact oracle
         "ts_rollup_pyramid": _q(events_ops.rollup_pyramid, "events"),
+        # hour-of-day baseline anomaly flags: 24x|types| broadcast
+        # baseline from exact integer sums, narrow filter — exact oracle
+        "ts_seasonal_anomaly": _q(events_ops.seasonal_anomaly, "events"),
         # per-dimension embedding health stats (collapsed/dead dims):
         # quantized integer sums, one dim-keyed shuffle — exact oracle
         "emb_dim_stats": _q(similarity.dim_stats, "embeddings"),
@@ -352,6 +356,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # centroids; 1e-6 re-quantization makes the dots exact decimal
         # sums — exact oracle over KB-sized centroid tables
         "emb_label_affinity": _q(similarity.label_affinity, "embeddings"),
+        # distributed PCA: per-batch partial Grams -> bounded driver
+        # combine -> eigh -> broadcast GEMM projection; eigendecomposition
+        # is not SQL-expressible -> rows-only gate (like emb_ivf_topk)
+        "emb_pca_project": _q(pca.pca_project, "embeddings"),
+        # covariance eigen-spectrum (scree table) — rows-only gate
+        "emb_pca_spectrum": _q(pca.explained_variance, "embeddings"),
         # clustering routed through the df-cut (max_doc_freq=50): shingles
         # hot enough to blow up pair generation quadratically are dropped
         # from candidate generation only — the composition that actually
@@ -1631,6 +1641,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lv
             GROUP BY resolution, bucket_ts, event_type
             ORDER BY resolution, bucket_ts, event_type
+        """,
+        "ts_seasonal_anomaly": """
+            WITH base AS (
+                SELECT event_type AS bt, hour(ts) AS bh,
+                       COUNT(*) AS n,
+                       SUM(CAST(round(value * 1e6) AS DECIMAL(20,0))) AS s,
+                       SUM(CAST(round(value * 1e6) AS DECIMAL(20,0))
+                           * CAST(round(value * 1e6) AS DECIMAL(20,0)))
+                           AS sq
+                FROM events GROUP BY 1, 2
+            ),
+            b AS (
+                SELECT bt, bh,
+                       CAST(s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * 1e6) AS base_mean,
+                       sqrt((CAST(sq AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE)) / 1e6 AS base_std
+                FROM base
+            )
+            SELECT event_id, ts, user_id, event_type, value,
+                   base_mean, base_std
+            FROM events e JOIN b
+              ON e.event_type = b.bt AND hour(e.ts) = b.bh
+            WHERE abs(e.value - base_mean)
+                  > CAST(3.0 AS DOUBLE) * base_std
+            ORDER BY event_id
         """,
         "ts_retention_cohorts": """
             WITH wk AS (

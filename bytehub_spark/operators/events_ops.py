@@ -437,6 +437,64 @@ def zscore_outliers(events: DataFrame, n_sigma: float = 3.0) -> DataFrame:
     )
 
 
+def seasonal_anomaly(events: DataFrame, n_sigma: float = 3.0) -> DataFrame:
+    """Seasonality-aware anomaly detection: build an hour-of-day baseline
+    (mean/std of value per (event_type, hour-of-day)) and flag events
+    deviating more than ``n_sigma`` sigma from THEIR hour's baseline —
+    the de-seasonalized version of zscore_outliers (a 2am spike is judged
+    against 2am traffic, not the daily mean).
+
+    Exactness: baseline mean/std derive from 1e-6-quantized exact integer
+    sums (see dim_stats) with fixed double expression shapes; the flag
+    compares |v - mean| against n_sigma * std via the same correctly-
+    rounded ops on both engines. Events in (event_type, hour) groups with
+    a single row have std 0 and are never flagged (their deviation is 0).
+
+    Scale shape: the baseline is a 24 x |event_types| row table — ONE
+    map-side-combined shuffle to build, broadcast back to the event scan;
+    flagging is a narrow filter. Output: anomalous rows only.
+    """
+    hod = F.hour(F.col("ts"))
+    q = F.round(F.col("value") * F.lit(1e6)).cast("decimal(20,0)")
+    base = (
+        events.groupBy(
+            F.col("event_type").alias("bt"), hod.alias("bh")
+        )
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(q).alias("__s"),
+            F.sum(q * q).alias("__sq"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    sq = F.col("__sq").cast("double")
+    base = base.select(
+        "bt",
+        "bh",
+        (s / (n * F.lit(1e6))).alias("base_mean"),
+        (F.sqrt((sq - s * s / n) / n) / F.lit(1e6)).alias("base_std"),
+    )
+    dev = F.abs(F.col("value") - F.col("base_mean"))
+    return (
+        events.join(
+            F.broadcast(base),
+            (F.col("event_type") == F.col("bt")) & (hod == F.col("bh")),
+        )
+        .where(dev > F.lit(n_sigma) * F.col("base_std"))
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "base_mean",
+            "base_std",
+        )
+        .orderBy("event_id")
+    )
+
+
 def value_quantiles(events: DataFrame) -> DataFrame:
     """Exact percentiles per event type (sort-based percentile(), linear
     interpolation — same semantics as DuckDB quantile_cont)."""

@@ -663,3 +663,45 @@ def test_bm25_index_path_identical_and_prunes(spark, documents, tmp_path):
     ) or "tb" in plan.split("PartitionFilters")[1].split("]")[0]
     got2 = text.bm25_query_index(pruned, stats, query_terms=terms).toPandas()
     pd.testing.assert_frame_equal(direct, got2)
+
+
+def test_pca_project_matches_numpy(spark, embeddings):
+    """Distributed partial-GEMM PCA equals numpy PCA on the collected
+    matrix: same eigen-spectrum, same projections (signs fixed), and
+    whitening yields unit per-component variance."""
+    from bytehub_spark.operators import pca
+
+    X = np.stack(
+        embeddings.select("embedding").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    n, d = X.shape
+    cov = (X.T @ X) / n - np.outer(X.mean(0), X.mean(0))
+    ev, Q = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:8]
+    comps = Q[:, order]
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(8)])
+    comps = comps * np.where(flip == 0, 1.0, flip)
+    want = (X - X.mean(0)) @ comps
+
+    got = pca.pca_project(embeddings, n_components=8).toPandas()
+    ids = embeddings.select("vec_id").toPandas()["vec_id"].to_numpy()
+    got = got.set_index("vec_id").loc[np.sort(ids)]
+    got_m = got[[f"pc_{i}" for i in range(8)]].to_numpy()
+    # rows were collected unordered for `want`; align by vec_id
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    order_idx = np.argsort(pdf["vec_id"].to_numpy())
+    want = want[order_idx]
+    np.testing.assert_allclose(got_m, want, rtol=1e-6, atol=1e-8)
+
+    wh = pca.pca_project(embeddings, n_components=4, whiten=True).toPandas()
+    var = wh[[f"pc_{i}" for i in range(4)]].to_numpy().var(axis=0)
+    np.testing.assert_allclose(var, 1.0, rtol=1e-3)
+
+
+def test_explained_variance_spectrum(spark, embeddings):
+    from bytehub_spark.operators import pca
+
+    sp = pca.explained_variance(embeddings).toPandas()
+    assert (np.diff(sp["eigenvalue"]) <= 1e-12).all()  # descending
+    assert sp["explained_ratio"].sum() == pytest.approx(1.0)
+    assert sp["cumulative_ratio"].iloc[-1] == pytest.approx(1.0)
