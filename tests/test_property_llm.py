@@ -201,3 +201,158 @@ def test_gemm_topk_equals_interpreted_topk(embeddings, qs, k):
     a = similarity.cosine_topk(embeddings, qs, k).toPandas()
     b = similarity.cosine_topk_gemm(embeddings, qs, k).toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+@given(
+    span_words=st.integers(min_value=3, max_value=20),
+)
+@settings(**SETTINGS)
+def test_span_dedup_random_span_width(spark, con, documents, span_words):
+    """doc_span_dedup generalized over the span width."""
+    from bytehub_spark.operators import text
+
+    w = span_words
+    sdf = text.span_dedup_stats(documents, span_words=w)
+    ddf = con.sql(f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        spans AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_slice(ws, i * {w} + 1, i * {w} + {w}), ' '
+                   ) AS span
+            FROM w,
+                 unnest(range(0, CAST(floor(len(ws) / {w}) AS BIGINT)))
+                     AS t(i)
+            WHERE len(ws) >= {w}
+        ),
+        counts AS (
+            SELECT span, COUNT(DISTINCT doc_id) AS docs
+            FROM spans GROUP BY span
+        )
+        SELECT s.doc_id,
+               COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_spans,
+               CAST(SUM(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS dup_span_ratio
+        FROM spans s JOIN counts c ON s.span = c.span
+        GROUP BY s.doc_id ORDER BY s.doc_id
+    """)
+    _match(sdf, ddf)
+
+
+@given(cap=st.integers(min_value=1, max_value=30))
+@settings(**SETTINGS)
+def test_cap_per_group_random_cap(spark, con, documents, cap):
+    sdf = curation.cap_per_group(documents, cap=cap)
+    ddf = con.sql(f"""
+        SELECT source, doc_id, rank_in_group, n_chars
+        FROM (
+            SELECT source, doc_id, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC
+                   ) AS INTEGER) AS rank_in_group
+            FROM documents
+        )
+        WHERE rank_in_group <= {cap}
+        ORDER BY source, rank_in_group
+    """)
+    _match(sdf, ddf)
+
+
+@given(budget=st.integers(min_value=100, max_value=2_000_000))
+@settings(**SETTINGS)
+def test_temperature_plan_random_budget(spark, con, documents, budget):
+    """Planner generalized over the token budget (weights are budget-
+    independent; targets/rates must track it exactly)."""
+    sdf = curation.temperature_mix_plan(documents, token_budget=budget)
+    ddf = con.sql(f"""
+        WITH g AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY lang
+        ),
+        q AS (
+            SELECT lang, n_docs, n_tokens,
+                   CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+                        AS DECIMAL(20,0)) AS wq
+            FROM g
+        ),
+        t AS (SELECT SUM(wq) AS wtot FROM q)
+        SELECT lang, n_docs, n_tokens,
+               CAST(wq AS DOUBLE) / CAST(wtot AS DOUBLE) AS mix_weight,
+               CAST(floor((CAST(wq AS DOUBLE) / CAST(wtot AS DOUBLE))
+                          * CAST({budget} AS DOUBLE)) AS BIGINT)
+                   AS token_target,
+               least(CAST(1.0 AS DOUBLE),
+                     CAST(CAST(floor((CAST(wq AS DOUBLE)
+                                      / CAST(wtot AS DOUBLE))
+                                     * CAST({budget} AS DOUBLE)) AS BIGINT)
+                          AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE)) AS sample_rate
+        FROM q CROSS JOIN t ORDER BY lang
+    """)
+    _match(sdf, ddf)
+
+
+@given(k=st.integers(min_value=1, max_value=40))
+@settings(**SETTINGS)
+def test_bm25_random_k(spark, con, documents, k):
+    """BM25 generalized over k — exercises the TakeOrdered tie path."""
+    from bytehub_spark.operators import text
+
+    sdf = text.bm25_topk(documents, k=k)
+    ddf = con.sql(f"""
+        WITH toks AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   t.term AS term
+            FROM documents,
+                 unnest(string_split(text, ' ')) AS t(term)
+            WHERE t.term IN ('join', 'hash', 'scan')
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, dl, term
+        ),
+        dfr AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM tf GROUP BY term
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                       / COUNT(*) AS avgdl
+            FROM documents
+        ),
+        contrib AS (
+            SELECT tf.doc_id, tf.term,
+                   ((CAST(n_docs AS DOUBLE) / df)
+                        * (tf * CAST(2.2 AS DOUBLE)))
+                   / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                       + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))
+                         / avgdl)) AS c
+            FROM tf
+            JOIN dfr ON tf.term = dfr.term
+            CROSS JOIN stats
+        ),
+        agg AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN term = 'join' THEN c END) AS c0,
+                   MAX(CASE WHEN term = 'hash' THEN c END) AS c1,
+                   MAX(CASE WHEN term = 'scan' THEN c END) AS c2,
+                   COUNT(*) AS n_terms_hit
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id,
+               0.0 + COALESCE(c0, 0.0) + COALESCE(c1, 0.0)
+                   + COALESCE(c2, 0.0) AS bm25_score,
+               n_terms_hit
+        FROM agg
+        ORDER BY bm25_score DESC, doc_id ASC
+        LIMIT {k}
+    """)
+    _match(sdf, ddf)
