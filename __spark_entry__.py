@@ -25,6 +25,7 @@ from bytehub_spark.operators import (
     ivf,
     multimodal,
     pca,
+    pq,
     similarity,
     skew,
     text,
@@ -107,6 +108,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered = {k: all_q[k] for k in _GATE_FIRST}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
     return ordered
+
+
+def _pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ pipeline end-to-end: train codebooks, encode the corpus, ADC
+    top-10 for the 5 lowest-id vectors (bounded driver prepass for the
+    query vectors, same shape as the cosine_topk query set)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(5)
+        .collect()
+    )
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    books = pq.train_codebooks(emb)
+    codes = pq.pq_encode(emb, books)
+    return pq.pq_topk(codes, books, Q, k=10)
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -362,6 +382,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project": _q(pca.pca_project, "embeddings"),
         # covariance eigen-spectrum (scree table) — rows-only gate
         "emb_pca_spectrum": _q(pca.explained_variance, "embeddings"),
+        # product quantization ADC search: 16x-compressed codes, distance
+        # tables broadcast, per-batch pre-cut to k — rows-only gate
+        "emb_pq_topk": _pq_topk_query,
         # clustering routed through the df-cut (max_doc_freq=50): shingles
         # hot enough to blow up pair generation quadratically are dropped
         # from candidate generation only — the composition that actually

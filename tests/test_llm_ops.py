@@ -705,3 +705,35 @@ def test_explained_variance_spectrum(spark, embeddings):
     assert (np.diff(sp["eigenvalue"]) <= 1e-12).all()  # descending
     assert sp["explained_ratio"].sum() == pytest.approx(1.0)
     assert sp["cumulative_ratio"].iloc[-1] == pytest.approx(1.0)
+
+
+def test_pq_recall_determinism_and_code_range(spark, embeddings):
+    """PQ/ADC: recall@10 vs exact L2 clears 0.5 at defaults, results are
+    run-deterministic, codes lie in [0, ksub)."""
+    from bytehub_spark.operators import pq
+
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Q = X[np.argsort(ids)[:5]]
+
+    books = pq.train_codebooks(embeddings)
+    codes = pq.pq_encode(embeddings, books)
+    got = pq.pq_topk(codes, books, Q, k=10).toPandas()
+    recs = []
+    for qi in range(5):
+        d2 = ((X - Q[qi]) ** 2).sum(1)
+        exact = set(ids[np.argsort(d2)[:10]])
+        approx = set(got[got["query_id"] == qi]["vec_id"])
+        recs.append(len(exact & approx) / 10)
+    assert sum(recs) / len(recs) >= 0.5, recs
+
+    again = pq.pq_topk(codes, books, Q, k=10).toPandas()
+    pd.testing.assert_frame_equal(got, again)
+
+    c = np.stack(codes.toPandas()["codes"].to_numpy())
+    assert c.min() >= 0 and c.max() < books.shape[1]
+    assert c.shape[1] == books.shape[0]
+    # per-query row count is exactly k with ranks 1..k
+    assert (got.groupby("query_id")["rank"].max() == 10).all()
+    assert (got.groupby("query_id").size() == 10).all()
