@@ -385,6 +385,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # product quantization ADC search: 16x-compressed codes, distance
         # tables broadcast, per-batch pre-cut to k — rows-only gate
         "emb_pq_topk": _pq_topk_query,
+        # IVF-PQ: coarse cells prune to n_probe/n_cells of the corpus,
+        # ADC ranks inside probed cells — rows-only gate
+        "emb_ivf_pq_topk": lambda spark, sf: pq.ivf_pq_topk(
+            load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4]
+        ),
         # clustering routed through the df-cut (max_doc_freq=50): shingles
         # hot enough to blow up pair generation quadratically are dropped
         # from candidate generation only — the composition that actually

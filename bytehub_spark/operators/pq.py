@@ -80,9 +80,12 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>): nearest sub-centroid per subspace — the
-    stored compressed form (m small ints per vector)."""
+    """(id, codes array<int>[, carry...]): nearest sub-centroid per
+    subspace — the stored compressed form (m small ints per vector).
+    ``carry_cols`` pass through untouched (e.g. the IVF cell id), so the
+    encoded table needs no post-hoc join to regain them."""
     books = codebooks
     m, ksub, dsub = books.shape
 
@@ -101,12 +104,14 @@ def pq_encode(
                     + (cents * cents).sum(1)[None, :]
                 )
                 codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
-            )
+            out = {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            for c in carry_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        encode, schema=f"{id_col} long, codes array<int>"
+    carry_schema = "".join(f", {c} int" for c in carry_cols)
+    return embeddings.select(id_col, vec_col, *carry_cols).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<int>{carry_schema}"
     )
 
 
@@ -158,6 +163,111 @@ def pq_topk(
                 out_ids.append(ids[part])
                 out_q.append(np.full(take, q, dtype=np.int32))
                 out_d.append(dist[part])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_ids),
+                    "approx_dist2": np.concatenate(out_d),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, schema=f"query_id int, {id_col} long, approx_dist2 double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist2").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ksub: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN stack — coarse k-means cells prune the
+    corpus to ~n_probe/n_cells of its rows per query, PQ/ADC ranks inside
+    the probed cells only. At 100 TB the cell id doubles as a physical
+    partition key (ivf.build_cell_index), the PQ codes are the only bytes
+    scanned, and per-candidate cost is m table gathers + adds.
+
+    Query vectors are corpus rows (query_ids), fetched with one bounded
+    prepass; query->probe-cell assignment happens driver-side over the
+    KB-sized centroid matrix (cosine, matching IVF's spherical k-means);
+    executors capture the (query, probed-cells) map in the UDF closure
+    and score a candidate only for queries probing its cell.
+
+    Returns (query_id, vec_id, approx_dist2, rank), rank 1..k per query,
+    query_id = position in ``query_ids``.
+    """
+    from . import ivf
+
+    cents = ivf.train_centroids(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    books = train_codebooks(
+        embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    )
+    with_cell = ivf.assign_cells(embeddings, cents, vec_col=vec_col)
+    codes = pq_encode(
+        with_cell, books, id_col=id_col, vec_col=vec_col, carry_cols=("cell",)
+    )
+
+    qrows = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    by_id = {r[id_col]: r[vec_col] for r in qrows}
+    Q = np.array([by_id[i] for i in query_ids], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(Qn @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+
+    mm, _, dsub = books.shape
+    nq = len(Q)
+    tabs = np.empty((nq, mm, ksub), dtype=np.float64)
+    for j in range(mm):
+        qs = Q[:, j * dsub : (j + 1) * dsub]
+        cb = books[j]
+        tabs[:, j, :] = (
+            (qs * qs).sum(1)[:, None]
+            - 2.0 * qs @ cb.T
+            + (cb * cb).sum(1)[None, :]
+        )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy())
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            out_ids, out_q, out_d = [], [], []
+            for q in range(nq):
+                mask = np.isin(cells, probe[q])
+                if not mask.any():
+                    continue
+                Cq = C[mask]
+                dist = tabs[q, np.arange(mm)[None, :], Cq].sum(axis=1)
+                take = min(k, len(dist))
+                part = np.argpartition(dist, take - 1)[:take]
+                out_ids.append(ids[mask][part])
+                out_q.append(np.full(take, q, dtype=np.int32))
+                out_d.append(dist[part])
+            if not out_ids:
+                continue
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),

@@ -737,3 +737,39 @@ def test_pq_recall_determinism_and_code_range(spark, embeddings):
     # per-query row count is exactly k with ranks 1..k
     assert (got.groupby("query_id")["rank"].max() == 10).all()
     assert (got.groupby("query_id").size() == 10).all()
+
+
+def test_ivf_pq_recall_and_subset(spark, embeddings):
+    """IVF-PQ recall@10 stays useful (>= 0.4 at 8/16 probes on isotropic
+    data — the hard case: cells barely cluster random vectors, so true
+    neighbors scatter across cells) and, with ALL cells probed, matches
+    plain PQ exactly (pruning is the only difference between paths)."""
+    from bytehub_spark.operators import pq
+
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    qids = [int(i) for i in np.sort(ids)[:5]]
+    id_to_row = {v: i for i, v in enumerate(ids)}
+    Q = X[[id_to_row[q] for q in qids]]
+
+    got = pq.ivf_pq_topk(embeddings, qids, k=10, n_probe=8).toPandas()
+    recs = []
+    for qi in range(5):
+        d2 = ((X - Q[qi]) ** 2).sum(1)
+        exact = set(ids[np.argsort(d2)[:10]])
+        approx = set(got[got["query_id"] == qi]["vec_id"])
+        recs.append(len(exact & approx) / 10)
+    assert sum(recs) / len(recs) >= 0.4, recs
+
+    # full-probe IVF-PQ == plain PQ (same codebooks/seed)
+    full = pq.ivf_pq_topk(
+        embeddings, qids, k=10, n_cells=16, n_probe=16
+    ).toPandas()
+    books = pq.train_codebooks(embeddings)
+    plain = pq.pq_topk(
+        pq.pq_encode(embeddings, books), books, Q, k=10
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), plain.reset_index(drop=True)
+    )
