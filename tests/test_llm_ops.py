@@ -773,3 +773,37 @@ def test_ivf_pq_recall_and_subset(spark, embeddings):
     pd.testing.assert_frame_equal(
         full.reset_index(drop=True), plain.reset_index(drop=True)
     )
+
+
+def test_pq_codes_cell_partitioned_store_prunes(spark, embeddings, tmp_path):
+    """The stored IVF-PQ layout: codes written partitioned by cell read
+    back with static partition pruning, and ADC over the pruned store
+    equals ADC over the in-memory codes for the probed cells."""
+    from bytehub_spark.operators import ivf, pq
+
+    cents = ivf.train_centroids(embeddings)
+    books = pq.train_codebooks(embeddings)
+    with_cell = ivf.assign_cells(embeddings, cents)
+    codes = pq.pq_encode(with_cell, books, carry_cols=("cell",))
+    path = str(tmp_path / "pq_codes")
+    codes.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+    stored = spark.read.parquet(path)
+    probe = [0, 3, 7]
+    pruned = stored.where(F.col("cell").isin(probe))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Q = X[:3]
+    got = pq.pq_topk(pruned.select("vec_id", "codes"), books, Q, k=5).toPandas()
+    mem = pq.pq_topk(
+        codes.where(F.col("cell").isin(probe)).select("vec_id", "codes"),
+        books,
+        Q,
+        k=5,
+    ).toPandas()
+    pd.testing.assert_frame_equal(got, mem)
