@@ -437,6 +437,34 @@ def zscore_outliers(events: DataFrame, n_sigma: float = 3.0) -> DataFrame:
     )
 
 
+def seasonal_baseline(events: DataFrame) -> DataFrame:
+    """(bt, bh, base_mean, base_std) hour-of-day baseline per event type —
+    the static side of seasonal anomaly detection, shared by the batch
+    operator below and streaming.stream_anomaly_filter (where it rides in
+    as a broadcast static frame against the live stream)."""
+    hod = F.hour(F.col("ts"))
+    q = F.round(F.col("value") * F.lit(1e6)).cast("decimal(20,0)")
+    base = (
+        events.groupBy(
+            F.col("event_type").alias("bt"), hod.alias("bh")
+        )
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(q).alias("__s"),
+            F.sum(q * q).alias("__sq"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    sq = F.col("__sq").cast("double")
+    return base.select(
+        "bt",
+        "bh",
+        (s / (n * F.lit(1e6))).alias("base_mean"),
+        (F.sqrt((sq - s * s / n) / n) / F.lit(1e6)).alias("base_std"),
+    )
+
+
 def seasonal_anomaly(events: DataFrame, n_sigma: float = 3.0) -> DataFrame:
     """Seasonality-aware anomaly detection: build an hour-of-day baseline
     (mean/std of value per (event_type, hour-of-day)) and flag events
@@ -455,26 +483,7 @@ def seasonal_anomaly(events: DataFrame, n_sigma: float = 3.0) -> DataFrame:
     flagging is a narrow filter. Output: anomalous rows only.
     """
     hod = F.hour(F.col("ts"))
-    q = F.round(F.col("value") * F.lit(1e6)).cast("decimal(20,0)")
-    base = (
-        events.groupBy(
-            F.col("event_type").alias("bt"), hod.alias("bh")
-        )
-        .agg(
-            F.count("*").alias("__n"),
-            F.sum(q).alias("__s"),
-            F.sum(q * q).alias("__sq"),
-        )
-    )
-    n = F.col("__n").cast("double")
-    s = F.col("__s").cast("double")
-    sq = F.col("__sq").cast("double")
-    base = base.select(
-        "bt",
-        "bh",
-        (s / (n * F.lit(1e6))).alias("base_mean"),
-        (F.sqrt((sq - s * s / n) / n) / F.lit(1e6)).alias("base_std"),
-    )
+    base = seasonal_baseline(events)
     dev = F.abs(F.col("value") - F.col("base_mean"))
     return (
         events.join(

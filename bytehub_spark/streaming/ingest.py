@@ -308,6 +308,42 @@ def stream_online_features(events: DataFrame, watermark: str = "1 hour"):
     )
 
 
+def stream_anomaly_filter(
+    events: DataFrame, baseline: DataFrame, n_sigma: float = 3.0
+) -> DataFrame:
+    """Streaming seasonal anomaly alerts: emit events deviating more than
+    ``n_sigma`` sigma from their (event_type, hour-of-day) baseline AS
+    THEY ARRIVE — the alerting twin of events_ops.seasonal_anomaly,
+    sharing its baseline builder (events_ops.seasonal_baseline over the
+    historical batch).
+
+    Stateless by design, like stream_decontaminate: the baseline is a
+    24 x |event_types| static frame broadcast to every task; the check is
+    one narrow join + filter — no watermark, no state store, no streaming
+    aggregation. Refresh cadence = however often the caller rebuilds the
+    baseline frame (hourly/daily batch job); the stream never recomputes
+    statistics.
+    """
+    hod = F.hour(F.col("ts"))
+    dev = F.abs(F.col("value") - F.col("base_mean"))
+    return (
+        events.join(
+            F.broadcast(baseline),
+            (F.col("event_type") == F.col("bt")) & (hod == F.col("bh")),
+        )
+        .where(dev > F.lit(n_sigma) * F.col("base_std"))
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "base_mean",
+            "base_std",
+        )
+    )
+
+
 def stream_dedup(
     events: DataFrame, watermark: str = "10 minutes", keys: Iterable[str] = ("event_id",)
 ) -> DataFrame:

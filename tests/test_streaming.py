@@ -397,3 +397,43 @@ def test_stream_decontaminate_vs_batch(spark, tmp_path):
     )
     flagged = set(got[got["is_contaminated"]]["doc_id"])
     assert {0, 10, 20, 30, 40, 50} <= flagged
+
+
+def test_stream_anomaly_filter_vs_batch(spark, tmp_path):
+    """Streaming seasonal-anomaly alerts equal the batch operator's flags
+    exactly when the baseline comes from the same history."""
+    from bytehub_spark.operators import events_ops
+    from bytehub_spark.sources import load_table
+
+    src = str(tmp_path / "ev_anom")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events", cache_small=False)
+    ev.repartition(3).write.parquet(src)
+    hist = spark.read.parquet(src)
+    baseline = events_ops.seasonal_baseline(hist).cache()
+
+    stream = st.stream_events(spark, src, max_files=2)
+    q = (
+        st.stream_anomaly_filter(stream, baseline)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("anom")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM anom")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        events_ops.seasonal_anomaly(hist)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)
