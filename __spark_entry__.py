@@ -341,6 +341,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C4-style duplicate-span accounting: non-overlapping word spans,
         # md5-compressed shuffle keys, two shuffles — exact oracle
         "doc_span_dedup": _q(text.span_dedup_stats, "documents"),
+        # BPE merge-candidate counting over the frequency-weighted vocab
+        # (pair stage is |vocab|-sized, sublinear in corpus) — exact oracle
+        "doc_bpe_pairs": _q(text.bpe_pair_counts, "documents"),
         # BM25 against a materialized postings index (the sparse-retrieval
         # scale path: term-bucket-partitioned store, query cost scales
         # with posting lists, not corpus) — bit-identical to doc_bm25_topk
@@ -369,6 +372,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_temperature_sample": _q(
             curation.temperature_sample_summary, "documents"
         ),
+        # the whole preprocessing funnel in one plan: dedup -> quality ->
+        # temperature rebalance, 4-row accounting — exact oracle
+        "cur_corpus_pipeline": _q(curation.corpus_pipeline_stats, "documents"),
         # per-(group, dim) mean embeddings: decimal accumulation makes the
         # centroid independent of row order/partitioning — exact oracle
         "emb_group_centroids": _q(similarity.group_centroids, "embeddings"),
@@ -1617,6 +1623,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bm25_score DESC, doc_id ASC
             LIMIT 20
         """,
+        "doc_bpe_pairs": """
+            WITH words AS (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ),
+            wf AS (
+                SELECT w, COUNT(*) AS wf FROM words
+                GROUP BY w HAVING len(w) >= 2
+            ),
+            pairs AS (
+                SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wf
+                FROM wf, unnest(range(1, len(w))) AS t(i)
+            )
+            SELECT pair, CAST(SUM(wf) AS BIGINT) AS n_occurrences
+            FROM pairs GROUP BY pair
+            ORDER BY n_occurrences DESC, pair ASC LIMIT 30
+        """,
         "doc_span_dedup": """
             WITH w AS (
                 SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -1764,6 +1786,77 @@ def oracle_sql() -> dict[str, str]:
                                          * 100000.0) AS BIGINT) AS DOUBLE)
                          / CAST(n_tokens AS DOUBLE)) AS sample_rate
             FROM q CROSS JOIN t ORDER BY lang
+        """,
+        "cur_corpus_pipeline": """
+            WITH tok AS (
+                SELECT doc_id, lang, text,
+                       len(string_split(text, ' ')) AS nw,
+                       len(list_distinct(string_split(text, ' '))) AS nd
+                FROM documents
+            ),
+            keeps AS (
+                SELECT MIN(doc_id) AS kid FROM documents
+                GROUP BY md5(trim(regexp_replace(lower(text),
+                                                 '\s+', ' ', 'g')))
+            ),
+            dedup AS (
+                SELECT t.* FROM tok t JOIN keeps ON t.doc_id = keeps.kid
+            ),
+            gated AS (
+                SELECT * FROM dedup
+                WHERE nw BETWEEN 30 AND 90
+                  AND CAST(nw - nd AS DOUBLE) / nw <= 0.75
+            ),
+            g AS (
+                SELECT lang, CAST(SUM(nw) AS BIGINT) AS n_tokens
+                FROM gated GROUP BY lang
+            ),
+            q AS (
+                SELECT lang, n_tokens,
+                       CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+                            AS DECIMAL(20,0)) AS wq
+                FROM g
+            ),
+            t AS (SELECT SUM(wq) AS wtot FROM q),
+            plan AS (
+                SELECT lang,
+                       least(CAST(1.0 AS DOUBLE),
+                             CAST(CAST(floor((CAST(wq AS DOUBLE)
+                                              / CAST(wtot AS DOUBLE))
+                                             * 50000.0) AS BIGINT)
+                                  AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE)) AS rate
+                FROM q CROSS JOIN t
+            ),
+            thr AS (
+                SELECT lang, rate,
+                       printf('%08x',
+                              CAST(floor(rate
+                                         * CAST(4294967296 AS DOUBLE))
+                                   AS BIGINT)) AS h
+                FROM plan
+            ),
+            sampled AS (
+                SELECT gated.* FROM gated JOIN thr
+                  ON gated.lang = thr.lang
+                WHERE rate >= 1.0
+                   OR substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                 || gated.lang), 1, 8) < h
+            )
+            SELECT * FROM (
+                SELECT 0 AS stage_no, 'raw' AS stage,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(nw) AS BIGINT) AS n_tokens FROM tok
+                UNION ALL
+                SELECT 1, 'dedup', COUNT(*), CAST(SUM(nw) AS BIGINT)
+                FROM dedup
+                UNION ALL
+                SELECT 2, 'quality', COUNT(*), CAST(SUM(nw) AS BIGINT)
+                FROM gated
+                UNION ALL
+                SELECT 3, 'sampled', COUNT(*), CAST(SUM(nw) AS BIGINT)
+                FROM sampled
+            ) ORDER BY stage_no
         """,
         "cur_temperature_sample": """
             WITH g AS (

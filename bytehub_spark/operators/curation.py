@@ -280,6 +280,46 @@ def temperature_mix_plan(
     )
 
 
+def temperature_sample_kept(
+    documents: DataFrame,
+    token_budget: int = 100_000,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The kept rows of the end-to-end temperature rebalance (see
+    temperature_sample_summary for the full contract): input columns plus
+    ``sample_rate``; ``__thr`` is internal and dropped."""
+    plan = temperature_mix_plan(documents, token_budget, group_col)
+    thr = F.lpad(
+        F.lower(
+            F.hex(
+                F.floor(
+                    F.col("sample_rate") * F.lit(float(16**8))
+                ).cast("bigint")
+            )
+        ),
+        8,
+        "0",
+    )
+    rates = F.broadcast(
+        plan.select(group_col, "sample_rate", thr.alias("__thr"))
+    )
+    digest = F.substring(
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":"), F.col(group_col)
+            )
+        ),
+        1,
+        8,
+    )
+    return (
+        documents.join(rates, group_col)
+        .where((F.col("sample_rate") >= 1.0) | (digest < F.col("__thr")))
+        .drop("__thr")
+    )
+
+
 def temperature_sample_summary(
     documents: DataFrame,
     token_budget: int = 100_000,
@@ -305,34 +345,7 @@ def temperature_sample_summary(
     bypass the compare (its threshold needs 9 hex digits and lpad would
     truncate the most significant one).
     """
-    plan = temperature_mix_plan(documents, token_budget, group_col)
-    thr = F.lpad(
-        F.lower(
-            F.hex(
-                F.floor(
-                    F.col("sample_rate") * F.lit(float(16**8))
-                ).cast("bigint")
-            )
-        ),
-        8,
-        "0",
-    )
-    rates = F.broadcast(
-        plan.select(group_col, "sample_rate", thr.alias("__thr"))
-    )
-    digest = F.substring(
-        F.md5(
-            F.concat(
-                F.col(id_col).cast("string"), F.lit(":"), F.col(group_col)
-            )
-        ),
-        1,
-        8,
-    )
-    kept = (
-        documents.join(rates, group_col)
-        .where((F.col("sample_rate") >= 1.0) | (digest < F.col("__thr")))
-    )
+    kept = temperature_sample_kept(documents, token_budget, group_col, id_col)
     return (
         kept.groupBy(group_col, "sample_rate")
         .agg(
@@ -340,6 +353,62 @@ def temperature_sample_summary(
             F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens_kept"),
         )
         .orderBy(group_col)
+    )
+
+
+def corpus_pipeline_stats(
+    documents: DataFrame,
+    token_budget: int = 50_000,
+    min_words: int = 30,
+    max_words: int = 90,
+    max_dup_word_ratio: float = 0.75,
+) -> DataFrame:
+    """The whole preprocessing funnel as ONE lazy plan, with per-stage
+    accounting: raw -> exact dedup (min-id representative per normalized
+    md5) -> structural quality gate (word count + duplicate-word ratio)
+    -> sqrt-temperature rebalance. Returns (stage_no, stage, n_docs,
+    n_tokens) — the four-row funnel report every corpus build publishes.
+
+    Each stage only narrows the previous one, so Catalyst pushes the
+    dedup semi-join and the quality predicates into one scan pipeline;
+    the only shuffles are the dedup fingerprint agg, the per-group token
+    agg inside the temperature planner, and four tiny accounting aggs.
+    All keep rules are content-keyed (md5) — rerunning on a grown corpus
+    reproduces the same per-doc decisions.
+    """
+    from .dedup import exact_dedup
+
+    tok = F.size(F.split(F.col("text"), " "))
+
+    def acct(df: DataFrame, no: int, stage: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tok).cast("bigint").alias("n_tokens"),
+        ).select(
+            F.lit(no).alias("stage_no"),
+            F.lit(stage).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    keeps = exact_dedup(documents).select("keep_id")
+    deduped = documents.join(
+        keeps, documents["doc_id"] == keeps["keep_id"], "leftsemi"
+    )
+    nw = F.size(F.split(F.col("text"), " "))
+    nd = F.size(F.array_distinct(F.split(F.col("text"), " ")))
+    gated = deduped.where(
+        (nw >= min_words)
+        & (nw <= max_words)
+        & ((nw - nd).cast("double") / nw <= max_dup_word_ratio)
+    )
+    sampled = temperature_sample_kept(gated, token_budget)
+    return (
+        acct(documents, 0, "raw")
+        .unionByName(acct(deduped, 1, "dedup"))
+        .unionByName(acct(gated, 2, "quality"))
+        .unionByName(acct(sampled, 3, "sampled"))
+        .orderBy("stage_no")
     )
 
 

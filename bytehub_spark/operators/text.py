@@ -545,6 +545,48 @@ def span_dedup_stats(
     )
 
 
+def bpe_pair_counts(
+    documents: DataFrame,
+    k: int = 30,
+) -> DataFrame:
+    """First step of BPE tokenizer training at corpus scale: count
+    adjacent character pairs across the corpus and return the top-k merge
+    candidates (Sennrich et al. 2016). The real-trainer formulation: pair
+    counting runs over the DISTINCT-word vocabulary weighted by word
+    frequency — the corpus-sized stage is just a word count (map-side
+    combined), and the bigram explode touches |vocab| rows, which is
+    sublinear in corpus size (Heaps' law). A full BPE train iterates
+    this: merge the top pair, re-derive, repeat.
+
+    Bigrams come from substring(w, i, 2) directly — no char-array
+    explode. Words shorter than 2 chars emit nothing (and would make the
+    sequence() stop 0 -> descending-sequence error).
+
+    Output: (pair, n_occurrences) — integer counts, exact oracle.
+    """
+    words = documents.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    wf = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("wf"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = wf.select(
+        "wf",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
 def curation_pipeline(
     documents: DataFrame, min_quality: float = 0.5
 ) -> DataFrame:

@@ -103,3 +103,18 @@ def test_temperature_sample_consistent_with_stratified(spark):
         assert summary.loc[row["lang"], "n_docs_kept"] == row["count"]
     # budget respected in expectation: kept tokens <= ~budget + slack
     assert summary["n_tokens_kept"].sum() < 3 * budget
+
+
+def test_corpus_pipeline_funnel_monotone(spark):
+    """Each stage only narrows: docs/tokens non-increasing, raw matches
+    the table, sampled tokens land near the budget."""
+    from bytehub_spark.operators import curation
+    from bytehub_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = curation.corpus_pipeline_stats(docs, token_budget=2000).toPandas()
+    assert list(got["stage"]) == ["raw", "dedup", "quality", "sampled"]
+    assert (got["n_docs"].diff().dropna() <= 0).all()
+    assert (got["n_tokens"].diff().dropna() <= 0).all()
+    assert got.iloc[0]["n_docs"] == docs.count()
+    assert got.iloc[3]["n_tokens"] <= 3 * 2000
