@@ -428,6 +428,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_metadata_stats": lambda spark, sf: multimodal.metadata_stats(
             multimodal.media_from_documents(load_table(spark, sf, "documents"))
         ),
+        # audio chunk scheduling from metadata: narrow explode, zero
+        # shuffles, pure integer arithmetic — exact oracle
+        "mm_chunk_audio": lambda spark, sf: multimodal.chunk_audio_plan(
+            multimodal.media_from_documents(
+                load_table(spark, sf, "documents")
+            )
+        ),
         # --- LLM-pipeline: similarity search ---
         "emb_cosine_topk": lambda spark, sf: similarity.cosine_topk(
             load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
@@ -1976,6 +1983,24 @@ def oracle_sql() -> dict[str, str]:
                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
                     4) >= 0.4
             ORDER BY id_a, id_b
+        """,
+        "mm_chunk_audio": """
+            WITH a AS (
+                SELECT doc_id AS media_id,
+                       CAST(1000 + (doc_id % 10) * 500 AS BIGINT)
+                           AS duration_ms,
+                       16000 AS sample_rate
+                FROM documents WHERE doc_id % 3 = 1
+            )
+            SELECT media_id,
+                   CAST(start_ms / 300 AS INTEGER) AS chunk_idx,
+                   start_ms,
+                   least(start_ms + 400, duration_ms) AS end_ms,
+                   ((least(start_ms + 400, duration_ms) - start_ms)
+                    * sample_rate) // 1000 AS n_samples
+            FROM a,
+                 unnest(range(0, duration_ms, 300)) AS t(start_ms)
+            ORDER BY media_id, chunk_idx
         """,
         "mm_featurize_bytes": """
             SELECT doc_id AS media_id,

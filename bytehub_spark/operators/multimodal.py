@@ -194,6 +194,51 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
     return media.where(F.col("kind") == "video").mapInPandas(run, schema=schema)
 
 
+def chunk_audio_plan(
+    media: DataFrame, chunk_ms: int = 400, overlap_ms: int = 100
+) -> DataFrame:
+    """Chunking plan for audio rows: overlapping windows of ``chunk_ms``
+    every ``chunk_ms - overlap_ms``, clamped to the clip — the schedule a
+    speech/audio featurizer consumes (each chunk becomes one model call;
+    n_samples sizes the decode buffer). Plan only — no decoding — so it
+    is pure integer arithmetic over the metadata columns and exactly
+    SQL-oracle-able, like the rest of the multimodal plumbing.
+
+    Scale shape: one narrow explode of ~duration/stride rows per clip;
+    no shuffle at all (the presentation sort is the only exchange).
+    """
+    stride = chunk_ms - overlap_ms
+    assert stride > 0, "overlap must be smaller than the chunk"
+    a = media.where(
+        (F.col("kind") == "audio") & F.col("duration_ms").isNotNull()
+    )
+    out = a.select(
+        "media_id",
+        "duration_ms",
+        "sample_rate",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("duration_ms") - 1,
+                F.lit(stride).cast("long"),
+            )
+        ).alias("start_ms"),
+    )
+    end = F.least(
+        F.col("start_ms") + F.lit(chunk_ms), F.col("duration_ms")
+    )
+    return out.select(
+        "media_id",
+        (F.col("start_ms") / stride).cast("int").alias("chunk_idx"),
+        "start_ms",
+        end.alias("end_ms"),
+        F.expr(
+            "((least(start_ms + {c}, duration_ms) - start_ms)"
+            " * sample_rate) div 1000".format(c=chunk_ms)
+        ).alias("n_samples"),
+    ).orderBy("media_id", "chunk_idx")
+
+
 def metadata_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate: never touches the binary column (column
     pruning keeps the blobs out of the scan — verify via ReadSchema)."""
