@@ -361,6 +361,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hour-of-day baseline anomaly flags: 24x|types| broadcast
         # baseline from exact integer sums, narrow filter — exact oracle
         "ts_seasonal_anomaly": _q(events_ops.seasonal_anomaly, "events"),
+        # OHLC bars: one shuffle, both tie-broken row_number windows share
+        # the exchange, decimal volume — exact oracle
+        "ts_ohlc_bars": _q(events_ops.ohlc_bars, "events"),
         # per-dimension embedding health stats (collapsed/dead dims):
         # quantized integer sums, one dim-keyed shuffle — exact oracle
         "emb_dim_stats": _q(similarity.dim_stats, "embeddings"),
@@ -1698,6 +1701,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lv
             GROUP BY resolution, bucket_ts, event_type
             ORDER BY resolution, bucket_ts, event_type
+        """,
+        "ts_ohlc_bars": """
+            WITH ev AS (
+                SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+                       ts, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY date_trunc('hour', ts), event_type
+                           ORDER BY ts ASC, event_id ASC) AS ra,
+                       row_number() OVER (
+                           PARTITION BY date_trunc('hour', ts), event_type
+                           ORDER BY ts DESC, event_id DESC) AS rd
+                FROM events
+            )
+            SELECT bucket_ts, event_type,
+                   MAX(CASE WHEN ra = 1 THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN rd = 1 THEN value END) AS close,
+                   COUNT(*) AS n_ticks,
+                   CAST(SUM(CAST(round(value * 1e6) AS DECIMAL(20,0)))
+                        AS DOUBLE) / 1e6 AS volume
+            FROM ev GROUP BY bucket_ts, event_type
+            ORDER BY bucket_ts, event_type
         """,
         "ts_seasonal_anomaly": """
             WITH base AS (

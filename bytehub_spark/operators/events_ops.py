@@ -408,6 +408,46 @@ def rollup_pyramid(events: DataFrame) -> DataFrame:
     )
 
 
+def ohlc_bars(events: DataFrame, unit: str = "hour") -> DataFrame:
+    """OHLC bars: open/high/low/close + volume per (time bucket,
+    event_type) — the financial-tick aggregation every timeseries store
+    ships. Open/close are the first/last values by (ts, event_id) — the
+    event_id tiebreak makes bars deterministic when two ticks share a
+    timestamp (common at exchange feeds' granularity).
+
+    Scale shape: ONE shuffle on (bucket, event_type); both row_number
+    windows share that partitioning (asc + desc order over the same
+    exchange — Spark reuses it), and the final groupBy is map-side
+    combined on the already-co-partitioned data. Volume is the
+    1e-6-quantized exact decimal sum (order-independent, engine-exact).
+    """
+    b = F.date_trunc(unit, F.col("ts"))
+    ev = events.select(
+        b.alias("bucket_ts"), "event_type", "ts", "event_id", "value"
+    )
+    w_asc = Window.partitionBy("bucket_ts", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_desc = Window.partitionBy("bucket_ts", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    q = F.round(F.col("value") * F.lit(1e6)).cast("decimal(20,0)")
+    return (
+        ev.withColumn("__ra", F.row_number().over(w_asc))
+        .withColumn("__rd", F.row_number().over(w_desc))
+        .groupBy("bucket_ts", "event_type")
+        .agg(
+            F.max(F.when(F.col("__ra") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("__rd") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("n_ticks"),
+            (F.sum(q).cast("double") / F.lit(1e6)).alias("volume"),
+        )
+        .orderBy("bucket_ts", "event_type")
+    )
+
+
 def zscore_outliers(events: DataFrame, n_sigma: float = 3.0) -> DataFrame:
     """Per-user anomaly flags: events more than n_sigma population standard
     deviations from the user's mean.

@@ -114,3 +114,25 @@ def test_rollup_pyramid_cascade_equals_direct(spark):
     # telescoping: each level's event total is the same
     tot = pyr.groupby("resolution")["n_events"].sum()
     assert tot["1m"] == tot["1h"] == tot["1d"] == ev.count()
+
+
+def test_ohlc_bars_tie_break_deterministic(spark):
+    """Two ticks at the same timestamp: open/close resolve by event_id."""
+    from pyspark.sql import functions as F
+
+    from bytehub_spark.operators import events_ops
+
+    rows = [
+        (2, "2024-01-01 10:00:05", "trade", 7.0),
+        (1, "2024-01-01 10:00:05", "trade", 3.0),
+        (3, "2024-01-01 10:30:00", "trade", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "s", "event_type", "value"]
+    ).select("event_id", F.col("s").cast("timestamp").alias("ts"), "event_type", "value")
+    got = events_ops.ohlc_bars(ev).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["open"] == 3.0 and r["close"] == 5.0
+    assert r["high"] == 7.0 and r["low"] == 3.0
+    assert r["n_ticks"] == 3 and r["volume"] == 15.0
