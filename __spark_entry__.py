@@ -364,6 +364,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OHLC bars: one shuffle, both tie-broken row_number windows share
         # the exchange, decimal volume — exact oracle
         "ts_ohlc_bars": _q(events_ops.ohlc_bars, "events"),
+        # per-user gap detection (lag window, epoch-double gap values,
+        # microsecond-exact cross-engine) — exact oracle
+        "ts_gap_report": _q(events_ops.gap_report, "events"),
+        # first-touch attribution (complement of the as-of last-click):
+        # user-keyed range join + per-purchase window — exact oracle
+        "ts_first_touch": _q(events_ops.first_touch_attribution, "events"),
         # per-dimension embedding health stats (collapsed/dead dims):
         # quantized integer sums, one dim-keyed shuffle — exact oracle
         "emb_dim_stats": _q(similarity.dim_stats, "embeddings"),
@@ -1701,6 +1707,45 @@ def oracle_sql() -> dict[str, str]:
             FROM lv
             GROUP BY resolution, bucket_ts, event_type
             ORDER BY resolution, bucket_ts, event_type
+        """,
+        "ts_first_touch": """
+            WITH p AS (
+                SELECT user_id, ts AS p_ts, event_id AS p_id,
+                       value AS p_value
+                FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id
+                FROM events WHERE event_type = 'click'
+            ),
+            j AS (
+                SELECT p.*, c_ts, c_id,
+                       row_number() OVER (
+                           PARTITION BY p_id
+                           ORDER BY c_ts ASC, c_id ASC) AS rn
+                FROM p JOIN c ON p.user_id = c.c_user
+                  AND c_ts <= p_ts
+                  AND c_ts >= p_ts - INTERVAL 1 DAY
+            )
+            SELECT user_id, p_id AS purchase_id, p_ts AS purchase_ts,
+                   p_value AS purchase_value,
+                   c_id AS first_click_id, c_ts AS first_click_ts,
+                   epoch(p_ts) - epoch(c_ts) AS attribution_lag_s
+            FROM j WHERE rn = 1 ORDER BY purchase_id
+        """,
+        "ts_gap_report": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC) AS prev
+                FROM events
+            )
+            SELECT user_id, prev AS gap_start, ts AS gap_end,
+                   epoch(ts) - epoch(prev) AS gap_seconds
+            FROM o
+            WHERE prev IS NOT NULL
+              AND epoch(ts) - epoch(prev) > 21600.0
+            ORDER BY user_id, gap_start
         """,
         "ts_ohlc_bars": """
             WITH ev AS (

@@ -213,6 +213,55 @@ def purchases_with_last_click(events: DataFrame) -> DataFrame:
     return joined.select("user_id", "time", "event_id", "value", "click_value_right")
 
 
+def first_touch_attribution(events: DataFrame, lookback: str = "1 day") -> DataFrame:
+    """First-touch attribution: each purchase is credited to the user's
+    EARLIEST click within the lookback window before it — the complement
+    of the as-of join (purchases_with_last_click credits the LATEST).
+    Only attributed purchases are returned (inner window join).
+
+    Scale shape: both sides hash-partition on user_id, the range
+    predicate rides the sort-merge join as a join filter, and the
+    first-click pick is a row_number window partitioned by purchase id
+    (ties by click id — deterministic). The attribution lag is an
+    epoch-double difference, microsecond-exact cross-engine.
+    """
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.col("c_ts").asc(), F.col("c_id").asc()
+    )
+    lag_s = F.col("p_ts").cast("double") - F.col("c_ts").cast("double")
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("p_id").alias("purchase_id"),
+            F.col("p_ts").alias("purchase_ts"),
+            F.col("p_value").alias("purchase_value"),
+            F.col("c_id").alias("first_click_id"),
+            F.col("c_ts").alias("first_click_ts"),
+            lag_s.alias("attribution_lag_s"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 def rollup_counts(events: DataFrame) -> DataFrame:
     """Hypertable-style rollup: counts and sums at (event_type, day),
     (event_type), and grand-total grain in ONE pass (partial aggregation
@@ -445,6 +494,34 @@ def ohlc_bars(events: DataFrame, unit: str = "hour") -> DataFrame:
             (F.sum(q).cast("double") / F.lit(1e6)).alias("volume"),
         )
         .orderBy("bucket_ts", "event_type")
+    )
+
+
+def gap_report(events: DataFrame, threshold_s: float = 21600.0) -> DataFrame:
+    """Data-gap detection: per-user pairs of consecutive events further
+    apart than ``threshold_s`` seconds — the monitoring query behind
+    "sensor went dark" alerts and backfill planning.
+
+    Scale shape: one shuffle on user_id for the lag window (partitioned —
+    no global collapse), then a narrow filter; output is gaps only.
+    Gap seconds are epoch-double differences (microsecond-exact:
+    ts_us / 1e6 is the same correctly-rounded double in every engine —
+    the sessionize gap rule, here surfaced as a value).
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts").cast("double") - F.col("__prev").cast("double")
+    return (
+        events.withColumn("__prev", F.lag("ts").over(w))
+        .where(F.col("__prev").isNotNull() & (gap > threshold_s))
+        .select(
+            "user_id",
+            F.col("__prev").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            gap.alias("gap_seconds"),
+        )
+        .orderBy("user_id", "gap_start")
     )
 
 

@@ -5,6 +5,7 @@ bitemporal loads → resample → transform) with a DuckDB oracle."""
 import duckdb
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from bytehub_spark.sources import load_table
@@ -136,3 +137,57 @@ def test_ohlc_bars_tie_break_deterministic(spark):
     assert r["open"] == 3.0 and r["close"] == 5.0
     assert r["high"] == 7.0 and r["low"] == 3.0
     assert r["n_ticks"] == 3 and r["volume"] == 15.0
+
+
+def test_gap_report_threshold_boundary(spark):
+    """Gaps strictly greater than the threshold are reported; equal-to
+    is not; values carry microsecond precision."""
+    from pyspark.sql import functions as F
+
+    from bytehub_spark.operators import events_ops
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 06:00:00"),          # exactly 21600s: no gap
+        (3, 1, "2024-01-01 12:00:00.000001"),   # 21600.000001s: gap
+        (4, 2, "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "s"]).select(
+        "event_id", "user_id", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = events_ops.gap_report(ev).toPandas()
+    assert len(got) == 1
+    assert got.iloc[0]["user_id"] == 1
+    # epoch doubles near 1.7e9 resolve to ~4.8e-7 s; both engines round
+    # identically (the oracle hash-matches) — assert the gap cleared the
+    # threshold by about the planted microsecond
+    g = got.iloc[0]["gap_seconds"]
+    assert 21600.0 < g == pytest.approx(21600.000001, abs=1e-5)
+
+
+def test_first_touch_vs_last_click(spark):
+    """First-touch credits the earliest in-window click; clicks outside
+    the lookback or after the purchase never attribute."""
+    from pyspark.sql import functions as F
+
+    from bytehub_spark.operators import events_ops
+
+    rows = [
+        (1, 1, "click", "2023-12-30 09:00:00", 1.0),   # outside lookback
+        (2, 1, "click", "2024-01-01 09:00:00", 2.0),   # first in window
+        (3, 1, "click", "2024-01-01 11:00:00", 3.0),   # later in window
+        (4, 1, "purchase", "2024-01-01 12:00:00", 9.0),
+        (5, 1, "click", "2024-01-01 13:00:00", 4.0),   # after purchase
+        (6, 2, "purchase", "2024-01-01 12:00:00", 8.0),  # no clicks
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "s", "value"]
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("s").cast("timestamp").alias("ts"), "value",
+    )
+    got = events_ops.first_touch_attribution(ev).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["purchase_id"] == 4 and r["first_click_id"] == 2
+    assert r["attribution_lag_s"] == 3 * 3600.0
