@@ -370,6 +370,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-touch attribution (complement of the as-of last-click):
         # user-keyed range join + per-purchase window — exact oracle
         "ts_first_touch": _q(events_ops.first_touch_attribution, "events"),
+        # level-shift changepoints: symmetric rolling decimal means over
+        # one user-keyed sort, full-frame positions only — exact oracle
+        "ts_level_shifts": _q(events_ops.level_shifts, "events"),
         # per-dimension embedding health stats (collapsed/dead dims):
         # quantized integer sums, one dim-keyed shuffle — exact oracle
         "emb_dim_stats": _q(similarity.dim_stats, "embeddings"),
@@ -1707,6 +1710,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lv
             GROUP BY resolution, bucket_ts, event_type
             ORDER BY resolution, bucket_ts, event_type
+        """,
+        "ts_level_shifts": """
+            WITH d AS (
+                SELECT user_id, event_id, ts,
+                       COUNT(*) OVER wpre AS nb,
+                       COUNT(*) OVER wpost AS na,
+                       CAST(SUM(CAST(round(value * 1e6) AS DECIMAL(20,0)))
+                            OVER wpre AS DOUBLE) / (5.0 * 1e6) AS pre_mean,
+                       CAST(SUM(CAST(round(value * 1e6) AS DECIMAL(20,0)))
+                            OVER wpost AS DOUBLE) / (5.0 * 1e6) AS post_mean
+                FROM events
+                WINDOW
+                    wpre AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+                    wpost AS (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+            )
+            SELECT user_id, event_id, ts, pre_mean, post_mean,
+                   post_mean - pre_mean AS shift
+            FROM d
+            WHERE nb = 5 AND na = 5
+              AND abs(post_mean - pre_mean) > CAST(20.0 AS DOUBLE)
+            ORDER BY user_id, event_id
         """,
         "ts_first_touch": """
             WITH p AS (

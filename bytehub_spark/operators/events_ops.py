@@ -262,6 +262,61 @@ def first_touch_attribution(events: DataFrame, lookback: str = "1 day") -> DataF
     )
 
 
+def level_shifts(
+    events: DataFrame, w: int = 5, threshold: float = 20.0
+) -> DataFrame:
+    """Level-shift (changepoint) detection: for each event in a user's
+    ordered series, compare the mean of the ``w`` values BEFORE it with
+    the mean of the ``w`` values starting AT it; flag positions where the
+    level jumps by more than ``threshold``. The window-expressible
+    changepoint detector (CUSUM's nonlinear recursion cannot run in a
+    window; symmetric rolling means can, and catch the same step
+    changes).
+
+    Exactness: both rolling sums are exact integer sums of 1e-6-quantized
+    values over deterministic (ts, event_id)-ordered row frames, means
+    divide by the constant w — bit-exact cross-engine. Only positions
+    with both frames full are scored (no partial-window noise).
+
+    Scale shape: one shuffle on user_id; both frames ride the same sort
+    (rows-frame windows, partitioned — no global collapse); output is
+    flagged rows only.
+    """
+    q = F.round(F.col("value") * F.lit(1e6)).cast("decimal(20,0)")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_pre = (
+        Window.partitionBy("user_id").orderBy(*order).rowsBetween(-w, -1)
+    )
+    w_post = (
+        Window.partitionBy("user_id").orderBy(*order).rowsBetween(0, w - 1)
+    )
+    pre_mean = F.sum(q).over(w_pre).cast("double") / F.lit(float(w) * 1e6)
+    post_mean = F.sum(q).over(w_post).cast("double") / F.lit(float(w) * 1e6)
+    d = (
+        events.withColumn("__nb", F.count("*").over(w_pre))
+        .withColumn("__na", F.count("*").over(w_post))
+        .withColumn("__pre", pre_mean)
+        .withColumn("__post", post_mean)
+    )
+    shift = F.col("__post") - F.col("__pre")
+    return (
+        d.where(
+            (F.col("__nb") == w)
+            & (F.col("__na") == w)
+            & (F.abs(shift) > threshold)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("__pre").alias("pre_mean"),
+            F.col("__post").alias("post_mean"),
+            shift.alias("shift"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def rollup_counts(events: DataFrame) -> DataFrame:
     """Hypertable-style rollup: counts and sums at (event_type, day),
     (event_type), and grand-total grain in ONE pass (partial aggregation

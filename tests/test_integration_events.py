@@ -191,3 +191,27 @@ def test_first_touch_vs_last_click(spark):
     r = got.iloc[0]
     assert r["purchase_id"] == 4 and r["first_click_id"] == 2
     assert r["attribution_lag_s"] == 3 * 3600.0
+
+
+def test_level_shifts_detects_planted_step(spark):
+    """A flat-10 to flat-50 step is flagged exactly at the jump; a flat
+    series produces nothing."""
+    from bytehub_spark.operators import events_ops
+
+    rows = [
+        (i, 1, f"2024-01-01 00:{i:02d}:00", 10.0 if i < 10 else 50.0)
+        for i in range(20)
+    ] + [(100 + i, 2, f"2024-01-01 01:{i:02d}:00", 7.0) for i in range(20)]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "s", "value"]
+    ).select(
+        "event_id", "user_id", F.col("s").cast("timestamp").alias("ts"),
+        F.lit("m").alias("event_type"), "value",
+    )
+    got = events_ops.level_shifts(ev, w=5, threshold=20.0).toPandas()
+    assert set(got["user_id"]) == {1}
+    # positions whose frames straddle the step all clear the threshold
+    # (a contiguous band); the TRUE changepoint is the argmax shift
+    assert list(got["event_id"]) == [8, 9, 10, 11, 12]
+    peak = got.loc[got["shift"].abs().idxmax()]
+    assert peak["event_id"] == 10 and peak["shift"] == 40.0
