@@ -277,6 +277,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM-pipeline: dedup ---
         "dedup_exact": _q(dedup.exact_dedup, "documents"),
         "dedup_ngram_jaccard": _q(dedup.ngram_jaccard_pairs, "documents"),
+        # asymmetric containment |A∩B|/min(|A|,|B|): short-doc-inside-
+        # long-doc detection, same inverted-index plan — exact oracle
+        "dedup_containment": _q(dedup.containment_pairs, "documents"),
         "dedup_minhash_lsh": _q(dedup.minhash_lsh_pairs, "documents"),  # rows-only
         "dedup_simhash": _q(dedup.simhash64, "documents"),  # rows-only
         "dedup_embedding_cosine": lambda spark, sf: dedup.embedding_cosine_dups(
@@ -394,6 +397,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # centroids; 1e-6 re-quantization makes the dots exact decimal
         # sums — exact oracle over KB-sized centroid tables
         "emb_label_affinity": _q(similarity.label_affinity, "embeddings"),
+        # top-k farthest-from-own-centroid vectors (label-noise audit):
+        # exact quantized distances, broadcast centroids — exact oracle
+        "emb_label_outliers": _q(similarity.label_outliers, "embeddings"),
         # distributed PCA: per-batch partial Grams -> bounded driver
         # combine -> eigh -> broadcast GEMM projection; eigendecomposition
         # is not SQL-expressible -> rows-only gate (like emb_ivf_topk)
@@ -2006,6 +2012,40 @@ def oracle_sql() -> dict[str, str]:
                          1, 8) < h
             GROUP BY d.lang, sample_rate ORDER BY d.lang
         """,
+        "emb_label_outliers": """
+            WITH ex AS (
+                SELECT vec_id, label, CAST(t.i - 1 AS INTEGER) AS dim,
+                       embedding[t.i] AS v
+                FROM embeddings,
+                     unnest(range(1, len(embedding) + 1)) AS t(i)
+            ),
+            cent AS (
+                SELECT label, dim,
+                       CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1e12)
+                                     AS DECIMAL(20,0))) AS DOUBLE)
+                           / (CAST(count(*) AS DOUBLE) * 1e12)
+                           AS centroid_val
+                FROM ex GROUP BY label, dim
+            ),
+            cq AS (
+                SELECT label AS c_g, dim AS c_dim,
+                       CAST(round(centroid_val * 1e6) AS DECIMAL(18,0)) AS qc
+                FROM cent
+            ),
+            d AS (
+                SELECT vec_id, ex.label,
+                       SUM((CAST(round(CAST(v AS DOUBLE) * 1e6)
+                                 AS DECIMAL(18,0)) - qc)
+                           * (CAST(round(CAST(v AS DOUBLE) * 1e6)
+                                   AS DECIMAL(18,0)) - qc)) AS d2
+                FROM ex JOIN cq ON ex.label = cq.c_g AND ex.dim = cq.c_dim
+                GROUP BY vec_id, ex.label
+            )
+            SELECT vec_id, label,
+                   sqrt(CAST(d2 AS DOUBLE)) / 1e6 AS centroid_dist
+            FROM d
+            ORDER BY centroid_dist DESC, vec_id ASC LIMIT 20
+        """,
         "emb_label_affinity": """
             WITH ex AS (
                 SELECT label, CAST(t.i - 1 AS INTEGER) AS dim,
@@ -2041,6 +2081,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.g = label_a
             JOIN norms nb ON nb.g = label_b
             ORDER BY label_a, label_b
+        """,
+        "dedup_containment": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE len(string_split(text, ' ')) >= 3
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, len(ws) - 2),
+                    i -> array_to_string(ws[i + 1 : i + 3], ' ')))) AS shingle
+                FROM w
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(i AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+            ORDER BY doc_a, doc_b
         """,
         "dedup_ngram_jaccard": """
             WITH w AS (

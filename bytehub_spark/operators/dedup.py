@@ -66,33 +66,16 @@ def shingle_sets(
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_source(
     documents: DataFrame,
-    threshold: float = 0.2,
-    n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_doc_freq: int | None = None,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_doc_freq: int | None,
 ) -> DataFrame:
-    """Exact Jaccard similarity over word n-gram shingles, via inverted index.
-
-    Self-join on the shingle (cost ∝ Σ freq²), then jaccard = |∩| / |∪|.
-    Integer-derived division — exact cross-engine.
-
-    ``max_doc_freq`` is the scale knob: shingles appearing in more than
-    that many docs are dropped from PAIR GENERATION only (their quadratic
-    blow-up dominates Σ f² while contributing little discrimination — the
-    classic df-cut). Sizes still count every shingle, so jaccard becomes a
-    slight underestimate for pairs whose overlap was mostly stopword-like
-    shingles. None (default) = fully exact, matches the DuckDB oracle.
-
-    Plan shape: each doc's DISTINCT shingle count rides along through the
-    explode (one extra int per row), so there is no separate sizes
-    aggregation and no join of the pair frame back to it — the whole op
-    is explode → (optional df-cut) → one self-join → one groupBy. At any
-    scale that removes one shuffle and two shuffle-joins vs the textbook
-    inverted-index formulation.
-    """
+    """Exploded distinct-shingle frame (id, n_sh, shingle), persisted,
+    with the optional df-cut applied — the input both pair generators
+    self-join on."""
     from ..plans import ensure_parallelism
 
     df = ensure_parallelism(documents).withColumn(
@@ -121,12 +104,56 @@ def ngram_jaccard_pairs(
             .where(F.col("df") <= max_doc_freq)
             .select("shingle")
         )
-        pair_src = sh.join(rare, "shingle")
-    else:
-        pair_src = sh
+        return sh.join(rare, "shingle")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingles, via inverted index.
+
+    Self-join on the shingle (cost ∝ Σ freq²), then jaccard = |∩| / |∪|.
+    Integer-derived division — exact cross-engine.
+
+    ``max_doc_freq`` is the scale knob: shingles appearing in more than
+    that many docs are dropped from PAIR GENERATION only (their quadratic
+    blow-up dominates Σ f² while contributing little discrimination — the
+    classic df-cut). Sizes still count every shingle, so jaccard becomes a
+    slight underestimate for pairs whose overlap was mostly stopword-like
+    shingles. None (default) = fully exact, matches the DuckDB oracle.
+
+    Plan shape: each doc's DISTINCT shingle count rides along through the
+    explode (one extra int per row), so there is no separate sizes
+    aggregation and no join of the pair frame back to it — the whole op
+    is explode → (optional df-cut) → one self-join → one groupBy. At any
+    scale that removes one shuffle and two shuffle-joins vs the textbook
+    inverted-index formulation.
+    """
+    pair_src = _shingle_pair_source(
+        documents, n, text_col, id_col, max_doc_freq
+    )
+    inter = _pair_counts(pair_src, id_col)
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _pair_counts(pair_src: DataFrame, id_col: str) -> DataFrame:
+    """(doc_a, doc_b, i, na, nb) from an exploded shingle frame carrying
+    per-doc distinct-shingle counts — the shared core of the jaccard and
+    containment pair generators (one self-join, one groupBy)."""
     a = pair_src.alias("a")
     b = pair_src.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
@@ -136,10 +163,32 @@ def ngram_jaccard_pairs(
             F.first("b.n_sh").alias("nb"),
         )
     )
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+
+
+def containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle containment
+    |A ∩ B| / min(|A|, |B|) — catches a short document embedded inside a
+    long one (quotes, boilerplate wrappers, chunk-of-other-doc), which
+    symmetric Jaccard misses because the union is dominated by the long
+    side. Same inverted-index plan as ngram_jaccard_pairs (and the same
+    ``max_doc_freq`` df-cut scale knob); integer-derived division —
+    exact cross-engine.
+    """
+    pair_src = _shingle_pair_source(
+        documents, n, text_col, id_col, max_doc_freq
+    )
+    inter = _pair_counts(pair_src, id_col)
+    cont = F.col("i").cast("double") / F.least(F.col("na"), F.col("nb"))
     return (
-        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        inter.select("doc_a", "doc_b", cont.alias("containment"))
+        .where(F.col("containment") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
 

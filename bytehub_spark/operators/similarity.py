@@ -303,6 +303,57 @@ def dim_stats(
     ).orderBy("dim")
 
 
+def label_outliers(
+    embeddings: DataFrame,
+    k: int = 20,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Mislabel / outlier detection: distance of every vector to its own
+    label centroid, top-k farthest — the standard label-noise audit (a
+    vector far from its class prototype is a candidate mislabel).
+
+    Exactness: centroids and vector components are re-quantized at 1e-6
+    (label_affinity's scheme); squared distances are then EXACT integer
+    sums — engine- and order-independent — and the final distance is one
+    sqrt/divide on doubles. Top-k is TakeOrdered with id tie-break.
+
+    Scale shape: the centroid table is |labels| x dim rows (KBs),
+    broadcast to the posexplode stream; ONE corpus shuffle (the per-
+    vector distance groupBy), output k rows.
+    """
+    cent = group_centroids(embeddings, group_col=group_col, vec_col=vec_col)
+    qc = F.round(F.col("centroid_val") * F.lit(1e6)).cast("decimal(18,0)")
+    cq = cent.select(
+        F.col(group_col).alias("c_g"), F.col("dim").alias("c_dim"),
+        qc.alias("qc"),
+    )
+    ex = embeddings.select(
+        id_col, group_col, F.posexplode(F.col(vec_col)).alias("dim", "v")
+    )
+    qv = F.round(F.col("v").cast("double") * F.lit(1e6)).cast("decimal(18,0)")
+    d = F.col("qv") - F.col("qc")
+    return (
+        ex.select(id_col, group_col, "dim", qv.alias("qv"))
+        .join(
+            F.broadcast(cq),
+            (F.col(group_col) == F.col("c_g")) & (F.col("dim") == F.col("c_dim")),
+        )
+        .groupBy(id_col, group_col)
+        .agg(F.sum(d * d).alias("__d2"))
+        .select(
+            id_col,
+            group_col,
+            (F.sqrt(F.col("__d2").cast("double")) / F.lit(1e6)).alias(
+                "centroid_dist"
+            ),
+        )
+        .orderBy(F.col("centroid_dist").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def label_affinity(
     embeddings: DataFrame,
     group_col: str = "label",

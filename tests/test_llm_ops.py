@@ -807,3 +807,30 @@ def test_pq_codes_cell_partitioned_store_prunes(spark, embeddings, tmp_path):
         k=5,
     ).toPandas()
     pd.testing.assert_frame_equal(got, mem)
+
+
+def test_containment_catches_embedded_short_doc(spark):
+    """A short doc fully embedded in a long one scores containment 1.0
+    even though its Jaccard is low (union dominated by the long side)."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"f{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "x1 x2 x3 x4 x5 x6")],
+        ["doc_id", "text"],
+    )
+    got = dedup.containment_pairs(docs, threshold=0.9).toPandas()
+    assert set(zip(got["doc_a"], got["doc_b"])) == {(1, 2)}
+    assert got.iloc[0]["containment"] == 1.0
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    assert (1, 2) not in set(zip(jac["doc_a"], jac["doc_b"]))
+
+
+def test_label_outliers_finds_planted_outlier(spark, embeddings):
+    """A vector pushed far from its label centroid tops the outlier list."""
+    pdf = embeddings.select("vec_id", "label", "embedding").toPandas()
+    pdf.at[0, "embedding"] = [float(x) + 25.0 for x in pdf.at[0, "embedding"]]
+    planted = int(pdf.at[0, "vec_id"])
+    df = spark.createDataFrame(pdf)
+    got = similarity.label_outliers(df, k=5).toPandas()
+    assert got.iloc[0]["vec_id"] == planted
+    assert (got["centroid_dist"].diff().dropna() <= 1e-12).all()  # desc
