@@ -163,3 +163,26 @@ def test_new_ops_plan_shapes(spark):
     # temperature_mix_plan: the only broadcast is the 1-row total
     p = _plan(curation.temperature_mix_plan(docs))
     assert "CartesianProduct" not in p
+
+
+def test_late_round2_ops_plan_shapes(spark):
+    """OHLC/gap/level-shift/containment keep their claimed shapes:
+    partitioned windows only, no cartesian products."""
+    from bytehub_spark import plans
+    from bytehub_spark.operators import dedup, events_ops
+
+    ev = load_table(spark, SF, "events")
+    docs = load_table(spark, SF, "documents")
+
+    for df in (
+        events_ops.ohlc_bars(ev),
+        events_ops.gap_report(ev),
+        events_ops.level_shifts(ev),
+        events_ops.first_touch_attribution(ev),
+    ):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        assert not plans.global_windows(df)
+
+    p = _plan(dedup.containment_pairs(docs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
