@@ -280,6 +280,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asymmetric containment |A∩B|/min(|A|,|B|): short-doc-inside-
         # long-doc detection, same inverted-index plan — exact oracle
         "dedup_containment": _q(dedup.containment_pairs, "documents"),
+        # per-source duplication accounting (which feed floods copies):
+        # fingerprint+group agg, integer-derived rate — exact oracle
+        "dedup_rate_by_source": _q(dedup.dup_rate_by_group, "documents"),
         "dedup_minhash_lsh": _q(dedup.minhash_lsh_pairs, "documents"),  # rows-only
         "dedup_simhash": _q(dedup.simhash64, "documents"),  # rows-only
         "dedup_embedding_cosine": lambda spark, sf: dedup.embedding_cosine_dups(
@@ -376,6 +379,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # level-shift changepoints: symmetric rolling decimal means over
         # one user-keyed sort, full-frame positions only — exact oracle
         "ts_level_shifts": _q(events_ops.level_shifts, "events"),
+        # per-user lifetime profile (user-dim build): one shuffle,
+        # two-level distinct day count, decimal value sum — exact oracle
+        "ts_user_profiles": _q(events_ops.user_activity_profile, "events"),
         # per-dimension embedding health stats (collapsed/dead dims):
         # quantized integer sums, one dim-keyed shuffle — exact oracle
         "emb_dim_stats": _q(similarity.dim_stats, "embeddings"),
@@ -1717,6 +1723,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY resolution, bucket_ts, event_type
             ORDER BY resolution, bucket_ts, event_type
         """,
+        "ts_user_profiles": """
+            SELECT user_id,
+                   MIN(ts) AS first_seen,
+                   MAX(ts) AS last_seen,
+                   COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 1e6) AS DECIMAL(20,0)))
+                        AS DOUBLE) / 1e6 AS total_value
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         "ts_level_shifts": """
             WITH d AS (
                 SELECT user_id, event_id, ts,
@@ -2081,6 +2097,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.g = label_a
             JOIN norms nb ON nb.g = label_b
             ORDER BY label_a, label_b
+        """,
+        "dedup_rate_by_source": """
+            WITH fp AS (
+                SELECT source,
+                       md5(trim(regexp_replace(lower(text),
+                                               '\s+', ' ', 'g'))) AS f,
+                       COUNT(*) AS n
+                FROM documents GROUP BY source, f
+            )
+            SELECT source,
+                   CAST(SUM(n) AS BIGINT) AS n_docs,
+                   COUNT(*) AS n_distinct,
+                   CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n) AS dup_rate
+            FROM fp GROUP BY source ORDER BY source
         """,
         "dedup_containment": """
             WITH w AS (

@@ -42,6 +42,47 @@ def exact_dedup(
     )
 
 
+def dup_rate_by_group(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source duplication accounting: how much of each source is
+    exact-duplicate content (docs minus distinct normalized fingerprints)
+    — the dashboard that says WHICH crawl/feed is flooding the corpus
+    with copies, driving per-source cleanup priorities.
+
+    One fingerprint+group aggregation (map-side combined) then a tiny
+    per-group rollup; dup_rate is integer-derived — exact cross-engine.
+    """
+    per_fp = (
+        documents.select(
+            F.col(group_col),
+            F.md5(normalized(text_col)).alias("__fp"),
+        )
+        .groupBy(group_col, "__fp")
+        .agg(F.count("*").alias("__n"))
+    )
+    return (
+        per_fp.groupBy(group_col)
+        .agg(
+            F.sum("__n").alias("n_docs"),
+            F.count("*").alias("n_distinct"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_distinct",
+            (
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs")
+            ).alias("dup_rate"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def shingle_sets(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

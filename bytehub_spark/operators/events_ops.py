@@ -317,6 +317,29 @@ def level_shifts(
     )
 
 
+def user_activity_profile(events: DataFrame) -> DataFrame:
+    """Per-user lifetime profile: first/last seen, active-day count,
+    event count, exact total value — the user dimension a warehouse
+    derives from the event stream (and the input to churn/LTV models).
+
+    One map-side-combined shuffle on user_id; distinct active days go
+    through Spark's two-level partial distinct aggregate. Total value is
+    the 1e-6-quantized exact decimal sum.
+    """
+    q = F.round(F.col("value") * F.lit(1e6)).cast("decimal(20,0)")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.count_distinct(F.to_date("ts")).alias("n_active_days"),
+            F.count("*").alias("n_events"),
+            (F.sum(q).cast("double") / F.lit(1e6)).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def rollup_counts(events: DataFrame) -> DataFrame:
     """Hypertable-style rollup: counts and sums at (event_type, day),
     (event_type), and grand-total grain in ONE pass (partial aggregation
