@@ -283,20 +283,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source duplication accounting (which feed floods copies):
         # fingerprint+group agg, integer-derived rate — exact oracle
         "dedup_rate_by_source": _q(dedup.dup_rate_by_group, "documents"),
-        "dedup_minhash_lsh": _q(dedup.minhash_lsh_pairs, "documents"),  # rows-only
-        "dedup_simhash": _q(dedup.simhash64, "documents"),  # rows-only
+        # FNV-1a/Horner hashing (operators/hashing.py) is replayed exactly
+        # by the DuckDB oracle — full pair-set + signature value check
+        "dedup_minhash_lsh": _q(dedup.minhash_lsh_pairs, "documents"),
+        "dedup_simhash": _q(dedup.simhash64, "documents"),
         "dedup_embedding_cosine": lambda spark, sf: dedup.embedding_cosine_dups(
             load_table(spark, sf, "embeddings"), 0.4
         ),
-        # scale mode of the same operator: LSH-bucketed candidates instead
-        # of the broadcast GEMM — the path that survives 100 TB. rows-only
-        # (bucket membership hinges on xxhash64-derived hyperplanes).
+        # scale mode of the same operator: banded LSH-bucketed candidates
+        # instead of the broadcast GEMM — the path that survives 100 TB.
+        # Integer-quantized ±1-plane buckets are engine-portable, so the
+        # oracle replays the exact pair set (8 planes × 4 bands).
         "dedup_embedding_cosine_lsh": lambda spark, sf: dedup.embedding_cosine_dups(
             load_table(spark, sf, "embeddings"), 0.4, n_planes=8
         ),
         # incremental near-dup dedup: 10% of docs arrive as "today's batch"
         # and are checked against the LSH index of the other 90% — the
-        # daily-increment pattern. rows-only (bucket ids hinge on xxhash64).
+        # daily-increment pattern. Exact oracle (portable FNV buckets).
         "dedup_incremental_lsh": lambda spark, sf: (
             lambda docs: dedup.dedup_against_index(
                 docs.where(F.col("doc_id") % 10 == 0),
@@ -433,7 +436,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "documents"), max_doc_freq=50
         ),
         # streaming LSH novelty, batch twin: arrival order = doc_id order
-        # (synthetic ts). rows-only (bucket ids hinge on xxhash64).
+        # (synthetic ts). Exact oracle (portable FNV buckets).
         "dedup_lsh_novelty": _q(_lsh_novelty, "documents"),
         # --- LLM-pipeline: multimodal columns (binary payload + typed
         # metadata; codec stubbed, plumbing real — media derived
@@ -463,9 +466,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": lambda spark, sf: similarity.cosine_topk(
             load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
         ),
+        # banded cosine LSH (4 planes × 20 bands OR'd — isotropic-data
+        # tuning, see lsh_cosine_topk): approximate by design, but bucket
+        # ids are engine-portable so the oracle replays the exact
+        # candidate set and re-rank
         "emb_lsh_topk": lambda spark, sf: similarity.lsh_cosine_topk(
             load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
-        ),  # rows-only (approximate by design)
+        ),
         # batch-query shape: 64 queries scored by one GEMM per partition
         # (per-pair HOF dots are interpreted — ~150× slower at this |Q|)
         "emb_batch_topk": lambda spark, sf: similarity.cosine_topk_gemm(
@@ -477,8 +484,251 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# ---------------------------------------------------------------------------
+# Oracle SQL for the approximate-dedup/ANN family (round 3): the Spark side
+# hashes with engine-portable FNV-1a / integer plane signs (operators/
+# hashing.py), so DuckDB replays signatures, bucket ids and candidate pair
+# sets EXACTLY — these were `err: no_oracle` driver rows in r02.
+# ---------------------------------------------------------------------------
+
+from bytehub_spark.operators import hashing as _H
+
+
+def _minhash_ctes(doc_filter: str = "") -> str:
+    """Shared CTE chain documents→shingles→(h1,h2)→signatures→band buckets,
+    mirroring dedup.shingle_sets + hashing.shingle_h1_h2_np +
+    dedup.minhash_signatures + dedup._band_buckets at the defaults
+    (n=3, n_hashes=64, bands=32, r=2). Distinct shingles are hashed once
+    (the FNV list_reduce is the slow part of the oracle)."""
+    where = f"AND ({doc_filter})" if doc_filter else ""
+    return f"""
+        w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE len(string_split(text, ' ')) >= 3 {where}
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(0, len(ws) - 2),
+                i -> array_to_string(ws[i + 1 : i + 3], ' ')))) AS shingle
+            FROM w
+        ),
+        dh AS (
+            SELECT shingle,
+                   {_H.shingle_h1_sql('shingle')} AS h1,
+                   {_H.shingle_h2_sql('shingle')} AS h2
+            FROM (SELECT DISTINCT shingle FROM sh)
+        ),
+        shh AS (
+            SELECT s.doc_id, d.h1, d.h2 FROM sh s JOIN dh d USING (shingle)
+        ),
+        sig AS (
+            SELECT doc_id, j, min((h1 + j * h2) % {_H.MINHASH_PRIME}) AS h
+            FROM shh, (SELECT unnest(generate_series(0, 63)) AS j)
+            GROUP BY doc_id, j
+        ),
+        bands AS (
+            SELECT doc_id, j // 2 AS band,
+                   (min(CASE WHEN j % 2 = 0 THEN h END) * {_H.BAND_K}
+                    + min(CASE WHEN j % 2 = 1 THEN h END)) % {_H.MINHASH_PRIME} AS bh
+            FROM sig GROUP BY doc_id, j // 2
+        )"""
+
+
+def _cosine_bucket_ctes(n_planes: int, bands: int) -> str:
+    """CTE chain embeddings→quantized dims→plane signs→banded bucket ids,
+    mirroring similarity.hyperplane_signature / lsh_cosine_buckets: int64
+    dots of floor(v·1e6) against ±1 planes — order-independent integer
+    arithmetic, so the relational GROUP BY here equals the numpy GEMM."""
+    n_total = n_planes * bands
+    return f"""
+        dims AS (
+            SELECT vec_id, d,
+                   CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS q
+            FROM embeddings, (SELECT unnest(generate_series(0, 255)) AS d)
+            WHERE d < len(embedding)
+        ),
+        planes AS (
+            SELECT p, d, {_H.plane_sign_sql('p', 'd')} AS s
+            FROM (SELECT unnest(generate_series(0, {n_total - 1})) AS p),
+                 (SELECT unnest(generate_series(0, 255)) AS d)
+        ),
+        proj AS (
+            SELECT vec_id, p, SUM(q * s) AS dot
+            FROM dims JOIN planes USING (d)
+            GROUP BY vec_id, p
+        ),
+        buckets AS (
+            SELECT vec_id, p // {n_planes} AS band,
+                   SUM(CASE WHEN dot > 0
+                       THEN (1::BIGINT << (p % {n_planes})) ELSE 0 END) AS bucket
+            FROM proj GROUP BY vec_id, p // {n_planes}
+        )"""
+
+
+_COS_SIM_AB = """round(
+    list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))),
+    4)"""
+
+
+def _simhash_oracle() -> str:
+    """Full SimHash replay: Python-split tokenization (regex split, empties
+    dropped), word-3-gram tokens (unigrams below 3 words), FNV-1a code-
+    point token hashes, per-bit ±1 majority vote, two's-complement int64.
+    """
+    pows = ", ".join(f"{1 << b}::HUGEINT" for b in range(64))
+    return f"""
+        WITH ws0 AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 3
+                        THEN list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+                        ELSE ws END AS tokens
+            FROM ws0
+        ),
+        th AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
+        dh AS (
+            SELECT tok, {_H.fnv_sql_duckdb('tok')} AS h
+            FROM (SELECT DISTINCT tok FROM th)
+        ),
+        thh AS (SELECT t.doc_id, d.h FROM th t JOIN dh d USING (tok)),
+        pw AS (
+            SELECT unnest(generate_series(0, 63)) AS b,
+                   unnest([{pows}]) AS p2
+        ),
+        votes AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN (h // p2) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+            FROM thh CROSS JOIN pw
+            GROUP BY doc_id, b
+        ),
+        sims AS (
+            SELECT v.doc_id, SUM(CASE WHEN v.vote > 0 THEN p.p2 ELSE 0::HUGEINT END) AS uv
+            FROM votes v JOIN pw p USING (b)
+            GROUP BY v.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN COALESCE(uv, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+                         THEN COALESCE(uv, 0::HUGEINT) - 18446744073709551616::HUGEINT
+                         ELSE COALESCE(uv, 0::HUGEINT) END AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN sims USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
+def _lsh_oracles() -> dict[str, str]:
+    minhash = f"""
+        WITH {_minhash_ctes()},
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS DOUBLE)
+                   / 64.0 AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+        GROUP BY p.doc_a, p.doc_b
+        ORDER BY p.doc_a, p.doc_b
+    """
+    incremental = f"""
+        WITH {_minhash_ctes()},
+        hits AS (
+            SELECT n.doc_id,
+                   count(DISTINCT n.band) AS n_hit_bands,
+                   min(c.doc_id) AS matched_doc
+            FROM (SELECT * FROM bands WHERE doc_id % 10 = 0) n
+            JOIN (SELECT * FROM bands WHERE doc_id % 10 <> 0) c
+              ON n.band = c.band AND n.bh = c.bh
+            GROUP BY n.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_hit_bands, 0) AS n_hit_bands,
+               h.matched_doc,
+               COALESCE(h.n_hit_bands, 0) = 0 AS is_novel
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        LEFT JOIN hits h USING (doc_id)
+        ORDER BY d.doc_id
+    """
+    novelty = f"""
+        WITH {_minhash_ctes()},
+        first_seen AS (
+            SELECT band, bh, min(doc_id) AS keeper FROM bands GROUP BY band, bh
+        )
+        SELECT b.doc_id,
+               count(*) AS n_novel_bands,
+               count(*) = 32 AS is_novel
+        FROM bands b
+        JOIN first_seen f
+          ON b.band = f.band AND b.bh = f.bh AND b.doc_id = f.keeper
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
+    """
+    cos_dups = f"""
+        WITH {_cosine_bucket_ctes(8, 4)},
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                          AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, {_COS_SIM_AB} AS cosine_sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+        WHERE {_COS_SIM_AB} >= 0.4
+        ORDER BY id_a, id_b
+    """
+    lsh_topk = f"""
+        WITH {_cosine_bucket_ctes(4, 20)},
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM (SELECT * FROM buckets WHERE vec_id IN (0, 1, 2, 3, 4)) q
+            JOIN buckets c ON q.band = c.band AND q.bucket = c.bucket
+                          AND c.vec_id <> q.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   round(
+                       list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))),
+                       4) AS cosine_sim
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = cand.query_id
+            JOIN embeddings eb ON eb.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    return {
+        "dedup_minhash_lsh": minhash,
+        "dedup_incremental_lsh": incremental,
+        "dedup_lsh_novelty": novelty,
+        "dedup_simhash": _simhash_oracle(),
+        "dedup_embedding_cosine_lsh": cos_dups,
+        "emb_lsh_topk": lsh_topk,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_lsh_oracles(),
         "ts_dedup_latest": """
             SELECT user_id, event_type, ts AS last_ts, value AS last_value
             FROM (

@@ -8,7 +8,8 @@ Designed as a staged pipeline for 100 TB corpora:
    via an inverted-index self-join: cost ∝ Σ f(shingle)², not n_docs².
 3. `minhash_lsh_pairs` — the scale path: fixed-size signature per doc (one
    pass), banded LSH so only same-bucket docs are compared. Probabilistic;
-   hashes are deterministic xxhash64 so runs are reproducible.
+   hashes are deterministic engine-portable FNV-1a (hashing.py), so runs
+   are reproducible AND the DuckDB oracle replays every bucket id exactly.
 4. `simhash64` — 64-bit near-dup fingerprint via a vectorized pandas UDF
    (numpy bit ops; Arrow batches — no per-row Python).
 """
@@ -314,6 +315,32 @@ def canonical_per_cluster(
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
+def _h1_h2(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id, __h1, __h2) from (id, shingle): the MinHash double-hash bases.
+
+    FNV-1a over code points (hashing.py), computed in ONE vectorized Arrow
+    batch pass (a padded code-point matrix, ~max_len numpy ops per batch —
+    no per-string Python). FNV rather than xxhash64 because the identical
+    fold is expressible in the DuckDB oracle (list_reduce + HUGEINT), so
+    every bucket id and candidate pair is cross-engine verifiable; the
+    narrow map stage emits slim (id, long, long) rows, and everything
+    downstream (shuffle, min-aggregates) is unchanged.
+    """
+
+    @F.pandas_udf("h1 long, h2 long")
+    def _hh(s: pd.Series) -> pd.DataFrame:
+        from .hashing import shingle_h1_h2_np
+
+        h1, h2 = shingle_h1_h2_np(s.tolist())
+        return pd.DataFrame({"h1": h1, "h2": h2})
+
+    return sh.select(F.col(id_col), _hh(F.col("shingle")).alias("__hh")).select(
+        F.col(id_col),
+        F.col("__hh.h1").alias("__h1"),
+        F.col("__hh.h2").alias("__h2"),
+    )
+
+
 def minhash_signatures(
     documents: DataFrame,
     n_hashes: int = 64,
@@ -326,11 +353,14 @@ def minhash_signatures(
     sig[j] = min over shingles of h_j(shingle).
 
     h_j uses Kirsch-Mitzenmacher double hashing — h_j = (h1 + j·h2) mod p
-    (p = 2^31-1) from TWO xxhash64 evaluations per shingle instead of
-    n_hashes (32× fewer hash calls in the hot path; minwise independence
+    (p = 2^31-1) from TWO FNV-1a evaluations per shingle instead of
+    n_hashes (32× fewer hash passes in the hot path; minwise independence
     is preserved because both terms are uniform mod the SAME prime — a
-    truncated/unreduced variant correlates the j-th hashes). All arithmetic
-    fits in 38 bits (no ANSI overflow). Both impls are bit-identical:
+    truncated/unreduced variant correlates the j-th hashes). The base
+    hashes are engine-portable (hashing.fnv1a_cp*), so signatures — and
+    every LSH bucket derived from them — are bit-identical in the DuckDB
+    oracle. All downstream arithmetic fits in 38 bits (no ANSI overflow).
+    Both impls are bit-identical:
 
     - ``pandas`` (default): repartition slim (id, h1, h2) rows on id, then
       a numpy kernel per partition (argsort + 64 minimum.reduceat passes).
@@ -343,9 +373,7 @@ def minhash_signatures(
     """
     p = MINHASH_PRIME
     sh = shingle_sets(documents, text_col, id_col, n)
-    h1 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(p))
-    h2 = F.pmod(F.xxhash64(F.col("shingle"), F.lit(7)), F.lit(p - 1)) + F.lit(1)
-    slim = sh.select(F.col(id_col), h1.alias("__h1"), h2.alias("__h2"))
+    slim = _h1_h2(sh, id_col)
 
     if impl == "sql":
         aggs = [
@@ -379,17 +407,33 @@ def minhash_signatures(
     )
 
 
+def _band_fold(sig_col, b: int, r: int) -> F.Column:
+    """Horner fold of one band's signature slice, mod 2^31-1.
+
+    acc = acc·K + sig[j] (mod p) per member — sig values < p and K ≈ 2^20,
+    so every intermediate < 2^51: plain BIGINT in Spark (ANSI-safe) and in
+    the DuckDB oracle. Collisions (bucket space 2^31) only ADD candidate
+    pairs — LSH recall is unaffected and both engines collide identically.
+    """
+    from .hashing import BAND_K
+
+    acc = sig_col[b * r]
+    for i in range(1, r):
+        acc = F.pmod(acc * F.lit(BAND_K) + sig_col[b * r + i], F.lit(MINHASH_PRIME))
+    return acc
+
+
 def _band_buckets(
     sig: DataFrame, n_hashes: int, bands: int, id_col: str
 ) -> DataFrame:
-    """(id, band, bh) bucket rows from a signature table: one xxhash64 of
-    each band's signature slice. Slim rows — the shuffle unit for every
-    LSH join."""
+    """(id, band, bh) bucket rows from a signature table: one Horner fold
+    of each band's signature slice (engine-portable — no xxhash64). Slim
+    rows — the shuffle unit for every LSH join."""
     r = n_hashes // bands
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
+            _band_fold(F.col("sig"), b, r).alias("bh"),
         )
         for b in range(bands)
     ]
@@ -537,26 +581,43 @@ def simhash64(
     still discriminate — unigram multisets of same-domain docs are nearly
     identical, their 3-gram sets are not.
 
+    Token hashes are FNV-1a over code points (hashing.py) — the identical
+    fold is replayed in the DuckDB oracle, so every simhash value is
+    cross-engine exact (r02 verdict: the xxhash64 variant was
+    unverifiable).
+
     Near-dups are pairs within small Hamming distance; at scale, bucket on
     bit-chunks (4×16-bit keys) and compare within buckets.
     """
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
+        from .hashing import fnv1a_cp_np
+
+        # token lists per doc, then ONE vectorized FNV pass over the flat
+        # token stream (hashing.fnv1a_cp_np) — the same engine-portable
+        # code-point fold the DuckDB oracle replays, no per-token Python
+        # hashing loop.
+        tok_lists = []
+        for t in texts:
             if not t:
+                tok_lists.append([])
                 continue
             words = t.split()
-            tokens = (
+            tok_lists.append(
                 [" ".join(words[j : j + ngram]) for j in range(len(words) - ngram + 1)]
                 if len(words) >= ngram
                 else words
             )
-            if not tokens:
+        flat = [tok for toks in tok_lists for tok in toks]
+        hs_flat = fnv1a_cp_np(flat)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        pos = 0
+        for i, toks in enumerate(tok_lists):
+            if not toks:
                 continue
-            # deterministic 64-bit token hashes (FNV-1a, pure numpy-friendly)
-            hs = np.array([_fnv1a64(tok) for tok in tokens], dtype=np.uint64)
+            hs = hs_flat[pos : pos + len(toks)]
+            pos += len(toks)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
             # +1/-1 majority per bit (signed! uint64 would wrap on negatives)
             votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
@@ -573,14 +634,6 @@ def simhash64(
     ).orderBy(id_col)
 
 
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 MAX_BROADCAST_VECTORS = 2_000_000  # ~0.5 GB at 64 float64 dims
 
 
@@ -590,6 +643,7 @@ def embedding_cosine_dups(
     n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = 4,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity (id_a < id_b).
 
@@ -600,32 +654,41 @@ def embedding_cosine_dups(
     interpreted, not codegen'd) measured 150s on 2k×2k pairs; the GEMM is
     <0.5s. Bounded by MAX_BROADCAST_VECTORS — beyond that exact all-pairs
     is infeasible on any engine; use the LSH mode. Scale mode (``n_planes``
-    set): candidates are blocked on a random-hyperplane LSH bucket (same
-    deterministic xxhash64 planes as similarity.lsh_cosine_buckets),
-    turning O(n²) pair generation into a bucket equi-join — the strategy
-    that survives 100 TB. Similarity is rounded to 4 decimals (half-up,
-    matching SQL ROUND) BEFORE thresholding so membership is stable
-    across engines.
+    set): candidates are blocked on ``bands`` independent random-hyperplane
+    LSH bucket tables OR'd together (engine-portable ±1 planes — see
+    similarity.lsh_cosine_buckets), turning O(n²) pair generation into
+    bucket equi-joins — the strategy that survives 100 TB. Similarity is
+    rounded to 4 decimals (half-up, matching SQL ROUND) BEFORE
+    thresholding so membership is stable across engines.
     """
-    from .similarity import _dot, hyperplane_signature
+    from .similarity import _dot
 
     if n_planes:
-        base = embeddings.select(
-            F.col(id_col),
-            F.col(vec_col),
-            hyperplane_signature(embeddings, n_planes, vec_col).alias("__bucket"),
+        from .similarity import lsh_cosine_buckets
+
+        # banded bucket rows (bands independent plane sets, OR'd): pair
+        # candidates are ids sharing ANY (band, bucket) — slim id-only
+        # self-join per bucket, distinct, then ONE vector fetch per side.
+        # Recall amplifies exactly like banded MinHash; every bucket id is
+        # engine-portable so the DuckDB oracle replays the full pair set.
+        bk = lsh_cosine_buckets(
+            embeddings, n_planes, id_col, vec_col, bands=bands
+        ).select(id_col, "band", "bucket")
+        a = bk.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        b = bk.select(F.col(id_col).alias("id_b"), F.col("band").alias("band_b"), F.col("bucket").alias("bucket_b"))
+        pair_ids = (
+            a.join(
+                b,
+                (F.col("band") == F.col("band_b"))
+                & (F.col("bucket") == F.col("bucket_b"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .select("id_a", "id_b")
+            .distinct()
         )
-        a = base.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-            F.col("__bucket").alias("__ba"),
-        )
-        b = base.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-            F.col("__bucket").alias("__bb"),
-        )
-        joined = a.join(
-            b, (F.col("__ba") == F.col("__bb")) & (F.col("id_a") < F.col("id_b"))
-        )
+        va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+        vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        joined = pair_ids.join(va, "id_a").join(vb, "id_b")
         sim = _dot("vec_a", "vec_b") / (
             F.sqrt(_dot("vec_a", "vec_a")) * F.sqrt(_dot("vec_b", "vec_b"))
         )

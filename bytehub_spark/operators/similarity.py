@@ -4,14 +4,19 @@
   JVM-side zip_with/aggregate dot products, per-query window top-k. The
   baseline and the correctness oracle.
 - `lsh_cosine_buckets` / `lsh_cosine_topk`: random-hyperplane LSH — the
-  scale path. Hyperplane weights are derived from xxhash64 (deterministic,
-  no RNG state), so signatures are reproducible across runs/engines.
-  Candidates come only from matching buckets (multi-probe via bands), then
-  exact re-rank — at 100 TB this turns an O(N·Q) scan into bucket lookups.
+  scale path. Hyperplanes are deterministic ±1 sign patterns from an
+  engine-portable integer hash (hashing.plane_sign; no RNG state), and
+  projections are int64 dots over 1e6-quantized components — signatures
+  are reproducible across runs AND replayable exactly by the DuckDB
+  oracle. ``bands`` independent plane sets are OR'd for recall
+  amplification. Candidates come only from matching buckets, then exact
+  re-rank — at 100 TB this turns an O(N·Q) scan into bucket lookups.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -137,57 +142,108 @@ def cosine_topk_gemm(
 
 
 def hyperplane_signature(
-    df: DataFrame, n_planes: int = 16, vec_col: str = "embedding"
+    df: DataFrame,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    plane_offset: int = 0,
 ) -> F.Column:
-    """Sign-bit signature under n deterministic pseudo-random hyperplanes.
+    """Sign-bit signature under n deterministic ±1 (Rademacher) planes.
 
-    plane p weight for dim d = centered(xxhash64(p, d)): derived JVM-side,
-    identical on every executor — no broadcast of plane matrices needed.
+    bit p = [Σ_d floor(v_d·1e6) · s(p+offset, d) > 0] with s(·,·) the
+    engine-portable plane sign (hashing.plane_sign) — the dot product is
+    pure int64 arithmetic on 1e6-quantized components, so bucket ids are
+    independent of summation order and bit-identical in the DuckDB oracle
+    (the r02 xxhash64/double variant was neither). Computed as ONE Arrow-
+    batched numpy GEMM per batch (the interpreted per-plane higher-order
+    aggregate it replaces was the map-stage bottleneck). ``plane_offset``
+    selects an independent plane set — the banding hook.
     """
-    bits = []
-    for p in range(n_planes):
-        # dot(vec, plane_p) where plane_p[d] = hash(p, d) mapped to [-0.5, 0.5]
-        proj = F.expr(
-            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-            f"(x, d) -> CAST(x AS DOUBLE) * ((pmod(xxhash64({p}, d), 1000003) / 1000003.0) - 0.5)), "
-            f"0D, (acc, v) -> acc + v)"
-        )
-        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
+    from .hashing import plane_sign_matrix
+
+    @F.pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs.tolist()])
+        Q = np.floor(V * 1e6).astype(np.int64)
+        S = plane_sign_matrix(n_planes, Q.shape[1], plane_offset)
+        bits = (Q @ S > 0).astype(np.int64)
+        return pd.Series(bits @ (1 << np.arange(n_planes, dtype=np.int64)))
+
+    return _sig(F.col(vec_col))
 
 
 def lsh_cosine_buckets(
     embeddings: DataFrame, n_planes: int = 16, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", bands: int = 1,
 ) -> DataFrame:
+    """(id, vec, band, bucket) rows: ``bands`` independent plane sets of
+    ``n_planes`` bits each (band b uses planes [b·n, (b+1)·n)). Candidates
+    later match on (band, bucket) — OR-composition across bands, the same
+    recall amplification _band_buckets gives MinHash (P[miss] =
+    (1-p^n)^bands instead of 1-p^n)."""
+    cols = [F.col(id_col), F.col(vec_col)]
+    bucket_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            hyperplane_signature(
+                embeddings, n_planes, vec_col, plane_offset=b * n_planes
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
     return embeddings.select(
-        F.col(id_col), F.col(vec_col),
-        hyperplane_signature(embeddings, n_planes, vec_col).alias("bucket"),
+        *cols, F.explode(F.array(*bucket_structs)).alias("bb")
+    ).select(
+        *cols, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
 
 def lsh_cosine_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 5,
-    n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    bands: int = 20,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the LSH bucket, exact re-rank.
+    """Approximate top-k: candidates share any band's LSH bucket, exact
+    re-rank on the (deduplicated) candidate set.
 
     Recall tunes with n_planes (fewer planes → bigger buckets → higher
-    recall, more compute). Multi-probe/banding composes by unioning
-    bucket columns from rotated plane sets.
+    recall, more compute) and bands (more independent plane sets OR'd →
+    recall amplification at proportional candidate cost) — mirroring the
+    banded MinHash composition. Defaults (4 planes × 20 bands) pin
+    recall@5 ≥ 0.8 vs the exact GEMM baseline in tests — tuned for the
+    ISOTROPIC test vectors, whose true top-5 sit at cosine ≈ 0.3 (SRP bit
+    agreement ~0.6, the hardest regime). Production embedding spaces put
+    near neighbors at cosine ≥ 0.8 (bit agreement ≥ 0.8), where fewer,
+    longer signatures (e.g. 8×4) prune far harder at the same recall —
+    the knobs are data-dependent by nature.
     """
-    b = lsh_cosine_buckets(embeddings, n_planes, id_col, vec_col)
+    b = lsh_cosine_buckets(embeddings, n_planes, id_col, vec_col, bands=bands)
     q = b.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        F.col("band").alias("q_band"),
         F.col("bucket").alias("q_bucket"),
     )
-    cand = b.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col(id_col) != F.col("query_id")),
+    # candidate ids from ANY matching band bucket — slim rows, distinct
+    # before the vector fetch so each candidate is scored once
+    cand_ids = (
+        b.select(id_col, "band", "bucket")
+        .join(
+            F.broadcast(q),
+            (F.col("band") == F.col("q_band"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select("query_id", id_col)
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    qv = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("q_vec")
+    )
+    cand = (
+        cand_ids.join(vecs, id_col)
+        .join(F.broadcast(qv), F.col("query_id") == F.col("__qid"))
     )
     sim = _dot(vec_col, "q_vec") / (
         F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))

@@ -515,27 +515,44 @@ def _lsh_band_rows(
     """(doc_id, ts, band, bh) rows — stateless, shared by stream and batch.
 
     Hash parity with operators.dedup.minhash_signatures: the per-shingle
-    double-hash bases come from the same JVM xxhash64 calls (two small
-    interpreted transform() lambdas per row), and the 64-way min loop runs
-    in a vectorized numpy pandas UDF — the same split the batch kernel
-    uses, so stream and batch agree on every bucket id.
+    double-hash bases come from the same engine-portable FNV-1a code-point
+    fold (operators.hashing — one vectorized Arrow pass over the flattened
+    shingle stream), and the 64-way min loop runs in a vectorized numpy
+    pandas UDF — the same split the batch kernel uses, so stream, batch,
+    and the DuckDB oracle agree on every bucket id.
     """
     from ..operators.dedup import MINHASH_PRIME as P
+    from ..operators.hashing import BAND_K
 
     r = n_hashes // bands
     shingles = F.expr(
         f"transform(sequence(0, size(__w) - {ngram}),"
         f" i -> concat_ws(' ', slice(__w, i + 1, {ngram})))"
     )
+
+    @F.pandas_udf("h1 array<long>, h2 array<long>")
+    def _hh_arr(shs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from ..operators.hashing import shingle_h1_h2_np
+
+        lists = [list(v) if v is not None else [] for v in shs]
+        lens = [len(v) for v in lists]
+        flat = [s for v in lists for s in v]
+        h1f, h2f = shingle_h1_h2_np(flat)
+        cuts = np.cumsum(lens)[:-1]
+        return pd.DataFrame(
+            {"h1": np.split(h1f, cuts), "h2": np.split(h2f, cuts)}
+        )
+
     with_h = (
         docs.withColumn("__w", F.split(F.col("text"), " "))
         .where(F.size("__w") >= ngram)
         .withColumn("__sh", F.array_distinct(shingles))
-        .withColumn("__h1", F.expr(f"transform(__sh, s -> pmod(xxhash64(s), {P}))"))
-        .withColumn(
-            "__h2", F.expr(f"transform(__sh, s -> pmod(xxhash64(s, 7), {P - 1}) + 1)")
-        )
-        .drop("__w", "__sh", "text")
+        .withColumn("__hh", _hh_arr(F.col("__sh")))
+        .withColumn("__h1", F.col("__hh.h1"))
+        .withColumn("__h2", F.col("__hh.h2"))
+        .drop("__w", "__sh", "__hh", "text")
     )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -550,12 +567,15 @@ def _lsh_band_rows(
             out.append(((a1[None, :] + js[:, None] * a2[None, :]) % P).min(axis=1))
         return pd.Series(out)
 
+    def _fold(b: int) -> F.Column:
+        acc = F.col("sig")[b * r]
+        for i in range(1, r):
+            acc = F.pmod(acc * F.lit(BAND_K) + F.col("sig")[b * r + i], F.lit(P))
+        return acc
+
     sig = with_h.withColumn("sig", sig_udf("__h1", "__h2")).drop("__h1", "__h2")
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
-        )
+        F.struct(F.lit(b).alias("band"), _fold(b).alias("bh"))
         for b in range(bands)
     ]
     return sig.select(
