@@ -109,7 +109,13 @@ def pq_encode(
                 out[c] = pdf[c].to_numpy()
             yield pd.DataFrame(out)
 
-    carry_schema = "".join(f", {c} int" for c in carry_cols)
+    # carry columns keep their INPUT types (a hardcoded 'int' silently
+    # truncated long ids / failed on strings — ADVICE r02)
+    in_types = {f.name: f.dataType.simpleString() for f in embeddings.schema.fields}
+    missing = [c for c in carry_cols if c not in in_types]
+    if missing:
+        raise ValueError(f"carry_cols not in embeddings schema: {missing}")
+    carry_schema = "".join(f", {c} {in_types[c]}" for c in carry_cols)
     return embeddings.select(id_col, vec_col, *carry_cols).mapInPandas(
         encode, schema=f"{id_col} long, codes array<int>{carry_schema}"
     )
@@ -211,6 +217,12 @@ def ivf_pq_topk(
 
     Returns (query_id, vec_id, approx_dist2, rank), rank 1..k per query,
     query_id = position in ``query_ids``.
+
+    Row-count contract: a query yields fewer than k rows iff its probed
+    cells hold fewer than k candidates — that is a signal to raise
+    ``n_probe`` (or n_cells is oversized for the corpus), not an error.
+    The registered driver gate asserts the full k·|Q| count at its scale;
+    query_ids absent from the corpus raise immediately (ADVICE r02).
     """
     from . import ivf
 
@@ -231,6 +243,13 @@ def ivf_pq_topk(
         .collect()
     )
     by_id = {r[id_col]: r[vec_col] for r in qrows}
+    absent = [i for i in query_ids if i not in by_id]
+    if absent:
+        raise ValueError(
+            f"query_ids {absent} not found in the corpus ({id_col}); "
+            "ivf_pq_topk queries must be corpus rows — fetch external "
+            "query vectors with pq_topk instead"
+        )
     Q = np.array([by_id[i] for i in query_ids], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     probe = np.argsort(-(Qn @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)

@@ -56,6 +56,8 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        finally:
+            spark.catalog.clearCache()  # drop per-query persisted intermediates
         took = time.time() - t0
         if name not in oracles:
             print(f"ok(rows-only) {name}: {len(sdf)} rows  [{took:.1f}s]")

@@ -186,3 +186,32 @@ def test_late_round2_ops_plan_shapes(spark):
 
     p = _plan(dedup.containment_pairs(docs))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_dedup_latest_group_limit_pushdown(spark):
+    """ts_dedup_latest (the r02 bench-regression suspect): the rank<=1
+    filter must push a PARTIAL WindowGroupLimit below the exchange (map-
+    side top-1 per key), leaving exactly one shuffle — and the events NTZ
+    cast must stay inside the cached relation, not re-evaluate per query."""
+    from bytehub_spark.operators import events_ops
+
+    ev = load_table(spark, SF, "events")
+    p = _plan(events_ops.dedup_latest_per_key(ev))
+    assert p.count("WindowGroupLimit") >= 2, p  # Partial (map-side) + Final
+    assert p.count("Exchange") == 1, p
+    # cast evaluated at cache population: the query-side plan reads the
+    # InMemoryRelation, with no Project between it and the first sort
+    assert "InMemoryTableScan" in p
+
+
+def test_banded_cosine_lsh_plan_shapes(spark):
+    """Banded cosine LSH stays a bucket equi-join: no cartesian products,
+    no broadcast nested loops, and the pair self-join carries slim id/
+    bucket rows (vectors joined back only after DISTINCT)."""
+    from bytehub_spark.operators import dedup, similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    p = _plan(dedup.embedding_cosine_dups(emb, 0.4, n_planes=8))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    p2 = _plan(similarity.lsh_cosine_topk(emb, [0, 1, 2], 5))
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoop" not in p2
