@@ -23,6 +23,7 @@ from bytehub_spark.operators import (
     dedup,
     events_ops,
     ivf,
+    linkage,
     multimodal,
     pca,
     pq,
@@ -92,13 +93,17 @@ _GATE_FIRST = [
     "emb_ivf_topk", "cur_pack_greedy",
     # --- (c) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (d) r01-only greens refreshed (NTZ-affected ts family first) ---
+    # --- (d) new in round 3 (never driver-gated) ---
+    "link_fuzzy_docs", "ts_decay_score", "ts_sketch_accuracy",
+    "doc_bigram_lm", "cur_sample_k_per_group", "dedup_source_overlap",
+    "emb_stored_ivf_pq", "emb_pq_novelty",
+    # --- (e) r01-only greens refreshed (NTZ-affected ts family first;
+    # the tail dropped this round has r01∪r02 green rows + local sweeps) ---
     "ts_dedup_latest", "ts_seed_lookup", "ts_interval_join",
     "ts_salted_rollup", "ts_moving_avg", "ts_quantiles",
     "ts_zscore_outliers", "ts_funnel", "ts_histogram", "ts_topk_per_key",
     "ts_range_scan", "ts_json_extract", "ts_rollup", "ts_time_travel",
-    "ts_last_per_key", "ts_time_bounds", "ts_partition_derive",
-    "tpch_q2", "tpch_q9", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
+    "ts_last_per_key",
 ]
 
 
@@ -336,6 +341,114 @@ def _pack_greedy_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_tokens").cast("long").alias("total_tokens"),
         "all_bins_feasible",
     )
+
+
+def _stored_ivf_pq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emb_stored_ivf_pq gate: builds the cell-partitioned PQ code index
+    on disk, probes it, and gates the storage contract — (a) the full-
+    probe stored path is row-for-row identical to in-memory ADC over the
+    same codebooks (storage round-trip + pruning change WHICH candidates
+    are scored, never scores), (b) the default-probe path returns k rows
+    per query (cells hold enough candidates at every driver sf), (c) the
+    code table holds every corpus row exactly once."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(5).collect()
+    )
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    try:
+        cents, books = pq.build_ivf_pq_index(emb, path)
+        stored_full = pq.ivf_pq_query_index(
+            spark, path, cents, books, Q, k=10, n_probe=16
+        ).toPandas()
+        stored_probe = pq.ivf_pq_query_index(
+            spark, path, cents, books, Q, k=10, n_probe=4
+        ).toPandas()
+        codes_rows = spark.read.parquet(path).count()
+        dup_codes = (
+            spark.read.parquet(path)
+            .groupBy("vec_id")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        mem = pq.pq_topk(
+            pq.pq_encode(emb, books), books, Q, k=10
+        ).toPandas()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    merged = stored_full.merge(
+        mem, on=["query_id", "rank"], suffixes=("_st", "_mem")
+    )
+    full_matches = bool(
+        len(merged) == len(mem)
+        and (merged["vec_id_st"] == merged["vec_id_mem"]).all()
+        and (merged["approx_dist2_st"] == merged["approx_dist2_mem"]).all()
+    )
+    out = pd.DataFrame(
+        {
+            "n_index_rows": [codes_rows],
+            "n_dup_code_rows": [dup_codes],
+            "n_probe_results": [len(stored_probe)],
+            "full_probe_matches_memory": [full_matches],
+        }
+    )
+    return spark.createDataFrame(out)
+
+
+def _pq_novelty_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emb_pq_novelty gate: the batch twin of stream_pq_novelty run as
+    new-vs-historical split (vec_id % 10 == 0 arrives, the rest is
+    history). Gated contract: every arriving vector gets exactly one
+    verdict (n_new from the parquet is the oracle's data-dependent
+    check), novel + known = new, and no 'known' vector's code pattern is
+    missing from the historical code set (checked by re-joining — an
+    exact property of the left join, so a false flag means the encode or
+    join regressed)."""
+    import pandas as pd
+
+    import pandas as pd
+
+    from bytehub_spark.operators.pq import pq_encode, train_codebooks
+    from bytehub_spark.streaming import ingest as streaming
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new_vecs = emb.where(F.col("vec_id") % 10 == 0)
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    flags = streaming.pq_novelty_batch(new_vecs, hist).toPandas()
+    n_new = len(flags)
+    n_novel = int(flags["is_novel"].sum())
+    # independent recomputation: re-encode both sides and set-compare the
+    # code keys in pandas — a flags row is correct iff novelty == (code
+    # key absent from the historical key set)
+    books = train_codebooks(hist)
+    hist_keys = set(
+        "-".join(str(c) for c in r)
+        for r in pq_encode(hist, books).toPandas()["codes"]
+    )
+    expect_novel = {
+        r.vec_id: ("-".join(str(c) for c in r.codes) not in hist_keys)
+        for r in pq_encode(new_vecs, books).toPandas().itertuples()
+    }
+    verdicts_ok = bool(
+        all(expect_novel[v] == n for v, n in zip(flags["vec_id"], flags["is_novel"]))
+    )
+    out = pd.DataFrame(
+        {
+            "n_new": [n_new],
+            "n_unique_ids": [flags["vec_id"].nunique()],
+            "n_novel_bounded": [bool(0 <= n_novel <= n_new)],
+            "verdicts_match_recompute": [verdicts_ok],
+        }
+    )
+    return spark.createDataFrame(out)
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -694,6 +807,47 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # op end-to-end and checks its contract vs the exact GEMM twin
         # (k rows/query, monotone sims, exact-top1 bound, recall floor)
         "emb_ivf_topk": _ivf_topk_invariants,
+        # --- round 3: linkage / decay / LM / sampling / index storage ---
+        # blocked fuzzy matching (entity resolution): attribute+length-
+        # bucket blocks → equi-join, levenshtein compare, window resolve.
+        # Levenshtein is engine-portable → exact pair+distance oracle
+        "link_fuzzy_docs": _q(linkage.link_corrupted_docs, "documents"),
+        # exponential time-decay scores: pow(0.5, k) weights are exact
+        # doubles, contributions floor-quantized to integer 1e-10 units —
+        # order-free BIGINT sum, exact oracle
+        "ts_decay_score": _q(events_ops.decayed_user_score, "events"),
+        # HLL++ sketch vs exact distinct per type: gate = exact counts +
+        # sketch-within-5% flags (sketch value itself is engine-local)
+        "ts_sketch_accuracy": _q(events_ops.distinct_users_sketch, "events"),
+        # corpus-bigram LM features: min conditional transition prob +
+        # bit-length information weights (log2 via bin() string length —
+        # no transcendentals) — exact oracle
+        "doc_bigram_lm": _q(text.bigram_lm_score, "documents"),
+        # deterministic k-per-group reservoir (hash-order top-k, window
+        # group-limit pruned) — exact oracle
+        "cur_sample_k_per_group": _q(curation.sample_k_per_group, "documents"),
+        # cross-source contamination matrix: distinct (source, fp) then
+        # fp self-join (fan-out bounded by #sources) — exact oracle.
+        # Natural cross-source dups only appear at sf0.1, so every 7th
+        # doc is re-tagged as a synthetic 'srcM' feed (same pattern as
+        # doc_redact_pii; 7 is coprime to the source cycle, so the mirror
+        # overlaps MANY sources): value-bearing matrix at every sf
+        "dedup_source_overlap": lambda spark, sf: (
+            lambda docs: dedup.source_overlap_matrix(
+                docs.unionByName(
+                    docs.where(F.col("doc_id") % 7 == 0).withColumn(
+                        "source", F.lit("srcM")
+                    )
+                )
+            )
+        )(load_table(spark, sf, "documents")),
+        # stored cell-partitioned PQ code index: gate = storage contract
+        # (full-probe == in-memory ADC row-for-row, unique code rows,
+        # k-per-query at default probe)
+        "emb_stored_ivf_pq": _stored_ivf_pq_invariants,
+        # streaming PQ novelty's batch twin: verdicts re-derived by an
+        # independent encode + set compare
+        "emb_pq_novelty": _pq_novelty_invariants,
     }
 
 
@@ -977,6 +1131,20 @@ def _invariant_oracles() -> dict[str, str]:
                        AS total_tokens,
                    TRUE AS all_bins_feasible
             FROM documents
+        """,
+        "emb_stored_ivf_pq": """
+            SELECT count(*)::BIGINT AS n_index_rows,
+                   0::BIGINT AS n_dup_code_rows,
+                   50::BIGINT AS n_probe_results,
+                   TRUE AS full_probe_matches_memory
+            FROM embeddings
+        """,
+        "emb_pq_novelty": """
+            SELECT count(*)::BIGINT AS n_new,
+                   count(*)::BIGINT AS n_unique_ids,
+                   TRUE AS n_novel_bounded,
+                   TRUE AS verdicts_match_recompute
+            FROM embeddings WHERE vec_id % 10 = 0
         """,
     }
 
@@ -2773,5 +2941,117 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
                 FROM pairs
             ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "link_fuzzy_docs": """
+            WITH corrupted AS (
+                SELECT doc_id AS left_id, lang, source,
+                       substr(text, 1, 10) || '#' || substr(text, 12) AS text
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            lf AS (
+                SELECT left_id, lang, source,
+                       CAST(length(text) // 64 AS BIGINT) AS lb,
+                       substr(text, 1, 40) AS pfx
+                FROM corrupted
+            ),
+            rf AS (
+                SELECT doc_id AS right_id, lang, source,
+                       CAST(length(text) // 64 AS BIGINT) AS lb,
+                       substr(text, 1, 40) AS pfx
+                FROM documents
+            ),
+            pairs AS (
+                SELECT left_id, right_id,
+                       levenshtein(lf.pfx, rf.pfx) AS dist
+                FROM lf JOIN rf USING (lang, source, lb)
+                WHERE levenshtein(lf.pfx, rf.pfx) <= 8
+            ),
+            best AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY left_id ORDER BY dist, right_id) AS rn
+                FROM pairs
+            )
+            SELECT left_id, right_id, dist FROM best WHERE rn = 1
+            ORDER BY left_id
+        """,
+        "ts_decay_score": """
+            WITH ref AS (SELECT max(ts) AS r FROM events),
+            c AS (
+                SELECT user_id,
+                       CAST(floor(value * power(0.5, least(CAST(floor(
+                               (epoch(r) - epoch(ts)) / 43200.0) AS BIGINT),
+                               40)) * 1e10) AS BIGINT) AS contrib
+                FROM events, ref
+            )
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(contrib) AS BIGINT) AS score_e10,
+                   CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE) / 1e10
+                       AS decayed_score
+            FROM c GROUP BY user_id ORDER BY user_id
+        """,
+        "ts_sketch_accuracy": """
+            SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   true AS sketch_ok
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_bigram_lm": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            db AS (
+                SELECT doc_id, unnest(list_transform(
+                           range(0, len(ws) - 1),
+                           i -> ws[i + 1] || ' ' || ws[i + 2])) AS bigram
+                FROM toks WHERE len(ws) >= 2
+            ),
+            uni AS (
+                SELECT w1, COUNT(*) AS c1 FROM (
+                    SELECT unnest(ws) AS w1 FROM toks
+                ) GROUP BY w1
+            ),
+            bi AS (SELECT bigram, COUNT(*) AS c2 FROM db GROUP BY bigram),
+            j AS (
+                SELECT db.doc_id, bi.c2, uni.c1
+                FROM db
+                JOIN bi USING (bigram)
+                JOIN uni ON uni.w1 = string_split(db.bigram, ' ')[1]
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   min(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS min_cond_p,
+                   CAST(SUM(length(bin(c2))) AS BIGINT) AS sum_bits,
+                   CAST(SUM(length(bin(c2))) AS DOUBLE) / COUNT(*) AS avg_bits
+            FROM j GROUP BY doc_id ORDER BY doc_id
+        """,
+        "cur_sample_k_per_group": """
+            WITH t AS (
+                SELECT lang, source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':3'),
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT lang, source, doc_id, rn AS pick_rank
+            FROM t WHERE rn <= 3
+            ORDER BY lang, source, pick_rank
+        """,
+        "dedup_source_overlap": r"""
+            WITH docs AS (
+                SELECT source, text FROM documents
+                UNION ALL
+                SELECT 'srcM' AS source, text FROM documents
+                WHERE doc_id % 7 = 0
+            ),
+            fp AS (
+                SELECT DISTINCT source AS src,
+                       md5(trim(regexp_replace(lower(text),
+                                               '\s+', ' ', 'g'))) AS f
+                FROM docs
+            )
+            SELECT a.src AS source_a, b.src AS source_b,
+                   COUNT(*) AS n_shared
+            FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

@@ -529,3 +529,30 @@ def pack_sequences_greedy(
     return sharded.mapInPandas(
         pack, schema=f"{id_col} long, n_tokens int, bin long"
     )
+
+
+def sample_k_per_group(
+    documents: DataFrame,
+    k: int = 3,
+    group_cols=("lang", "source"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-group reservoir: keep exactly min(k, |group|)
+    documents per group, chosen by md5("<id>:k") hash order (id as final
+    tie-break). The hash order is content-keyed, so the selection is a
+    true uniform-without-replacement sample that never changes with
+    partitioning, insert order, or engine — the reproducible alternative
+    to RAND()-ordered LIMIT k.
+
+    One shuffle on the group key; the per-group sort is bounded by the
+    window's top-k (rank <= k prunes to a running k-heap per group under
+    WindowGroupLimit) — scales to any number of groups.
+    """
+    tag = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{k}")))
+    w = Window.partitionBy(*group_cols).orderBy(tag.asc(), F.col(id_col).asc())
+    return (
+        documents.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(*group_cols, id_col, F.col("_rn").alias("pick_rank"))
+        .orderBy(*group_cols, "pick_rank")
+    )

@@ -924,3 +924,38 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("src").alias(id_col), "component").orderBy(id_col)
+
+
+def source_overlap_matrix(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, how
+    many distinct normalized fingerprints appear in BOTH — the dashboard
+    that says which two feeds are re-crawling each other (and whose
+    overlap should be deduped by source priority rather than doc id).
+
+    Shape: collapse to distinct (source, fingerprint) first (one map-side
+    combined aggregation — the corpus never self-joins at full size),
+    then a self-equi-join on the fingerprint key whose per-key fan-out is
+    #sources-bounded, then a tiny pair rollup. Linear in corpus size,
+    quadratic only in the source count.
+    """
+    per_src = (
+        documents.select(
+            F.col(group_col).alias("src"),
+            F.md5(normalized(text_col)).alias("__fp"),
+        )
+        .distinct()
+    )
+    a = per_src.alias("a")
+    b = per_src.select(
+        F.col("src").alias("src_b"), F.col("__fp").alias("__fp_b")
+    )
+    return (
+        a.join(b, (F.col("__fp") == F.col("__fp_b")) & (F.col("src") < F.col("src_b")))
+        .groupBy(F.col("src").alias("source_a"), F.col("src_b").alias("source_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )

@@ -741,3 +741,84 @@ def value_quantiles_approx(events: DataFrame, accuracy: int = 10000) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+def decayed_user_score(
+    events: DataFrame,
+    half_life_hours: int = 12,
+    max_halvings: int = 40,
+) -> DataFrame:
+    """Exponentially time-decayed engagement score per user: each event
+    contributes value * 0.5^(age / half_life), ages bucketed to whole
+    half-lives (the decay curve a ranking/freshness feature actually
+    ships: recent events dominate, month-old events contribute ~nothing).
+
+    Engine-exact by construction: the reference time is max(ts) over the
+    table (broadcast scalar, one map-side-combined agg), ages are epoch-
+    second arithmetic, and the weight is pow(0.5, k) for integer
+    k <= max_halvings — a plain exponent decrement, every product
+    value * 2^-k is an EXACT double. The only order-sensitive step, the
+    per-user sum, runs over contributions quantized to integer 1e-10
+    units via floor(contrib * 1e10) — multiply and floor are correctly
+    rounded on identical inputs in both engines (no double->decimal
+    cast, whose half-way tie handling differs between them), and the
+    BIGINT sum is exact under any aggregation order. The score is
+    emitted both as the exact scaled integer and as sum/1e10 (int64->
+    double conversion + one division: correctly rounded in both).
+
+    One shuffle on user_id; the scalar max is a broadcast — scales.
+    """
+    ref = events.agg(F.max("ts").alias("_ref"))
+    bucket = F.least(
+        F.floor(
+            (F.col("_ref").cast("double") - F.col("ts").cast("double"))
+            / F.lit(3600.0 * half_life_hours)
+        ),
+        F.lit(max_halvings),
+    )
+    contrib = F.floor(
+        F.col("value") * F.pow(F.lit(0.5), bucket) * F.lit(1e10)
+    )
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .select("user_id", contrib.alias("_c"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_c").alias("score_e10"),
+        )
+        .withColumn(
+            "decayed_score",
+            F.col("score_e10").cast("double") / F.lit(1e10),
+        )
+        .orderBy("user_id")
+    )
+
+
+def distinct_users_sketch(events: DataFrame, max_rel_err: float = 0.05) -> DataFrame:
+    """Distinct-user counts per event type, both ways: the exact
+    count(distinct) (a full shuffle of the key space) and the HyperLogLog++
+    sketch (approx_count_distinct — fixed-size, mergeable map-side, the
+    only viable plan at 100 TB key cardinalities), with the sketch's
+    relative error asserted against the exact answer.
+
+    The sketch value itself is deterministic for a given dataset but not
+    engine-portable, so the gated output is (exact count, sketch-within-
+    bound flag) — the invariant-summary pattern: a flag flip means the
+    sketch register width or hashing regressed, not noise.
+    """
+    rel_err = (
+        F.abs(
+            F.approx_count_distinct("user_id", 0.02).cast("double")
+            - F.countDistinct("user_id").cast("double")
+        )
+        / F.countDistinct("user_id").cast("double")
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            (rel_err <= F.lit(max_rel_err)).alias("sketch_ok"),
+        )
+        .orderBy("event_type")
+    )

@@ -308,3 +308,119 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def build_ivf_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 16,
+    ksub: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the production ANN index: PQ codes written Hive-
+    partitioned by IVF cell — the stored form that makes 100 TB search a
+    directory-pruned scan of ~16 bytes/vector. Composes ivf.train/assign
+    with pq_encode(carry_cols=("cell",)); returns (centroids, codebooks)
+    — KB-sized, persist them next to the index.
+    """
+    from . import ivf
+
+    cents = ivf.train_centroids(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    books = train_codebooks(
+        embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    )
+    with_cell = ivf.assign_cells(embeddings, cents, vec_col=vec_col)
+    codes = pq_encode(
+        with_cell, books, id_col=id_col, vec_col=vec_col, carry_cols=("cell",)
+    )
+    (
+        codes.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return cents, books
+
+
+def ivf_pq_query_index(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a stored IVF-PQ index: static partition pruning reads ONLY
+    the n_probe nearest cells' code files per query set (assert via
+    plans.partition_filters), then ADC-ranks the candidates. The scan
+    touches m bytes/candidate in the probed cells — nothing else.
+
+    Full-probe (n_probe = n_cells) is row-for-row identical to in-memory
+    pq_topk over the same codes/books: storage round-trip and pruning
+    change WHICH candidates are scored, never their scores.
+    """
+    Q = np.asarray(queries, dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(Qn @ centroids.T), axis=1)[:, :n_probe]
+    all_cells = sorted({int(c) for row in probe for c in row})
+    codes = spark.read.parquet(path).where(F.col("cell").isin(all_cells))
+
+    m, ksub, dsub = codebooks.shape
+    nq = len(Q)
+    tabs = np.empty((nq, m, ksub), dtype=np.float64)
+    for j in range(m):
+        qs = Q[:, j * dsub : (j + 1) * dsub]
+        cents = codebooks[j]
+        tabs[:, j, :] = (
+            (qs * qs).sum(1)[:, None]
+            - 2.0 * qs @ cents.T
+            + (cents * cents).sum(1)[None, :]
+        )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy())
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            out_ids, out_q, out_d = [], [], []
+            for q in range(nq):
+                mask = np.isin(cells, probe[q])
+                if not mask.any():
+                    continue
+                dist = tabs[q, np.arange(m)[None, :], C[mask]].sum(axis=1)
+                take = min(k, len(dist))
+                part = np.argpartition(dist, take - 1)[:take]
+                out_ids.append(ids[mask][part])
+                out_q.append(np.full(take, q, dtype=np.int32))
+                out_d.append(dist[part])
+            if not out_ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_ids),
+                    "approx_dist2": np.concatenate(out_d),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, schema=f"query_id int, {id_col} long, approx_dist2 double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist2").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

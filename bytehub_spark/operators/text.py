@@ -623,3 +623,64 @@ def curation_pipeline(
         )
         .orderBy("lang")
     )
+
+
+def bigram_lm_score(documents: DataFrame) -> DataFrame:
+    """LM-style fluency scoring without a trained model: corpus bigram
+    statistics turned into per-document features —
+
+    - ``min_cond_p``: the weakest bigram transition in the document,
+      min over bigrams of count(w1 w2)/count(w1 *) (a document whose
+      every transition is common reads as fluent; one out-of-distribution
+      transition drags the min down — the cheap stand-in for min token
+      log-prob);
+    - ``sum_bits``/``avg_bits``: total/mean information weight of the
+      document's bigrams, bits(c) = floor(log2(c)) + 1 = length(bin(c)).
+
+    Everything is engine-exact arithmetic: integer counts, bit-length via
+    the binary string (log2 without log — ``bin()`` is pure string
+    formatting in both engines), and single correctly-rounded double
+    divisions; min over exact doubles is order-free. Docs with < 2
+    whitespace tokens have no bigrams and are omitted.
+
+    Plan shape: two vocab-sized count tables (explode + groupBy, partial
+    agg map-side), then one shuffle join of doc bigrams against them on
+    the bigram/unigram key — the TF-IDF shape, linear in corpus size.
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    doc_bi = (
+        documents.where(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    uni = (
+        documents.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = doc_bi.groupBy("bigram").agg(F.count("*").alias("c2"))
+    joined = (
+        doc_bi.join(bi, "bigram")
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .join(uni, "w1")
+    )
+    cond_p = F.col("c2").cast("double") / F.col("c1").cast("double")
+    bits = F.length(F.bin(F.col("c2")))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.min(cond_p).alias("min_cond_p"),
+            F.sum(bits).alias("sum_bits"),
+        )
+        .withColumn(
+            "avg_bits",
+            F.col("sum_bits").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+        .orderBy("doc_id")
+    )

@@ -722,3 +722,66 @@ def attribution_join_batch(events: DataFrame, within: str = "1 hour") -> DataFra
         "p_event_id",
         F.col("p_value").alias("purchase_value"),
     )
+
+
+def _pq_code_key(codes_col: str = "codes") -> F.Column:
+    """Collision-free string key for an m-tuple of PQ codes (codes are
+    < ksub <= 2^31, '-' never appears in an int rendering)."""
+    return F.concat_ws("-", F.col(codes_col))
+
+
+def stream_pq_novelty(
+    vecs: DataFrame,
+    codebooks,
+    stored_codes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming PQ novelty: arriving vectors are PQ-encoded with the
+    broadcast codebooks (KBs, trained offline on the historical corpus)
+    and checked against the STORED code table — a vector is novel iff no
+    historical vector quantizes to the same m-code pattern (its PQ
+    Voronoi compartment is empty).
+
+    Plan: stateless Arrow encode per micro-batch, then a stream-static
+    left join on the code key against an aggregated-once static side —
+    no streaming state at all; the historical side is the stored PQ index
+    (16 B/vector), re-broadcast or shuffled by the join as its size
+    dictates. The micro-batch cost is O(batch), independent of corpus
+    history — the property that makes the pattern viable at 100 TB.
+    """
+    from ..operators.pq import pq_encode
+
+    enc = pq_encode(vecs, codebooks, id_col=id_col, vec_col=vec_col)
+    hist = (
+        stored_codes.select(_pq_code_key().alias("code_key"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    return (
+        enc.withColumn("code_key", _pq_code_key())
+        .join(hist, "code_key", "left")
+        .select(
+            id_col,
+            "code_key",
+            F.col("__seen").isNull().alias("is_novel"),
+        )
+    )
+
+
+def pq_novelty_batch(
+    new_vecs: DataFrame,
+    historical: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch twin of stream_pq_novelty (codebooks trained on the
+    historical corpus, both sides encoded with them) — the stream==batch
+    equality oracle, and the backfill path over a stored corpus."""
+    from ..operators.pq import pq_encode, train_codebooks
+
+    books = train_codebooks(historical, id_col=id_col, vec_col=vec_col)
+    hist_codes = pq_encode(historical, books, id_col=id_col, vec_col=vec_col)
+    return stream_pq_novelty(
+        new_vecs, books, hist_codes, id_col=id_col, vec_col=vec_col
+    )

@@ -1,0 +1,232 @@
+"""Round-3 scratch probe: validate the new operators against draft
+DuckDB oracles before registering them (fast iteration outside pytest).
+
+Usage: python scripts/probe_r3.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from bytehub_spark.operators import (
+    curation,
+    dedup,
+    events_ops,
+    linkage,
+    text,
+)
+from bytehub_spark.session import get_spark
+from bytehub_spark.sources import TABLES
+from bytehub_spark.sources.tables import load_table
+
+SQL = {
+    "link_fuzzy_docs": """
+        WITH corrupted AS (
+            SELECT doc_id AS left_id, lang, source,
+                   substr(text, 1, 10) || '#' || substr(text, 12) AS text
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        lf AS (
+            SELECT left_id, lang, source,
+                   CAST(length(text) // 64 AS BIGINT) AS lb,
+                   substr(text, 1, 40) AS pfx
+            FROM corrupted
+        ),
+        rf AS (
+            SELECT doc_id AS right_id, lang, source,
+                   CAST(length(text) // 64 AS BIGINT) AS lb,
+                   substr(text, 1, 40) AS pfx
+            FROM documents
+        ),
+        pairs AS (
+            SELECT left_id, right_id,
+                   levenshtein(lf.pfx, rf.pfx) AS dist
+            FROM lf JOIN rf USING (lang, source, lb)
+            WHERE levenshtein(lf.pfx, rf.pfx) <= 8
+        ),
+        best AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY left_id ORDER BY dist, right_id) AS rn
+            FROM pairs
+        )
+        SELECT left_id, right_id, dist FROM best WHERE rn = 1
+        ORDER BY left_id
+    """,
+    "ts_decay_score": """
+        WITH ref AS (SELECT max(ts) AS r FROM events),
+        c AS (
+            SELECT user_id,
+                   CAST(floor(value * power(0.5, least(CAST(floor(
+                           (epoch(r) - epoch(ts)) / 43200.0) AS BIGINT), 40))
+                         * 1e10) AS BIGINT) AS contrib
+            FROM events, ref
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(contrib) AS BIGINT) AS score_e10,
+               CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE) / 1e10
+                   AS decayed_score
+        FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    "ts_sketch_accuracy": """
+        SELECT event_type, count(DISTINCT user_id) AS exact_users,
+               true AS sketch_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "doc_bigram_lm": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        db AS (
+            SELECT doc_id, unnest(list_transform(
+                       range(0, len(ws) - 1),
+                       i -> ws[i + 1] || ' ' || ws[i + 2])) AS bigram
+            FROM toks WHERE len(ws) >= 2
+        ),
+        uni AS (
+            SELECT w1, COUNT(*) AS c1 FROM (
+                SELECT unnest(ws) AS w1 FROM toks
+            ) GROUP BY w1
+        ),
+        bi AS (SELECT bigram, COUNT(*) AS c2 FROM db GROUP BY bigram),
+        j AS (
+            SELECT db.doc_id, bi.c2, uni.c1
+            FROM db
+            JOIN bi USING (bigram)
+            JOIN uni ON uni.w1 = string_split(db.bigram, ' ')[1]
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               min(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS min_cond_p,
+               CAST(SUM(length(bin(c2))) AS BIGINT) AS sum_bits,
+               CAST(SUM(length(bin(c2))) AS DOUBLE) / COUNT(*) AS avg_bits
+        FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+    "cur_sample_k_per_group": """
+        WITH t AS (
+            SELECT lang, source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':3'), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT lang, source, doc_id, rn AS pick_rank
+        FROM t WHERE rn <= 3
+        ORDER BY lang, source, pick_rank
+    """,
+    "dedup_source_overlap": r"""
+        WITH fp AS (
+            SELECT DISTINCT source AS src,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+            FROM documents
+        )
+        SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared
+        FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+}
+
+
+def q_link(spark, sf):
+    return linkage.link_corrupted_docs(load_table(spark, sf, "documents"))
+
+
+def q_decay(spark, sf):
+    return events_ops.decayed_user_score(load_table(spark, sf, "events"))
+
+
+def q_sketch(spark, sf):
+    return events_ops.distinct_users_sketch(load_table(spark, sf, "events"))
+
+
+def q_bigram(spark, sf):
+    return text.bigram_lm_score(load_table(spark, sf, "documents"))
+
+
+def q_sample(spark, sf):
+    return curation.sample_k_per_group(load_table(spark, sf, "documents"))
+
+
+def q_overlap(spark, sf):
+    return dedup.source_overlap_matrix(load_table(spark, sf, "documents"))
+
+
+QUERIES = {
+    "link_fuzzy_docs": q_link,
+    "ts_decay_score": q_decay,
+    "ts_sketch_accuracy": q_sketch,
+    "doc_bigram_lm": q_bigram,
+    "cur_sample_k_per_group": q_sample,
+    "dedup_source_overlap": q_overlap,
+}
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("probe_r3")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    fails = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir).toPandas()
+        spark.catalog.clearCache()
+        ddf = con.execute(SQL[name]).df()
+        if len(sdf) != len(ddf):
+            print(f"FAIL {name}: rows spark={len(sdf)} duckdb={len(ddf)}")
+            fails.append(name)
+            continue
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            print(f"FAIL {name}: cols {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+            fails.append(name)
+            continue
+        a, b = normalize(sdf), normalize(ddf)
+        ok = True
+        for c in a.columns:
+            if pd.api.types.is_float_dtype(a[c]):
+                av, bv = a[c].to_numpy(), b[c].to_numpy()
+                eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    print(f"FAIL {name}: {c} row {i}: {av[i]!r} vs {bv[i]!r}"
+                          f" (maxdiff {np.nanmax(np.abs(av - bv))})")
+                    ok = False
+                    break
+            elif not a[c].astype(str).equals(b[c].astype(str)):
+                neq = a[c].astype(str) != b[c].astype(str)
+                i = int(neq.idxmax())
+                print(f"FAIL {name}: {c} row {i}: {a[c].iloc[i]!r} vs {b[c].iloc[i]!r}")
+                ok = False
+                break
+        if ok:
+            print(f"ok {name}: {len(sdf)} rows exact-match")
+        else:
+            fails.append(name)
+    print("FAILURES:", fails) if fails else print("ALL MATCH")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

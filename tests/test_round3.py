@@ -1,0 +1,249 @@
+"""Round-3 operators: record linkage, time-decay scoring, sketch
+accuracy, bigram LM features, k-per-group sampling, cross-source
+overlap, stored IVF-PQ, streaming PQ novelty."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bytehub_spark.operators import curation, dedup, events_ops, linkage, pq, text
+from bytehub_spark.plans import inspect
+from bytehub_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- linkage
+
+
+def test_link_corrupted_docs_recovers_originals(spark):
+    docs = load_table(spark, SF, "documents")
+    out = linkage.link_corrupted_docs(docs).toPandas()
+    n_left = docs.where(F.col("doc_id") % 5 == 0).count()
+    # every corrupted doc links somewhere, exactly once
+    assert len(out) == n_left
+    assert out["left_id"].is_unique
+    # the overwhelming majority resolve to their own original at the
+    # single-substitution distance (exact-dup texts can steal a tie)
+    self_links = (out["left_id"] == out["right_id"]).mean()
+    assert self_links > 0.9
+    assert (out.loc[out["left_id"] == out["right_id"], "dist"] <= 1).all()
+
+
+def test_blocked_fuzzy_pairs_no_cartesian(spark):
+    docs = load_table(spark, SF, "documents")
+    pairs = linkage.blocked_fuzzy_pairs(docs, docs)
+    plan = inspect.executed_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------- decay / sketch
+
+
+def test_decayed_user_score_matches_pandas(spark):
+    ev = load_table(spark, SF, "events")
+    got = events_ops.decayed_user_score(ev).toPandas()
+    pdf = ev.select("user_id", "ts", "value").toPandas()
+    ref = pdf["ts"].max()
+    k = np.minimum(
+        np.floor(
+            (ref - pdf["ts"]).dt.total_seconds().to_numpy() / (3600.0 * 12)
+        ),
+        40,
+    )
+    contrib = np.floor(pdf["value"].to_numpy() * np.power(0.5, k) * 1e10)
+    exp = (
+        pd.DataFrame({"user_id": pdf["user_id"], "c": contrib.astype(np.int64)})
+        .groupby("user_id")["c"]
+        .sum()
+    )
+    merged = got.set_index("user_id")
+    assert (merged["score_e10"] == exp).all()
+    # emitted double is the exact int64 / 1e10
+    np.testing.assert_array_equal(
+        merged["decayed_score"].to_numpy(),
+        merged["score_e10"].to_numpy().astype(np.float64) / 1e10,
+    )
+
+
+def test_decay_more_recent_scores_higher(spark):
+    """Same value at two ages: newer bucket must contribute >= older."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-10 00:00:00", "2024-01-01 00:00:00"]),
+            "user_id": [1, 2],
+            "event_type": ["click", "click"],
+            "value": [10.0, 10.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    ev = spark.createDataFrame(pdf)
+    out = events_ops.decayed_user_score(ev).toPandas().set_index("user_id")
+    assert out.loc[1, "decayed_score"] > out.loc[2, "decayed_score"]
+    assert out.loc[1, "decayed_score"] == 10.0  # age 0 -> weight 1, exact
+
+
+def test_distinct_users_sketch_within_bound(spark):
+    out = events_ops.distinct_users_sketch(load_table(spark, SF, "events")).toPandas()
+    assert out["sketch_ok"].all()
+    assert (out["exact_users"] > 0).all()
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def test_bigram_lm_score_tiny_corpus(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["a b a b", "a b c", "x"],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": [7, 5, 1],
+            }
+        )
+    )
+    out = text.bigram_lm_score(docs).toPandas().set_index("doc_id")
+    # corpus: unigrams a=3 b=3 c=1 x=1; bigrams "a b"=3, "b a"=1, "b c"=1
+    # doc 0: bigrams [a b, b a, a b]; doc 1: [a b, b c]; doc 2: none
+    assert list(out.index) == [0, 1]
+    assert out.loc[0, "n_bigrams"] == 3
+    assert out.loc[0, "min_cond_p"] == pytest.approx(1 / 3)  # b->a = 1/3
+    # bits: "a b" count 3 -> len('11')=2; "b a" count 1 -> 1
+    assert out.loc[0, "sum_bits"] == 2 + 1 + 2
+    assert out.loc[1, "min_cond_p"] == pytest.approx(1 / 3)  # b->c = 1/3
+    assert out.loc[1, "sum_bits"] == 2 + 1
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_sample_k_per_group_bounds_and_determinism(spark):
+    docs = load_table(spark, SF, "documents")
+    a = curation.sample_k_per_group(docs, k=3).toPandas()
+    sizes = a.groupby(["lang", "source"]).size()
+    group_sizes = docs.groupBy("lang", "source").count().toPandas()
+    assert (sizes <= 3).all()
+    # groups with >= 3 docs yield exactly 3
+    big = group_sizes[group_sizes["count"] >= 3]
+    for _, r in big.iterrows():
+        assert sizes[(r["lang"], r["source"])] == 3
+    # layout-independence: different partitioning, identical picks
+    b = curation.sample_k_per_group(docs.repartition(17), k=3).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["lang", "source", "pick_rank"]).reset_index(drop=True),
+        b.sort_values(["lang", "source", "pick_rank"]).reset_index(drop=True),
+    )
+
+
+def test_sample_k_per_group_uses_window_group_limit(spark):
+    docs = load_table(spark, SF, "documents")
+    plan = inspect.executed_plan(curation.sample_k_per_group(docs, k=3))
+    assert "WindowGroupLimit" in plan  # per-group running top-k, no full sort
+
+
+# ------------------------------------------------------- source overlap
+
+
+def test_source_overlap_matrix_synthetic(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": ["dup one", "dup one", "dup two", "dup two", "uniq a", "uniq b"],
+                "lang": ["en"] * 6,
+                "source": ["s1", "s2", "s1", "s3", "s1", "s2"],
+                "n_chars": [7] * 6,
+            }
+        )
+    )
+    out = dedup.source_overlap_matrix(docs).toPandas()
+    got = {(r.source_a, r.source_b): r.n_shared for r in out.itertuples()}
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 1}
+
+
+# ------------------------------------------------------- stored IVF-PQ
+
+
+def test_stored_ivf_pq_full_probe_matches_memory(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    cents, books = pq.build_ivf_pq_index(emb, path)
+    qrows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(3).collect()
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    stored = pq.ivf_pq_query_index(spark, path, cents, books, Q, k=10, n_probe=16).toPandas()
+    mem = pq.pq_topk(pq.pq_encode(emb, books), books, Q, k=10).toPandas()
+    merged = stored.merge(mem, on=["query_id", "rank"], suffixes=("_st", "_mem"))
+    assert len(merged) == len(mem) == len(stored)
+    assert (merged["vec_id_st"] == merged["vec_id_mem"]).all()
+    assert (merged["approx_dist2_st"] == merged["approx_dist2_mem"]).all()
+
+
+def test_stored_ivf_pq_partition_pruning(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq_prune")
+    cents, books = pq.build_ivf_pq_index(emb, path)
+    qrows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(2).collect()
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    out = pq.ivf_pq_query_index(spark, path, cents, books, Q, k=5, n_probe=2)
+    filters = inspect.partition_filters(out)
+    assert any("cell" in f for f in filters)  # static cell-directory pruning
+    out.collect()
+
+
+# ------------------------------------------------- streaming PQ novelty
+
+
+def test_stream_pq_novelty_vs_batch(spark, tmp_path):
+    from bytehub_spark.streaming import ingest as st
+    from bytehub_spark.operators.pq import pq_encode, train_codebooks
+
+    emb = load_table(spark, SF, "embeddings")
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    new_vecs = emb.where(F.col("vec_id") % 10 == 0)
+
+    src = str(tmp_path / "vec_stream")
+    new_vecs.write.parquet(src)
+    books = train_codebooks(hist)
+    hist_codes = pq_encode(hist, books)
+    hist_codes.cache().count()  # static side of the stream-static join
+
+    stream = (
+        spark.readStream.schema(new_vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        st.stream_pq_novelty(stream, books, hist_codes)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pq_novelty")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM pq_novelty")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        st.pq_novelty_batch(new_vecs, hist)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    hist_codes.unpersist()
+    pd.testing.assert_frame_equal(
+        got[["vec_id", "code_key", "is_novel"]],
+        exp[["vec_id", "code_key", "is_novel"]],
+        check_dtype=False,
+    )
+    assert len(got) == new_vecs.count()
