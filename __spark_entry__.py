@@ -97,13 +97,13 @@ _GATE_FIRST = [
     "link_fuzzy_docs", "ts_decay_score", "ts_sketch_accuracy",
     "doc_bigram_lm", "cur_sample_k_per_group", "dedup_source_overlap",
     "emb_stored_ivf_pq", "emb_pq_novelty",
+    "doc_domain_affinity", "cur_quality_rebalance", "ts_top_paths",
     # --- (e) r01-only greens refreshed (NTZ-affected ts family first;
     # the tail dropped this round has r01∪r02 green rows + local sweeps) ---
     "ts_dedup_latest", "ts_seed_lookup", "ts_interval_join",
     "ts_salted_rollup", "ts_moving_avg", "ts_quantiles",
     "ts_zscore_outliers", "ts_funnel", "ts_histogram", "ts_topk_per_key",
-    "ts_range_scan", "ts_json_extract", "ts_rollup", "ts_time_travel",
-    "ts_last_per_key",
+    "ts_rollup", "ts_time_travel",
 ]
 
 
@@ -848,6 +848,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming PQ novelty's batch twin: verdicts re-derived by an
         # independent encode + set compare
         "emb_pq_novelty": _pq_novelty_invariants,
+        # DSIR-style importance weights: log2-bucketed frequency contrast
+        # between the in-domain and full corpus (bits via bin(), integer
+        # everywhere) — exact oracle
+        "doc_domain_affinity": _q(text.domain_affinity_score, "documents"),
+        # per-source quality-decile histogram (ntile with total-order
+        # tie-break) — the keep-top-deciles rebalancing plan, exact oracle
+        "cur_quality_rebalance": _q(curation.quality_rebalance_plan, "documents"),
+        # top-k first-session journeys: grouped array_sort (no window) +
+        # |paths|-sized count + global top-k — exact oracle
+        "ts_top_paths": _q(events_ops.top_user_paths, "events"),
     }
 
 
@@ -3053,5 +3063,71 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_shared
             FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "doc_domain_affinity": """
+            WITH toks AS (
+                SELECT doc_id, lang, string_split(text, ' ') AS ws
+                FROM documents
+            ),
+            dt AS (
+                SELECT doc_id, unnest(list_distinct(ws)) AS w FROM toks
+            ),
+            allc AS (
+                SELECT w, COUNT(*) AS c_all FROM (
+                    SELECT unnest(ws) AS w FROM toks
+                ) GROUP BY w
+            ),
+            domc AS (
+                SELECT w, COUNT(*) AS c_dom FROM (
+                    SELECT unnest(ws) AS w FROM toks WHERE lang = 'en'
+                ) GROUP BY w
+            )
+            SELECT doc_id, COUNT(*) AS n_terms,
+                   CAST(SUM(length(bin(coalesce(c_dom, 0) + 1))
+                            - length(bin(c_all + 1))) AS BIGINT)
+                       AS affinity_bits,
+                   CAST(CAST(SUM(length(bin(coalesce(c_dom, 0) + 1))
+                            - length(bin(c_all + 1))) AS BIGINT) AS DOUBLE)
+                       / COUNT(*) AS affinity_per_term
+            FROM dt JOIN allc USING (w) LEFT JOIN domc USING (w)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "cur_quality_rebalance": """
+            WITH scored AS (
+                SELECT doc_id, source,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                           + 0.5 * (1.0 - CAST(len(list_filter(
+                               string_split(text, ' '),
+                               w -> w IN ('the', 'a', 'and', 'of', 'to')))
+                               AS DOUBLE)
+                               / len(string_split(text, ' '))) AS q
+                FROM documents
+            ),
+            tiled AS (
+                SELECT source, n_tokens,
+                       ntile(10) OVER (PARTITION BY source
+                                       ORDER BY q ASC, doc_id ASC) AS decile
+                FROM scored
+            )
+            SELECT source, CAST(decile AS INTEGER) AS decile,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+            FROM tiled GROUP BY source, decile ORDER BY source, decile
+        """,
+        "ts_top_paths": """
+            WITH seqs AS (
+                SELECT user_id,
+                       array_to_string(
+                           (list(event_type ORDER BY ts, event_id))[1:5],
+                           '>') AS path
+                FROM events GROUP BY user_id
+            ),
+            pc AS (SELECT path, COUNT(*) AS n_users FROM seqs GROUP BY path)
+            SELECT CAST(rank AS INTEGER) AS rank, path, n_users FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY n_users DESC, path ASC) AS rank
+                FROM pc
+            ) WHERE rank <= 20 ORDER BY rank
         """,
     }

@@ -556,3 +556,33 @@ def sample_k_per_group(
         .select(*group_cols, id_col, F.col("_rn").alias("pick_rank"))
         .orderBy(*group_cols, "pick_rank")
     )
+
+
+def quality_rebalance_plan(documents: DataFrame, n_tiles: int = 10) -> DataFrame:
+    """Per-source quality-decile histogram — the rebalancing dashboard
+    that drives "keep only the top-k quality deciles of each feed":
+    documents are scored with the text_stats linear quality score, split
+    into per-source ntile(n) deciles (deterministic: ordered by score
+    with doc_id tie-break), and summarized as (source, decile, n_docs,
+    sum_tokens).
+
+    ntile over a per-source window is one shuffle on source; everything
+    else is map-side. Integer outputs — exact cross-engine.
+    """
+    from .text import text_stats
+
+    scored = documents.join(
+        text_stats(documents).select("doc_id", "quality_score"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("decile", F.ntile(n_tiles).over(w))
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("sum_tokens"),
+        )
+        .orderBy("source", "decile")
+    )

@@ -822,3 +822,46 @@ def distinct_users_sketch(events: DataFrame, max_rel_err: float = 0.05) -> DataF
         )
         .orderBy("event_type")
     )
+
+
+def top_user_paths(events: DataFrame, prefix_len: int = 5, k: int = 20) -> DataFrame:
+    """Top-k user journeys: each user's first ``prefix_len`` events (by
+    time, event_id tie-break) joined into a path string, then the most
+    common paths ranked — the product-analytics "what do new users do
+    first" query.
+
+    One shuffle to assemble per-user sequences (array_sort of structs —
+    a grouped aggregate, no window), one |paths|-sized count, and a
+    global top-k that moves only k rows per partition. Ordering inside
+    array_sort is total (ts, event_id), so the path set is deterministic
+    and exactly replayable in SQL.
+    """
+    seq = F.array_join(
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            1,
+            prefix_len,
+        ),
+        ">",
+    )
+    paths = (
+        events.groupBy("user_id")
+        .agg(seq.alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition heap,
+    # driver merges k rows — no partition-less window over the full path
+    # table); rank is then a window over only the k survivors
+    topk = paths.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(k)
+    w = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("rank", "path", "n_users")
+        .orderBy("rank")
+    )

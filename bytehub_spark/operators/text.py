@@ -684,3 +684,58 @@ def bigram_lm_score(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def domain_affinity_score(
+    documents: DataFrame,
+    domain_col: str = "lang",
+    domain_value: str = "en",
+) -> DataFrame:
+    """DSIR-style importance weights without floats: per document, the
+    summed log2-bucketed frequency contrast between an in-domain corpus
+    (rows where ``domain_col == domain_value``) and the full corpus —
+    affinity_bits = sum over the doc's distinct unigrams of
+    bits(c_domain(w) + 1) - bits(c_all(w) + 1), bits(x) = len(bin(x)).
+
+    Positive-leaning scores mark documents whose vocabulary concentrates
+    in the target domain — the cheap, engine-exact proxy for the
+    log-likelihood-ratio weights importance resampling uses (log2 via
+    binary string length, integer everywhere; the +1 smooths unseen
+    terms the way add-one smoothing does).
+
+    Plan: two vocab-sized count tables off one token explode, one join
+    of doc terms against them — TF-IDF shape, linear in corpus size.
+    """
+    toks = F.split(F.col("text"), " ")
+    doc_terms = documents.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("w")
+    )
+    all_counts = (
+        documents.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_all"))
+    )
+    dom_counts = (
+        documents.where(F.col(domain_col) == domain_value)
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_dom"))
+    )
+    bits = lambda c: F.length(F.bin(c))  # noqa: E731
+    contrast = bits(F.coalesce(F.col("c_dom"), F.lit(0)) + F.lit(1)) - bits(
+        F.col("c_all") + F.lit(1)
+    )
+    return (
+        doc_terms.join(all_counts, "w")
+        .join(dom_counts, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum(contrast).alias("affinity_bits"),
+        )
+        .withColumn(
+            "affinity_per_term",
+            F.col("affinity_bits").cast("double") / F.col("n_terms").cast("double"),
+        )
+        .orderBy("doc_id")
+    )

@@ -131,6 +131,68 @@ SQL = {
         FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    "doc_domain_affinity": """
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        ),
+        dt AS (
+            SELECT doc_id, unnest(list_distinct(ws)) AS w FROM toks
+        ),
+        allc AS (
+            SELECT w, COUNT(*) AS c_all FROM (
+                SELECT unnest(ws) AS w FROM toks
+            ) GROUP BY w
+        ),
+        domc AS (
+            SELECT w, COUNT(*) AS c_dom FROM (
+                SELECT unnest(ws) AS w FROM toks WHERE lang = 'en'
+            ) GROUP BY w
+        )
+        SELECT doc_id, COUNT(*) AS n_terms,
+               CAST(SUM(length(bin(coalesce(c_dom, 0) + 1))
+                        - length(bin(c_all + 1))) AS BIGINT) AS affinity_bits,
+               CAST(CAST(SUM(length(bin(coalesce(c_dom, 0) + 1))
+                        - length(bin(c_all + 1))) AS BIGINT) AS DOUBLE)
+                   / COUNT(*) AS affinity_per_term
+        FROM dt JOIN allc USING (w) LEFT JOIN domc USING (w)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    "cur_quality_rebalance": """
+        WITH scored AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                       + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                           w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+                           / len(string_split(text, ' '))) AS q
+            FROM documents
+        ),
+        tiled AS (
+            SELECT source, n_tokens,
+                   ntile(10) OVER (PARTITION BY source
+                                   ORDER BY q ASC, doc_id ASC) AS decile
+            FROM scored
+        )
+        SELECT source, CAST(decile AS INTEGER) AS decile,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM tiled GROUP BY source, decile ORDER BY source, decile
+    """,
+    "ts_top_paths": """
+        WITH seqs AS (
+            SELECT user_id,
+                   array_to_string(
+                       (list(event_type ORDER BY ts, event_id))[1:5],
+                       '>') AS path
+            FROM events GROUP BY user_id
+        ),
+        pc AS (SELECT path, COUNT(*) AS n_users FROM seqs GROUP BY path)
+        SELECT CAST(rank AS INTEGER) AS rank, path, n_users FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY n_users DESC, path ASC) AS rank
+            FROM pc
+        ) WHERE rank <= 20 ORDER BY rank
+    """,
 }
 
 
@@ -158,6 +220,18 @@ def q_overlap(spark, sf):
     return dedup.source_overlap_matrix(load_table(spark, sf, "documents"))
 
 
+def q_affinity(spark, sf):
+    return text.domain_affinity_score(load_table(spark, sf, "documents"))
+
+
+def q_rebalance(spark, sf):
+    return curation.quality_rebalance_plan(load_table(spark, sf, "documents"))
+
+
+def q_paths(spark, sf):
+    return events_ops.top_user_paths(load_table(spark, sf, "events"))
+
+
 QUERIES = {
     "link_fuzzy_docs": q_link,
     "ts_decay_score": q_decay,
@@ -165,6 +239,9 @@ QUERIES = {
     "doc_bigram_lm": q_bigram,
     "cur_sample_k_per_group": q_sample,
     "dedup_source_overlap": q_overlap,
+    "doc_domain_affinity": q_affinity,
+    "cur_quality_rebalance": q_rebalance,
+    "ts_top_paths": q_paths,
 }
 
 

@@ -247,3 +247,59 @@ def test_stream_pq_novelty_vs_batch(spark, tmp_path):
         check_dtype=False,
     )
     assert len(got) == new_vecs.count()
+
+
+# ---------------------------------------------------- batch 2: affinity etc.
+
+
+def test_domain_affinity_tiny_corpus(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["hello world", "bonjour monde"],
+                "lang": ["en", "fr"],
+                "source": ["s"] * 2,
+                "n_chars": [11, 13],
+            }
+        )
+    )
+    out = text.domain_affinity_score(docs).toPandas().set_index("doc_id")
+    # every token appears once overall; en doc's tokens appear once in-domain
+    # bits(1+1)=2, bits(1+1)=2 -> contrast 0 for en tokens;
+    # fr tokens: c_dom=0 -> bits(1)=1, c_all=1 -> bits(2)=2 -> -1 each
+    assert out.loc[0, "affinity_bits"] == 0
+    assert out.loc[1, "affinity_bits"] == -2
+    assert out.loc[1, "affinity_per_term"] == -1.0
+
+
+def test_quality_rebalance_decile_partition(spark):
+    docs = load_table(spark, SF, "documents")
+    out = curation.quality_rebalance_plan(docs).toPandas()
+    # deciles cover each source's docs exactly once
+    per_source = out.groupby("source")["n_docs"].sum()
+    counts = docs.groupBy("source").count().toPandas().set_index("source")["count"]
+    for src, n in counts.items():
+        assert per_source[src] == n
+    assert out["decile"].between(1, 10).all()
+
+
+def test_top_user_paths_plan_and_values(spark):
+    ev = load_table(spark, SF, "events")
+    q = events_ops.top_user_paths(ev, prefix_len=3, k=5)
+    plan = inspect.executed_plan(q)
+    assert "TakeOrderedAndProject" in plan  # heap top-k, not a global sort
+    out = q.toPandas()
+    assert len(out) <= 5
+    assert (out["rank"] == np.arange(1, len(out) + 1)).all()
+    # monotone counts
+    assert (np.diff(out["n_users"].to_numpy()) <= 0).all()
+    # cross-check the top path by recomputing in pandas
+    pdf = ev.select("user_id", "ts", "event_id", "event_type").toPandas()
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    seqs = (
+        pdf.groupby("user_id")["event_type"]
+        .apply(lambda s: ">".join(s.head(3)))
+        .value_counts()
+    )
+    assert out.loc[0, "n_users"] == seqs.iloc[0]
