@@ -98,11 +98,12 @@ _GATE_FIRST = [
     "doc_bigram_lm", "cur_sample_k_per_group", "dedup_source_overlap",
     "emb_stored_ivf_pq", "emb_pq_novelty",
     "doc_domain_affinity", "cur_quality_rebalance", "ts_top_paths",
+    "ts_quality_audit", "ts_churn_labels",
     # --- (e) r01-only greens refreshed (NTZ-affected ts family first;
     # the tail dropped this round has r01∪r02 green rows + local sweeps) ---
     "ts_dedup_latest", "ts_seed_lookup", "ts_interval_join",
     "ts_salted_rollup", "ts_moving_avg", "ts_quantiles",
-    "ts_zscore_outliers", "ts_funnel", "ts_histogram", "ts_topk_per_key",
+    "ts_zscore_outliers", "ts_funnel",
     "ts_rollup", "ts_time_travel",
 ]
 
@@ -858,6 +859,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top-k first-session journeys: grouped array_sort (no window) +
         # |paths|-sized count + global top-k — exact oracle
         "ts_top_paths": _q(events_ops.top_user_paths, "events"),
+        # Deequ-style contract validation: one groupless agg unpivoted to
+        # (rule, n) rows — null/distinct/range/set/duplicate checks,
+        # integer outputs — exact oracle
+        "ts_quality_audit": _q(events_ops.data_quality_audit, "events"),
+        # churn-label builder: user activity summary + label against the
+        # corpus-final horizon (broadcast scalar cutoff) — exact oracle
+        "ts_churn_labels": _q(events_ops.churn_labels, "events"),
     }
 
 
@@ -3129,5 +3137,52 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY n_users DESC, path ASC) AS rank
                 FROM pc
             ) WHERE rank <= 20 ORDER BY rank
+        """,
+        "ts_quality_audit": """
+            WITH agg AS (
+                SELECT count(*) AS n_rows,
+                    count(*) FILTER (event_id IS NULL) AS null_event_id,
+                    count(*) FILTER (ts IS NULL) AS null_ts,
+                    count(*) FILTER (user_id IS NULL) AS null_user_id,
+                    count(*) FILTER (event_type IS NULL) AS null_event_type,
+                    count(*) FILTER (value IS NULL) AS null_value,
+                    count(*) FILTER (props IS NULL) AS null_props,
+                    count(DISTINCT event_id) AS d_event_id,
+                    count(DISTINCT user_id) AS d_user_id,
+                    count(DISTINCT event_type) AS d_event_type,
+                    count(*) FILTER (value < 0) AS v_value_lt_0,
+                    count(*) FILTER (value > 1000) AS v_value_gt_1000,
+                    count(*) FILTER (event_type NOT IN
+                        ('click','view','purchase','signup','error'))
+                        AS v_type_unknown,
+                    count(*) - count(DISTINCT event_id) AS v_dup_event_id
+                FROM events
+            )
+            SELECT rule, CAST(n AS BIGINT) AS n FROM (
+                SELECT 'rows:total' AS rule, n_rows AS n FROM agg
+                UNION ALL SELECT 'null:event_id', null_event_id FROM agg
+                UNION ALL SELECT 'null:ts', null_ts FROM agg
+                UNION ALL SELECT 'null:user_id', null_user_id FROM agg
+                UNION ALL SELECT 'null:event_type', null_event_type FROM agg
+                UNION ALL SELECT 'null:value', null_value FROM agg
+                UNION ALL SELECT 'null:props', null_props FROM agg
+                UNION ALL SELECT 'distinct:event_id', d_event_id FROM agg
+                UNION ALL SELECT 'distinct:user_id', d_user_id FROM agg
+                UNION ALL SELECT 'distinct:event_type', d_event_type FROM agg
+                UNION ALL SELECT 'violation:value_lt_0', v_value_lt_0 FROM agg
+                UNION ALL SELECT 'violation:value_gt_1000',
+                                 v_value_gt_1000 FROM agg
+                UNION ALL SELECT 'violation:event_type_unknown',
+                                 v_type_unknown FROM agg
+                UNION ALL SELECT 'violation:duplicate_event_id',
+                                 v_dup_event_id FROM agg
+            ) ORDER BY rule
+        """,
+        "ts_churn_labels": """
+            WITH ref AS (SELECT max(ts) AS r FROM events)
+            SELECT user_id, count(*) AS n_events, max(ts) AS last_ts,
+                   count(DISTINCT date_trunc('day', ts)) AS n_active_days,
+                   max(ts) < max(r) - INTERVAL 7 DAY AS churned
+            FROM events, ref GROUP BY user_id ORDER BY user_id
         """,
     }

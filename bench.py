@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
+from bytehub_spark.plans.scratch import release_scratch
 from bytehub_spark.session import get_spark
 
 BENCH_QUERIES = [
@@ -49,6 +50,13 @@ BENCH_QUERIES = [
     "emb_cosine_topk",
     "emb_batch_topk",
     "emb_ivf_topk",
+    # round 3 additions
+    "link_fuzzy_docs",
+    "doc_bigram_lm",
+    "doc_domain_affinity",
+    "ts_decay_score",
+    "ts_top_paths",
+    "cur_quality_rebalance",
 ]
 
 
@@ -88,11 +96,14 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         # operators persist intermediates (signature tables, rollup
-        # levels) that outlive their query; drop them so later queries
+        # levels) that outlive their query; release them so later queries
         # are measured against a clean cache instead of accumulating
         # blocks round-robin (ADVICE r02 — reps within a query stay warm,
-        # matching the steady-state number best-of-3 reports)
-        spark.catalog.clearCache()
+        # matching the steady-state number best-of-3 reports). The
+        # scratch registry releases ONLY operator intermediates — a
+        # blanket clearCache() also dropped the hot-table cache and every
+        # later query re-paid the fill (~2x on short queries at sf0.1)
+        release_scratch()
     print(
         json.dumps(
             {

@@ -566,13 +566,14 @@ def quality_rebalance_plan(documents: DataFrame, n_tiles: int = 10) -> DataFrame
     with doc_id tie-break), and summarized as (source, decile, n_docs,
     sum_tokens).
 
-    ntile over a per-source window is one shuffle on source; everything
-    else is map-side. Integer outputs — exact cross-engine.
+    ntile over a per-source window is one shuffle on source; the score
+    is computed inline in the scan projection (no self-join against
+    text_stats). Integer outputs — exact cross-engine.
     """
-    from .text import text_stats
+    from .text import quality_score_col
 
-    scored = documents.join(
-        text_stats(documents).select("doc_id", "quality_score"), "doc_id"
+    scored = documents.select(
+        "doc_id", "source", "text", quality_score_col().alias("quality_score")
     )
     w = Window.partitionBy("source").orderBy(
         F.col("quality_score").asc(), F.col("doc_id").asc()

@@ -138,7 +138,9 @@ def _shingle_pair_source(
     )
     # persist: the self-join reads the shingle table twice (and the df-cut
     # a third time); without it the explode DAG re-executes per reference
-    sh = sh.persist()
+    from ..plans.scratch import scratch_persist
+
+    sh = scratch_persist(sh)
     if max_doc_freq is not None:
         rare = (
             sh.groupBy("shingle")
@@ -538,9 +540,12 @@ def minhash_lsh_pairs(
     # persists fine even at 100 TB corpus scale (MEMORY_AND_DISK spills).
     from pyspark import StorageLevel
 
+    from ..plans.scratch import _scratch
+
     sig = minhash_signatures(documents, n_hashes, n, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _scratch.append(sig)
     # candidate generation carries ONLY ids through the bucket self-join —
     # the (band, bh) equi-join shuffles slim rows, not signature arrays
     buckets = _band_buckets(sig, n_hashes, bands, id_col)
@@ -825,7 +830,9 @@ def substring_dup_pairs(
     """
     fp = winnow_fingerprints(documents, k, w, text_col, id_col)
     if max_doc_freq is not None:
-        fp = fp.persist()
+        from ..plans.scratch import scratch_persist
+
+        fp = scratch_persist(fp)
         rare = (
             fp.groupBy("fingerprint")
             .agg(F.count("*").alias("df"))

@@ -512,8 +512,10 @@ def rollup_pyramid(events: DataFrame) -> DataFrame:
     # so without this each union branch would re-aggregate from raw
     # events — exactly the rescan the cascade exists to avoid. (The
     # stored/incremental form writes each level as a table instead.)
-    l1 = l1.persist()
-    l2 = up(l1, "hour").persist()
+    from ..plans.scratch import scratch_persist
+
+    l1 = scratch_persist(l1)
+    l2 = scratch_persist(up(l1, "hour"))
     l3 = up(l2, "day")
 
     def fin(df: DataFrame, res: str) -> DataFrame:
@@ -864,4 +866,85 @@ def top_user_paths(events: DataFrame, prefix_len: int = 5, k: int = 20) -> DataF
         topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "path", "n_users")
         .orderBy("rank")
+    )
+
+
+def data_quality_audit(events: DataFrame) -> DataFrame:
+    """Deequ-style data-contract validation in ONE aggregation pass:
+    null counts and distinct cardinalities per column, duplicate-key
+    count, range-rule and set-membership violation counts — the checks a
+    pipeline runs before promoting a partition. Everything is a single
+    groupless agg (map-side combined, one reduce task's worth of output)
+    unpivoted to (rule, n) rows; integer outputs — exact cross-engine.
+    """
+    known = ("click", "view", "purchase", "signup", "error")
+    agg = events.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.count_if(F.col(c).isNull()).alias(f"null_{c}")
+            for c in ("event_id", "ts", "user_id", "event_type", "value", "props")
+        ],
+        F.countDistinct("event_id").alias("d_event_id"),
+        F.countDistinct("user_id").alias("d_user_id"),
+        F.countDistinct("event_type").alias("d_event_type"),
+        F.count_if(F.col("value") < 0).alias("v_value_lt_0"),
+        F.count_if(F.col("value") > 1000).alias("v_value_gt_1000"),
+        F.count_if(~F.col("event_type").isin(*known)).alias("v_type_unknown"),
+        (F.count("*") - F.countDistinct("event_id")).alias("v_dup_event_id"),
+    )
+    pairs = [
+        ("rows:total", "n_rows"),
+        ("null:event_id", "null_event_id"),
+        ("null:ts", "null_ts"),
+        ("null:user_id", "null_user_id"),
+        ("null:event_type", "null_event_type"),
+        ("null:value", "null_value"),
+        ("null:props", "null_props"),
+        ("distinct:event_id", "d_event_id"),
+        ("distinct:user_id", "d_user_id"),
+        ("distinct:event_type", "d_event_type"),
+        ("violation:value_lt_0", "v_value_lt_0"),
+        ("violation:value_gt_1000", "v_value_gt_1000"),
+        ("violation:event_type_unknown", "v_type_unknown"),
+        ("violation:duplicate_event_id", "v_dup_event_id"),
+    ]
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(rule).alias("rule"), F.col(c).alias("n"))
+                for rule, c in pairs
+            ]
+        )
+    ).alias("kv")
+    return (
+        agg.select(stacked)
+        .select(F.col("kv.rule").alias("rule"), F.col("kv.n").cast("long").alias("n"))
+        .orderBy("rule")
+    )
+
+
+def churn_labels(events: DataFrame, horizon_days: int = 7) -> DataFrame:
+    """Training-label builder: per user, activity summary + a churn label
+    (no events in the corpus's final ``horizon_days``). The label
+    boundary derives from max(ts) over the table (broadcast scalar), so
+    the op is one user-keyed aggregation + a broadcast — the standard
+    label-generation shape for churn models, leak-free by construction
+    (features use only pre-cutoff data would be the caller's slice).
+
+    Integer/timestamp outputs — exact cross-engine.
+    """
+    ref = events.agg(F.max("ts").alias("_ref"))
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("n_active_days"),
+            (
+                F.max("ts")
+                < F.max("_ref") - F.make_dt_interval(days=F.lit(horizon_days))
+            ).alias("churned"),
+        )
+        .orderBy("user_id")
     )

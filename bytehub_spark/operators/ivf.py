@@ -86,7 +86,9 @@ def ivf_topk(
     from .similarity import _dot
 
     cents = train_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
-    celled = assign_cells(embeddings, cents, vec_col).persist()
+    from ..plans.scratch import scratch_persist
+
+    celled = scratch_persist(assign_cells(embeddings, cents, vec_col))
 
     queries = celled.where(F.col(id_col).isin(query_ids)).toPandas()
     qx = np.array(queries[vec_col].tolist(), dtype=np.float64)

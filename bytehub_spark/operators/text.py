@@ -27,6 +27,21 @@ LANG_MARKERS = (
 TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
+def quality_score_col(text_col: str = "text") -> F.Column:
+    """The linear quality score as a standalone column expression, so
+    consumers (quality_rebalance_plan, streaming filters) can compute it
+    inline in one projection instead of joining against text_stats."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    stop_ratio = n_stop.cast("double") / n_words
+    return (
+        F.lit(0.5) * F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.5) * (F.lit(1.0) - stop_ratio)
+    )
+
+
 def text_stats(documents: DataFrame) -> DataFrame:
     """Per-document quality stats: char/word counts, avg word length,
     stopword ratio, and a linear quality score."""
@@ -38,10 +53,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
     avg_word_len = (n_chars - (n_words - F.lit(1))).cast("double") / n_words
     stop_ratio = n_stop.cast("double") / n_words
-    quality = (
-        F.lit(0.5) * F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.5) * (F.lit(1.0) - stop_ratio)
-    )
+    quality = quality_score_col()
     return documents.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -703,31 +715,30 @@ def domain_affinity_score(
     binary string length, integer everywhere; the +1 smooths unseen
     terms the way add-one smoothing does).
 
-    Plan: two vocab-sized count tables off one token explode, one join
-    of doc terms against them — TF-IDF shape, linear in corpus size.
+    Plan: ONE vocab-sized count table (corpus and in-domain counts come
+    out of the same token explode via a conditional aggregate — no
+    second corpus scan), then one join of doc terms against it — TF-IDF
+    shape, linear in corpus size.
     """
     toks = F.split(F.col("text"), " ")
     doc_terms = documents.select(
         "doc_id", F.explode(F.array_distinct(toks)).alias("w")
     )
-    all_counts = (
-        documents.select(F.explode(toks).alias("w"))
+    counts = (
+        documents.select(
+            F.explode(toks).alias("w"),
+            (F.col(domain_col) == domain_value).alias("in_dom"),
+        )
         .groupBy("w")
-        .agg(F.count("*").alias("c_all"))
-    )
-    dom_counts = (
-        documents.where(F.col(domain_col) == domain_value)
-        .select(F.explode(toks).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c_dom"))
+        .agg(
+            F.count("*").alias("c_all"),
+            F.count_if(F.col("in_dom")).alias("c_dom"),
+        )
     )
     bits = lambda c: F.length(F.bin(c))  # noqa: E731
-    contrast = bits(F.coalesce(F.col("c_dom"), F.lit(0)) + F.lit(1)) - bits(
-        F.col("c_all") + F.lit(1)
-    )
+    contrast = bits(F.col("c_dom") + F.lit(1)) - bits(F.col("c_all") + F.lit(1))
     return (
-        doc_terms.join(all_counts, "w")
-        .join(dom_counts, "w", "left")
+        doc_terms.join(counts, "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_terms"),

@@ -17,6 +17,7 @@ import pandas as pd
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entry_mod
+from bytehub_spark.plans.scratch import release_scratch
 from bytehub_spark.session import get_spark
 from bytehub_spark.sources import TABLES
 
@@ -57,7 +58,7 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             continue
         finally:
-            spark.catalog.clearCache()  # drop per-query persisted intermediates
+            release_scratch()  # drop per-query persisted intermediates only
         took = time.time() - t0
         if name not in oracles:
             print(f"ok(rows-only) {name}: {len(sdf)} rows  [{took:.1f}s]")

@@ -303,3 +303,45 @@ def test_top_user_paths_plan_and_values(spark):
         .value_counts()
     )
     assert out.loc[0, "n_users"] == seqs.iloc[0]
+
+
+# ---------------------------------------------- batch 3: audit / churn
+
+
+def test_data_quality_audit_clean_corpus(spark):
+    out = events_ops.data_quality_audit(load_table(spark, SF, "events")).toPandas()
+    r = out.set_index("rule")["n"]
+    assert (r.filter(like="null:") == 0).all()
+    assert (r.filter(like="violation:") == 0).all()
+    assert r["distinct:event_type"] == 5
+    assert r["rows:total"] == r["distinct:event_id"]  # ids unique
+
+
+def test_data_quality_audit_flags_dirty_rows(spark):
+    dirty = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 1, 2],
+                "ts": pd.to_datetime(["2024-01-01"] * 3),
+                "user_id": [1, 2, 3],
+                "event_type": ["click", "weird", "view"],
+                "value": [-5.0, 10.0, 2000.0],
+                "props": ["{}", None, "{}"],
+            }
+        )
+    )
+    r = events_ops.data_quality_audit(dirty).toPandas().set_index("rule")["n"]
+    assert r["violation:duplicate_event_id"] == 1
+    assert r["violation:value_lt_0"] == 1
+    assert r["violation:value_gt_1000"] == 1
+    assert r["violation:event_type_unknown"] == 1
+    assert r["null:props"] == 1
+
+
+def test_churn_labels_boundary(spark):
+    ev = load_table(spark, SF, "events")
+    out = events_ops.churn_labels(ev).toPandas()
+    ref = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = ref - pd.Timedelta(days=7)
+    assert (out["churned"] == (out["last_ts"] < cutoff)).all()
+    assert out["user_id"].is_unique
