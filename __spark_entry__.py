@@ -98,13 +98,12 @@ _GATE_FIRST = [
     "doc_bigram_lm", "cur_sample_k_per_group", "dedup_source_overlap",
     "emb_stored_ivf_pq", "emb_pq_novelty",
     "doc_domain_affinity", "cur_quality_rebalance", "ts_top_paths",
-    "ts_quality_audit", "ts_churn_labels",
+    "ts_quality_audit", "ts_churn_labels", "ts_rollup_incremental",
     # --- (e) r01-only greens refreshed (NTZ-affected ts family first;
     # the tail dropped this round has r01∪r02 green rows + local sweeps) ---
     "ts_dedup_latest", "ts_seed_lookup", "ts_interval_join",
     "ts_salted_rollup", "ts_moving_avg", "ts_quantiles",
-    "ts_zscore_outliers", "ts_funnel",
-    "ts_rollup", "ts_time_travel",
+    "ts_zscore_outliers", "ts_funnel", "ts_rollup",
 ]
 
 
@@ -450,6 +449,31 @@ def _pq_novelty_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return spark.createDataFrame(out)
+
+
+def _rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_rollup_incremental gate: history (< Jan 20) builds the stored
+    hour-grain rollup, the remainder refreshes it incrementally, and the
+    resulting store content is value-gated against a from-scratch SQL
+    aggregate over ALL events — the merge path must be bit-identical to
+    recomputation (associative counts + decimal sums)."""
+    import shutil
+    import tempfile
+
+    from bytehub_spark.operators import rollup_store as rs
+
+    events = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="rollup_store_")
+    try:
+        rs.build_rollup_store(events.where(F.col("ts") < "2024-01-20"), path)
+        rs.refresh_rollup_store(
+            spark, path, events.where(F.col("ts") >= "2024-01-20")
+        )
+        out = rs.read_rollup(spark, path)
+        out = spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -866,6 +890,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # churn-label builder: user activity summary + label against the
         # corpus-final horizon (broadcast scalar cutoff) — exact oracle
         "ts_churn_labels": _q(events_ops.churn_labels, "events"),
+        # incrementally-maintained continuous aggregate: build the stored
+        # hour rollup on history, merge the increment (only its day
+        # partitions are read/rewritten — dynamic partition overwrite),
+        # return the store content. Oracle = from-scratch hour aggregate:
+        # associative decimal merges make incremental == full, exactly
+        "ts_rollup_incremental": _rollup_incremental,
     }
 
 
@@ -3184,5 +3214,13 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT date_trunc('day', ts)) AS n_active_days,
                    max(ts) < max(r) - INTERVAL 7 DAY AS churned
             FROM events, ref GROUP BY user_id ORDER BY user_id
+        """,
+        "ts_rollup_incremental": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY hour, event_type
+            ORDER BY hour, event_type
         """,
     }

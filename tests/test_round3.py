@@ -345,3 +345,61 @@ def test_churn_labels_boundary(spark):
     cutoff = ref - pd.Timedelta(days=7)
     assert (out["churned"] == (out["last_ts"] < cutoff)).all()
     assert out["user_id"].is_unique
+
+
+# --------------------------------------------- incremental rollup store
+
+
+def test_rollup_store_incremental_equals_full(spark, tmp_path):
+    from bytehub_spark.operators import rollup_store as rs
+
+    ev = load_table(spark, SF, "events")
+    base = ev.where(F.col("ts") < "2024-01-20")
+    inc = ev.where(F.col("ts") >= "2024-01-20")
+    path = str(tmp_path / "rollup")
+    rs.build_rollup_store(base, path)
+    touched = rs.refresh_rollup_store(spark, path, inc)
+    # refresh touched only days present in the increment
+    inc_days = {
+        r["d"]
+        for r in inc.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct()
+        .collect()
+    }
+    assert set(touched) == inc_days
+    got = rs.read_rollup(spark, path).toPandas()
+    exp = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_rollup_store_refresh_prunes_partitions(spark, tmp_path):
+    from bytehub_spark.operators import rollup_store as rs
+
+    ev = load_table(spark, SF, "events")
+    path = str(tmp_path / "rollup_prune")
+    rs.build_rollup_store(ev.where(F.col("ts") < "2024-01-25"), path)
+    inc = ev.where(F.col("ts") >= "2024-01-25")
+    days = [
+        r["d"]
+        for r in inc.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct()
+        .collect()
+    ]
+    # the merge's stored-side read must carry a day partition filter
+    stored = spark.read.parquet(path).where(F.col("day").isin(days))
+    filters = inspect.partition_filters(stored)
+    assert any("day" in f for f in filters)
+    # empty increment is a no-op
+    assert rs.refresh_rollup_store(spark, path, inc.where(F.lit(False))) == []
