@@ -99,11 +99,11 @@ _GATE_FIRST = [
     "emb_stored_ivf_pq", "emb_pq_novelty",
     "doc_domain_affinity", "cur_quality_rebalance", "ts_top_paths",
     "ts_quality_audit", "ts_churn_labels", "ts_rollup_incremental",
+    "ts_mad_outliers", "ts_heavy_hitters",
     # --- (e) r01-only greens refreshed (NTZ-affected ts family first;
     # the tail dropped this round has r01∪r02 green rows + local sweeps) ---
     "ts_dedup_latest", "ts_seed_lookup", "ts_interval_join",
-    "ts_salted_rollup", "ts_moving_avg", "ts_quantiles",
-    "ts_zscore_outliers", "ts_funnel", "ts_rollup",
+    "ts_salted_rollup", "ts_moving_avg", "ts_funnel", "ts_rollup",
 ]
 
 
@@ -896,6 +896,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # return the store content. Oracle = from-scratch hour aggregate:
         # associative decimal merges make incremental == full, exactly
         "ts_rollup_incremental": _rollup_incremental,
+        # robust (MAD-based) outlier counts: exact medians twice +
+        # broadcast thresholds — the z-score twin a flooded value can't
+        # drag. Exact oracle
+        "ts_mad_outliers": _q(events_ops.mad_outliers, "events"),
+        # streaming heavy-hitters' batch twin (support-threshold windowed
+        # counts, ranked) — exact oracle; stream==batch in pytest
+        "ts_heavy_hitters": lambda spark, sf: __import__(
+            "bytehub_spark.streaming", fromlist=["heavy_hitters_batch"]
+        ).heavy_hitters_batch(load_table(spark, sf, "events")),
     }
 
 
@@ -3222,5 +3231,40 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value
             FROM events GROUP BY hour, event_type
             ORDER BY hour, event_type
+        """,
+        "ts_mad_outliers": """
+            WITH med AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY event_type
+            ),
+            wm AS (
+                SELECT e.event_type, e.value, m.med
+                FROM events e JOIN med m USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+                FROM wm GROUP BY event_type
+            )
+            SELECT wm.event_type, COUNT(*) AS n,
+                   count(*) FILTER (abs(value - wm.med) > 3.0 * mad.mad)
+                       AS n_outliers,
+                   max(wm.med) AS median, max(mad.mad) AS mad
+            FROM wm JOIN mad ON mad.event_type = wm.event_type
+            GROUP BY wm.event_type ORDER BY wm.event_type
+        """,
+        "ts_heavy_hitters": """
+            WITH counts AS (
+                SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+                       user_id, COUNT(*) AS n_events
+                FROM events GROUP BY window_start, user_id
+                HAVING COUNT(*) >= 4
+            )
+            SELECT window_start, user_id, n_events,
+                   CAST(row_number() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n_events DESC, user_id ASC) AS INTEGER)
+                       AS rank
+            FROM counts
+            ORDER BY window_start, rank
         """,
     }

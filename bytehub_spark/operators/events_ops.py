@@ -948,3 +948,37 @@ def churn_labels(events: DataFrame, horizon_days: int = 7) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def mad_outliers(events: DataFrame, n_mads: float = 3.0) -> DataFrame:
+    """Robust outlier counts per event type: median absolute deviation
+    instead of stddev — one flooded value can't drag the threshold the
+    way it inflates a z-score's sigma. Exact sort-based percentile()
+    twice (value median, then |value - median| median), broadcast back,
+    integer flag counts.
+
+    Two aggregation passes over the type-keyed partials + one broadcast
+    join — the same shape as value_quantiles, scales with the key count.
+    """
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = events.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    flagged = with_med.join(F.broadcast(mad), "event_type").withColumn(
+        "is_outlier",
+        F.abs(F.col("value") - F.col("med")) > F.lit(n_mads) * F.col("mad"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("is_outlier")).alias("n_outliers"),
+            F.max("med").alias("median"),
+            F.max("mad").alias("mad"),
+        )
+        .orderBy("event_type")
+    )

@@ -785,3 +785,63 @@ def pq_novelty_batch(
     return stream_pq_novelty(
         new_vecs, books, hist_codes, id_col=id_col, vec_col=vec_col
     )
+
+
+def stream_heavy_hitters(
+    events: DataFrame,
+    min_support: int = 4,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming heavy hitters: users whose event count inside a tumbling
+    window reaches ``min_support`` — the abuse/bot/hot-key detector that
+    must run ON the stream (by the time a batch job sees the data, the
+    flood already happened).
+
+    One watermarked windowed aggregation (incremental, merge-combined
+    state: one counter per active (window, user) — bounded by the
+    watermark horizon, never by history), filtered on the support
+    threshold, emitted on window close in append mode. The same shape
+    Spark uses for any windowed count; the support filter is stateless.
+
+    Support-threshold semantics (not top-k): thresholds compose with
+    append-mode emission, while a true per-window top-k would need a
+    second stateful ranking pass over closed windows — that ranking is
+    the batch twin's job (heavy_hitters_batch orders by count).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .where(F.col("n_events") >= min_support)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def heavy_hitters_batch(
+    events: DataFrame, min_support: int = 4, window: str = "6 hours"
+) -> DataFrame:
+    """Batch twin of stream_heavy_hitters (oracle for tests and the
+    backfill path), ranked within each window."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        events.groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .where(F.col("n_events") >= min_support)
+    )
+    rk = W.partitionBy("w").orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(rk))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "rank",
+        )
+        .orderBy("window_start", "rank")
+    )

@@ -237,6 +237,40 @@ SQL = {
                max(ts) < max(r) - INTERVAL 7 DAY AS churned
         FROM events, ref GROUP BY user_id ORDER BY user_id
     """,
+    "ts_mad_outliers": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        wm AS (
+            SELECT e.event_type, e.value, m.med
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+            FROM wm GROUP BY event_type
+        )
+        SELECT wm.event_type, COUNT(*) AS n,
+               count(*) FILTER (abs(value - wm.med) > 3.0 * mad.mad)
+                   AS n_outliers,
+               max(wm.med) AS median, max(mad.mad) AS mad
+        FROM wm JOIN mad ON mad.event_type = wm.event_type
+        GROUP BY wm.event_type ORDER BY wm.event_type
+    """,
+    "ts_heavy_hitters": """
+        WITH counts AS (
+            SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+                   user_id, COUNT(*) AS n_events
+            FROM events GROUP BY window_start, user_id
+            HAVING COUNT(*) >= 4
+        )
+        SELECT window_start, user_id, n_events,
+               CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, user_id ASC) AS INTEGER) AS rank
+        FROM counts
+        ORDER BY window_start, rank
+    """,
 }
 
 
@@ -290,6 +324,11 @@ QUERIES = {
         load_table(spark, sf, "events")),
     "ts_churn_labels": lambda spark, sf: events_ops.churn_labels(
         load_table(spark, sf, "events")),
+    "ts_mad_outliers": lambda spark, sf: events_ops.mad_outliers(
+        load_table(spark, sf, "events")),
+    "ts_heavy_hitters": lambda spark, sf: __import__(
+        "bytehub_spark.streaming", fromlist=["heavy_hitters_batch"]
+    ).heavy_hitters_batch(load_table(spark, sf, "events")),
 }
 
 

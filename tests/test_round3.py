@@ -403,3 +403,113 @@ def test_rollup_store_refresh_prunes_partitions(spark, tmp_path):
     assert any("day" in f for f in filters)
     # empty increment is a no-op
     assert rs.refresh_rollup_store(spark, path, inc.where(F.lit(False))) == []
+
+
+# ------------------------------------- heavy hitters / robust outliers
+
+
+def test_stream_heavy_hitters_vs_batch(spark, tmp_path):
+    from bytehub_spark import streaming as st
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "hh_stream")
+    ev.write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    q = (
+        st.stream_heavy_hitters(stream, min_support=3, watermark="365 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hh")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode holds windows until the watermark passes; push it
+        # forward by replaying the source? Not needed: a 365-day
+        # watermark never closes inside the corpus, so emitted rows are
+        # empty — instead use update mode semantics via the batch twin
+        # for value checks and assert the stream runs clean.
+        assert q.lastProgress is not None
+    finally:
+        q.stop()
+    batch = st.heavy_hitters_batch(ev, min_support=3).toPandas()
+    # batch twin: thresholds honored, ranks contiguous within windows
+    assert (batch["n_events"] >= 3).all()
+    for _, g in batch.groupby("window_start"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_stream_heavy_hitters_emits_closed_windows(spark, tmp_path):
+    """With a tight watermark and file-by-file triggers, windows close
+    and emitted rows equal the batch twin for those windows."""
+    from bytehub_spark import streaming as st
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "hh_stream2")
+    # order files by time so the watermark advances monotonically
+    ev.orderBy("ts").coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        st.stream_heavy_hitters(stream, min_support=3, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hh2")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM hh2")
+        .toPandas()
+        .sort_values(["window_start", "user_id"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        st.heavy_hitters_batch(ev, min_support=3)
+        .drop("rank")
+        .toPandas()
+        .sort_values(["window_start", "user_id"])
+        .reset_index(drop=True)
+    )
+    # every emitted (closed) window matches the batch twin exactly
+    merged = got.merge(
+        batch, on=["window_start", "user_id"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(got)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    # and the final window is the only one allowed to be missing
+    missing = set(map(tuple, batch[["window_start", "user_id"]].values)) - set(
+        map(tuple, got[["window_start", "user_id"]].values)
+    )
+    if missing:
+        last_w = batch["window_start"].max()
+        assert {w for w, _ in missing} == {last_w}
+
+
+def test_mad_outliers_robustness(spark):
+    """One enormous value inflates a z-sigma but not the MAD threshold."""
+    base = pd.DataFrame(
+        {
+            "event_id": range(100),
+            "ts": pd.to_datetime(["2024-01-01"] * 100),
+            "user_id": [1] * 100,
+            "event_type": ["click"] * 100,
+            "value": [10.0] * 99 + [10000.0],
+            "props": ["{}"] * 100,
+        }
+    )
+    ev = spark.createDataFrame(base)
+    out = events_ops.mad_outliers(ev).toPandas()
+    assert out.loc[0, "median"] == 10.0
+    assert out.loc[0, "mad"] == 0.0
+    assert out.loc[0, "n_outliers"] == 1  # only the flood, not the mass
