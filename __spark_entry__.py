@@ -100,10 +100,11 @@ _GATE_FIRST = [
     "doc_domain_affinity", "cur_quality_rebalance", "ts_top_paths",
     "ts_quality_audit", "ts_churn_labels", "ts_rollup_incremental",
     "ts_mad_outliers", "ts_heavy_hitters",
+    "emb_hard_negatives", "doc_langid_confusion",
     # --- (e) r01-only greens refreshed (NTZ-affected ts family first;
     # the tail dropped this round has r01∪r02 green rows + local sweeps) ---
     "ts_dedup_latest", "ts_seed_lookup", "ts_interval_join",
-    "ts_salted_rollup", "ts_moving_avg", "ts_funnel", "ts_rollup",
+    "ts_salted_rollup", "ts_rollup",
 ]
 
 
@@ -905,6 +906,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_heavy_hitters": lambda spark, sf: __import__(
             "bytehub_spark.streaming", fromlist=["heavy_hitters_batch"]
         ).heavy_hitters_batch(load_table(spark, sf, "events")),
+        # hard-negative mining for contrastive training: GEMM top-k with
+        # a label-inequality mask — exact oracle (round-4 ranking rules)
+        "emb_hard_negatives": lambda spark, sf: similarity.hard_negatives(
+            load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
+        ),
+        # language-ID eval: confusion matrix of the marker chain vs the
+        # labeled lang column — integer counts, exact oracle
+        "doc_langid_confusion": _q(text.langid_confusion, "documents"),
     }
 
 
@@ -3251,6 +3260,53 @@ def oracle_sql() -> dict[str, str]:
                    max(wm.med) AS median, max(mad.mad) AS mad
             FROM wm JOIN mad ON mad.event_type = wm.event_type
             GROUP BY wm.event_type ORDER BY wm.event_type
+        """,
+        "emb_hard_negatives": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+                FROM embeddings WHERE vec_id < 5
+            ),
+            pairs AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       e.label AS neighbor_label,
+                       round(
+                           list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.q_vec AS DOUBLE[]))
+                           / (sqrt(list_dot_product(
+                                  CAST(e.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(
+                                  CAST(q.q_vec AS DOUBLE[]),
+                                  CAST(q.q_vec AS DOUBLE[])))),
+                           4) AS cosine_sim
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id AND e.label <> q.q_label
+            )
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+                   neighbor_label, cosine_sim
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+                FROM pairs
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "doc_langid_confusion": """
+            WITH pred AS (
+                SELECT lang AS actual,
+                    CASE
+                        WHEN regexp_matches(text, '(^| )(der|die|das|und|nicht)( |$)') THEN 'de'
+                        WHEN regexp_matches(text, '(^| )(el|los|las|una|por)( |$)') THEN 'es'
+                        WHEN regexp_matches(text, '(^| )(le|les|des|une|est)( |$)') THEN 'fr'
+                        WHEN regexp_matches(text, '[\u4e00-\u9fff]') THEN 'zh'
+                        WHEN regexp_matches(text, '(^| )(the|a|and|of|to)( |$)') THEN 'en'
+                        ELSE 'unknown'
+                    END AS predicted
+                FROM documents
+            )
+            SELECT actual, predicted, count(*) AS n,
+                   actual = predicted AS is_hit
+            FROM pred GROUP BY actual, predicted ORDER BY actual, predicted
         """,
         "ts_heavy_hitters": """
             WITH counts AS (

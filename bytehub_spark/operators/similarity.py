@@ -459,3 +459,80 @@ def label_affinity(
         .select("label_a", "label_b", sim.alias("centroid_cosine"))
         .orderBy("label_a", "label_b")
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the k
+    most-similar vectors with a DIFFERENT label — the negatives that
+    actually teach the margin (random negatives are trivially far).
+
+    Same GEMM kernel and ranking rules as cosine_topk_gemm (one matmul
+    per partition, per-partition top-k, driver-scale re-rank), plus a
+    label-inequality mask applied before the local cut. Rounded to 4
+    decimals before ranking — exactly SQL-replayable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..plans import ensure_parallelism
+
+    spark = embeddings.sparkSession
+    q = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col, label_col)
+        .toPandas()
+    )
+    q_ids = q[id_col].to_numpy()
+    q_mat = np.array([np.asarray(v, dtype=np.float64) for v in q[vec_col]])
+    q_norms = np.linalg.norm(q_mat, axis=1)
+    q_labels = q[label_col].to_numpy()
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms, q_labels))
+
+    def block(it):
+        qi, qm, qn, ql = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            labels = pdf[label_col].to_numpy()
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ qm.T) / (norms[:, None] * qn[None, :])
+            scaled = sims * 1e4
+            sims = np.where(
+                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            ) / 1e4
+            out = {"query_id": [], "neighbor_id": [], "neighbor_label": [],
+                   "cosine_sim": []}
+            for j in range(len(qi)):
+                mask = (ids != qi[j]) & (labels != ql[j])
+                cids, cl, cs = ids[mask], labels[mask], sims[mask, j]
+                top = np.lexsort((cids, -cs))[:k]
+                out["query_id"].extend([qi[j]] * len(top))
+                out["neighbor_id"].extend(cids[top])
+                out["neighbor_label"].extend(cl[top])
+                out["cosine_sim"].extend(cs[top])
+            yield pd.DataFrame(out)
+
+    local = ensure_parallelism(
+        embeddings.select(id_col, vec_col, label_col)
+    ).mapInPandas(
+        block,
+        schema="query_id long, neighbor_id long, neighbor_label int, cosine_sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )

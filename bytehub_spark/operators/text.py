@@ -750,3 +750,26 @@ def domain_affinity_score(
         )
         .orderBy("doc_id")
     )
+
+
+def langid_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the n-gram-marker
+    classifier's prediction against the labeled lang column — per
+    (actual, predicted) counts plus the diagonal hit flag. One pass,
+    integer counts — exact oracle; the offline eval loop every
+    classifier in the curation stack needs.
+    """
+    predicted = F.lit("unknown")
+    # same first-match-wins chain as lang_id (built back-to-front so
+    # earlier markers take precedence)
+    for code, pattern in reversed(LANG_MARKERS):
+        predicted = F.when(F.col("text").rlike(pattern), F.lit(code)).otherwise(
+            predicted
+        )
+    return (
+        documents.select(F.col("lang").alias("actual"), predicted.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+        .withColumn("is_hit", F.col("actual") == F.col("predicted"))
+        .orderBy("actual", "predicted")
+    )

@@ -271,6 +271,51 @@ SQL = {
         FROM counts
         ORDER BY window_start, rank
     """,
+    "emb_hard_negatives": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+            FROM embeddings WHERE vec_id < 5
+        ),
+        pairs AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   e.label AS neighbor_label,
+                   round(
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.q_vec AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]),
+                                                  CAST(q.q_vec AS DOUBLE[])))),
+                       4) AS cosine_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id AND e.label <> q.q_label
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               neighbor_label, cosine_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM pairs
+        ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    "doc_langid_confusion": """
+        WITH pred AS (
+            SELECT lang AS actual,
+                CASE
+                    WHEN regexp_matches(text, '(^| )(der|die|das|und|nicht)( |$)') THEN 'de'
+                    WHEN regexp_matches(text, '(^| )(el|los|las|una|por)( |$)') THEN 'es'
+                    WHEN regexp_matches(text, '(^| )(le|les|des|une|est)( |$)') THEN 'fr'
+                    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN regexp_matches(text, '(^| )(the|a|and|of|to)( |$)') THEN 'en'
+                    ELSE 'unknown'
+                END AS predicted
+            FROM documents
+        )
+        SELECT actual, predicted, count(*) AS n,
+               actual = predicted AS is_hit
+        FROM pred GROUP BY actual, predicted ORDER BY actual, predicted
+    """,
 }
 
 
@@ -329,6 +374,11 @@ QUERIES = {
     "ts_heavy_hitters": lambda spark, sf: __import__(
         "bytehub_spark.streaming", fromlist=["heavy_hitters_batch"]
     ).heavy_hitters_batch(load_table(spark, sf, "events")),
+    "emb_hard_negatives": lambda spark, sf: __import__(
+        "bytehub_spark.operators.similarity", fromlist=["hard_negatives"]
+    ).hard_negatives(load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5),
+    "doc_langid_confusion": lambda spark, sf: text.langid_confusion(
+        load_table(spark, sf, "documents")),
 }
 
 

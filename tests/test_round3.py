@@ -513,3 +513,38 @@ def test_mad_outliers_robustness(spark):
     assert out.loc[0, "median"] == 10.0
     assert out.loc[0, "mad"] == 0.0
     assert out.loc[0, "n_outliers"] == 1  # only the flood, not the mass
+
+
+# ------------------------------------ hard negatives / lang-id confusion
+
+
+def test_hard_negatives_label_mask(spark):
+    from bytehub_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    out = similarity.hard_negatives(emb, [0, 1, 2], k=5).toPandas()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").where(F.col("vec_id") < 3).collect()
+    }
+    assert len(out) == 15
+    for r in out.itertuples():
+        assert r.neighbor_label != labels[r.query_id]
+        assert r.neighbor_id != r.query_id
+    # negatives are weaker than the unconstrained top-1 for each anchor
+    plain = similarity.cosine_topk_gemm(emb, [0, 1, 2], 1).toPandas()
+    top1 = plain.set_index("query_id")["cosine_sim"]
+    for q, g in out.groupby("query_id"):
+        assert g["cosine_sim"].max() <= top1[q]
+
+
+def test_langid_confusion_totals(spark):
+    docs = load_table(spark, SF, "documents")
+    out = text.langid_confusion(docs).toPandas()
+    assert out["n"].sum() == docs.count()
+    assert (out["is_hit"] == (out["actual"] == out["predicted"])).all()
+    # synthetic token-salad corpus: the marker chain is weak here (~35%
+    # hit rate) — the matrix exists precisely to expose that; assert the
+    # structural facts, not classifier quality
+    assert out.loc[out["is_hit"], "n"].sum() > 0
+    assert set(out["actual"]) == {"de", "en", "es", "fr", "zh"}
