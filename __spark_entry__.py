@@ -100,11 +100,11 @@ _GATE_FIRST = [
     "doc_domain_affinity", "cur_quality_rebalance", "ts_top_paths",
     "ts_quality_audit", "ts_churn_labels", "ts_rollup_incremental",
     "ts_mad_outliers", "ts_heavy_hitters",
-    "emb_hard_negatives", "doc_langid_confusion",
+    "emb_hard_negatives", "doc_langid_confusion", "dedup_two_stage",
     # --- (e) r01-only greens refreshed (NTZ-affected ts family first;
     # the tail dropped this round has r01∪r02 green rows + local sweeps) ---
     "ts_dedup_latest", "ts_seed_lookup", "ts_interval_join",
-    "ts_salted_rollup", "ts_rollup",
+    "ts_salted_rollup",
 ]
 
 
@@ -914,6 +914,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # language-ID eval: confusion matrix of the marker chain vs the
         # labeled lang column — integer counts, exact oracle
         "doc_langid_confusion": _q(text.langid_confusion, "documents"),
+        # two-stage dedup: LSH semantic candidates verified by exact
+        # n-gram Jaccard before anything is dropped — portable hashing
+        # end-to-end, full pair set exactly oracled. The synthetic tables
+        # have independent text/embedding modalities (semantic candidates
+        # all FAIL text verification — itself worth gating), so every
+        # 25th doc also gets an aligned twin (+100000 id, identical
+        # vector, one-char text edit) that must pass BOTH stages
+        "dedup_two_stage": lambda spark, sf: dedup.two_stage_dedup(
+            (lambda d: d.unionByName(
+                d.where(F.col("doc_id") % 25 == 0).select(
+                    (F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(
+                        F.substring("text", 1, 10),
+                        F.lit("#"),
+                        F.expr("substring(text, 12)"),
+                    ).alias("text"),
+                    "lang", "source", "n_chars",
+                )
+            ))(load_table(spark, sf, "documents")),
+            (lambda e: e.unionByName(
+                e.where(F.col("vec_id") % 25 == 0).select(
+                    (F.col("vec_id") + 100000).alias("vec_id"),
+                    "embedding", "label",
+                )
+            ))(load_table(spark, sf, "embeddings")),
+        ),
     }
 
 
@@ -1122,6 +1148,63 @@ def _lsh_oracles() -> dict[str, str]:
         WHERE {_COS_SIM_AB} >= 0.4
         ORDER BY id_a, id_b
     """
+    # the bucket/sim CTE helpers reference `embeddings` by name, so the
+    # twin-augmented tables shadow the views under those exact names
+    # (DuckDB forbids a CTE whose body references itself — read from the
+    # base views via an alias CTE first)
+    two_stage_tables = """
+        base_emb AS (SELECT * FROM embeddings),
+        base_doc AS (SELECT * FROM documents),
+        emb2 AS (
+            SELECT vec_id, embedding, label FROM base_emb
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id, embedding, label
+            FROM base_emb WHERE vec_id % 25 = 0
+        ),
+        doc2 AS (
+            SELECT doc_id, text FROM base_doc
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id,
+                   substr(text, 1, 10) || '#' || substr(text, 12) AS text
+            FROM base_doc WHERE doc_id % 25 = 0
+        )"""
+    two_stage = f"""
+        WITH {two_stage_tables},
+        {_cosine_bucket_ctes(8, 4).replace("FROM embeddings", "FROM emb2")
+            .replace("JOIN embeddings", "JOIN emb2")},
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                          AND a.vec_id < b.vec_id
+        ),
+        cos AS (
+            SELECT id_a, id_b, {_COS_SIM_AB} AS cosine_sim
+            FROM cand
+            JOIN emb2 ea ON ea.vec_id = id_a
+            JOIN emb2 eb ON eb.vec_id = id_b
+            WHERE {_COS_SIM_AB} >= 0.4
+        ),
+        sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                       range(0, len(ws) - 2),
+                       i -> array_to_string(ws[i + 1 : i + 3], ' '))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM doc2)
+            WHERE len(ws) >= 3
+        )
+        SELECT id_a, id_b, cosine_sim,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+                   AS jaccard
+        FROM cos
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+              >= 0.1
+        ORDER BY id_a, id_b
+    """
     lsh_topk = f"""
         WITH {_cosine_bucket_ctes(4, 20)},
         cand AS (
@@ -1155,6 +1238,7 @@ def _lsh_oracles() -> dict[str, str]:
         "dedup_lsh_novelty": novelty,
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding_cosine_lsh": cos_dups,
+        "dedup_two_stage": two_stage,
         "emb_lsh_topk": lsh_topk,
     }
 

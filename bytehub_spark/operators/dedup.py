@@ -966,3 +966,58 @@ def source_overlap_matrix(
         .agg(F.count("*").alias("n_shared"))
         .orderBy("source_a", "source_b")
     )
+
+
+def two_stage_dedup(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    cos_threshold: float = 0.4,
+    jac_threshold: float = 0.1,
+    n_planes: int = 8,
+    ngram: int = 3,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """The production two-stage near-dup pipeline: cheap semantic
+    CANDIDATES (banded cosine-LSH bucket pairs over the embeddings, 16 B
+    of hash per vector) verified by an exact lexical check (n-gram
+    Jaccard on the texts) before anything is deleted. ANN recall misses
+    are acceptable (candidates only), but nothing is dropped on embedding
+    evidence alone — the guardrail every large-scale dedup deployment
+    ends up with.
+
+    Stage 1 reuses embedding_cosine_dups' LSH mode (bucket equi-join —
+    never all-pairs); stage 2 joins the CANDIDATE pairs (a set that is
+    orders of magnitude smaller than the corpus) back to per-doc distinct
+    shingle arrays and intersects in-memory per pair. Returns
+    (id_a, id_b, cosine_sim, jaccard) for pairs passing BOTH thresholds.
+    Engine-portable hashing end-to-end — the full output is exactly
+    SQL-replayable.
+    """
+    cand = embedding_cosine_dups(
+        embeddings, cos_threshold, n_planes=n_planes, id_col=vec_id_col
+    )
+    df = documents.withColumn("__w", F.split(F.col("text"), " "))
+    df = df.where(F.size("__w") >= ngram)
+    shingles = F.expr(
+        f"array_distinct(transform(sequence(0, size(__w) - {ngram}), "
+        f"i -> concat_ws(' ', slice(__w, i + 1, {ngram}))))"
+    )
+    arrs = df.select(F.col(doc_id_col).alias("__id"), shingles.alias("__sh"))
+    a = arrs.select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")
+    )
+    b = arrs.select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b")
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= jac_threshold)
+        .select("id_a", "id_b", "cosine_sim", "jaccard")
+        .orderBy("id_a", "id_b")
+    )

@@ -548,3 +548,43 @@ def test_langid_confusion_totals(spark):
     # structural facts, not classifier quality
     assert out.loc[out["is_hit"], "n"].sum() > 0
     assert set(out["actual"]) == {"de", "en", "es", "fr", "zh"}
+
+
+# ------------------------------------------------------ two-stage dedup
+
+
+def test_two_stage_dedup_verifies_text(spark):
+    """Aligned twins (same embedding, one-char text edit) must pass both
+    stages; semantically-close-but-textually-different pairs must be
+    rejected by stage 2."""
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    twins_d = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 10), F.lit("#"), F.expr("substring(text, 12)")
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    twins_e = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    out = dedup.two_stage_dedup(
+        docs.unionByName(twins_d), emb.unionByName(twins_e)
+    ).toPandas()
+    # every twin pair survives (identical vector -> same buckets, cos 1.0;
+    # one-char edit -> jaccard near 1)
+    expected_twins = {
+        (i, i + 100000)
+        for i in range(0, docs.count(), 25)
+        if len(docs.where(F.col("doc_id") == i).first()["text"].split()) >= 3
+    }
+    got_pairs = set(zip(out["id_a"], out["id_b"]))
+    assert expected_twins <= got_pairs
+    twin_rows = out[out["id_b"] == out["id_a"] + 100000]
+    assert (twin_rows["cosine_sim"] == 1.0).all()
+    assert (twin_rows["jaccard"] > 0.5).all()
+    # unaligned corpus: no non-twin pair passes text verification here
+    assert got_pairs == expected_twins
