@@ -101,10 +101,10 @@ _GATE_FIRST = [
     "ts_quality_audit", "ts_churn_labels", "ts_rollup_incremental",
     "ts_mad_outliers", "ts_heavy_hitters",
     "emb_hard_negatives", "doc_langid_confusion", "dedup_two_stage",
+    "emb_lsh_multiprobe",
     # --- (e) r01-only greens refreshed (NTZ-affected ts family first;
     # the tail dropped this round has r01∪r02 green rows + local sweeps) ---
     "ts_dedup_latest", "ts_seed_lookup", "ts_interval_join",
-    "ts_salted_rollup",
 ]
 
 
@@ -824,6 +824,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": lambda spark, sf: similarity.lsh_cosine_topk(
             load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
         ),
+        # multi-probe variant: each query also probes its lowest-margin
+        # bit-flip bucket per band — query-side probes only, corpus index
+        # unchanged. Deterministic flip choice -> exact oracle; recall
+        # 0.92 -> 1.0 at the registered params (pinned in pytest)
+        "emb_lsh_multiprobe": lambda spark, sf: similarity.lsh_cosine_topk_multiprobe(
+            load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
+        ),
         # batch-query shape: 64 queries scored by one GEMM per partition
         # (per-pair HOF dots are interpreted — ~150× slower at this |Q|)
         "emb_batch_topk": lambda spark, sf: similarity.cosine_topk_gemm(
@@ -1205,6 +1212,54 @@ def _lsh_oracles() -> dict[str, str]:
               >= 0.1
         ORDER BY id_a, id_b
     """
+    mp_topk = f"""
+        WITH {_cosine_bucket_ctes(4, 20)},
+        flips AS (
+            SELECT vec_id, p // 4 AS band, CAST(p % 4 AS INT) AS bit
+            FROM (
+                SELECT vec_id, p, row_number() OVER (
+                    PARTITION BY vec_id, p // 4 ORDER BY abs(dot), p) AS rn
+                FROM proj WHERE vec_id IN (0, 1, 2, 3, 4)
+            ) WHERE rn = 1
+        ),
+        qprobes AS (
+            SELECT vec_id AS query_id, band, bucket
+            FROM buckets WHERE vec_id IN (0, 1, 2, 3, 4)
+            UNION
+            SELECT b.vec_id AS query_id, b.band,
+                   xor(b.bucket, 1::BIGINT << f.bit) AS bucket
+            FROM buckets b
+            JOIN flips f ON f.vec_id = b.vec_id AND f.band = b.band
+            WHERE b.vec_id IN (0, 1, 2, 3, 4)
+        ),
+        cand AS (
+            SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+            FROM qprobes q
+            JOIN buckets c ON q.band = c.band AND q.bucket = c.bucket
+                          AND c.vec_id <> q.query_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   round(
+                       list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                                CAST(ea.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                                  CAST(eb.embedding AS DOUBLE[])))),
+                       4) AS cosine_sim
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = cand.query_id
+            JOIN embeddings eb ON eb.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5 ORDER BY query_id, rank
+    """
     lsh_topk = f"""
         WITH {_cosine_bucket_ctes(4, 20)},
         cand AS (
@@ -1240,6 +1295,7 @@ def _lsh_oracles() -> dict[str, str]:
         "dedup_embedding_cosine_lsh": cos_dups,
         "dedup_two_stage": two_stage,
         "emb_lsh_topk": lsh_topk,
+        "emb_lsh_multiprobe": mp_topk,
     }
 
 

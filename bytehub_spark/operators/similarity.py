@@ -536,3 +536,90 @@ def hard_negatives(
         .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine_sim")
         .orderBy("query_id", "rank")
     )
+
+
+def lsh_cosine_topk_multiprobe(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 20,
+    n_flip: int = 1,
+) -> DataFrame:
+    """Multi-probe variant of lsh_cosine_topk: each query also probes the
+    buckets reached by flipping its ``n_flip`` lowest-margin sign bits
+    per band (the planes whose dot product is closest to zero — exactly
+    the bits most likely to disagree for a true near neighbor). Extra
+    recall comes from MORE PROBES on the query side only; the corpus
+    keeps one bucket row per band, so index size and build cost are
+    unchanged (the standard multi-probe trade — Lv et al. 2007).
+
+    Probe buckets are derived driver-side from the |Q|-row query matrix
+    (same int64 plane arithmetic as the corpus UDF, so base buckets agree
+    bit-for-bit) and broadcast; the candidate join stays a (band, bucket)
+    equi-join. Flip choice breaks margin ties toward the lowest plane
+    index — deterministic and SQL-replayable.
+    """
+    from .hashing import plane_sign_matrix
+
+    q = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .toPandas()
+    )
+    probe_rows = []
+    for _, row in q.iterrows():
+        v = np.floor(np.asarray(row[vec_col], dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        for b in range(bands):
+            S = plane_sign_matrix(n_planes, len(v), b * n_planes)
+            dots = v @ S
+            bucket = int(((dots > 0).astype(np.int64) << np.arange(n_planes)).sum())
+            probe_rows.append((int(row[id_col]), b, bucket))
+            order = np.lexsort((np.arange(n_planes), np.abs(dots)))
+            for j in order[:n_flip]:
+                probe_rows.append((int(row[id_col]), b, bucket ^ (1 << int(j))))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, q_band int, q_bucket long"
+    ).distinct()
+
+    b = lsh_cosine_buckets(embeddings, n_planes, id_col, vec_col, bands=bands)
+    cand_ids = (
+        b.select(id_col, "band", "bucket")
+        .join(
+            F.broadcast(probes),
+            (F.col("band") == F.col("q_band"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select("query_id", id_col)
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    qv = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("q_vec")
+    )
+    cand = (
+        cand_ids.join(vecs, id_col)
+        .join(F.broadcast(qv), F.col("query_id") == F.col("__qid"))
+    )
+    sim = _dot(vec_col, "q_vec") / (
+        F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("q_vec", "q_vec"))
+    )
+    scored = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"),
+        F.round(sim, 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )

@@ -588,3 +588,26 @@ def test_two_stage_dedup_verifies_text(spark):
     assert (twin_rows["jaccard"] > 0.5).all()
     # unaligned corpus: no non-twin pair passes text verification here
     assert got_pairs == expected_twins
+
+
+# ---------------------------------------------------- multi-probe LSH
+
+
+def test_lsh_multiprobe_recall_dominates_plain(spark):
+    from bytehub_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = similarity.cosine_topk_gemm(emb, qids, 5).toPandas()
+    ex = set(zip(exact["query_id"], exact["neighbor_id"]))
+    plain = similarity.lsh_cosine_topk(emb, qids, 5).toPandas()
+    mp = similarity.lsh_cosine_topk_multiprobe(emb, qids, 5).toPandas()
+    r_plain = sum((q, n) in ex for q, n in zip(plain["query_id"], plain["neighbor_id"])) / len(ex)
+    r_mp = sum((q, n) in ex for q, n in zip(mp["query_id"], mp["neighbor_id"])) / len(ex)
+    # probing the flip buckets can only ADD candidates
+    assert r_mp >= r_plain
+    assert r_mp >= 0.95  # measured 1.0 at these params/seeded data
+    # plan stays a bucket equi-join
+    q = similarity.lsh_cosine_topk_multiprobe(emb, qids, 5)
+    plan = inspect.executed_plan(q)
+    assert "CartesianProduct" not in plan
