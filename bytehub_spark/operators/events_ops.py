@@ -982,3 +982,71 @@ def mad_outliers(events: DataFrame, n_mads: float = 3.0) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def value_drift(
+    events: DataFrame,
+    split_ts: str = "2024-01-16",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Distribution-drift monitor: chi-square distance between the value
+    histograms of the reference window (ts < split) and the current
+    window (ts >= split), per event type — the PSI-style check a feature
+    pipeline runs before trusting fresh data, expressed without
+    transcendentals (chi2 = sum (p-q)^2/(p+q) needs no log, so it stays
+    engine-exact: correctly-rounded divisions on identical operands,
+    per-bucket terms floor-quantized to 1e-12 and integer-summed).
+
+    One scan, one (type, bucket, window) aggregation, a per-type rollup —
+    all map-side-combined. Scales with |types| x buckets.
+    """
+    split = F.lit(pd.Timestamp(split_ts)).cast("timestamp")
+    counts = (
+        events.select(
+            "event_type",
+            F.width_bucket(F.col("value"), F.lit(lo), F.lit(hi), F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+            (F.col("ts") < split).alias("is_ref"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count_if(F.col("is_ref")).alias("n_ref"),
+            F.count_if(~F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    # a window with no rows at all for a type (e.g. a brand-new event
+    # type has t_ref = 0) contributes probability 0 in that window
+    p = F.when(
+        F.col("t_ref") > 0,
+        F.col("n_ref").cast("double") / F.col("t_ref").cast("double"),
+    ).otherwise(F.lit(0.0))
+    q = F.when(
+        F.col("t_cur") > 0,
+        F.col("n_cur").cast("double") / F.col("t_cur").cast("double"),
+    ).otherwise(F.lit(0.0))
+    term = F.when(
+        (p + q) > F.lit(0.0),
+        F.floor((p - q) * (p - q) / (p + q) * F.lit(1e12)),
+    ).otherwise(F.lit(0))
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("t_ref").alias("n_ref"),
+            F.max("t_cur").alias("n_cur"),
+            F.sum(term).alias("_q"),
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            (F.col("_q").cast("double") / F.lit(1e12)).alias("chi2"),
+        )
+        .orderBy("event_type")
+    )

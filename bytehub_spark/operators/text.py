@@ -773,3 +773,69 @@ def langid_confusion(documents: DataFrame) -> DataFrame:
         .withColumn("is_hit", F.col("actual") == F.col("predicted"))
         .orderBy("actual", "predicted")
     )
+
+
+def plog2(c: F.Column) -> F.Column:
+    """Deterministic piecewise-linear log2 for positive integer counts,
+    exact cross-engine: with b = bit_length(c) = length(bin(c)),
+    plog2(c) = (b-1) + (c - 2^(b-1)) / 2^(b-1). The mantissa correction
+    is a division by a power of two — exact in IEEE — so every step is
+    reproducible arithmetic on both engines (max error vs true log2 is
+    ~0.086 bits, bias-free enough for ranking/scoring). This is the
+    portable-log story that unlocks LM-style scores without
+    transcendentals.
+    """
+    b = F.length(F.bin(c))
+    half = F.pow(F.lit(2.0), (b - F.lit(1)).cast("double"))
+    return (b - F.lit(1)).cast("double") + (c.cast("double") - half) / half
+
+
+def bigram_cross_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document LM cross-entropy estimate under the corpus bigram
+    model: mean over the doc's bigrams of -plog2(c(w1 w2)/c(w1 *)) =
+    mean(plog2(c1) - plog2(c2)) bits — the fluency/perplexity signal
+    quality filters rank on, here in exact cross-engine arithmetic
+    (piecewise-linear log2, correctly-rounded division by the bigram
+    count; the per-doc mean divides an order-insensitive quantized sum).
+
+    Same two-count-table plan as bigram_lm_score (TF-IDF shape). The
+    per-bigram bit terms are floor-quantized to 1e-9 before the sum so
+    the aggregation order can't flip ulps.
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    doc_bi = (
+        documents.where(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    uni = (
+        documents.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = doc_bi.groupBy("bigram").agg(F.count("*").alias("c2"))
+    joined = (
+        doc_bi.join(bi, "bigram")
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .join(uni, "w1")
+    )
+    term = F.floor((plog2(F.col("c1")) - plog2(F.col("c2"))) * F.lit(1e9))
+    return (
+        joined.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum(term).alias("_q"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("_q").cast("double")
+                / F.lit(1e9)
+                / F.col("n_bigrams").cast("double")
+            ).alias("cross_entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )

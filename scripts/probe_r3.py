@@ -316,6 +316,76 @@ SQL = {
                actual = predicted AS is_hit
         FROM pred GROUP BY actual, predicted ORDER BY actual, predicted
     """,
+    "doc_bigram_xent": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        db AS (
+            SELECT doc_id, unnest(list_transform(
+                       range(0, len(ws) - 1),
+                       i -> ws[i + 1] || ' ' || ws[i + 2])) AS bigram
+            FROM toks WHERE len(ws) >= 2
+        ),
+        uni AS (
+            SELECT w1, COUNT(*) AS c1 FROM (
+                SELECT unnest(ws) AS w1 FROM toks
+            ) GROUP BY w1
+        ),
+        bi AS (SELECT bigram, COUNT(*) AS c2 FROM db GROUP BY bigram),
+        j AS (
+            SELECT db.doc_id,
+                   (length(bin(c1)) - 1)
+                       + (CAST(c1 AS DOUBLE) - power(2.0, CAST(length(bin(c1)) - 1 AS DOUBLE)))
+                         / power(2.0, CAST(length(bin(c1)) - 1 AS DOUBLE)) AS l1,
+                   (length(bin(c2)) - 1)
+                       + (CAST(c2 AS DOUBLE) - power(2.0, CAST(length(bin(c2)) - 1 AS DOUBLE)))
+                         / power(2.0, CAST(length(bin(c2)) - 1 AS DOUBLE)) AS l2
+            FROM db
+            JOIN bi USING (bigram)
+            JOIN uni ON uni.w1 = string_split(db.bigram, ' ')[1]
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(CAST(floor((l1 - l2) * 1e9) AS BIGINT)) AS DOUBLE)
+                   / 1e9 / COUNT(*) AS cross_entropy_bits
+        FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+    "ts_value_drift": """
+        WITH counts AS (
+            SELECT event_type,
+                   CAST(CASE WHEN value < 0.0 THEN 0
+                             WHEN value >= 500.0 THEN 11
+                             ELSE CAST(floor((value - 0.0) / ((500.0 - 0.0) / 10))
+                                       AS INTEGER) + 1
+                        END AS INTEGER) AS bucket,
+                   count(*) FILTER (ts < TIMESTAMP '2024-01-16') AS n_ref,
+                   count(*) FILTER (ts >= TIMESTAMP '2024-01-16') AS n_cur
+            FROM events GROUP BY event_type, bucket
+        ),
+        totals AS (
+            SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+            FROM counts GROUP BY event_type
+        ),
+        terms AS (
+            SELECT c.event_type, t.t_ref, t.t_cur,
+                   CASE WHEN (CASE WHEN t.t_ref > 0 THEN CAST(c.n_ref AS DOUBLE) / CAST(t.t_ref AS DOUBLE) ELSE 0.0 END
+                              + CASE WHEN t.t_cur > 0 THEN CAST(c.n_cur AS DOUBLE) / CAST(t.t_cur AS DOUBLE) ELSE 0.0 END) > 0.0 THEN
+                       CAST(floor(
+                           (CASE WHEN t.t_ref > 0 THEN CAST(c.n_ref AS DOUBLE) / CAST(t.t_ref AS DOUBLE) ELSE 0.0 END
+                            - CASE WHEN t.t_cur > 0 THEN CAST(c.n_cur AS DOUBLE) / CAST(t.t_cur AS DOUBLE) ELSE 0.0 END)
+                           * (CASE WHEN t.t_ref > 0 THEN CAST(c.n_ref AS DOUBLE) / CAST(t.t_ref AS DOUBLE) ELSE 0.0 END
+                              - CASE WHEN t.t_cur > 0 THEN CAST(c.n_cur AS DOUBLE) / CAST(t.t_cur AS DOUBLE) ELSE 0.0 END)
+                           / (CASE WHEN t.t_ref > 0 THEN CAST(c.n_ref AS DOUBLE) / CAST(t.t_ref AS DOUBLE) ELSE 0.0 END
+                              + CASE WHEN t.t_cur > 0 THEN CAST(c.n_cur AS DOUBLE) / CAST(t.t_cur AS DOUBLE) ELSE 0.0 END)
+                           * 1e12) AS BIGINT)
+                   ELSE 0 END AS term
+            FROM counts c JOIN totals t USING (event_type)
+        )
+        SELECT event_type,
+               CAST(max(t_ref) AS BIGINT) AS n_ref,
+               CAST(max(t_cur) AS BIGINT) AS n_cur,
+               CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) / 1e12 AS chi2
+        FROM terms GROUP BY event_type ORDER BY event_type
+    """,
 }
 
 
@@ -379,6 +449,10 @@ QUERIES = {
     ).hard_negatives(load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5),
     "doc_langid_confusion": lambda spark, sf: text.langid_confusion(
         load_table(spark, sf, "documents")),
+    "doc_bigram_xent": lambda spark, sf: text.bigram_cross_entropy(
+        load_table(spark, sf, "documents")),
+    "ts_value_drift": lambda spark, sf: events_ops.value_drift(
+        load_table(spark, sf, "events")),
 }
 
 

@@ -611,3 +611,55 @@ def test_lsh_multiprobe_recall_dominates_plain(spark):
     q = similarity.lsh_cosine_topk_multiprobe(emb, qids, 5)
     plan = inspect.executed_plan(q)
     assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------- cross-entropy / value drift
+
+
+def test_plog2_accuracy():
+    """plog2 matches true log2 within 0.09 bits across count magnitudes."""
+    import math
+
+    for c in [1, 2, 3, 5, 7, 8, 100, 1023, 1024, 99999]:
+        b = c.bit_length()
+        approx = (b - 1) + (c - 2 ** (b - 1)) / 2 ** (b - 1)
+        assert abs(approx - math.log2(c)) < 0.09
+
+
+def test_bigram_cross_entropy_rare_reads_higher(spark):
+    """A doc of rare transitions scores higher cross-entropy than one of
+    the corpus's most common bigram."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["a b a b a b", "a b", "q z", "a b a b"],
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": [11, 3, 3, 7],
+            }
+        )
+    )
+    out = text.bigram_cross_entropy(docs).toPandas().set_index("doc_id")
+    assert out.loc[2, "cross_entropy_bits"] > out.loc[0, "cross_entropy_bits"]
+    assert (out["n_bigrams"] > 0).all()
+
+
+def test_value_drift_detects_planted_shift(spark):
+    base = pd.DataFrame(
+        {
+            "event_id": range(2000),
+            "ts": pd.to_datetime(
+                ["2024-01-10"] * 1000 + ["2024-01-20"] * 1000
+            ),
+            "user_id": [1] * 2000,
+            "event_type": ["stable"] * 1000 + ["shifted"] * 0
+            + ["stable"] * 500 + ["shifted"] * 500,
+            "value": [50.0] * 1000 + [50.0] * 500 + [450.0] * 500,
+            "props": ["{}"] * 2000,
+        }
+    )
+    # stable: same distribution both windows; shifted: only-current type
+    ev = spark.createDataFrame(base)
+    out = events_ops.value_drift(ev).toPandas().set_index("event_type")
+    assert out.loc["stable", "chi2"] == 0.0  # identical histograms
