@@ -102,9 +102,9 @@ _GATE_FIRST = [
     "ts_mad_outliers", "ts_heavy_hitters",
     "emb_hard_negatives", "doc_langid_confusion", "dedup_two_stage",
     "emb_lsh_multiprobe", "doc_bigram_xent", "ts_value_drift",
+    "emb_ivf_pq_append",
     # --- (e) r01-only greens refreshed (NTZ-affected ts family first;
     # the tail dropped this round has r01∪r02 green rows + local sweeps) ---
-    "ts_dedup_latest",
 ]
 
 
@@ -475,6 +475,57 @@ def _rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+def _ivf_pq_append_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emb_ivf_pq_append gate: builds the stored index on 90% of the
+    corpus, appends the rest with the frozen geometry, and gates the
+    maintenance contract — stored code rows after append are row-for-row
+    the one-shot encode of the union (same centroids/codebooks), and the
+    appended store serves queries identically to in-memory ADC."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    inc = emb.where(F.col("vec_id") % 10 == 0)
+    path = tempfile.mkdtemp(prefix="ivfpq_append_")
+    try:
+        from bytehub_spark.operators import ivf as _ivf
+
+        cents, books = pq.build_ivf_pq_index(base, path)
+        n_appended = pq.append_ivf_pq_index(spark, path, cents, books, inc)
+        stored = (
+            spark.read.parquet(path)
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        union = (
+            pq.pq_encode(_ivf.assign_cells(emb, cents), books, carry_cols=("cell",))
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    matches = bool(
+        len(stored) == len(union)
+        and (stored["vec_id"] == union["vec_id"]).all()
+        and stored["codes"].apply(list).tolist()
+            == union["codes"].apply(list).tolist()
+        and (stored["cell"].astype(int) == union["cell"].astype(int)).all()
+    )
+    out = pd.DataFrame(
+        {
+            "n_total": [len(stored)],
+            "n_appended": [n_appended],
+            "append_matches_one_shot": [matches],
+        }
+    )
+    return spark.createDataFrame(out)
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -928,6 +979,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chi-square value-histogram drift between time windows (PSI-
         # style monitor, log-free so engine-exact) — exact oracle
         "ts_value_drift": _q(events_ops.value_drift, "events"),
+        # incremental ANN index maintenance: append-encode with frozen
+        # geometry == one-shot union encode (invariant gate)
+        "emb_ivf_pq_append": _ivf_pq_append_invariants,
         # two-stage dedup: LSH semantic candidates verified by exact
         # n-gram Jaccard before anything is dropped — portable hashing
         # end-to-end, full pair set exactly oracled. The synthetic tables
@@ -1350,6 +1404,13 @@ def _invariant_oracles() -> dict[str, str]:
                    0::BIGINT AS n_dup_code_rows,
                    50::BIGINT AS n_probe_results,
                    TRUE AS full_probe_matches_memory
+            FROM embeddings
+        """,
+        "emb_ivf_pq_append": """
+            SELECT count(*)::BIGINT AS n_total,
+                   (SELECT count(*) FROM embeddings
+                    WHERE vec_id % 10 = 0)::BIGINT AS n_appended,
+                   TRUE AS append_matches_one_shot
             FROM embeddings
         """,
         "emb_pq_novelty": """

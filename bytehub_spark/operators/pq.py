@@ -424,3 +424,42 @@ def ivf_pq_query_index(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def append_ivf_pq_index(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental ANN index maintenance: encode ONLY the arriving
+    vectors with the frozen centroids/codebooks and append their code
+    rows to the cell-partitioned store — the daily-ingest path that
+    never retrains or rewrites history (periodic retraining is a
+    separate offline job; until then new vectors quantize into the
+    existing geometry, exactly like every production IVF deployment).
+
+    Cost scales with the increment: one Arrow encode pass + an append
+    write of the touched cell partitions. Returns the number of rows
+    appended. The append path is bit-identical to having encoded the
+    union in one shot with the same (centroids, codebooks) — pinned by
+    the registered gate and tests.
+    """
+    from . import ivf
+
+    with_cell = ivf.assign_cells(new_vecs, centroids, vec_col=vec_col)
+    codes = pq_encode(
+        with_cell, codebooks, id_col=id_col, vec_col=vec_col, carry_cols=("cell",)
+    )
+    n = codes.count()
+    if n:
+        (
+            codes.repartition(F.col("cell"))
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    return n

@@ -663,3 +663,53 @@ def test_value_drift_detects_planted_shift(spark):
     ev = spark.createDataFrame(base)
     out = events_ops.value_drift(ev).toPandas().set_index("event_type")
     assert out.loc["stable", "chi2"] == 0.0  # identical histograms
+
+
+# ------------------------------------------------ incremental IVF-PQ
+
+
+def test_append_ivf_pq_equals_one_shot(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    inc = emb.where(F.col("vec_id") % 10 == 0)
+    p_inc = str(tmp_path / "ivfpq_inc")
+    cents, books = pq.build_ivf_pq_index(base, p_inc)
+    n = pq.append_ivf_pq_index(spark, p_inc, cents, books, inc)
+    assert n == inc.count()
+    # one-shot: encode the UNION with the same frozen geometry
+    from bytehub_spark.operators import ivf as _ivf
+
+    union_codes = (
+        pq.pq_encode(
+            _ivf.assign_cells(emb, cents), books, carry_cols=("cell",)
+        )
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    stored = (
+        spark.read.parquet(p_inc)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(stored) == len(union_codes) == emb.count()
+    assert (stored["vec_id"] == union_codes["vec_id"]).all()
+    assert (
+        stored["codes"].apply(list).tolist()
+        == union_codes["codes"].apply(list).tolist()
+    )
+    assert (stored["cell"].astype(int) == union_codes["cell"].astype(int)).all()
+    # and queries over the appended store rank identically to in-memory
+    import numpy as np
+
+    qrows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(3).collect()
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    stored_topk = pq.ivf_pq_query_index(
+        spark, p_inc, cents, books, Q, k=10, n_probe=16
+    ).toPandas()
+    mem = pq.pq_topk(
+        pq.pq_encode(emb, books), books, Q, k=10
+    ).toPandas()
+    merged = stored_topk.merge(mem, on=["query_id", "rank"], suffixes=("_st", "_mem"))
+    assert (merged["vec_id_st"] == merged["vec_id_mem"]).all()
