@@ -627,13 +627,15 @@ def test_plog2_accuracy():
 
 
 def test_bigram_cross_entropy_rare_reads_higher(spark):
-    """A doc of rare transitions scores higher cross-entropy than one of
-    the corpus's most common bigram."""
+    """A rare transition out of a COMMON word scores high cross-entropy;
+    the corpus's dominant bigram scores low. (A unique transition from a
+    unique word is P=1 — zero bits — the conditional model is right to
+    call it fluent.)"""
     docs = spark.createDataFrame(
         pd.DataFrame(
             {
                 "doc_id": [0, 1, 2, 3],
-                "text": ["a b a b a b", "a b", "q z", "a b a b"],
+                "text": ["a b a b a b", "a b", "a z", "a b a b"],
                 "lang": ["en"] * 4,
                 "source": ["s"] * 4,
                 "n_chars": [11, 3, 3, 7],
@@ -641,7 +643,9 @@ def test_bigram_cross_entropy_rare_reads_higher(spark):
         )
     )
     out = text.bigram_cross_entropy(docs).toPandas().set_index("doc_id")
+    # doc 2's only bigram "a z" happens once out of c("a *")=7 starts
     assert out.loc[2, "cross_entropy_bits"] > out.loc[0, "cross_entropy_bits"]
+    assert out.loc[2, "cross_entropy_bits"] > 2.0  # ~plog2(7) bits
     assert (out["n_bigrams"] > 0).all()
 
 
@@ -713,3 +717,24 @@ def test_append_ivf_pq_equals_one_shot(spark, tmp_path):
     ).toPandas()
     merged = stored_topk.merge(mem, on=["query_id", "rank"], suffixes=("_st", "_mem"))
     assert (merged["vec_id_st"] == merged["vec_id_mem"]).all()
+
+
+# ------------------------------------------------- driver-contract guard
+
+
+def test_driver_contract_integrity():
+    """The driver gates the FIRST 50 of queries(): _GATE_FIRST must be
+    exactly 50 unique registered names, every registered query must have
+    an oracle, and queries() must lead with the gate order."""
+    import __spark_entry__ as E
+
+    all_q = E._all_queries()
+    oracles = E.oracle_sql()
+    assert len(E._GATE_FIRST) == 50
+    assert len(set(E._GATE_FIRST)) == 50
+    missing = [n for n in E._GATE_FIRST if n not in all_q]
+    assert not missing, f"gate names not registered: {missing}"
+    no_oracle = sorted(set(all_q) - set(oracles))
+    assert not no_oracle, f"queries without oracle_sql: {no_oracle}"
+    ordered = list(E.queries())
+    assert ordered[:50] == E._GATE_FIRST
