@@ -218,3 +218,135 @@ def test_churn_labels_random_horizon(events, con, horizon):
         """
     )
     _match(sdf, ddf)
+
+
+@given(ns=st.floats(1.0, 6.0))
+@settings(**SETTINGS)
+def test_mad_outliers_random_sigma(events, con, ns):
+    sdf = events_ops.mad_outliers(events, n_mads=ns)
+    ddf = con.execute(
+        f"""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        wm AS (
+            SELECT e.event_type, e.value, m.med
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+            FROM wm GROUP BY event_type
+        )
+        SELECT wm.event_type, COUNT(*) AS n,
+               count(*) FILTER (abs(value - wm.med) > {ns!r} * mad.mad)
+                   AS n_outliers,
+               max(wm.med) AS median, max(mad.mad) AS mad
+        FROM wm JOIN mad ON mad.event_type = wm.event_type
+        GROUP BY wm.event_type ORDER BY wm.event_type
+        """
+    )
+    _match(sdf, ddf)
+
+
+@given(support=st.integers(2, 6), hours=st.sampled_from([2, 4, 6, 12, 24]))
+@settings(**SETTINGS)
+def test_heavy_hitters_random_params(spark, events, con, support, hours):
+    from bytehub_spark import streaming as stm
+
+    sdf = stm.heavy_hitters_batch(events, min_support=support, window=f"{hours} hours")
+    ddf = con.execute(
+        f"""
+        WITH counts AS (
+            SELECT time_bucket(INTERVAL {hours} HOUR, ts) AS window_start,
+                   user_id, COUNT(*) AS n_events
+            FROM events GROUP BY window_start, user_id
+            HAVING COUNT(*) >= {support}
+        )
+        SELECT window_start, user_id, n_events,
+               CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, user_id ASC) AS INTEGER) AS rank
+        FROM counts
+        ORDER BY window_start, rank
+        """
+    )
+    _match(sdf, ddf)
+
+
+@given(day=st.integers(5, 27), nb=st.integers(4, 16))
+@settings(**SETTINGS)
+def test_value_drift_random_split(events, con, day, nb):
+    split = f"2024-01-{day:02d}"
+    sdf = events_ops.value_drift(events, split_ts=split, n_buckets=nb)
+    pq_frac = f"CASE WHEN t.t_ref > 0 THEN CAST(c.n_ref AS DOUBLE) / CAST(t.t_ref AS DOUBLE) ELSE 0.0 END"
+    qq_frac = f"CASE WHEN t.t_cur > 0 THEN CAST(c.n_cur AS DOUBLE) / CAST(t.t_cur AS DOUBLE) ELSE 0.0 END"
+    ddf = con.execute(
+        f"""
+        WITH counts AS (
+            SELECT event_type,
+                   CAST(CASE WHEN value < 0.0 THEN 0
+                             WHEN value >= 500.0 THEN {nb + 1}
+                             ELSE CAST(floor((value - 0.0) / ((500.0 - 0.0) / {nb}))
+                                       AS INTEGER) + 1
+                        END AS INTEGER) AS bucket,
+                   count(*) FILTER (ts < TIMESTAMP '{split}') AS n_ref,
+                   count(*) FILTER (ts >= TIMESTAMP '{split}') AS n_cur
+            FROM events GROUP BY event_type, bucket
+        ),
+        totals AS (
+            SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+            FROM counts GROUP BY event_type
+        ),
+        terms AS (
+            SELECT c.event_type, t.t_ref, t.t_cur,
+                   CASE WHEN ({pq_frac} + {qq_frac}) > 0.0 THEN
+                       CAST(floor(({pq_frac} - {qq_frac}) * ({pq_frac} - {qq_frac})
+                                  / ({pq_frac} + {qq_frac}) * 1e12) AS BIGINT)
+                   ELSE 0 END AS term
+            FROM counts c JOIN totals t USING (event_type)
+        )
+        SELECT event_type,
+               CAST(max(t_ref) AS BIGINT) AS n_ref,
+               CAST(max(t_cur) AS BIGINT) AS n_cur,
+               CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) / 1e12 AS chi2
+        FROM terms GROUP BY event_type ORDER BY event_type
+        """
+    )
+    _match(sdf, ddf)
+
+
+@given(dom=st.sampled_from(["en", "de", "es", "fr", "zh"]))
+@settings(**SETTINGS)
+def test_domain_affinity_random_domain(documents, con, dom):
+    from bytehub_spark.operators import text as txt
+
+    sdf = txt.domain_affinity_score(documents, domain_value=dom)
+    ddf = con.execute(
+        f"""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        ),
+        dt AS (SELECT doc_id, unnest(list_distinct(ws)) AS w FROM toks),
+        allc AS (
+            SELECT w, COUNT(*) AS c_all FROM (
+                SELECT unnest(ws) AS w FROM toks
+            ) GROUP BY w
+        ),
+        domc AS (
+            SELECT w, COUNT(*) AS c_dom FROM (
+                SELECT unnest(ws) AS w FROM toks WHERE lang = '{dom}'
+            ) GROUP BY w
+        )
+        SELECT doc_id, COUNT(*) AS n_terms,
+               CAST(SUM(length(bin(coalesce(c_dom, 0) + 1))
+                        - length(bin(c_all + 1))) AS BIGINT)
+                   AS affinity_bits,
+               CAST(CAST(SUM(length(bin(coalesce(c_dom, 0) + 1))
+                        - length(bin(c_all + 1))) AS BIGINT) AS DOUBLE)
+                   / COUNT(*) AS affinity_per_term
+        FROM dt JOIN allc USING (w) LEFT JOIN domc USING (w)
+        GROUP BY doc_id ORDER BY doc_id
+        """
+    )
+    _match(sdf, ddf)
