@@ -982,6 +982,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental ANN index maintenance: append-encode with frozen
         # geometry == one-shot union encode (invariant gate)
         "emb_ivf_pq_append": _ivf_pq_append_invariants,
+        # ViT-style image tile plan from metadata (decode-free, like
+        # chunk_audio_plan) — exact oracle; registered after the r03
+        # gate filled, rotate in next round (swept locally at 3 scales)
+        "mm_tile_plan": lambda spark, sf: multimodal.tile_image_plan(
+            multimodal.media_from_documents(load_table(spark, sf, "documents"))
+        ),
+        # week-over-week growth per type (lag window, exact division)
+        "ts_weekly_growth": _q(events_ops.weekly_growth, "events"),
+        # sentence segmentation stats (readability layer) — exact oracle
+        "doc_sentence_stats": _q(text.sentence_stats, "documents"),
         # two-stage dedup: LSH semantic candidates verified by exact
         # n-gram Jaccard before anything is dropped — portable hashing
         # end-to-end, full pair set exactly oracled. The synthetic tables
@@ -3463,6 +3473,76 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(t_cur) AS BIGINT) AS n_cur,
                CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) / 1e12 AS chi2
         FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+        "mm_tile_plan": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CAST(64 + doc_id % 4 AS INTEGER) AS width,
+                   64 AS height
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        g AS (
+            SELECT media_id, width, height,
+                   CAST(ceil(CAST(width AS DOUBLE) / 32) AS INTEGER) AS nx,
+                   CAST(ceil(CAST(height AS DOUBLE) / 32) AS INTEGER) AS ny
+            FROM m
+        ),
+        t AS (
+            SELECT media_id, width, height, ny,
+                   unnest(range(0, nx)) AS tx
+            FROM g
+        ),
+        tt AS (
+            SELECT media_id, width, height, tx,
+                   unnest(range(0, ny)) AS ty
+            FROM t
+        )
+        SELECT media_id, CAST(tx AS INTEGER) AS tx, CAST(ty AS INTEGER) AS ty,
+               CAST(tx * 32 AS INTEGER) AS x0, CAST(ty * 32 AS INTEGER) AS y0,
+               CAST(least(32, width - tx * 32) AS INTEGER) AS tile_w,
+               CAST(least(32, height - ty * 32) AS INTEGER) AS tile_h
+        FROM tt ORDER BY media_id, tx, ty
+    """,
+        "ts_weekly_growth": """
+        WITH weekly AS (
+            SELECT date_trunc('week', ts) AS week, event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        )
+        SELECT week, event_type, n_events, n_users,
+               CASE WHEN lag(n_events) OVER (
+                        PARTITION BY event_type ORDER BY week) IS NOT NULL
+                    THEN CAST(n_events AS DOUBLE)
+                         / CAST(lag(n_events) OVER (
+                               PARTITION BY event_type ORDER BY week)
+                           AS DOUBLE)
+               END AS wow_growth
+        FROM weekly ORDER BY event_type, week
+    """,
+        "doc_sentence_stats": """
+        WITH segs AS (
+            SELECT doc_id,
+                   list_filter(list_transform(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       s -> trim(s)), s -> s <> '') AS ss
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, ss,
+                   list_transform(ss, s -> len(string_split(s, ' '))) AS wp
+            FROM segs
+        )
+        SELECT doc_id,
+               len(ss) AS n_sentences,
+               coalesce(CAST(list_sum(wp) AS BIGINT), 0) AS n_sentence_words,
+               CASE WHEN len(ss) > 0
+                    THEN CAST(coalesce(CAST(list_sum(wp) AS BIGINT), 0)
+                              AS DOUBLE) / len(ss)
+                    ELSE 0.0 END AS avg_sentence_words,
+               CASE WHEN len(ss) > 0 THEN list_max(wp) ELSE 0 END
+                   AS max_sentence_words
+        FROM w ORDER BY doc_id
     """,
         "ts_quality_audit": """
             WITH agg AS (

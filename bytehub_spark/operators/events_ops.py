@@ -1050,3 +1050,32 @@ def value_drift(
         )
         .orderBy("event_type")
     )
+
+
+def weekly_growth(events: DataFrame) -> DataFrame:
+    """Week-over-week growth dashboard: weekly event counts and distinct
+    users per type, with the ratio to the previous ISO week (lag window
+    per type — parallel across types). Growth is one correctly-rounded
+    division of exact integers; weeks with no predecessor emit NULL.
+    """
+    weekly = (
+        events.groupBy(
+            F.date_trunc("week", F.col("ts")).alias("week"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return (
+        weekly.withColumn(
+            "wow_growth",
+            F.when(
+                prev.isNotNull(),
+                F.col("n_events").cast("double") / prev.cast("double"),
+            ),
+        )
+        .orderBy("event_type", "week")
+    )

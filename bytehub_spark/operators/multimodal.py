@@ -251,3 +251,55 @@ def metadata_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind", "format")
     )
+
+
+def tile_image_plan(
+    media: DataFrame, tile: int = 32, overlap: int = 0
+) -> DataFrame:
+    """Tiling plan for image rows: the ViT-style patch grid as explicit
+    (x0, y0, tile_w, tile_h) work items, clamped at the right/bottom
+    edges — the schedule a vision featurizer consumes (each tile is one
+    model call). Plan only — no decoding — pure integer arithmetic over
+    the metadata columns, exactly SQL-oracle-able like chunk_audio_plan.
+
+    One narrow explode of ~(w/stride)x(h/stride) rows per image; no
+    shuffle (the presentation sort is the only exchange).
+    """
+    stride = tile - overlap
+    assert stride > 0, "overlap must be smaller than the tile"
+    imgs = media.where(
+        (F.col("kind") == "image")
+        & F.col("width").isNotNull()
+        & F.col("height").isNotNull()
+    )
+    nx = F.ceil((F.col("width") - F.lit(overlap)).cast("double") / F.lit(stride))
+    ny = F.ceil((F.col("height") - F.lit(overlap)).cast("double") / F.lit(stride))
+    tiles = (
+        imgs.withColumn("__nx", nx.cast("int"))
+        .withColumn("__ny", ny.cast("int"))
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "__ny",
+            F.explode(F.expr("sequence(0, __nx - 1)")).alias("tx"),
+        )
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "tx",
+            F.explode(F.expr("sequence(0, __ny - 1)")).alias("ty"),
+        )
+    )
+    x0 = F.col("tx") * stride
+    y0 = F.col("ty") * stride
+    return tiles.select(
+        "media_id",
+        "tx",
+        "ty",
+        x0.alias("x0"),
+        y0.alias("y0"),
+        F.least(F.lit(tile), F.col("width") - x0).alias("tile_w"),
+        F.least(F.lit(tile), F.col("height") - y0).alias("tile_h"),
+    ).orderBy("media_id", "tx", "ty")

@@ -839,3 +839,44 @@ def bigram_cross_entropy(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SENTENCE_SPLIT_RE = r"[.!?]+"
+
+
+def sentence_stats(documents: DataFrame) -> DataFrame:
+    """Per-document sentence segmentation stats: sentence count, mean
+    words per sentence, and the longest sentence's word count — the
+    readability layer on top of text_stats (run-on boilerplate and
+    list-like fragments both show up here). Splitting is a shared
+    Java/RE2 regex on terminal punctuation; empty segments (trailing
+    punctuation, "..") are dropped in both engines. Integer counts and
+    one exact division — engine-exact.
+    """
+    segs = F.filter(
+        F.transform(
+            F.split(F.col("text"), SENTENCE_SPLIT_RE),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    words_per = F.transform(segs, lambda s: F.size(F.split(s, " ")))
+    n_sent = F.size(segs)
+    total_words = F.aggregate(
+        words_per, F.lit(0), lambda acc, x: acc + x
+    )
+    return (
+        documents.select(
+            "doc_id",
+            n_sent.alias("n_sentences"),
+            total_words.alias("n_sentence_words"),
+            F.when(
+                n_sent > 0,
+                total_words.cast("double") / n_sent.cast("double"),
+            ).otherwise(F.lit(0.0)).alias("avg_sentence_words"),
+            F.when(n_sent > 0, F.array_max(words_per))
+            .otherwise(F.lit(0))
+            .alias("max_sentence_words"),
+        )
+        .orderBy("doc_id")
+    )

@@ -386,6 +386,76 @@ SQL = {
                CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) / 1e12 AS chi2
         FROM terms GROUP BY event_type ORDER BY event_type
     """,
+    "mm_tile_plan": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CAST(64 + doc_id % 4 AS INTEGER) AS width,
+                   64 AS height
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        g AS (
+            SELECT media_id, width, height,
+                   CAST(ceil(CAST(width AS DOUBLE) / 32) AS INTEGER) AS nx,
+                   CAST(ceil(CAST(height AS DOUBLE) / 32) AS INTEGER) AS ny
+            FROM m
+        ),
+        t AS (
+            SELECT media_id, width, height, ny,
+                   unnest(range(0, nx)) AS tx
+            FROM g
+        ),
+        tt AS (
+            SELECT media_id, width, height, tx,
+                   unnest(range(0, ny)) AS ty
+            FROM t
+        )
+        SELECT media_id, CAST(tx AS INTEGER) AS tx, CAST(ty AS INTEGER) AS ty,
+               CAST(tx * 32 AS INTEGER) AS x0, CAST(ty * 32 AS INTEGER) AS y0,
+               CAST(least(32, width - tx * 32) AS INTEGER) AS tile_w,
+               CAST(least(32, height - ty * 32) AS INTEGER) AS tile_h
+        FROM tt ORDER BY media_id, tx, ty
+    """,
+    "ts_weekly_growth": """
+        WITH weekly AS (
+            SELECT date_trunc('week', ts) AS week, event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        )
+        SELECT week, event_type, n_events, n_users,
+               CASE WHEN lag(n_events) OVER (
+                        PARTITION BY event_type ORDER BY week) IS NOT NULL
+                    THEN CAST(n_events AS DOUBLE)
+                         / CAST(lag(n_events) OVER (
+                               PARTITION BY event_type ORDER BY week)
+                           AS DOUBLE)
+               END AS wow_growth
+        FROM weekly ORDER BY event_type, week
+    """,
+    "doc_sentence_stats": """
+        WITH segs AS (
+            SELECT doc_id,
+                   list_filter(list_transform(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       s -> trim(s)), s -> s <> '') AS ss
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, ss,
+                   list_transform(ss, s -> len(string_split(s, ' '))) AS wp
+            FROM segs
+        )
+        SELECT doc_id,
+               len(ss) AS n_sentences,
+               coalesce(CAST(list_sum(wp) AS BIGINT), 0) AS n_sentence_words,
+               CASE WHEN len(ss) > 0
+                    THEN CAST(coalesce(CAST(list_sum(wp) AS BIGINT), 0)
+                              AS DOUBLE) / len(ss)
+                    ELSE 0.0 END AS avg_sentence_words,
+               CASE WHEN len(ss) > 0 THEN list_max(wp) ELSE 0 END
+                   AS max_sentence_words
+        FROM w ORDER BY doc_id
+    """,
 }
 
 
@@ -453,6 +523,15 @@ QUERIES = {
         load_table(spark, sf, "documents")),
     "ts_value_drift": lambda spark, sf: events_ops.value_drift(
         load_table(spark, sf, "events")),
+    "mm_tile_plan": lambda spark, sf: __import__(
+        "bytehub_spark.operators.multimodal", fromlist=["tile_image_plan"]
+    ).tile_image_plan(__import__(
+        "bytehub_spark.operators.multimodal", fromlist=["media_from_documents"]
+    ).media_from_documents(load_table(spark, sf, "documents"))),
+    "ts_weekly_growth": lambda spark, sf: events_ops.weekly_growth(
+        load_table(spark, sf, "events")),
+    "doc_sentence_stats": lambda spark, sf: text.sentence_stats(
+        load_table(spark, sf, "documents")),
 }
 
 

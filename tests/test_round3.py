@@ -738,3 +738,52 @@ def test_driver_contract_integrity():
     assert not no_oracle, f"queries without oracle_sql: {no_oracle}"
     ordered = list(E.queries())
     assert ordered[:50] == E._GATE_FIRST
+
+
+# ------------------------------ tile plan / weekly growth / sentences
+
+
+def test_tile_image_plan_covers_exactly(spark):
+    from bytehub_spark.operators import multimodal as mm
+
+    media = mm.media_from_documents(load_table(spark, SF, "documents"))
+    tiles = mm.tile_image_plan(media).toPandas()
+    imgs = media.where(F.col("kind") == "image").toPandas()
+    # per image: tiles tile the full area exactly once (no overlap default)
+    area = tiles.assign(a=tiles["tile_w"] * tiles["tile_h"]).groupby("media_id")["a"].sum()
+    for r in imgs.itertuples():
+        assert area[r.media_id] == r.width * r.height
+    assert (tiles["tile_w"] > 0).all() and (tiles["tile_h"] > 0).all()
+    assert (tiles["tile_w"] <= 32).all() and (tiles["tile_h"] <= 32).all()
+
+
+def test_weekly_growth_ratios(spark):
+    out = events_ops.weekly_growth(load_table(spark, SF, "events")).toPandas()
+    for _, g in out.groupby("event_type"):
+        g = g.sort_values("week").reset_index(drop=True)
+        assert pd.isna(g.loc[0, "wow_growth"])  # first week has no prior
+        for i in range(1, len(g)):
+            assert g.loc[i, "wow_growth"] == pytest.approx(
+                g.loc[i, "n_events"] / g.loc[i - 1, "n_events"]
+            )
+
+
+def test_sentence_stats_known_text(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["one two. three four five! six?", "no punct here", "..."],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": [30, 13, 3],
+            }
+        )
+    )
+    out = text.sentence_stats(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_sentences"] == 3
+    assert out.loc[0, "n_sentence_words"] == 2 + 3 + 1
+    assert out.loc[0, "max_sentence_words"] == 3
+    assert out.loc[1, "n_sentences"] == 1
+    assert out.loc[2, "n_sentences"] == 0
+    assert out.loc[2, "avg_sentence_words"] == 0.0
