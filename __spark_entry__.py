@@ -992,6 +992,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_weekly_growth": _q(events_ops.weekly_growth, "events"),
         # sentence segmentation stats (readability layer) — exact oracle
         "doc_sentence_stats": _q(text.sentence_stats, "documents"),
+        # ANN quality monitoring as an operator: LSH top-k vs exact GEMM
+        # top-k, per-query recall@k — exact oracle (post-gate; rotate in
+        # next round)
+        "emb_ann_recall_eval": lambda spark, sf: similarity.ann_recall_eval(
+            load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
+        ),
         # two-stage dedup: LSH semantic candidates verified by exact
         # n-gram Jaccard before anything is dropped — portable hashing
         # end-to-end, full pair set exactly oracled. The synthetic tables
@@ -1358,6 +1364,63 @@ def _lsh_oracles() -> dict[str, str]:
             FROM scored
         ) WHERE rank <= 5 ORDER BY query_id, rank
     """
+    recall_eval = f"""
+        WITH {_cosine_bucket_ctes(4, 20)},
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(
+                               list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[]))
+                               / (sqrt(list_dot_product(
+                                      CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                                  * sqrt(list_dot_product(
+                                      CAST(q.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])))),
+                               4) DESC, e.vec_id ASC) AS rnk
+                FROM embeddings e
+                CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+                WHERE e.vec_id <> q.vec_id
+            ) WHERE rnk <= 5
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM (SELECT * FROM buckets WHERE vec_id IN (0, 1, 2, 3, 4)) q
+            JOIN buckets c ON q.band = c.band AND q.bucket = c.bucket
+                          AND c.vec_id <> q.vec_id
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT cand.query_id, cand.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY cand.query_id
+                           ORDER BY round(
+                               list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                                CAST(eb.embedding AS DOUBLE[]))
+                               / (sqrt(list_dot_product(
+                                      CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(ea.embedding AS DOUBLE[])))
+                                  * sqrt(list_dot_product(
+                                      CAST(eb.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])))),
+                               4) DESC, cand.neighbor_id ASC) AS rnk
+                FROM cand
+                JOIN embeddings ea ON ea.vec_id = cand.query_id
+                JOIN embeddings eb ON eb.vec_id = cand.neighbor_id
+            ) WHERE rnk <= 5
+        )
+        SELECT e.query_id,
+               COUNT(*) AS n_exact,
+               count(a.neighbor_id) AS n_hits,
+               CAST(count(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+        FROM exact e
+        LEFT JOIN approx a ON a.query_id = e.query_id
+                          AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id ORDER BY e.query_id
+    """
     return {
         "dedup_minhash_lsh": minhash,
         "dedup_incremental_lsh": incremental,
@@ -1367,6 +1430,7 @@ def _lsh_oracles() -> dict[str, str]:
         "dedup_two_stage": two_stage,
         "emb_lsh_topk": lsh_topk,
         "emb_lsh_multiprobe": mp_topk,
+        "emb_ann_recall_eval": recall_eval,
     }
 
 

@@ -623,3 +623,51 @@ def lsh_cosine_topk_multiprobe(
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
         .orderBy("query_id", "rank")
     )
+
+
+def ann_recall_eval(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN quality evaluation as a first-class operator: run the banded
+    LSH top-k AND the exact GEMM top-k over the same queries and emit
+    per-query hit counts + recall@k — the continuous-monitoring signal
+    an ANN deployment ships next to its index (recall silently decays as
+    the data distribution drifts away from the index's tuning; this is
+    the detector). Integer hits and one exact division — engine-exact,
+    so the whole evaluation is SQL-replayable.
+    """
+    exact = cosine_topk_gemm(embeddings, query_ids, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_cosine_topk(embeddings, query_ids, k, id_col=id_col,
+                             vec_col=vec_col).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("a_nid").alias("n_hits"),
+        )
+    )
+    return (
+        hits.select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

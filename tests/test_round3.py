@@ -787,3 +787,22 @@ def test_sentence_stats_known_text(spark):
     assert out.loc[1, "n_sentences"] == 1
     assert out.loc[2, "n_sentences"] == 0
     assert out.loc[2, "avg_sentence_words"] == 0.0
+
+
+def test_ann_recall_eval_consistent_with_direct(spark):
+    from bytehub_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    out = similarity.ann_recall_eval(emb, qids, 5).toPandas()
+    assert len(out) == 5
+    assert (out["n_exact"] == 5).all()
+    assert out["recall_at_k"].between(0, 1).all()
+    # agrees with recomputing hits from the two result sets directly
+    exact = similarity.cosine_topk_gemm(emb, qids, 5).toPandas()
+    approx = similarity.lsh_cosine_topk(emb, qids, 5).toPandas()
+    ex = set(zip(exact["query_id"], exact["neighbor_id"]))
+    ap = set(zip(approx["query_id"], approx["neighbor_id"]))
+    for r in out.itertuples():
+        expected = len({p for p in ex & ap if p[0] == r.query_id})
+        assert r.n_hits == expected
