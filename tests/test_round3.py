@@ -806,3 +806,33 @@ def test_ann_recall_eval_consistent_with_direct(spark):
     for r in out.itertuples():
         expected = len({p for p in ex & ap if p[0] == r.query_id})
         assert r.n_hits == expected
+
+
+# ------------------------------------------------------ plan-shape pins
+
+
+def test_round3_ops_plan_shapes(spark):
+    """Scale-design guarantees for the round-3 operators: no partition-
+    less windows (the single-task straggler), no unbroadcast cartesian
+    products, and shuffle counts bounded at their measured plan shapes
+    (+1 slack for AQE variance)."""
+    ev = load_table(spark, SF, "events")
+    docs = load_table(spark, SF, "documents")
+    bounds = {
+        "decay": (events_ops.decayed_user_score(ev), 5),
+        "rebalance": (curation.quality_rebalance_plan(docs), 3),
+        "weekly": (events_ops.weekly_growth(ev), 5),
+        "audit": (events_ops.data_quality_audit(ev), 3),
+        "churn": (events_ops.churn_labels(ev), 6),
+        "drift": (events_ops.value_drift(ev), 7),
+        "mad": (events_ops.mad_outliers(ev), 9),
+        "sentence": (text.sentence_stats(docs), 2),
+        "xent": (text.bigram_cross_entropy(docs), 7),
+        "affinity": (text.domain_affinity_score(docs), 5),
+    }
+    for name, (df, max_shuffles) in bounds.items():
+        plan = inspect.executed_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert not inspect.global_windows(df), name
+        n = inspect.shuffle_count(df)
+        assert n <= max_shuffles, f"{name}: {n} > {max_shuffles}"
