@@ -350,3 +350,45 @@ def test_domain_affinity_random_domain(documents, con, dom):
         """
     )
     _match(sdf, ddf)
+
+
+@given(tile=st.integers(8, 64), overlap=st.integers(0, 7))
+@settings(**SETTINGS)
+def test_tile_plan_random_params(spark, documents, con, tile, overlap):
+    from bytehub_spark.operators import multimodal as mm
+
+    stride = tile - overlap
+    sdf = mm.tile_image_plan(mm.media_from_documents(documents), tile, overlap)
+    ddf = con.execute(
+        f"""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CAST(64 + doc_id % 4 AS INTEGER) AS width,
+                   64 AS height
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        g AS (
+            SELECT media_id, width, height,
+                   CAST(ceil(CAST(width - {overlap} AS DOUBLE) / {stride})
+                        AS INTEGER) AS nx,
+                   CAST(ceil(CAST(height - {overlap} AS DOUBLE) / {stride})
+                        AS INTEGER) AS ny
+            FROM m
+        ),
+        t AS (
+            SELECT media_id, width, height, ny, unnest(range(0, nx)) AS tx
+            FROM g
+        ),
+        tt AS (
+            SELECT media_id, width, height, tx, unnest(range(0, ny)) AS ty
+            FROM t
+        )
+        SELECT media_id, CAST(tx AS INTEGER) AS tx, CAST(ty AS INTEGER) AS ty,
+               CAST(tx * {stride} AS INTEGER) AS x0,
+               CAST(ty * {stride} AS INTEGER) AS y0,
+               CAST(least({tile}, width - tx * {stride}) AS INTEGER) AS tile_w,
+               CAST(least({tile}, height - ty * {stride}) AS INTEGER) AS tile_h
+        FROM tt ORDER BY media_id, tx, ty
+        """
+    )
+    _match(sdf, ddf)
