@@ -992,6 +992,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_weekly_growth": _q(events_ops.weekly_growth, "events"),
         # sentence segmentation stats (readability layer) — exact oracle
         "doc_sentence_stats": _q(text.sentence_stats, "documents"),
+        # eval-contamination audit: exact-dup contents spanning splits.
+        # Natural cross-split dups are empty below sf0.1 (vacuous-gate
+        # hazard), so every 10th+3 doc gets a leak twin at +100010 — the
+        # residue shift lands twins in DIFFERENT splits deterministically
+        "cur_split_leakage": lambda spark, sf: (
+            lambda docs: curation.split_leakage_audit(
+                docs.unionByName(
+                    docs.where(F.col("doc_id") % 10 == 3).select(
+                        (F.col("doc_id") + 100010).alias("doc_id"),
+                        "text", "lang", "source", "n_chars",
+                    )
+                )
+            )
+        )(load_table(spark, sf, "documents")),
         # ANN quality monitoring as an operator: LSH top-k vs exact GEMM
         # top-k, per-query recall@k — exact oracle (post-gate; rotate in
         # next round)
@@ -3608,6 +3622,37 @@ def oracle_sql() -> dict[str, str]:
                    AS max_sentence_words
         FROM w ORDER BY doc_id
     """,
+        "cur_split_leakage": r"""
+            WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100010 AS doc_id, text FROM documents
+                WHERE doc_id % 10 = 3
+            ),
+            a AS (
+                SELECT CASE WHEN doc_id % 100 < 10 THEN 'test'
+                            WHEN doc_id % 100 < 20 THEN 'val'
+                            ELSE 'train' END AS split,
+                       md5(trim(regexp_replace(lower(text),
+                                               '\s+', ' ', 'g'))) AS fp
+                FROM docs
+            ),
+            d AS (SELECT DISTINCT split, fp FROM a),
+            leaks AS (
+                SELECT x.split AS split_a, y.split AS split_b,
+                       COUNT(*) AS n_leaked_contents
+                FROM d x JOIN d y ON x.fp = y.fp AND x.split < y.split
+                GROUP BY 1, 2
+            ),
+            totals AS (
+                SELECT split AS split_a, COUNT(*) AS n_contents_a
+                FROM d GROUP BY split
+            )
+            SELECT l.split_a, l.split_b, l.n_leaked_contents,
+                   t.n_contents_a
+            FROM leaks l JOIN totals t USING (split_a)
+            ORDER BY split_a, split_b
+        """,
         "ts_quality_audit": """
             WITH agg AS (
                 SELECT count(*) AS n_rows,

@@ -587,3 +587,51 @@ def quality_rebalance_plan(documents: DataFrame, n_tiles: int = 10) -> DataFrame
         )
         .orderBy("source", "decile")
     )
+
+
+def split_leakage_audit(
+    documents: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-contamination audit: how many exact-duplicate contents span
+    two different splits — the leak that silently inflates eval numbers
+    (a test doc whose twin sits in train is memorization, not
+    generalization). Counts distinct leaking fingerprints per ordered
+    split pair plus each split's total distinct contents.
+
+    Plan: one fingerprint projection, distinct (split, fp), then an
+    fp-keyed self-join whose per-key fan-out is bounded by the 3 splits
+    — the source_overlap_matrix shape, linear in corpus size.
+    """
+    assigned = train_val_test_split(documents, val_pct, test_pct, id_col)
+    from ..operators.dedup import normalized
+
+    per_split = (
+        assigned.select(
+            "split", F.md5(normalized(text_col)).alias("__fp")
+        )
+        .distinct()
+    )
+    b = per_split.select(
+        F.col("split").alias("split_b"), F.col("__fp").alias("__fp_b")
+    )
+    leaks = (
+        per_split.join(
+            b,
+            (F.col("__fp") == F.col("__fp_b"))
+            & (F.col("split") < F.col("split_b")),
+        )
+        .groupBy(F.col("split").alias("split_a"), F.col("split_b"))
+        .agg(F.count("*").alias("n_leaked_contents"))
+    )
+    totals = per_split.groupBy(F.col("split").alias("split_a")).agg(
+        F.count("*").alias("n_contents_a")
+    )
+    return (
+        leaks.join(totals, "split_a")
+        .select("split_a", "split_b", "n_leaked_contents", "n_contents_a")
+        .orderBy("split_a", "split_b")
+    )

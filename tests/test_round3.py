@@ -836,3 +836,18 @@ def test_round3_ops_plan_shapes(spark):
         assert not inspect.global_windows(df), name
         n = inspect.shuffle_count(df)
         assert n <= max_shuffles, f"{name}: {n} > {max_shuffles}"
+
+
+def test_split_leakage_audit_detects_planted_leak(spark):
+    docs = load_table(spark, SF, "documents")
+    clean = curation.split_leakage_audit(docs).toPandas()
+    # plant a leak: twin of a test-split doc (residue 3) re-idded into val
+    twin = docs.where(F.col("doc_id") == 3).select(
+        F.lit(100013).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    leaked = curation.split_leakage_audit(docs.unionByName(twin)).toPandas()
+    key = ["split_a", "split_b"]
+    c = clean.set_index(key)["n_leaked_contents"]
+    l = leaked.set_index(key)["n_leaked_contents"]
+    before = c.get(("test", "val"), 0)
+    assert l[("test", "val")] == before + 1
