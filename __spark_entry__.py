@@ -14,11 +14,12 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
 from bytehub_spark.operators import (
+    asof,
     curation,
     dedup,
     events_ops,
@@ -1038,6 +1039,84 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ))(load_table(spark, sf, "embeddings")),
         ),
+        # CCNet-style line-level boilerplate removal. The corpus has no
+        # newlines (vacuous-gate hazard), so the wrapper deterministically
+        # re-lines each doc — body split every 8 words, a per-source
+        # header and a global footer injected — making the boilerplate
+        # set value-bearing at every sf (footer always; per-source
+        # headers once a source has >= min_docs docs)
+        "doc_line_dedup": lambda spark, sf: (
+            lambda docs: dedup.line_dedup(
+                docs.withColumn(
+                    "text",
+                    F.concat_ws(
+                        "\n",
+                        F.concat(
+                            F.lit("(c) 2024 "),
+                            F.col("source"),
+                            F.lit(" syndication network"),
+                        ),
+                        # replacement is a REAL newline char: in a Java
+                        # replacement string backslash-n is a literal 'n'
+                        F.regexp_replace(
+                            F.col("text"), r"((\S+ ){7}\S+) ", "$1\n"
+                        ),
+                        F.lit("unsubscribe: reply STOP to cancel"),
+                    ),
+                ),
+                min_docs=4,
+            )
+        )(load_table(spark, sf, "documents")),
+        # per-doc n-gram novelty (fraction of distinct 3-grams first seen
+        # in this doc) — curriculum/diversity signal, exact oracle
+        "doc_ngram_novelty": _q(text.ngram_novelty, "documents"),
+        # watermark-sizing audit: two-pass range-sharded running max over
+        # a deterministic block-reversed arrival order (testdata arrives
+        # in ts order — vacuous otherwise) — exact oracle
+        "ts_lateness_audit": lambda spark, sf: events_ops.lateness_audit(
+            load_table(spark, sf, "events").withColumn(
+                "__arrival",
+                F.expr("div(event_id, 16)") * F.lit(16)
+                + F.lit(15)
+                - F.col("event_id") % F.lit(16),
+            ),
+            shard_size=4096,
+            arrival_col="__arrival",
+        ),
+        # hour-of-day × event_type PMI in micro-bits (piecewise-linear
+        # log2, integer-exact cross-engine) — exact oracle
+        "ts_event_pmi": _q(events_ops.event_pmi, "events"),
+        # nearest as-of join (attribution): each purchase matched to the
+        # user's nearest click within 24h, ties to the earlier click;
+        # right side deduped to one row per (user, ts) — exact oracle
+        "ts_asof_nearest": lambda spark, sf: (
+            lambda ev: asof.asof_join_nearest(
+                ev.where(F.col("event_type") == "purchase").select(
+                    "user_id", "ts", "event_id", "value"
+                ),
+                ev.where(F.col("event_type") == "click")
+                .select(
+                    "user_id",
+                    "ts",
+                    F.col("event_id").alias("click_id"),
+                    F.col("value").alias("click_value"),
+                )
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy("user_id", "ts").orderBy(
+                            F.col("click_id").desc()
+                        )
+                    ),
+                )
+                .where(F.col("__rn") == 1)
+                .drop("__rn"),
+                time_col="ts",
+                by=["user_id"],
+                value_cols=["click_id", "click_value"],
+                tolerance_us=86_400_000_000,
+            ).orderBy("event_id")
+        )(load_table(spark, sf, "events")),
     }
 
 
@@ -3134,7 +3213,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms nb ON nb.g = label_b
             ORDER BY label_a, label_b
         """,
-        "dedup_rate_by_source": """
+        "dedup_rate_by_source": r"""
             WITH fp AS (
                 SELECT source,
                        md5(trim(regexp_replace(lower(text),
@@ -3789,5 +3868,147 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
             FROM counts
             ORDER BY window_start, rank
+        """,
+        "doc_line_dedup": r"""
+            WITH relined AS (
+                SELECT doc_id,
+                       concat_ws(chr(10),
+                           '(c) 2024 ' || source || ' syndication network',
+                           regexp_replace(text, '((\S+ ){7}\S+) ',
+                                          '\1' || chr(10), 'g'),
+                           'unsubscribe: reply STOP to cancel') AS text
+                FROM documents
+            ),
+            sp AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM relined
+            ),
+            lines AS (
+                SELECT doc_id, unnest(ls) AS line,
+                       unnest(range(1, len(ls) + 1)) AS pos
+                FROM sp
+            ),
+            h AS (
+                SELECT doc_id, pos, line, md5(trim(line)) AS lh FROM lines
+            ),
+            boiler AS (
+                SELECT lh FROM h GROUP BY lh
+                HAVING COUNT(DISTINCT doc_id) >= 4
+            )
+            SELECT h.doc_id,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN b.lh IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   COALESCE(string_agg(
+                       CASE WHEN b.lh IS NULL THEN h.line END,
+                       chr(10) ORDER BY h.pos), '') AS kept_text
+            FROM h LEFT JOIN boiler b ON h.lh = b.lh
+            GROUP BY h.doc_id ORDER BY h.doc_id
+        """,
+        "doc_ngram_novelty": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            dg AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, len(ws) - 2),
+                    i -> array_to_string(ws[i + 1 : i + 3], ' ')))) AS gram
+                FROM toks WHERE len(ws) >= 3
+            ),
+            fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram)
+            SELECT doc_id,
+                   COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   CAST(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
+                                 END) AS BIGINT) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS novelty
+            FROM dg JOIN fs USING (gram)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "ts_lateness_audit": """
+            WITH e AS (
+                SELECT (event_id // 16) * 16 + 15 - event_id % 16 AS arr,
+                       event_type, epoch_us(ts) AS us
+                FROM events
+            ),
+            m AS (
+                SELECT event_type, us,
+                       max(us) OVER (ORDER BY arr
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pre
+                FROM e
+            )
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN pre > us THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_late,
+                   MAX(CASE WHEN pre > us THEN pre - us ELSE 0 END)
+                       AS max_late_us,
+                   CAST(SUM(CASE WHEN pre - us > 60000000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_late_gt_1m,
+                   CAST(SUM(CASE WHEN pre - us > 3600000000 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_late_gt_1h
+            FROM m GROUP BY event_type ORDER BY event_type
+        """,
+        "ts_event_pmi": """
+            WITH p AS (
+                SELECT hour(ts) AS hour, event_type FROM events
+            ),
+            cxy AS (SELECT hour, event_type, COUNT(*) AS c_xy
+                    FROM p GROUP BY hour, event_type),
+            cx AS (SELECT hour, COUNT(*) AS c_x FROM p GROUP BY hour),
+            cy AS (SELECT event_type, COUNT(*) AS c_y
+                   FROM p GROUP BY event_type),
+            cn AS (SELECT COUNT(*) AS c_n FROM p)
+            SELECT cxy.hour, cxy.event_type, c_xy,
+                   CAST(floor((
+                       ((length(bin(c_xy)) - 1)
+                        + (CAST(c_xy AS DOUBLE)
+                           - power(2.0, CAST(length(bin(c_xy)) - 1 AS DOUBLE)))
+                          / power(2.0, CAST(length(bin(c_xy)) - 1 AS DOUBLE)))
+                       + ((length(bin(c_n)) - 1)
+                        + (CAST(c_n AS DOUBLE)
+                           - power(2.0, CAST(length(bin(c_n)) - 1 AS DOUBLE)))
+                          / power(2.0, CAST(length(bin(c_n)) - 1 AS DOUBLE)))
+                       - ((length(bin(c_x)) - 1)
+                        + (CAST(c_x AS DOUBLE)
+                           - power(2.0, CAST(length(bin(c_x)) - 1 AS DOUBLE)))
+                          / power(2.0, CAST(length(bin(c_x)) - 1 AS DOUBLE)))
+                       - ((length(bin(c_y)) - 1)
+                        + (CAST(c_y AS DOUBLE)
+                           - power(2.0, CAST(length(bin(c_y)) - 1 AS DOUBLE)))
+                          / power(2.0, CAST(length(bin(c_y)) - 1 AS DOUBLE)))
+                   ) * 1e6) AS BIGINT) AS pmi_ubits
+            FROM cxy
+            JOIN cx USING (hour)
+            JOIN cy USING (event_type)
+            CROSS JOIN cn
+            ORDER BY cxy.hour, cxy.event_type
+        """,
+        "ts_asof_nearest": """
+            WITH l AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'purchase'
+            ),
+            r AS (
+                SELECT user_id, ts, event_id AS click_id,
+                       value AS click_value
+                FROM events WHERE event_type = 'click'
+                QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                    ORDER BY event_id DESC) = 1
+            ),
+            m AS (
+                SELECT l.event_id AS le, r.ts AS ts_right,
+                       r.click_id AS click_id_right,
+                       r.click_value AS click_value_right
+                FROM l JOIN r ON l.user_id = r.user_id
+                WHERE abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 86400000000
+                QUALIFY row_number() OVER (PARTITION BY l.event_id
+                    ORDER BY abs(epoch_us(l.ts) - epoch_us(r.ts)), r.ts) = 1
+            )
+            SELECT l.user_id, l.ts, l.event_id, l.value,
+                   m.ts_right, m.click_id_right, m.click_value_right
+            FROM l LEFT JOIN m ON m.le = l.event_id
+            ORDER BY l.event_id
         """,
     }

@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "ts_decay_score",
     "ts_top_paths",
     "cur_quality_rebalance",
+    "doc_line_dedup",
+    "ts_asof_nearest",
 ]
 
 

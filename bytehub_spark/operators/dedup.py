@@ -1021,3 +1021,56 @@ def two_stage_dedup(
         .select("id_a", "id_b", "cosine_sim", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+def line_dedup(
+    documents: DataFrame,
+    min_docs: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (Wenzek et al. 2019
+    §3.1): hash every line, count the DISTINCT documents each line occurs
+    in corpus-wide, and drop lines that appear in >= ``min_docs`` docs
+    (nav bars, cookie banners, copyright footers). Returns per document
+    the surviving text with line order preserved plus kept/total counts —
+    the standard pre-dedup cleaning stage of a crawl pipeline.
+
+    Scale shape: posexplode is a narrow map; the line-frequency table is
+    ONE map-side-combined aggregation on a 32-hex key; the boilerplate
+    set (lines with >= min_docs docs) is tiny relative to the corpus, so
+    the membership join is AQE-broadcastable; the final per-doc re-join
+    groups on doc_id. No global windows, cost linear in total line count.
+    Sort-by-pos happens inside each doc's collected array (bounded by
+    lines-per-doc), not as a shuffle.
+    """
+    lines = documents.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("__lh", F.md5(F.trim(F.col("line"))))
+    boiler = (
+        lines.groupBy("__lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= F.lit(min_docs))
+        .select("__lh", F.lit(1).alias("__boiler"))
+    )
+    flagged = lines.join(boiler, "__lh", "left")
+    kept = F.when(
+        F.col("__boiler").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("__boiler").isNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+                ),
+                "\n",
+            ).alias("kept_text"),
+        )
+        .orderBy(id_col)
+    )

@@ -1079,3 +1079,115 @@ def weekly_growth(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "week")
     )
+
+
+def lateness_audit(
+    events: DataFrame,
+    shard_size: int = 1 << 20,
+    arrival_col: str = "event_id",
+) -> DataFrame:
+    """Out-of-order-arrival audit for watermark sizing: treating
+    ``arrival_col`` (default event_id) as the arrival/ingest order and ts
+    as event time, an event is LATE
+    when some earlier-arriving event already carried a larger ts. Reports,
+    per event_type, how many events were late and by how much (max, and
+    counts beyond 1-minute / 1-hour thresholds) — exactly the histogram a
+    streaming deployment reads to size `withWatermark` so late data is
+    neither dropped nor state unbounded.
+
+    Scale shape (two-pass range-sharded running max — same pattern as
+    pack_sequences' prefix sum, no partition-less window over the data):
+    pass 1 computes the running max WITHIN each contiguous event_id shard
+    (window partitioned by shard → parallel); pass 2 reduces each shard to
+    one row, takes a prefix max over the tiny #shards-row table, and
+    broadcasts those offsets back. max is associative, so the result is
+    independent of shard_size.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    arr = F.col(arrival_col)
+    sharded = events.select(
+        arr.alias("__arr"),
+        "event_type",
+        us.alias("__us"),
+        F.floor(arr / F.lit(shard_size)).alias("__shard"),
+    )
+    w_in = (
+        Window.partitionBy("__shard")
+        .orderBy("__arr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = sharded.withColumn("__pre_in", F.max("__us").over(w_in))
+    shard_tops = sharded.groupBy("__shard").agg(F.max("__us").alias("__top"))
+    w_sh = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_tops.withColumn("__pre_sh", F.max("__top").over(w_sh)).select(
+        "__shard", "__pre_sh"
+    )
+    # greatest() skips NULLs: first-shard rows have no cross-shard prefix,
+    # first-row-in-shard has no intra prefix — either alone still counts
+    pre = F.greatest(F.col("__pre_in"), F.col("__pre_sh"))
+    lateness = F.when(pre > F.col("__us"), pre - F.col("__us")).otherwise(
+        F.lit(0)
+    )
+    return (
+        intra.join(F.broadcast(offsets), "__shard")
+        .withColumn("__late_us", lateness)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("__late_us") > 0).cast("int")).alias("n_late"),
+            F.max("__late_us").alias("max_late_us"),
+            F.sum((F.col("__late_us") > 60_000_000).cast("int")).alias(
+                "n_late_gt_1m"
+            ),
+            F.sum((F.col("__late_us") > 3_600_000_000).cast("int")).alias(
+                "n_late_gt_1h"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def event_pmi(events: DataFrame) -> DataFrame:
+    """Pointwise mutual information between hour-of-day and event_type in
+    bits — the association-mining table behind "errors cluster at 03:00,
+    purchases at 20:00" dashboards. PMI = log2(N·c_xy / (c_x·c_y))
+    computed as plog2(c_xy) + plog2(N) − plog2(c_x) − plog2(c_y) with the
+    engine-portable piecewise-linear log2 (text.plog2 — bit-length plus an
+    exact power-of-two mantissa division), floor-quantized to micro-bits
+    so the value is exact integer arithmetic cross-engine.
+
+    Scale shape: one map-side-combined count on the (hour, type) pair —
+    at most 24×|types| result rows — with the two marginals and the grand
+    total derived from tiny aggregates and broadcast-joined back. One
+    shuffle over pair keys; everything downstream is driver-scale.
+    """
+    from .text import plog2
+
+    pairs = events.select(
+        F.hour("ts").alias("hour"), "event_type"
+    )
+    c_xy = pairs.groupBy("hour", "event_type").agg(F.count("*").alias("c_xy"))
+    c_x = pairs.groupBy("hour").agg(F.count("*").alias("c_x"))
+    c_y = pairs.groupBy("event_type").agg(F.count("*").alias("c_y"))
+    n = pairs.agg(F.count("*").alias("c_n"))
+    pmi_bits = (
+        plog2(F.col("c_xy"))
+        + plog2(F.col("c_n"))
+        - plog2(F.col("c_x"))
+        - plog2(F.col("c_y"))
+    )
+    return (
+        c_xy.join(F.broadcast(c_x), "hour")
+        .join(F.broadcast(c_y), "event_type")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "hour",
+            "event_type",
+            "c_xy",
+            F.floor(pmi_bits * F.lit(1e6)).cast("long").alias("pmi_ubits"),
+        )
+        .orderBy("hour", "event_type")
+    )

@@ -880,3 +880,56 @@ def sentence_stats(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the doc's DISTINCT
+    word n-grams whose first corpus occurrence (minimum doc_id) is this
+    document — the diversity / curriculum signal used to rank documents
+    by how much genuinely new phrasing they contribute versus recombining
+    what earlier documents already said (novelty ~0 flags templated or
+    derivative content even when no single source passes a dedup
+    threshold). Docs with fewer than n words carry no n-grams and are
+    excluded.
+
+    Scale shape: the same inverted-index plan as TF-IDF — distinct grams
+    per doc (narrow map), ONE aggregation on the gram key for first-seen
+    doc (map-side combined min), one equi-join back on the gram key, one
+    per-doc rollup. Linear in total gram count; the single division per
+    doc is exact cross-engine.
+    """
+    toks = F.split(F.col("text"), " ")
+    sz = F.size(toks)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), sz - F.lit(n)),
+            lambda i: F.array_join(F.slice(toks, i + F.lit(1), n), " "),
+        )
+    )
+    doc_grams = (
+        documents.where(sz >= F.lit(n))
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    first_seen = doc_grams.groupBy("gram").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        doc_grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,314 @@
+"""Round-3 (continued) operators: line-level boilerplate removal, n-gram
+novelty, nearest as-of join, lateness audit, event PMI."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from bytehub_spark.operators.asof import asof_join_nearest
+from bytehub_spark.operators.dedup import line_dedup
+from bytehub_spark.operators.events_ops import event_pmi, lateness_audit
+from bytehub_spark.operators.text import ngram_novelty
+from bytehub_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+rng = np.random.default_rng(7)
+
+
+# ---------------------------------------------------------------- line dedup
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_line_dedup_drops_boilerplate(spark):
+    texts = [f"header\nbody {i} unique\nfooter" for i in range(5)]
+    out = (
+        line_dedup(_docs(spark, texts), min_docs=4)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (out["n_lines"] == 3).all()
+    assert (out["n_kept"] == 1).all()
+    assert list(out["kept_text"]) == [f"body {i} unique" for i in range(5)]
+
+
+def test_line_dedup_min_docs_boundary(spark):
+    # 'shared' in exactly 3 docs: kept at min_docs=4, dropped at min_docs=3
+    texts = ["shared\nown0", "shared\nown1", "shared\nown2", "alone\nown3"]
+    keep4 = line_dedup(_docs(spark, texts), min_docs=4).toPandas()
+    assert (keep4["n_kept"] == keep4["n_lines"]).all()
+    keep3 = (
+        line_dedup(_docs(spark, texts), min_docs=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(keep3["n_kept"]) == [1, 1, 1, 2]
+    assert keep3.loc[0, "kept_text"] == "own0"
+    assert keep3.loc[3, "kept_text"] == "alone\nown3"
+
+
+def test_line_dedup_all_boiler_doc_keeps_row(spark):
+    # a doc made ENTIRELY of boilerplate still yields a row, empty text
+    texts = ["x", "x", "x", "x", "x\nmine"]
+    out = (
+        line_dedup(_docs(spark, texts), min_docs=4)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_kept"] == 0
+    assert out.loc[0, "kept_text"] == ""
+    assert out.loc[4, "kept_text"] == "mine"
+
+
+def test_line_dedup_preserves_line_order(spark):
+    texts = ["b\na\nc\nzz", "zz\nq", "zz\nr", "zz\ns"]
+    out = (
+        line_dedup(_docs(spark, texts), min_docs=4)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # original order b,a,c retained (not sorted alphabetically)
+    assert out.loc[0, "kept_text"] == "b\na\nc"
+
+
+# -------------------------------------------------------------- ngram novelty
+def test_ngram_novelty_first_doc_is_all_novel(spark):
+    texts = ["a b c d", "a b c e", "x y z w"]
+    out = (
+        ngram_novelty(_docs(spark, texts), n=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc0: grams {a b c, b c d} both first here -> novelty 1
+    assert out.loc[0, "novelty"] == 1.0
+    # doc1: {a b c (seen), b c e (new)} -> 1/2
+    assert out.loc[1, "n_grams"] == 2 and out.loc[1, "n_novel"] == 1
+    assert out.loc[1, "novelty"] == 0.5
+    # doc2: disjoint vocab -> 1
+    assert out.loc[2, "novelty"] == 1.0
+
+
+def test_ngram_novelty_counts_distinct_grams(spark):
+    # repeated gram inside one doc counts once
+    texts = ["p q r p q r p q"]
+    out = ngram_novelty(_docs(spark, texts), n=3).toPandas()
+    # distinct 3-grams: 'p q r', 'q r p', 'r p q' -> 3
+    assert out.loc[0, "n_grams"] == 3
+    assert out.loc[0, "n_novel"] == 3
+
+
+def test_ngram_novelty_short_docs_excluded(spark):
+    out = ngram_novelty(_docs(spark, ["a b", "a b c"]), n=3).toPandas()
+    assert list(out["doc_id"]) == [1]
+
+
+# ------------------------------------------------------------- nearest as-of
+def _ev_frames():
+    lt = pd.DataFrame(
+        {
+            "key": np.repeat([1, 2], 40),
+            "time": pd.to_datetime("2021-01-01")
+            + pd.to_timedelta(
+                np.sort(rng.choice(100_000, 80, replace=False)), unit="s"
+            ),
+            "lv": np.arange(80),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "key": np.repeat([1, 2], 30),
+            "time": pd.to_datetime("2021-01-01")
+            + pd.to_timedelta(
+                np.sort(rng.choice(100_000, 60, replace=False)) + 500_000,
+                unit="ms",
+            ),
+            "rv": np.arange(60).astype(float),
+        }
+    )
+    return lt, rt
+
+
+def test_asof_nearest_matches_pandas(spark):
+    lt, rt = _ev_frames()
+    out = (
+        asof_join_nearest(
+            spark.createDataFrame(lt),
+            spark.createDataFrame(rt),
+            time_col="time",
+            by=["key"],
+            value_cols=["rv"],
+        )
+        .toPandas()
+        .sort_values(["key", "time"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lt.sort_values("time"),
+        rt.sort_values("time"),
+        on="time",
+        by="key",
+        direction="nearest",
+    ).sort_values(["key", "time"]).reset_index(drop=True)
+    assert np.array_equal(
+        out["rv_right"].to_numpy(), exp["rv"].to_numpy(), equal_nan=True
+    )
+
+
+def test_asof_nearest_tolerance_and_tie(spark):
+    lt = pd.DataFrame(
+        {
+            "key": [1, 1, 1],
+            "time": pd.to_datetime(
+                ["2021-01-01 00:10:00", "2021-01-01 05:00:00",
+                 "2021-01-01 00:20:00"]
+            ),
+            "lv": [0, 1, 2],
+        }
+    )
+    # right rows at 00:05 and 00:15: the 00:10 left row ties -> earlier
+    rt = pd.DataFrame(
+        {
+            "key": [1, 1],
+            "time": pd.to_datetime(["2021-01-01 00:05:00",
+                                    "2021-01-01 00:15:00"]),
+            "rv": [10.0, 20.0],
+        }
+    )
+    out = (
+        asof_join_nearest(
+            spark.createDataFrame(lt),
+            spark.createDataFrame(rt),
+            time_col="time",
+            by=["key"],
+            value_cols=["rv"],
+            tolerance_us=30 * 60 * 1_000_000,
+        )
+        .toPandas()
+        .set_index("lv")
+    )
+    assert out.loc[0, "rv_right"] == 10.0  # tie -> earlier
+    assert np.isnan(out.loc[1, "rv_right"])  # beyond 30m tolerance
+    assert out.loc[2, "rv_right"] == 20.0  # 5m forward beats 15m back
+
+
+def test_asof_nearest_single_shuffle(spark):
+    lt, rt = _ev_frames()
+    plan = asof_join_nearest(
+        spark.createDataFrame(lt),
+        spark.createDataFrame(rt),
+        time_col="time",
+        by=["key"],
+        value_cols=["rv"],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------ lateness audit
+def _late_events(spark):
+    # arrival order 0..n-1; ts deliberately out of order
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        [0, 10, 5, 20, 120, 30, 4000, 50], unit="s"
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": range(8),
+                "ts": ts,
+                "event_type": ["a"] * 8,
+                "user_id": [1] * 8,
+                "value": [0.0] * 8,
+            }
+        )
+    )
+
+
+def test_lateness_audit_exact(spark):
+    out = lateness_audit(_late_events(spark), shard_size=3).toPandas()
+    # late rows: id2 (ts=5 after max 10 -> 5s), id5 (30 after 120 -> 90s),
+    # id7 (50 after 4000 -> 3950s)
+    assert out.loc[0, "n_events"] == 8
+    assert out.loc[0, "n_late"] == 3
+    assert out.loc[0, "max_late_us"] == 3950 * 1_000_000
+    assert out.loc[0, "n_late_gt_1m"] == 2
+    assert out.loc[0, "n_late_gt_1h"] == 1
+
+
+def test_lateness_audit_shard_invariance(spark):
+    ev = load_table(spark, SF, "events").withColumn(
+        "__arr",
+        F.expr("div(event_id, 16)") * F.lit(16)
+        + F.lit(15)
+        - F.col("event_id") % F.lit(16),
+    )
+    a = lateness_audit(ev, shard_size=97, arrival_col="__arr").toPandas()
+    b = lateness_audit(ev, shard_size=1 << 20, arrival_col="__arr").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_late"].sum() > 0  # injection makes the audit value-bearing
+
+
+def test_lateness_audit_no_global_window(spark):
+    ev = load_table(spark, SF, "events")
+    plan = (
+        lateness_audit(ev, shard_size=4096)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # data-sized window partitions by __shard; the only unpartitioned
+    # window runs over the #shards-row table
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" not in line:
+            assert "__top" in line or "__shard" in line
+
+
+# ----------------------------------------------------------------- event PMI
+def _plog2(c):
+    b = np.floor(np.log2(c)).astype(np.int64) + 1  # bit length
+    half = np.power(2.0, (b - 1).astype(np.float64))
+    return (b - 1).astype(np.float64) + (c.astype(np.float64) - half) / half
+
+
+def test_event_pmi_matches_numpy(spark):
+    ev = load_table(spark, SF, "events")
+    out = event_pmi(ev).toPandas()
+    pdf = ev.select(F.hour("ts").alias("h"), "event_type").toPandas()
+    n = len(pdf)
+    cx = pdf.groupby("h").size()
+    cy = pdf.groupby("event_type").size()
+    cxy = pdf.groupby(["h", "event_type"]).size()
+    for _, r in out.iterrows():
+        c = cxy.loc[(r["hour"], r["event_type"])]
+        exp = (
+            _plog2(np.array([c]))[0]
+            + _plog2(np.array([n]))[0]
+            - _plog2(np.array([cx.loc[r["hour"]]]))[0]
+            - _plog2(np.array([cy.loc[r["event_type"]]]))[0]
+        )
+        assert r["pmi_ubits"] == np.floor(exp * 1e6)
+        assert r["c_xy"] == c
+    assert len(out) == len(cxy)
+
+
+def test_event_pmi_independent_is_near_zero(spark):
+    # uniform product distribution -> PMI ~ 0 everywhere (|ubits| small)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(240),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta((np.arange(240) // 2) % 24, unit="h"),
+            "event_type": np.tile(["x", "y"], 120),
+            "user_id": [1] * 240,
+            "value": [0.0] * 240,
+        }
+    )
+    out = event_pmi(spark.createDataFrame(pdf)).toPandas()
+    # exact uniformity: every cell PMI == 0 up to plog2 piecewise error
+    assert (out["pmi_ubits"].abs() <= 200_000).all()
