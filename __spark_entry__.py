@@ -1117,6 +1117,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 tolerance_us=86_400_000_000,
             ).orderBy("event_id")
         )(load_table(spark, sf, "events")),
+        # SimHash near-dup PAIRS (Manku 4×16-bit band blocking + exact
+        # popcount verify — exhaustive for hamming<=3). Natural pairs are
+        # sparse below sf0.1, so every 25th doc gets an exact twin at
+        # +200000 (hamming 0) — value-bearing at every sf, exact oracle
+        "dedup_simhash_pairs": lambda spark, sf: (
+            lambda docs: dedup.simhash_pairs(
+                docs.unionByName(
+                    docs.where(F.col("doc_id") % 25 == 0).select(
+                        (F.col("doc_id") + 200000).alias("doc_id"),
+                        "text", "lang", "source", "n_chars",
+                    )
+                )
+            )
+        )(load_table(spark, sf, "documents")),
+        # Matryoshka truncation eval: recall@5 of prefix-truncated cosine
+        # top-k (32 and 16 of 64 dims) vs the full-dim exact top-k — the
+        # "how many dims can the index drop" table — exact oracle
+        "emb_matryoshka_recall": lambda spark, sf: similarity.matryoshka_recall(
+            load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
+        ),
     }
 
 
@@ -1256,6 +1276,85 @@ def _simhash_oracle() -> str:
                          ELSE COALESCE(uv, 0::HUGEINT) END AS BIGINT) AS simhash
         FROM documents d LEFT JOIN sims USING (doc_id)
         ORDER BY d.doc_id
+    """
+
+
+def _simhash_pairs_oracle() -> str:
+    """SimHash near-dup pairs: replay the signature chain (same CTEs as
+    _simhash_oracle) over the twin-injected doc set, band on 16-bit
+    chunks of the UNSIGNED value (HUGEINT // 2^(16b) % 65536 — mirrors
+    Spark's masked-AND equality), verify with an exact per-bit popcount
+    of the differing bits."""
+    pows = ", ".join(f"{1 << b}::HUGEINT" for b in range(64))
+    return f"""
+        WITH src AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0
+        ),
+        ws0 AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+            FROM src
+        ),
+        toks AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 3
+                        THEN list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+                        ELSE ws END AS tokens
+            FROM ws0
+        ),
+        th AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
+        dh AS (
+            SELECT tok, {_H.fnv_sql_duckdb('tok')} AS h
+            FROM (SELECT DISTINCT tok FROM th)
+        ),
+        thh AS (SELECT t.doc_id, d.h FROM th t JOIN dh d USING (tok)),
+        pw AS (
+            SELECT unnest(generate_series(0, 63)) AS b,
+                   unnest([{pows}]) AS p2
+        ),
+        votes AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN (h // p2) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+            FROM thh CROSS JOIN pw
+            GROUP BY doc_id, b
+        ),
+        sims AS (
+            SELECT v.doc_id, SUM(CASE WHEN v.vote > 0 THEN p.p2 ELSE 0::HUGEINT END) AS uv
+            FROM votes v JOIN pw p USING (b)
+            GROUP BY v.doc_id
+        ),
+        sigs AS (
+            SELECT s.doc_id, COALESCE(uv, 0::HUGEINT) AS uv
+            FROM src s LEFT JOIN sims USING (doc_id)
+        ),
+        bands AS (
+            SELECT doc_id, uv, bb,
+                   (uv // dv) % 65536 AS bkey
+            FROM sigs CROSS JOIN (
+                SELECT unnest([0, 1, 2, 3]) AS bb,
+                       unnest([1::HUGEINT, 65536::HUGEINT,
+                               4294967296::HUGEINT,
+                               281474976710656::HUGEINT]) AS dv)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.uv AS ua, b.uv AS ub
+            FROM bands a JOIN bands b
+              ON a.bb = b.bb AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        hh AS (
+            SELECT id_a, id_b,
+                   CAST(SUM(CASE WHEN (ua // p2) % 2 <> (ub // p2) % 2
+                            THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+            FROM cand CROSS JOIN pw
+            GROUP BY id_a, id_b
+        )
+        SELECT id_a, id_b, hamming FROM hh
+        WHERE hamming <= 3
+        ORDER BY id_a, id_b
     """
 
 
@@ -1519,6 +1618,7 @@ def _lsh_oracles() -> dict[str, str]:
         "dedup_incremental_lsh": incremental,
         "dedup_lsh_novelty": novelty,
         "dedup_simhash": _simhash_oracle(),
+        "dedup_simhash_pairs": _simhash_pairs_oracle(),
         "dedup_embedding_cosine_lsh": cos_dups,
         "dedup_two_stage": two_stage,
         "emb_lsh_topk": lsh_topk,
@@ -4010,5 +4110,65 @@ def oracle_sql() -> dict[str, str]:
                    m.ts_right, m.click_id_right, m.click_value_right
             FROM l LEFT JOIN m ON m.le = l.event_id
             ORDER BY l.event_id
+        """,
+        "emb_matryoshka_recall": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                FROM embeddings
+            ),
+            fullk AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.query_id, e.vec_id AS neighbor_id,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY round(list_dot_product(ev, qv)
+                                   / (sqrt(list_dot_product(ev, ev))
+                                      * sqrt(list_dot_product(qv, qv))), 4)
+                                   DESC, e.vec_id ASC) AS rank
+                    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+                ) WHERE rank <= 5
+            ),
+            t32 AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.query_id, e.vec_id AS neighbor_id,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY round(list_dot_product(ev[1:32], qv[1:32])
+                                   / (sqrt(list_dot_product(ev[1:32], ev[1:32]))
+                                      * sqrt(list_dot_product(qv[1:32], qv[1:32]))), 4)
+                                   DESC, e.vec_id ASC) AS rank
+                    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+                ) WHERE rank <= 5
+            ),
+            t16 AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.query_id, e.vec_id AS neighbor_id,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY round(list_dot_product(ev[1:16], qv[1:16])
+                                   / (sqrt(list_dot_product(ev[1:16], ev[1:16]))
+                                      * sqrt(list_dot_product(qv[1:16], qv[1:16]))), 4)
+                                   DESC, e.vec_id ASC) AS rank
+                    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+                ) WHERE rank <= 5
+            ),
+            h AS (
+                SELECT 32 AS trunc_dims, f.query_id,
+                       COUNT(*) AS n_exact, COUNT(t.neighbor_id) AS n_hits
+                FROM fullk f LEFT JOIN t32 t
+                  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+                GROUP BY f.query_id
+                UNION ALL
+                SELECT 16 AS trunc_dims, f.query_id,
+                       COUNT(*) AS n_exact, COUNT(t.neighbor_id) AS n_hits
+                FROM fullk f LEFT JOIN t16 t
+                  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+                GROUP BY f.query_id
+            )
+            SELECT trunc_dims, query_id, n_exact, n_hits,
+                   CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE)
+                       AS recall_at_k
+            FROM h ORDER BY trunc_dims DESC, query_id
         """,
     }

@@ -1074,3 +1074,69 @@ def line_dedup(
         )
         .orderBy(id_col)
     )
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate PAIRS from the 64-bit SimHash via Manku-style band
+    blocking (Manku/Jain/Sarma, WWW'07 §3): split each signature into
+    4 × 16-bit bands; any pair within Hamming distance <= 3 must agree on
+    at least one whole band (pigeonhole), so candidates are the union of
+    four equi-self-joins on the band value — never an all-pairs compare.
+    Candidates are verified with an exact popcount of the XOR, so for
+    ``max_hamming <= 3`` the result is EXACT; above 3 the band filter
+    caps recall (documented, use more/narrower bands).
+
+    Band keys are the signature AND a 16-bit mask (no shifts: masked
+    equality == band equality, and two's-complement AND is identical
+    cross-engine). One signature pass (persisted), four bucket joins
+    whose fan-out is bucket-bounded, popcount verify — the same
+    linear-in-corpus shape as the MinHash LSH path.
+    """
+    from ..plans.scratch import scratch_persist
+
+    def _signed(m: int) -> int:
+        return m - (1 << 64) if m >= (1 << 63) else m
+
+    sigs = scratch_persist(
+        simhash64(documents, text_col=text_col, id_col=id_col)
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col("simhash")
+                .bitwiseAND(F.lit(_signed(0xFFFF << (16 * b))))
+                .alias("bkey"),
+            )
+            for b in range(4)
+        ]
+    )
+    exploded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash").alias("sig"),
+        F.explode(band_arr).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = exploded.select(
+        "band", "bkey", F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    b = exploded.select(
+        "band", "bkey", F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

@@ -671,3 +671,65 @@ def ann_recall_eval(
         )
         .orderBy("query_id")
     )
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dims: tuple[int, ...] = (32, 16),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022): recall@k
+    of cosine top-k computed on PREFIX-truncated embeddings versus the
+    full-dimension exact top-k — the table that tells you how many dims
+    you can drop from the stored index (2–4× memory/IO at 100 TB) before
+    retrieval quality degrades. One row per (trunc_dims, query).
+
+    Scale shape: the full-dim reference runs once (persisted, driver-
+    scale k·|Q| rows); each truncation is the same per-partition GEMM
+    top-k (cosine_topk_gemm) over a narrower matrix — slicing happens
+    before the Arrow transfer so the truncated runs move d'/d of the
+    bytes. Integer hit counts + one exact division — SQL-replayable.
+    """
+    from ..plans.scratch import scratch_persist
+
+    full = scratch_persist(
+        cosine_topk_gemm(embeddings, query_ids, k, id_col, vec_col).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    outs = []
+    for d in dims:
+        trunc = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        t = cosine_topk_gemm(trunc, query_ids, k, id_col, vec_col).select(
+            F.col("query_id").alias("t_qid"),
+            F.col("neighbor_id").alias("t_nid"),
+        )
+        outs.append(
+            full.join(
+                t,
+                (F.col("query_id") == F.col("t_qid"))
+                & (F.col("neighbor_id") == F.col("t_nid")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count("*").alias("n_exact"),
+                F.count("t_nid").alias("n_hits"),
+            )
+            .select(F.lit(d).alias("trunc_dims"), "query_id", "n_exact", "n_hits")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return (
+        res.withColumn(
+            "recall_at_k",
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+        )
+        .orderBy(F.col("trunc_dims").desc(), "query_id")
+    )

@@ -312,3 +312,72 @@ def test_event_pmi_independent_is_near_zero(spark):
     out = event_pmi(spark.createDataFrame(pdf)).toPandas()
     # exact uniformity: every cell PMI == 0 up to plog2 piecewise error
     assert (out["pmi_ubits"].abs() <= 200_000).all()
+
+
+# -------------------------------------------------------------- simhash pairs
+def test_simhash_pairs_exhaustive_vs_bruteforce(spark):
+    from bytehub_spark.operators.dedup import simhash64, simhash_pairs
+
+    docs = load_table(spark, SF, "documents")
+    # append an exact twin so at least one hamming-0 pair exists
+    twin = docs.where(F.col("doc_id") == 7).select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    d = docs.unionByName(twin)
+    got = simhash_pairs(d, max_hamming=3).toPandas()
+    # brute force: all-pairs popcount over the signatures
+    sigs = simhash64(d).toPandas()
+    ids = sigs["doc_id"].to_numpy()
+    sv = sigs["simhash"].to_numpy().astype(np.uint64)
+    exp = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = int(bin(int(sv[i] ^ sv[j])).count("1"))
+            if h <= 3:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                exp.append((a, b, h))
+    exp_df = (
+        pd.DataFrame(exp, columns=["id_a", "id_b", "hamming"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # band blocking at 4x16 bits is EXHAUSTIVE for hamming <= 3
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp_df.astype("int64")
+    )
+    assert ((got["id_a"] == 7) & (got["id_b"] == 9007)).any()
+    assert got.loc[
+        (got["id_a"] == 7) & (got["id_b"] == 9007), "hamming"
+    ].iloc[0] == 0
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    from bytehub_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        simhash_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------- matryoshka recall
+def test_matryoshka_full_width_recall_is_one(spark):
+    from bytehub_spark.operators.similarity import matryoshka_recall
+
+    emb = load_table(spark, SF, "embeddings")
+    out = matryoshka_recall(emb, [0, 1, 2], k=5, dims=(64,)).toPandas()
+    assert (out["recall_at_k"] == 1.0).all()
+    assert (out["n_exact"] == 5).all()
+
+
+def test_matryoshka_recall_bounds_and_shape(spark):
+    from bytehub_spark.operators.similarity import matryoshka_recall
+
+    emb = load_table(spark, SF, "embeddings")
+    out = matryoshka_recall(emb, [0, 1, 2, 3, 4], k=5).toPandas()
+    assert len(out) == 10  # 2 truncations x 5 queries
+    assert out["recall_at_k"].between(0.0, 1.0).all()
+    assert set(out["trunc_dims"]) == {16, 32}
