@@ -1085,6 +1085,7 @@ def lateness_audit(
     events: DataFrame,
     shard_size: int = 1 << 20,
     arrival_col: str = "event_id",
+    prior_max_us: int | None = None,
 ) -> DataFrame:
     """Out-of-order-arrival audit for watermark sizing: treating
     ``arrival_col`` (default event_id) as the arrival/ingest order and ts
@@ -1126,8 +1127,14 @@ def lateness_audit(
         "__shard", "__pre_sh"
     )
     # greatest() skips NULLs: first-shard rows have no cross-shard prefix,
-    # first-row-in-shard has no intra prefix — either alone still counts
-    pre = F.greatest(F.col("__pre_in"), F.col("__pre_sh"))
+    # first-row-in-shard has no intra prefix — either alone still counts.
+    # prior_max_us floors the prefix with history that arrived BEFORE this
+    # frame (the streaming monitor's carried state) — cummax is associative,
+    # so chunked processing with the floor equals one global pass.
+    pre_parts = [F.col("__pre_in"), F.col("__pre_sh")]
+    if prior_max_us is not None:
+        pre_parts.append(F.lit(int(prior_max_us)))
+    pre = F.greatest(*pre_parts)
     lateness = F.when(pre > F.col("__us"), pre - F.col("__us")).otherwise(
         F.lit(0)
     )

@@ -845,3 +845,79 @@ def heavy_hitters_batch(
         )
         .orderBy("window_start", "rank")
     )
+
+
+class LatenessMonitor:
+    """Incremental out-of-order-arrival monitor — the STREAMING twin of
+    events_ops.lateness_audit, and the component that answers "is my
+    withWatermark big enough?" while the stream runs.
+
+    foreachBatch + O(1) driver state: each micro-batch runs the
+    DISTRIBUTED two-pass lateness kernel with the carried-in global
+    arrival-prefix max as a floor (cummax is associative, so chunked
+    processing equals the one-shot batch audit when batches respect
+    arrival order), then merges the per-type counter deltas into a tiny
+    driver dict (counts add, max_late maxes). State is one scalar plus
+    #event_types counter rows — bounded at any scale; the per-batch work
+    is the same shuffle-light kernel the batch audit runs.
+    """
+
+    def __init__(self, arrival_col: str = "event_id"):
+        self.arrival_col = arrival_col
+        self.max_us: int | None = None
+        self.totals: dict[str, list[int]] = {}
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        from ..operators import events_ops
+
+        rows = events_ops.lateness_audit(
+            batch_df, arrival_col=self.arrival_col, prior_max_us=self.max_us
+        ).collect()
+        if not rows:
+            return
+        for r in rows:
+            t = self.totals.setdefault(r["event_type"], [0, 0, 0, 0, 0])
+            t[0] += r["n_events"]
+            t[1] += r["n_late"]
+            t[2] = max(t[2], r["max_late_us"])
+            t[3] += r["n_late_gt_1m"]
+            t[4] += r["n_late_gt_1h"]
+        m = batch_df.agg(
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).first()[0]
+        if m is not None:
+            self.max_us = m if self.max_us is None else max(self.max_us, m)
+
+    def result(self) -> pd.DataFrame:
+        """Counters so far, in the batch audit's column layout."""
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": k,
+                    "n_events": v[0],
+                    "n_late": v[1],
+                    "max_late_us": v[2],
+                    "n_late_gt_1m": v[3],
+                    "n_late_gt_1h": v[4],
+                }
+                for k, v in sorted(self.totals.items())
+            ]
+        )
+
+
+def stream_lateness_monitor(
+    events: DataFrame,
+    checkpoint_dir: str,
+    arrival_col: str = "event_id",
+):
+    """Attach a LatenessMonitor to an event stream. Returns
+    (StreamingQuery, monitor) — read monitor.result() after
+    processAllAvailable() (or periodically while running)."""
+    mon = LatenessMonitor(arrival_col=arrival_col)
+    q = (
+        events.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

@@ -381,3 +381,63 @@ def test_matryoshka_recall_bounds_and_shape(spark):
     assert len(out) == 10  # 2 truncations x 5 queries
     assert out["recall_at_k"].between(0.0, 1.0).all()
     assert set(out["trunc_dims"]) == {16, 32}
+
+
+# ------------------------------------------------- streaming lateness monitor
+def test_stream_lateness_monitor_equals_batch(spark, tmp_path):
+    """foreachBatch monitor over arrival-ordered micro-batches must equal
+    the one-shot batch audit (cummax associativity with the carried
+    prefix-max floor)."""
+    import os
+    import time
+
+    from bytehub_spark import streaming as st
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "arr",
+        F.expr("div(event_id, 16)") * F.lit(16)
+        + F.lit(15)
+        - F.col("event_id") % F.lit(16),
+    )
+    pdf = ev.toPandas().sort_values("arr").reset_index(drop=True)
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    # three contiguous arrival-order chunks, written oldest-first so the
+    # file source replays them in arrival order
+    bounds = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(
+            src
+        )
+        time.sleep(1.1)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q, mon = st.stream_lateness_monitor(
+        stream, str(tmp_path / "ckpt_late"), arrival_col="arr"
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    got = mon.result().reset_index(drop=True)
+    exp = (
+        __import__("bytehub_spark.operators.events_ops", fromlist=["x"])
+        .lateness_audit(ev, arrival_col="arr")
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": "int64", "n_late": "int64",
+                    "max_late_us": "int64", "n_late_gt_1m": "int64",
+                    "n_late_gt_1h": "int64"}),
+        exp.astype({"n_events": "int64", "n_late": "int64",
+                    "max_late_us": "int64", "n_late_gt_1m": "int64",
+                    "n_late_gt_1h": "int64"}),
+    )
+    assert got["n_late"].sum() > 0
