@@ -1137,6 +1137,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_matryoshka_recall": lambda spark, sf: similarity.matryoshka_recall(
             load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], 5
         ),
+        # multimodal training-mix accounting per modality (bytes/duration/
+        # pixels inventory + integer-exact budget allocation) — exact oracle
+        "mm_modality_mix": lambda spark, sf: multimodal.modality_mix_plan(
+            multimodal.media_from_documents(load_table(spark, sf, "documents"))
+        ),
+        # market-basket PMI between event types within (user, 6h) baskets
+        # (plog2 micro-bits, distinct-collapse before the pair join) —
+        # exact oracle
+        "ts_basket_pmi": _q(events_ops.basket_pmi, "events"),
     }
 
 
@@ -1277,6 +1286,14 @@ def _simhash_oracle() -> str:
         FROM documents d LEFT JOIN sims USING (doc_id)
         ORDER BY d.doc_id
     """
+
+
+def _plog2_sql(x: str) -> str:
+    """DuckDB mirror of text.plog2: bit-length minus one plus an exact
+    power-of-two mantissa division (same recipe as doc_bigram_xent)."""
+    b1 = f"(length(bin({x})) - 1)"
+    half = f"power(2.0, CAST({b1} AS DOUBLE))"
+    return f"({b1} + (CAST({x} AS DOUBLE) - {half}) / {half})"
 
 
 def _simhash_pairs_oracle() -> str:
@@ -3130,7 +3147,7 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_tokens AS DOUBLE)) AS sample_rate
             FROM q CROSS JOIN t ORDER BY lang
         """,
-        "cur_corpus_pipeline": """
+        "cur_corpus_pipeline": r"""
             WITH tok AS (
                 SELECT doc_id, lang, text,
                        len(string_split(text, ' ')) AS nw,
@@ -4170,5 +4187,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE)
                        AS recall_at_k
             FROM h ORDER BY trunc_dims DESC, query_id
+        """,
+        "mm_modality_mix": """
+            WITH media AS (
+                SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                       octet_length(encode(text)) AS nbytes,
+                       CASE WHEN doc_id % 3 <> 0
+                            THEN 1000 + (doc_id % 10) * 500 END AS duration_ms,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN (64 + doc_id % 4) * 64 END AS px
+                FROM documents
+            ),
+            per AS (
+                SELECT kind, COUNT(*) AS n_items,
+                       CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+                       CAST(SUM(COALESCE(duration_ms, 0)) AS BIGINT)
+                           AS total_duration_ms,
+                       CAST(SUM(COALESCE(px, 0)) AS BIGINT) AS total_pixels
+                FROM media GROUP BY kind
+            ),
+            tot AS (SELECT CAST(SUM(n_items) AS BIGINT) AS grand_total FROM per)
+            SELECT kind, n_items, total_bytes, total_duration_ms,
+                   total_pixels,
+                   CAST(n_items AS DOUBLE) / CAST(grand_total AS DOUBLE)
+                       AS item_share,
+                   (10000 * n_items) // grand_total AS alloc_items
+            FROM per CROSS JOIN tot ORDER BY kind
+        """,
+        "ts_basket_pmi": f"""
+            WITH baskets AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 21600000000 AS bucket, event_type
+                FROM events
+            ),
+            nb AS (
+                SELECT COUNT(*) AS n_baskets FROM (
+                    SELECT DISTINCT user_id, bucket FROM baskets)
+            ),
+            ct AS (SELECT event_type, COUNT(*) AS c_t
+                   FROM baskets GROUP BY event_type),
+            cab AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       COUNT(*) AS c_ab
+                FROM baskets a JOIN baskets b
+                  ON a.user_id = b.user_id AND a.bucket = b.bucket
+                 AND a.event_type < b.event_type
+                GROUP BY type_a, type_b
+            )
+            SELECT type_a, type_b, c_ab,
+                   CAST(floor((
+                       {_plog2_sql('c_ab')} + {_plog2_sql('n_baskets')}
+                       - {_plog2_sql('ca.c_t')} - {_plog2_sql('cb.c_t')}
+                   ) * 1e6) AS BIGINT) AS pmi_ubits
+            FROM cab
+            JOIN ct ca ON ca.event_type = type_a
+            JOIN ct cb ON cb.event_type = type_b
+            CROSS JOIN nb
+            ORDER BY type_a, type_b
         """,
     }

@@ -1198,3 +1198,67 @@ def event_pmi(events: DataFrame) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+def basket_pmi(events: DataFrame, bucket_hours: int = 6) -> DataFrame:
+    """Market-basket association between event types: a basket is one
+    (user, ``bucket_hours``-hour window); for each unordered type pair,
+    the co-occurrence support (baskets containing BOTH) and the PMI lift
+    in micro-bits — the "users who error also purchase within the same
+    session-window" miner. PMI uses the engine-portable piecewise-linear
+    log2 (text.plog2), so every value is exact integer arithmetic
+    cross-engine.
+
+    Scale shape: collapse to distinct (user, bucket, type) first — one
+    map-side-combined aggregation, the corpus never self-joins at full
+    size; the within-basket pair join fans out #types-bounded per basket
+    (like source_overlap_matrix); marginals are tiny broadcast joins.
+    """
+    from .text import plog2
+
+    bucket_us = bucket_hours * 3_600_000_000
+    baskets = events.select(
+        "user_id",
+        F.expr(
+            f"div(unix_micros(cast(ts as timestamp)), {bucket_us})"
+        ).alias("bucket"),
+        "event_type",
+    ).distinct()
+    n_b = baskets.select("user_id", "bucket").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    c_t = baskets.groupBy("event_type").agg(F.count("*").alias("c_t"))
+    a = baskets.select("user_id", "bucket", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", "bucket", F.col("event_type").alias("type_b"))
+    c_ab = (
+        a.join(b, ["user_id", "bucket"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    pmi = (
+        plog2(F.col("c_ab"))
+        + plog2(F.col("n_baskets"))
+        - plog2(F.col("c_a"))
+        - plog2(F.col("c_b"))
+    )
+    return (
+        c_ab.join(
+            F.broadcast(c_t.select(F.col("event_type").alias("type_a"),
+                                   F.col("c_t").alias("c_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(c_t.select(F.col("event_type").alias("type_b"),
+                                   F.col("c_t").alias("c_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "type_a",
+            "type_b",
+            "c_ab",
+            F.floor(pmi * F.lit(1e6)).cast("long").alias("pmi_ubits"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -303,3 +303,47 @@ def tile_image_plan(
         F.least(F.lit(tile), F.col("width") - x0).alias("tile_w"),
         F.least(F.lit(tile), F.col("height") - y0).alias("tile_h"),
     ).orderBy("media_id", "tx", "ty")
+
+
+def modality_mix_plan(media: DataFrame, budget_items: int = 10000) -> DataFrame:
+    """Multimodal training-mix accounting: per modality the measured
+    inventory — item count, payload bytes, total duration, total pixels —
+    plus an items-proportional allocation of a training budget (the table
+    a mixed image/audio/video/text run plans its sampling from). All
+    integers except the share (one exact division); allocation uses
+    integer floor-division so engines agree bit-for-bit.
+
+    Scale shape: one map-side-combined aggregation over the media table
+    (3-row result), grand total via a broadcast cross join. The payload
+    bytes come from length(content) — a metadata-only column read when
+    parquet stores binary statistics, never a decode.
+    """
+    per = media.groupBy("kind").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.length(F.col("content"))).alias("total_bytes"),
+        F.sum(F.coalesce(F.col("duration_ms"), F.lit(0))).alias(
+            "total_duration_ms"
+        ),
+        F.sum(
+            F.coalesce(F.col("width").cast("long") * F.col("height"), F.lit(0))
+        ).alias("total_pixels"),
+    )
+    tot = per.agg(F.sum("n_items").alias("grand_total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "kind",
+            "n_items",
+            "total_bytes",
+            "total_duration_ms",
+            "total_pixels",
+            (
+                F.col("n_items").cast("double")
+                / F.col("grand_total").cast("double")
+            ).alias("item_share"),
+            F.expr(f"div({budget_items}L * n_items, grand_total)").alias(
+                "alloc_items"
+            ),
+        )
+        .orderBy("kind")
+    )

@@ -1,3 +1,4 @@
+from .bucketed import drop_bucketed, read_bucketed, write_bucketed
 from .jsonl import DOCUMENTS_DDL, read_jsonl, write_jsonl
 from .tables import TABLES, load_table, register_views
 
@@ -8,4 +9,7 @@ __all__ = [
     "read_jsonl",
     "write_jsonl",
     "DOCUMENTS_DDL",
+    "write_bucketed",
+    "read_bucketed",
+    "drop_bucketed",
 ]

@@ -441,3 +441,54 @@ def test_stream_lateness_monitor_equals_batch(spark, tmp_path):
                     "n_late_gt_1h": "int64"}),
     )
     assert got["n_late"].sum() > 0
+
+
+# ------------------------------------------------------- modality mix plan
+def test_modality_mix_accounting(spark):
+    from bytehub_spark.operators.multimodal import (
+        media_from_documents,
+        modality_mix_plan,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    out = modality_mix_plan(media_from_documents(docs), budget_items=9999)
+    pdf = out.toPandas().set_index("kind")
+    assert set(pdf.index) == {"image", "audio", "video"}
+    assert abs(pdf["item_share"].sum() - 1.0) < 1e-9
+    assert pdf["alloc_items"].sum() <= 9999
+    n_docs = docs.count()
+    assert pdf["n_items"].sum() == n_docs
+    # images carry pixels, not duration; audio/video the reverse
+    assert pdf.loc["image", "total_pixels"] > 0
+    assert pdf.loc["image", "total_duration_ms"] == 0
+    assert pdf.loc["audio", "total_duration_ms"] > 0
+    assert pdf.loc["audio", "total_pixels"] == 0
+
+
+# ------------------------------------------------------------- basket PMI
+def test_basket_pmi_planted_association(spark):
+    # types 'p' and 'q' always share a basket; 'r' never joins them
+    rows = []
+    eid = 0
+    for u in range(20):
+        for t in ("p", "q"):
+            rows.append((eid, pd.Timestamp("2024-01-01") +
+                         pd.Timedelta(hours=u * 12), u, t, 1.0, None))
+            eid += 1
+        rows.append((eid, pd.Timestamp("2024-01-01") +
+                     pd.Timedelta(hours=u * 12 + 7), u, "r", 1.0, None))
+        eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value",
+                       "props"]
+    )
+    from bytehub_spark.operators.events_ops import basket_pmi
+
+    out = basket_pmi(spark.createDataFrame(pdf), bucket_hours=6).toPandas()
+    out = out.set_index(["type_a", "type_b"])
+    # perfect co-occurrence: PMI = log2(n_baskets * c_pq / (c_p c_q))
+    # = log2(40 * 20 / 400) = 1 bit exactly (powers of two -> plog2 exact)
+    assert out.loc[("p", "q"), "pmi_ubits"] == 1_000_000
+    assert out.loc[("p", "q"), "c_ab"] == 20
+    # r never shares a basket with p or q -> no pair rows
+    assert ("p", "r") not in out.index and ("q", "r") not in out.index
