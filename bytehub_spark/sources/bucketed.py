@@ -1,23 +1,73 @@
-"""Bucketed-table layout: the zero-shuffle path for key-aligned work.
+"""Bucketed tables: co-located joins with ZERO shuffle.
 
-Several operator docstrings claim "with tables bucketed on the key, the
-shuffle disappears" (asof joins, per-key windows, big-key aggregations).
-This module makes that concrete: `write_bucketed` persists a DataFrame
-hash-bucketed (and sorted) by the join/grouping key via the session
-catalog, and `read_bucketed` returns it with the bucketing metadata
-attached so Catalyst plans joins/aggregations WITHOUT an Exchange on
-that key. tests/test_bucketed.py pins the plan shapes.
-
-At 100 TB this is the difference between re-shuffling the events table
-on user_id for every as-of join / sessionization / per-user window and
-paying that shuffle ONCE at ingest: all later key-aligned stages read
-co-located buckets. Bucket count should be sized so one bucket's hot
-columns fit an executor (e.g. 4096 buckets for a 10 TB table).
+At 100 TB the dominant cost of fact-fact joins (orders ⋈ lineitem) is the
+shuffle of both sides on the join key. Writing both tables bucketed on
+that key with the same bucket count lets Spark prove co-partitioning at
+plan time: SortMergeJoin with NO Exchange on either side. This module
+materializes bucketed twins of the testdata fact tables and exposes the
+no-shuffle join — the pattern a production deployment would apply to its
+hot join keys (reference has no equivalent; its dask merge always
+re-partitions).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load_table
+
+BUCKETS = 8
+
+
+def bucket_fact_tables(
+    spark: SparkSession, sf_dir: str, buckets: int = BUCKETS
+) -> None:
+    """Write orders/lineitem as bucketed managed tables on o_/l_orderkey.
+
+    One-off preparation cost (like any physical design choice); every
+    subsequent join on orderkey is shuffle-free.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        table = f"bucketed_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # a previous session may have left the managed location behind with
+        # no metastore entry (in-memory catalog); clear it or save fails
+        if warehouse:
+            shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+        (
+            load_table(spark, sf_dir, name, cache_small=False)
+            .write.bucketBy(buckets, key)
+            .sortBy(key)
+            .saveAsTable(table)
+        )
+
+
+def bucketed_order_lineitem_join(spark: SparkSession) -> DataFrame:
+    """orders ⋈ lineitem on orderkey over the bucketed twins: per-order
+    revenue. The plan must contain no Exchange for the join itself."""
+    o = spark.table("bucketed_orders")
+    l = spark.table("bucketed_lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic bucketed-layout helpers (beyond the fact-table twins above):
+# persist ANY frame hash-bucketed on a key so later joins / groupBys /
+# per-key windows on that key plan with NO Exchange (tests/test_bucketed.py
+# pins all three shapes). At 100 TB this converts the per-query key shuffle
+# into a one-off ingest cost; size buckets so one bucket's hot columns fit
+# an executor (e.g. 4096 for a 10 TB table).
+# ---------------------------------------------------------------------------
 
 
 def write_bucketed(
