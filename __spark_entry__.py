@@ -1146,6 +1146,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (plog2 micro-bits, distinct-collapse before the pair join) —
         # exact oracle
         "ts_basket_pmi": _q(events_ops.basket_pmi, "events"),
+        # cooldown suppression (alert throttling): keep an event only if
+        # >= 1h after the last KEPT event of the same user — inherently
+        # sequential per-key scan (applyInPandas); DuckDB replays it with
+        # a recursive CTE, so the kept set is value-exact cross-engine
+        "ts_debounce": lambda spark, sf: events_ops.debounce(
+            load_table(spark, sf, "events"), cooldown_us=3_600_000_000
+        ),
     }
 
 
@@ -4245,5 +4252,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN ct cb ON cb.event_type = type_b
             CROSS JOIN nb
             ORDER BY type_a, type_b
+        """,
+        # Recursive CTE replay of the sequential cooldown scan: each
+        # iteration's working table holds the last-kept row per user; the
+        # next kept row is the min-rn event >= last_kept + 1h. Exact twin
+        # of events_ops.debounce (which which-rows-survive depends on
+        # earlier survivors — no window function can express it).
+        "ts_debounce": """
+            WITH RECURSIVE ev AS (
+                SELECT user_id, ts, event_id, value, epoch_us(ts) AS ts_us,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            kept AS (
+                SELECT user_id, ts, event_id, value, ts_us, rn
+                FROM ev WHERE rn = 1
+                UNION ALL
+                SELECT user_id, ts, event_id, value, ts_us, rn FROM (
+                    SELECT e.user_id, e.ts, e.event_id, e.value,
+                           e.ts_us, e.rn,
+                           ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                              ORDER BY e.rn) AS rr
+                    FROM ev e JOIN kept k
+                      ON e.user_id = k.user_id AND e.rn > k.rn
+                     AND e.ts_us >= k.ts_us + 3600000000
+                ) WHERE rr = 1
+            )
+            SELECT user_id, ts, event_id, value
+            FROM kept ORDER BY user_id, ts, event_id
         """,
     }

@@ -1262,3 +1262,49 @@ def basket_pmi(events: DataFrame, bucket_hours: int = 6) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+DEBOUNCE_SCHEMA = (
+    "user_id long, ts timestamp, event_id long, value double"
+)
+
+
+def debounce(events: DataFrame, cooldown_us: int = 600_000_000) -> DataFrame:
+    """Cooldown suppression (alert throttling / trigger sampling): keep an
+    event only if it is at least ``cooldown_us`` after the last KEPT event
+    of the same user; the first event of each user is always kept. Which
+    events survive depends on which earlier events survived — an
+    inherently sequential per-key scan no window function can express,
+    so this is the canonical applyInPandas escape hatch (SURVEY §2.10):
+    ONE shuffle on the key, then an O(n_k) pass per key with bounded
+    state (one scalar), parallel across keys. Ordering inside a key is
+    (ts, event_id) so replays are deterministic.
+
+    The DuckDB oracle replays the same semantics with a recursive CTE
+    (next kept = first row >= last kept + cooldown), so the full kept
+    set is value-exact cross-engine.
+    """
+    import pandas as pd
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].astype("int64") // 1000
+        keep = []
+        last = None
+        for t in ts_us:
+            if last is None or t >= last + cooldown_us:
+                keep.append(True)
+                last = t
+            else:
+                keep.append(False)
+        return pdf.loc[keep, ["user_id", "ts", "event_id", "value"]]
+
+    return (
+        events.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"),
+            "event_id", "value",
+        )
+        .groupBy("user_id")
+        .applyInPandas(scan, schema=DEBOUNCE_SCHEMA)
+        .orderBy("user_id", "ts")
+    )

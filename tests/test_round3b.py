@@ -492,3 +492,50 @@ def test_basket_pmi_planted_association(spark):
     assert out.loc[("p", "q"), "c_ab"] == 20
     # r never shares a basket with p or q -> no pair rows
     assert ("p", "r") not in out.index and ("q", "r") not in out.index
+
+
+# --------------------------------------------------------------- debounce
+def test_debounce_sequential_semantics(spark):
+    from bytehub_spark.operators.events_ops import debounce
+
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        [0, 5, 12, 13, 25, 0, 30], unit="s"
+    )
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(7),
+            "ts": ts,
+            "user_id": [1, 1, 1, 1, 1, 2, 2],
+            "event_type": ["a"] * 7,
+            "value": [float(i) for i in range(7)],
+            "props": [None] * 7,
+        }
+    )
+    out = debounce(
+        spark.createDataFrame(pdf), cooldown_us=10_000_000
+    ).toPandas()
+    # user 1: keep 0, suppress 5 (within 10s), keep 12, suppress 13
+    # (within 10s OF 12, even though >10s after 5 — sequential!),
+    # keep 25; user 2: keep both
+    kept = out.groupby("user_id")["event_id"].apply(list).to_dict()
+    assert kept == {1: [0, 2, 4], 2: [5, 6]}
+
+
+def test_debounce_pairwise_gap_invariant(spark):
+    from bytehub_spark.operators.events_ops import debounce
+
+    ev = load_table(spark, SF, "events")
+    out = debounce(ev, cooldown_us=3_600_000_000).toPandas()
+    out = out.sort_values(["user_id", "ts"])
+    gaps = (
+        out.groupby("user_id")["ts"]
+        .diff()
+        .dropna()
+        .dt.total_seconds()
+    )
+    assert (gaps >= 3600).all()
+    # every user keeps at least its first event
+    n_users = ev.select("user_id").distinct().count()
+    assert out["user_id"].nunique() == n_users
+    # and something was actually suppressed at this cooldown
+    assert len(out) < ev.count()
