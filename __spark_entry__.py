@@ -1153,6 +1153,30 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_debounce": lambda spark, sf: events_ops.debounce(
             load_table(spark, sf, "events"), cooldown_us=3_600_000_000
         ),
+        # margin-based cross-group pair mining (LASER/CCMatrix ratio
+        # margin): best label-1 match per label-0 vector, normalized by
+        # both sides' top-4 neighborhoods, mutual-best flag. Every 10th
+        # label-0 vector gets an exact twin planted into group B
+        # (cos_u=10000 anchors) — integer micro-unit margins, exact oracle
+        "emb_margin_pairs": lambda spark, sf: (
+            lambda emb: similarity.margin_pairs(
+                emb.unionByName(
+                    emb.where(
+                        (F.col("label") == 0) & (F.col("vec_id") % 10 == 0)
+                    ).select(
+                        (F.col("vec_id") + 200000).alias("vec_id"),
+                        "embedding",
+                        F.lit(1).cast("int").alias("label"),
+                    )
+                )
+            )
+        )(load_table(spark, sf, "embeddings")),
+        # deterministic epoch shuffle: (shard, pos) training order from
+        # two LCG rounds mod 2^31-1 — hash-bucket + per-shard sort, the
+        # 100 TB shuffle shape (no global orderBy) — exact oracle
+        "cur_epoch_shuffle": lambda spark, sf: curation.epoch_shuffle(
+            load_table(spark, sf, "documents"), n_shards=8, epoch=1
+        ),
     }
 
 
@@ -4281,5 +4305,76 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, ts, event_id, value
             FROM kept ORDER BY user_id, ts, event_id
+        """,
+        # Exact replay of similarity.margin_pairs at the registered
+        # injection: cosines as round-half-away micro-units, top-4 sums,
+        # pure-integer ratio margin, mutual-best flag. CROSS JOIN here is
+        # the oracle's luxury — the Spark side never shuffles the |A|·|B|
+        # matrix (broadcast GEMM + k-bounded partials).
+        "emb_margin_pairs": """
+            WITH a AS (
+                SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE label = 0
+            ),
+            b AS (
+                SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE label = 1
+                UNION ALL
+                SELECT vec_id + 200000, CAST(embedding AS DOUBLE[])
+                FROM embeddings WHERE label = 0 AND vec_id % 10 = 0
+            ),
+            pairs AS (
+                SELECT a_id, b_id,
+                    CAST(round(10000 * list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 0)
+                        AS BIGINT) AS cos_u
+                FROM a CROSS JOIN b
+            ),
+            fwd AS (SELECT *, row_number() OVER (
+                        PARTITION BY a_id ORDER BY cos_u DESC, b_id) AS r
+                    FROM pairs),
+            bwd AS (SELECT *, row_number() OVER (
+                        PARTITION BY b_id ORDER BY cos_u DESC, a_id) AS r
+                    FROM pairs),
+            asum AS (SELECT a_id, SUM(cos_u) AS sa FROM fwd
+                     WHERE r <= 4 GROUP BY a_id),
+            bsum AS (SELECT b_id, SUM(cos_u) AS sb FROM bwd
+                     WHERE r <= 4 GROUP BY b_id),
+            f1 AS (SELECT a_id, b_id, cos_u FROM fwd WHERE r = 1),
+            b1 AS (SELECT b_id, a_id AS best_a FROM bwd WHERE r = 1),
+            sel AS (
+                SELECT f1.a_id, f1.b_id, f1.cos_u,
+                       CAST((2 * 4 * f1.cos_u * 1000000) // (sa + sb)
+                           AS BIGINT) AS margin_u,
+                       (b1.best_a = f1.a_id) AS mutual
+                FROM f1
+                JOIN asum USING (a_id) JOIN bsum USING (b_id)
+                JOIN b1 ON b1.b_id = f1.b_id
+                WHERE sa + sb > 0
+            )
+            SELECT * FROM sel WHERE margin_u >= 1020000 ORDER BY a_id
+        """,
+        # LCG order key replayed verbatim; per-shard ROW_NUMBER = the
+        # per-shard sort
+        "cur_epoch_shuffle": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       (1103515245 * ((1103515245 * (doc_id + 1 * 1000003)
+                            + 12345) % 2147483647) + 12345) % 2147483647
+                           AS order_key
+                FROM documents
+            ),
+            sharded AS (
+                SELECT doc_id, order_key,
+                       CAST(order_key % 8 AS INTEGER) AS shard
+                FROM keyed
+            )
+            SELECT shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY order_key, doc_id)
+                       AS BIGINT) AS pos,
+                   doc_id, order_key
+            FROM sharded ORDER BY shard, pos
         """,
     }

@@ -635,3 +635,42 @@ def split_leakage_audit(
         .select("split_a", "split_b", "n_leaked_contents", "n_contents_a")
         .orderBy("split_a", "split_b")
     )
+
+
+def epoch_shuffle(
+    documents: DataFrame,
+    n_shards: int = 8,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order shuffle: assign every document a
+    (shard, pos) so that reading shards in order, each sorted by pos,
+    yields a pseudo-random epoch order — the way a 100 TB corpus is
+    actually shuffled (hash-bucket then sort WITHIN each bucket; a global
+    orderBy over the corpus would be a full sort, the per-shard sort is
+    an ordinary shuffle whose reducers sort locally). Varying ``epoch``
+    re-keys the hash so every epoch gets an independent order while
+    staying reproducible run-to-run and engine-to-engine.
+
+    The order key is two LCG rounds mod the Mersenne prime 2^31-1 on
+    (id + epoch·prime) — pure BIGINT arithmetic (intermediates < 2^62),
+    JVM-side whole-stage-codegen in Spark and replayable verbatim in the
+    DuckDB oracle. No RNG state, no rand(): content-keyed, so re-runs
+    and incremental appends place unchanged ids at unchanged positions.
+    """
+    from .hashing import MINHASH_PRIME, PLANE_A, PLANE_C
+
+    m = MINHASH_PRIME
+    seed = f"({id_col} + {epoch} * 1000003)"
+    h1 = f"(({PLANE_A} * {seed} + {PLANE_C}) % {m})"
+    h = f"(({PLANE_A} * {h1} + {PLANE_C}) % {m})"
+    keyed = documents.select(
+        F.col(id_col),
+        F.expr(h).alias("order_key"),
+    ).withColumn("shard", (F.col("order_key") % n_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy("order_key", id_col)
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("shard", "pos", id_col, "order_key")
+        .orderBy("shard", "pos")
+    )

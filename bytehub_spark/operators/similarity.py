@@ -733,3 +733,137 @@ def matryoshka_recall(
         )
         .orderBy(F.col("trunc_dims").desc(), "query_id")
     )
+
+
+MARGIN_BROADCAST_CAP = 2_000_000
+
+
+def margin_pairs(
+    embeddings: DataFrame,
+    label_a: int = 0,
+    label_b: int = 1,
+    k: int = 4,
+    threshold_u: int = 1_020_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Margin-based cross-group pair mining (bitext-mining style,
+    cf. the ratio-margin criterion of LASER/CCMatrix): for each vector x
+    in group ``label_a``, its best match y in group ``label_b`` scored by
+
+        margin(x, y) = 2 * cos(x, y) / (avg_topk_B(x) + avg_topk_A(y))
+
+    — cosine normalized by the mean of each side's k nearest cosines, so
+    a pair only survives when it stands OUT of both neighborhoods (a hub
+    vector that is near everything scores ~1 and is dropped). Output is
+    one row per a-vector whose best pair clears ``threshold_u``
+    (margin in integer micro-units), with a ``mutual`` flag set when the
+    pair is also y's best a.
+
+    Scale shape: group B is collected and broadcast once (hard cap
+    ``MARGIN_BROADCAST_CAP``, mirroring dedup.embedding_dedup's exact
+    mode — beyond that, block B or pre-bucket with the LSH path); one
+    Arrow-batched GEMM pass over A computes, per partition, each a-row's
+    GLOBAL top-k over B (full B visible) plus each b-column's LOCAL
+    top-k partial — so the only shuffle after the scan carries
+    O(k · (|A| + n_partitions · |B|)) id/score rows, never the |A|·|B|
+    similarity matrix. Backward top-k combines partials with one window.
+
+    Numeric discipline: cosines are rounded half-away-from-zero to 4
+    decimals and carried as BIGINT micro-units; the margin is pure
+    integer arithmetic (2·k·cos_u·1e6 div (sum_a + sum_b)) — every
+    surviving value is bit-exact replayable in the DuckDB oracle.
+    """
+    from ..plans import ensure_parallelism
+
+    spark = embeddings.sparkSession
+    b = (
+        embeddings.where(F.col(label_col) == label_b)
+        .select(id_col, vec_col)
+        .toPandas()
+    )
+    if len(b) > MARGIN_BROADCAST_CAP:
+        raise ValueError(
+            f"margin_pairs exact mode broadcasts group B ({len(b)} rows > "
+            f"cap {MARGIN_BROADCAST_CAP}); block B or pre-bucket with "
+            "lsh_cosine_buckets before pairing"
+        )
+    if len(b) < k:
+        raise ValueError(f"group B has {len(b)} rows < k={k}")
+    b_ids = b[id_col].to_numpy()
+    b_mat = np.array([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+    b_norms = np.linalg.norm(b_mat, axis=1)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norms))
+
+    def block(it):
+        bi, bm, bn = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ bm.T) / (norms[:, None] * bn[None, :])
+            scaled = sims * 1e4  # SQL ROUND: half away from zero
+            cos_u = np.where(
+                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            ).astype(np.int64)
+            d, ai, bj, cu = [], [], [], []
+            for i in range(len(ids)):  # forward: global top-k (full B here)
+                top = np.lexsort((bi, -cos_u[i]))[:k]
+                d.extend("f" * len(top))
+                ai.extend([ids[i]] * len(top))
+                bj.extend(bi[top])
+                cu.extend(cos_u[i][top])
+            for j in range(len(bi)):  # backward: partition-local partial
+                top = np.lexsort((ids, -cos_u[:, j]))[:k]
+                d.extend("b" * len(top))
+                ai.extend(ids[top])
+                bj.extend([bi[j]] * len(top))
+                cu.extend(cos_u[top, j])
+            yield pd.DataFrame(
+                {"dir": d, "a_id": ai, "b_id": bj, "cos_u": cu}
+            )
+
+    a_side = ensure_parallelism(
+        embeddings.where(F.col(label_col) == label_a).select(id_col, vec_col)
+    )
+    parts = a_side.mapInPandas(
+        block, schema="dir string, a_id long, b_id long, cos_u long"
+    )
+    wa = Window.partitionBy("a_id").orderBy(
+        F.col("cos_u").desc(), F.col("b_id").asc()
+    )
+    f_ranked = parts.where("dir = 'f'").withColumn(
+        "r", F.row_number().over(wa)
+    )
+    a_sum = f_ranked.groupBy("a_id").agg(F.sum("cos_u").alias("sa"))
+    f1 = f_ranked.where("r = 1").select("a_id", "b_id", "cos_u")
+    wb = Window.partitionBy("b_id").orderBy(
+        F.col("cos_u").desc(), F.col("a_id").asc()
+    )
+    bwd = (
+        parts.where("dir = 'b'")
+        .withColumn("r", F.row_number().over(wb))
+        .where(F.col("r") <= k)
+    )
+    b_sum = bwd.groupBy("b_id").agg(F.sum("cos_u").alias("sb"))
+    b1 = bwd.where("r = 1").select("b_id", F.col("a_id").alias("best_a"))
+    return (
+        f1.join(a_sum, "a_id")
+        .join(F.broadcast(b_sum), "b_id")
+        .join(F.broadcast(b1), "b_id")
+        .where(F.col("sa") + F.col("sb") > 0)
+        .withColumn(
+            "margin_u", F.expr(f"(2 * {k} * cos_u * 1000000) div (sa + sb)")
+        )
+        .where(F.col("margin_u") >= threshold_u)
+        .select(
+            "a_id", "b_id", "cos_u", "margin_u",
+            (F.col("best_a") == F.col("a_id")).alias("mutual"),
+        )
+        .orderBy("a_id")
+    )

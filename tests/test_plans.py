@@ -215,3 +215,25 @@ def test_banded_cosine_lsh_plan_shapes(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     p2 = _plan(similarity.lsh_cosine_topk(emb, [0, 1, 2], 5))
     assert "CartesianProduct" not in p2 and "BroadcastNestedLoop" not in p2
+
+
+def test_round3c_ops_plan_shapes(spark):
+    """margin_pairs never materializes the |A|x|B| matrix in the plan
+    (no cartesian; broadcast-side joins only) and epoch_shuffle is a
+    JVM-side keyed window with no Python eval and no global window."""
+    from bytehub_spark import plans
+    from bytehub_spark.operators import curation, similarity
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+
+    mp = similarity.margin_pairs(emb, threshold_u=0)
+    p = _plan(mp)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert not plans.global_windows(mp)
+
+    sh = curation.epoch_shuffle(docs)
+    p = _plan(sh)
+    assert not plans.global_windows(sh)
+    # order key is pure JVM arithmetic: no Python evaluation anywhere
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
