@@ -1177,6 +1177,30 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_epoch_shuffle": lambda spark, sf: curation.epoch_shuffle(
             load_table(spark, sf, "documents"), n_shards=8, epoch=1
         ),
+        # TextRank corpus keywords: PageRank over the term-adjacency graph,
+        # 3 unrolled power iterations in integer micro-units — an iterative
+        # graph algorithm with a bit-exact oracle
+        "doc_textrank": _q(text.textrank_keywords, "documents"),
+        # ordered view->click->purchase funnel (strictly increasing
+        # timestamps, earliest-after-t per step) with ppm conversions —
+        # exact oracle
+        "ts_funnel": _q(events_ops.funnel, "events"),
+        # code-vs-prose routing (symbol density + indentation rate); every
+        # 20th doc is rewritten as a code snippet so the verdict column is
+        # value-bearing at every sf — exact oracle
+        "doc_code_detect": lambda spark, sf: text.code_detect(
+            load_table(spark, sf, "documents").withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 20 == 0,
+                    F.concat(
+                        F.lit("def f_"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("(x) {\n  y = x + 1;\n  return (y);\n}"),
+                    ),
+                ).otherwise(F.col("text")),
+            )
+        ),
     }
 
 
@@ -4376,5 +4400,141 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS pos,
                    doc_id, order_key
             FROM sharded ORDER BY shard, pos
+        """,
+        # TextRank replay: same vocabulary cut, adjacency lag window,
+        # symmetrized weighted edges, and 3 unrolled integer power
+        # iterations (every contribution is BIGINT floor division —
+        # bit-exact despite 'iterative' semantics)
+        "doc_textrank": (
+            """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, i AS pos, ws[i + 1] AS token
+                FROM t, unnest(range(0, len(ws))) AS u(i)
+            ),
+            vocab AS (
+                SELECT token FROM toks GROUP BY token
+                ORDER BY count(*) DESC, token LIMIT 50
+            ),
+            adj AS (
+                SELECT prev, token FROM (
+                    SELECT token, lag(token) OVER (
+                        PARTITION BY doc_id ORDER BY pos) AS prev
+                    FROM toks
+                ) WHERE prev IS NOT NULL AND prev <> token
+                  AND token IN (SELECT token FROM vocab)
+                  AND prev IN (SELECT token FROM vocab)
+            ),
+            und AS (
+                SELECT prev AS src, token AS dst FROM adj
+                UNION ALL
+                SELECT token AS src, prev AS dst FROM adj
+            ),
+            edges AS (
+                SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+                FROM und GROUP BY src, dst
+            ),
+            outw AS (
+                SELECT src, CAST(SUM(w) AS BIGINT) AS wout
+                FROM edges GROUP BY src
+            ),
+            e AS (SELECT edges.src, dst, w, wout
+                  FROM edges JOIN outw USING (src)),
+            r0 AS (SELECT token, CAST(1000000 AS BIGINT) AS rank_u
+                   FROM vocab)
+            """
+            + "".join(
+                f""",
+            r{i} AS (
+                SELECT v.token,
+                       CAST(150000 + (85 * COALESCE(s, 0)) // 100
+                           AS BIGINT) AS rank_u
+                FROM vocab v LEFT JOIN (
+                    SELECT dst, CAST(SUM((rank_u * w) // wout) AS BIGINT)
+                        AS s
+                    FROM e JOIN r{i - 1} ON r{i - 1}.token = e.src
+                    GROUP BY dst
+                ) inc ON inc.dst = v.token
+            )"""
+                for i in (1, 2, 3)
+            )
+            + """
+            SELECT token, rank_u FROM r3 ORDER BY rank_u DESC, token
+        """
+        ),
+        "ts_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, t1, min(ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND ts > t1
+                GROUP BY e.user_id, t1
+            ),
+            s3 AS (
+                SELECT e.user_id, min(ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND ts > t2
+                GROUP BY e.user_id
+            ),
+            counts AS (
+                SELECT 1 AS step, 'view' AS event_type,
+                       CAST(count(*) AS BIGINT) AS n_users FROM s1
+                UNION ALL SELECT 2, 'click', count(*) FROM s2
+                UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+            ),
+            fst AS (SELECT n_users AS n_first FROM counts WHERE step = 1),
+            prv AS (SELECT step + 1 AS step, n_users AS n_prev FROM counts)
+            SELECT c.step, c.event_type, c.n_users,
+                   CAST(COALESCE(
+                       (c.n_users * 1000000) // NULLIF(n_first, 0), 0)
+                       AS BIGINT) AS ppm_of_first,
+                   CAST(COALESCE(
+                       (c.n_users * 1000000) // NULLIF(n_prev, 0), 1000000)
+                       AS BIGINT) AS ppm_of_prev
+            FROM counts c CROSS JOIN fst LEFT JOIN prv USING (step)
+            ORDER BY c.step
+        """,
+        "doc_code_detect": """
+            WITH docs AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 20 = 0
+                            THEN 'def f_' || CAST(doc_id AS VARCHAR)
+                                 || '(x) {' || chr(10) || '  y = x + 1;'
+                                 || chr(10) || '  return (y);'
+                                 || chr(10) || '}'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            d AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(len(string_split(text, chr(10))) AS BIGINT)
+                           AS n_lines,
+                       CAST(length(text) - length(regexp_replace(
+                           text, '[{}()\\[\\];=<>]', '', 'g')) AS BIGINT)
+                           AS sym,
+                       CAST(len(list_filter(string_split(text, chr(10)),
+                           l -> starts_with(l, '  '))) AS BIGINT) AS ind
+                FROM docs
+            ),
+            p AS (
+                SELECT doc_id, n_chars, n_lines,
+                       CAST(COALESCE(
+                           (sym * 1000000) // NULLIF(n_chars, 0), 0)
+                           AS BIGINT) AS sym_ppm,
+                       CAST(COALESCE(
+                           (ind * 1000000) // NULLIF(n_lines, 0), 0)
+                           AS BIGINT) AS indent_ppm
+                FROM d
+            )
+            SELECT doc_id, n_chars, n_lines, sym_ppm, indent_ppm,
+                   CASE WHEN sym_ppm >= 15000 OR indent_ppm >= 300000
+                        THEN 1 ELSE 0 END AS is_code
+            FROM p ORDER BY doc_id
         """,
     }

@@ -1308,3 +1308,80 @@ def debounce(events: DataFrame, cooldown_us: int = 600_000_000) -> DataFrame:
         .applyInPandas(scan, schema=DEBOUNCE_SCHEMA)
         .orderBy("user_id", "ts")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_hours: int | None = None,
+) -> DataFrame:
+    """Ordered multi-step funnel: a user reaches step i at the EARLIEST
+    event of ``steps[i]`` strictly after their step-(i-1) time (the
+    classic strictly-increasing-timestamps funnel — a later 'view' never
+    matches an earlier 'click'). With ``horizon_hours`` the whole chain
+    must complete within that window of the step-1 time.
+
+    Output: one row per step with reached-user counts and integer
+    conversion rates (ppm of step 1, ppm of previous step).
+
+    Scale shape: one min-aggregation per step, all keyed on user_id —
+    the same shuffle key every stage, so AQE/co-partitioning reuses the
+    exchange; no windows, no ordering of the raw event stream. Earliest-
+    after-t is min(ts WHERE ts > t), an ordinary aggregate — not a
+    sequential scan — so the whole funnel is expressible declaratively.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    ev = events.select("user_id", "event_type", "ts")
+    stage = (
+        ev.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+
+    def _count(df, i, s):
+        return df.agg(
+            F.lit(i).cast("int").alias("step"),
+            F.lit(s).alias("event_type"),
+            F.count("*").alias("n_users"),
+        )
+
+    counts = _count(stage, 1, steps[0])
+    for i, s in enumerate(steps[1:], start=2):
+        joined = ev.where(F.col("event_type") == s).join(stage, "user_id")
+        cond = F.col("ts") > F.col(f"t{i - 1}")
+        if horizon_hours is not None:
+            cond = cond & (
+                F.col("ts")
+                <= F.col("t1") + F.expr(f"INTERVAL {horizon_hours} HOURS")
+            )
+        keep = [f"t{j}" for j in range(1, i)]
+        stage = (
+            joined.where(cond)
+            .groupBy("user_id", *keep)
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        counts = counts.unionByName(_count(stage, i, s))
+    first = counts.where(F.col("step") == 1).select(
+        F.col("n_users").alias("n_first")
+    )
+    prev = counts.select(
+        (F.col("step") + 1).alias("step"), F.col("n_users").alias("n_prev")
+    )
+    return (
+        counts.join(F.broadcast(first))
+        .join(F.broadcast(prev), "step", "left")
+        .select(
+            "step",
+            "event_type",
+            "n_users",
+            F.coalesce(
+                F.expr("(n_users * 1000000) div nullif(n_first, 0)"), F.lit(0)
+            ).alias("ppm_of_first"),
+            F.coalesce(
+                F.expr("(n_users * 1000000) div nullif(n_prev, 0)"),
+                F.lit(1_000_000),
+            ).alias("ppm_of_prev"),
+        )
+        .orderBy("step")
+    )

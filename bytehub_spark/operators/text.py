@@ -933,3 +933,126 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    vocab_size: int = 50,
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Corpus-level keyword ranking: PageRank over the term-adjacency
+    graph (TextRank) — nodes are the top-``vocab_size`` tokens, edges are
+    within-document adjacencies (symmetrized, weighted by co-occurrence
+    count), ranks from ``iterations`` unrolled power iterations.
+
+    Iterative graph algorithms on Spark are loops that BUILD the plan,
+    not loops that collect: each iteration is one join + one aggregation
+    on the term key, so the whole computation is ``iterations`` keyed
+    shuffles over an edge table bounded by vocab_size² — corpus size only
+    enters through the one explode + adjacency window (per-doc keyed, no
+    global window) and the map-side-combined vocabulary count.
+
+    Numeric discipline: ranks are integer micro-units; each edge
+    contribution is ``(rank·w) div out_weight`` and damping is
+    ``(85·s) div 100`` — pure integer floor arithmetic, so every rank is
+    bit-exact replayable in the DuckDB oracle despite being an
+    "iterative" algorithm. (Floor-per-edge differs from float PageRank by
+    <1e-5 relative — the ranking is the point, and it is deterministic.)
+    """
+    toks = documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        toks.withColumn("prev", F.lag("token").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("prev") != F.col("token")))
+        .join(F.broadcast(vocab), "token")
+        .join(F.broadcast(vocab.withColumnRenamed("token", "prev")), "prev")
+    )
+    und = adj.select(
+        F.col("prev").alias("src"), F.col("token").alias("dst")
+    ).unionAll(adj.select(F.col("token").alias("src"), F.col("prev").alias("dst")))
+    edges = und.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    edges = edges.join(F.broadcast(outw), "src")
+    base = 1_000_000 * (100 - damping_pct) // 100  # teleport mass
+    ranks = vocab.select("token", F.lit(1_000_000).cast("long").alias("rank_u"))
+    for _ in range(iterations):
+        contrib = edges.join(
+            F.broadcast(ranks.withColumnRenamed("token", "src")), "src"
+        ).select("dst", F.expr("(rank_u * w) div wout").alias("c"))
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            vocab.join(
+                F.broadcast(incoming.withColumnRenamed("dst", "token")),
+                "token",
+                "left",
+            )
+            .select(
+                "token",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).alias("rank_u"),
+            )
+        )
+    return ranks.orderBy(F.col("rank_u").desc(), F.col("token").asc())
+
+
+CODE_CHARS_RE = r"[{}()\[\];=<>]"
+
+
+def code_detect(documents: DataFrame, threshold_ppm: int = 15_000) -> DataFrame:
+    """Code-vs-prose routing: the corpus-splitting stage that sends
+    documents to a code pipeline vs a natural-language pipeline. Two
+    auditable signals per document — code-punctuation density
+    (``{}()[];=<>`` as ppm of characters) and indented-line rate (lines
+    starting with two spaces, the dominant signal for whitespace-
+    structured code) — plus the routing verdict.
+
+    Like quality_rules this is one narrow map stage, zero shuffles, all
+    JVM expressions (regexp_replace + higher-order filter); ratios are
+    integer ppm via floor division, exact cross-engine.
+    """
+    n_chars = F.length("text")
+    sym = n_chars - F.length(F.regexp_replace(F.col("text"), CODE_CHARS_RE, ""))
+    lines = F.split(F.col("text"), "\n")
+    indented = F.size(F.filter(lines, lambda l: l.startswith("  ")))
+    d = (
+        documents.select("doc_id", "text")
+        .withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("__sym", sym.cast("long"))
+        .withColumn("__ind", indented.cast("long"))
+        .withColumn(
+            "sym_ppm",
+            F.coalesce(
+                F.expr("(__sym * 1000000) div nullif(n_chars, 0)"), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "indent_ppm",
+            F.coalesce(
+                F.expr("(__ind * 1000000) div nullif(n_lines, 0)"), F.lit(0)
+            ),
+        )
+    )
+    is_code = (F.col("sym_ppm") >= threshold_ppm) | (
+        F.col("indent_ppm") >= 300_000
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        "n_lines",
+        "sym_ppm",
+        "indent_ppm",
+        is_code.cast("int").alias("is_code"),
+    ).orderBy("doc_id")

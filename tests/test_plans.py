@@ -237,3 +237,28 @@ def test_round3c_ops_plan_shapes(spark):
     assert not plans.global_windows(sh)
     # order key is pure JVM arithmetic: no Python evaluation anywhere
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_round3c_graph_funnel_plan_shapes(spark):
+    """textrank: keyed windows only, vocab-bounded joins (no cartesian);
+    funnel: user-keyed aggs, no cartesian beyond the 1-row ratio join;
+    code_detect: pure map stage — at most the presentation sort."""
+    from bytehub_spark import plans
+    from bytehub_spark.operators import events_ops, text
+
+    docs = load_table(spark, SF, "documents")
+    ev = load_table(spark, SF, "events")
+
+    tr = text.textrank_keywords(docs)
+    p = _plan(tr)
+    assert "CartesianProduct" not in p
+    assert not plans.global_windows(tr)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    fu = events_ops.funnel(ev)
+    p = _plan(fu)
+    assert "CartesianProduct" not in p
+    assert not plans.global_windows(fu)
+
+    p = _plan(text.code_detect(docs))
+    assert p.count("Exchange") <= 1, p  # only the final orderBy range part

@@ -144,3 +144,117 @@ def test_epoch_shuffle_epochs_differ_but_cover_same_ids(spark):
     assert o0 != o1
     # and within an epoch the order is not the identity (it shuffles)
     assert o0 != sorted(o0)
+
+
+# ---------------------------------------------------------------- textrank
+def test_textrank_star_center_ranks_first(spark):
+    from bytehub_spark.operators.text import textrank_keywords
+
+    # star graph: "hub" is adjacent to every spoke; spokes only touch hub
+    texts = [f"hub spoke{i} hub spoke{i}" for i in range(6)]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(6), "text": texts})
+    )
+    out = textrank_keywords(docs, vocab_size=10).toPandas()
+    assert out.iloc[0]["token"] == "hub"
+    # hub absorbs the rank mass of all 6 spokes
+    assert out.iloc[0]["rank_u"] > 2 * out.iloc[1]["rank_u"]
+    # spokes are symmetric: identical ranks
+    spokes = out[out.token != "hub"]["rank_u"]
+    assert spokes.nunique() == 1
+
+
+def test_textrank_deterministic_and_isolated_nodes(spark):
+    from bytehub_spark.operators.text import textrank_keywords
+
+    docs = load_table(spark, SF, "documents")
+    r1 = textrank_keywords(docs).toPandas()
+    r2 = textrank_keywords(docs).toPandas()
+    pd.testing.assert_frame_equal(r1, r2)
+    # every rank carries at least the teleport mass
+    assert (r1["rank_u"] >= 150_000).all()
+
+
+# ------------------------------------------------------------------ funnel
+def _events(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["value"] = 0.0
+    pdf["props"] = None
+    return spark.createDataFrame(pdf)
+
+
+def test_funnel_strict_ordering(spark):
+    from bytehub_spark.operators.events_ops import funnel
+
+    ev = _events(
+        spark,
+        [
+            # u1 completes in order
+            (1, "view", "2024-01-01 10:00"),
+            (1, "click", "2024-01-01 11:00"),
+            (1, "purchase", "2024-01-01 12:00"),
+            # u2: click BEFORE view -> stalls at view
+            (2, "click", "2024-01-01 09:00"),
+            (2, "view", "2024-01-01 10:00"),
+            # u3: view + click, no purchase
+            (3, "view", "2024-01-01 10:00"),
+            (3, "click", "2024-01-01 10:30"),
+            # u4: purchase before click -> stalls at click
+            (4, "view", "2024-01-01 08:00"),
+            (4, "purchase", "2024-01-01 08:30"),
+            (4, "click", "2024-01-01 09:00"),
+        ],
+    )
+    out = funnel(ev).toPandas().set_index("step")
+    assert out.loc[1, "n_users"] == 4
+    assert out.loc[2, "n_users"] == 3  # u1, u3, u4
+    assert out.loc[3, "n_users"] == 1  # u1 only
+    assert out.loc[3, "ppm_of_first"] == 250_000
+    assert out.loc[2, "ppm_of_prev"] == 750_000
+    assert out.loc[1, "ppm_of_prev"] == 1_000_000
+
+
+def test_funnel_horizon_cuts_slow_chains(spark):
+    from bytehub_spark.operators.events_ops import funnel
+
+    ev = _events(
+        spark,
+        [
+            (1, "view", "2024-01-01 10:00"),
+            (1, "click", "2024-01-01 10:30"),
+            (1, "purchase", "2024-01-01 11:00"),  # within 2h of t1
+            (2, "view", "2024-01-01 10:00"),
+            (2, "click", "2024-01-02 10:30"),  # next day: outside horizon
+            (2, "purchase", "2024-01-02 11:00"),
+        ],
+    )
+    out = funnel(ev, horizon_hours=2).toPandas().set_index("step")
+    assert out.loc[2, "n_users"] == 1
+    assert out.loc[3, "n_users"] == 1
+
+
+# -------------------------------------------------------------- code detect
+def test_code_detect_flags_code_not_prose(spark):
+    from bytehub_spark.operators.text import code_detect
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog again and again",
+                    "def f(x) {\n  y = x + 1;\n  return (y);\n}",
+                    "plain prose\n  but with indented lines\n  like poetry stanzas\n  most lines indented",
+                ],
+            }
+        )
+    )
+    out = code_detect(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "is_code"] == 0
+    assert out.loc[1, "is_code"] == 1
+    assert out.loc[1, "sym_ppm"] >= 15_000
+    # indentation-dominant doc is routed to code even with low symbols
+    assert out.loc[2, "is_code"] == 1
+    assert out.loc[2, "indent_ppm"] >= 300_000
