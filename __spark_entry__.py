@@ -1188,6 +1188,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code-vs-prose routing (symbol density + indentation rate); every
         # 20th doc is rewritten as a code snippet so the verdict column is
         # value-bearing at every sf — exact oracle
+        # exact per-source length quantiles (quantile_disc convention) —
+        # the chunk-size/packing profiling table — exact oracle
+        "doc_length_profile": _q(text.length_profile, "documents"),
+        # tokenizer-coverage audit: per-doc OOV rate vs the corpus top-20
+        # vocabulary, one broadcast array + map stage — exact oracle
+        "doc_oov_rate": _q(text.oov_rate, "documents"),
         "doc_code_detect": lambda spark, sf: text.code_detect(
             load_table(spark, sf, "documents").withColumn(
                 "text",
@@ -4498,6 +4504,58 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS ppm_of_prev
             FROM counts c CROSS JOIN fst LEFT JOIN prv USING (step)
             ORDER BY c.step
+        """,
+        "doc_length_profile": """
+            WITH ranked AS (
+                SELECT source, n_chars, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY n_chars, doc_id)
+                           AS rn
+                FROM documents
+            ),
+            stats AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       min(n_chars) AS min_chars,
+                       max(n_chars) AS max_chars,
+                       CAST(sum(n_chars) AS BIGINT) AS total_chars
+                FROM documents GROUP BY source
+            ),
+            q AS (
+                SELECT r.source,
+                       max(CASE WHEN rn = (50 * n_docs + 99) // 100
+                                THEN n_chars END) AS p50_chars,
+                       max(CASE WHEN rn = (90 * n_docs + 99) // 100
+                                THEN n_chars END) AS p90_chars,
+                       max(CASE WHEN rn = (99 * n_docs + 99) // 100
+                                THEN n_chars END) AS p99_chars
+                FROM ranked r JOIN stats s ON r.source = s.source
+                GROUP BY r.source
+            )
+            SELECT s.source, n_docs, min_chars, max_chars, total_chars,
+                   p50_chars, p90_chars, p99_chars
+            FROM stats s JOIN q ON q.source = s.source ORDER BY s.source
+        """,
+        "doc_oov_rate": """
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            vocab AS (
+                SELECT token FROM toks GROUP BY token
+                ORDER BY count(*) DESC, token LIMIT 20
+            ),
+            va AS (SELECT list(token) AS v FROM vocab),
+            d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents)
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(ws, t -> NOT list_contains(v, t)))
+                       AS BIGINT) AS n_oov,
+                   CAST(COALESCE(
+                       (len(list_filter(ws, t -> NOT list_contains(v, t)))
+                        * 1000000) // NULLIF(len(ws), 0), 0)
+                       AS BIGINT) AS oov_ppm
+            FROM d CROSS JOIN va ORDER BY doc_id
         """,
         "doc_code_detect": """
             WITH docs AS (

@@ -1056,3 +1056,88 @@ def code_detect(documents: DataFrame, threshold_ppm: int = 15_000) -> DataFrame:
         "indent_ppm",
         is_code.cast("int").alias("is_code"),
     ).orderBy("doc_id")
+
+
+def length_profile(
+    documents: DataFrame, quantiles: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """Exact per-source document-length quantiles (the data-profiling
+    table behind chunk-size and packing decisions): for each source,
+    min/max/total plus the discrete quantiles — value at row
+    ``ceil(q·n/100)`` of the (n_chars, doc_id) ascending sort, the
+    deterministic quantile_disc convention, so results are exact and
+    engine-portable (percentile_approx would be cheaper at scale but is
+    neither exact nor cross-engine reproducible).
+
+    Scale shape: one shuffle on source; the rank window and both
+    aggregates share that exchange. The per-key sort is the honest cost
+    of EXACT quantiles — a source holding half the corpus sorts half the
+    corpus (mitigate upstream by range-partitioning within the hot key,
+    or accept approx quantiles). Counts are broadcast back for the
+    quantile-row selection.
+    """
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = documents.select("source", "n_chars", "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    stats = ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    j = ranked.join(F.broadcast(stats.select("source", "n_docs")), "source")
+    qcols = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({q} * n_docs + 99) div 100"),
+                F.col("n_chars"),
+            )
+        ).alias(f"p{q}_chars")
+        for q in quantiles
+    ]
+    return (
+        stats.join(j.groupBy("source").agg(*qcols), "source")
+        .orderBy("source")
+    )
+
+
+def oov_rate(documents: DataFrame, vocab_size: int = 20) -> DataFrame:
+    """Tokenizer-coverage audit: per document, the fraction of tokens
+    outside the corpus top-``vocab_size`` vocabulary (the OOV rate a
+    fixed-vocab tokenizer would suffer). High-OOV docs are either
+    foreign-language, noisy, or domain-shifted — all routing signals.
+
+    Scale shape: the vocabulary is an aggregation + driver-size top-k,
+    collapsed to ONE array row and broadcast; the corpus pass is then a
+    single map stage (higher-order filter against the array) — zero
+    corpus shuffles, no explode re-aggregation. OOV ppm is integer floor
+    division, exact cross-engine.
+    """
+    toks = documents.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(vocab_size)
+    )
+    vocab_arr = vocab.agg(F.collect_list("token").alias("__vocab"))
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("long")
+    n_oov = F.size(
+        F.filter(words, lambda t: ~F.array_contains(F.col("__vocab"), t))
+    ).cast("long")
+    return (
+        documents.join(F.broadcast(vocab_arr))
+        .select("doc_id", n_tokens.alias("n_tokens"), n_oov.alias("n_oov"))
+        .withColumn(
+            "oov_ppm",
+            F.coalesce(
+                F.expr("(n_oov * 1000000) div nullif(n_tokens, 0)"),
+                F.lit(0),
+            ),
+        )
+        .orderBy("doc_id")
+    )

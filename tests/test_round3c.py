@@ -258,3 +258,64 @@ def test_code_detect_flags_code_not_prose(spark):
     # indentation-dominant doc is routed to code even with low symbols
     assert out.loc[2, "is_code"] == 1
     assert out.loc[2, "indent_ppm"] >= 300_000
+
+
+# -------------------------------------------------------- length profile
+def test_length_profile_exact_quantiles(spark):
+    from bytehub_spark.operators.text import length_profile
+
+    # source "a": lengths 10..100 step 10 -> p50 = value at ceil(0.5*10)=5th
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "source": ["a"] * 10,
+            "n_chars": [(i + 1) * 10 for i in range(10)],
+            "text": ["x"] * 10,
+            "lang": ["en"] * 10,
+        }
+    )
+    out = length_profile(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert out["n_docs"] == 10
+    assert out["min_chars"] == 10 and out["max_chars"] == 100
+    assert out["p50_chars"] == 50  # ceil(50*10/100) = 5th value
+    assert out["p90_chars"] == 90
+    assert out["p99_chars"] == 100  # ceil(99*10/100) = 10th value
+    assert out["total_chars"] == 550
+
+
+def test_length_profile_single_doc_source(spark):
+    from bytehub_spark.operators.text import length_profile
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "source": ["solo"],
+            "n_chars": [42],
+            "text": ["x"],
+            "lang": ["en"],
+        }
+    )
+    out = length_profile(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    # every quantile of a 1-doc source is that doc
+    assert (
+        out[["min_chars", "p50_chars", "p90_chars", "p99_chars", "max_chars"]]
+        == 42
+    ).all()
+
+
+# ------------------------------------------------------------- oov rate
+def test_oov_rate_counts_out_of_vocab_tokens(spark):
+    from bytehub_spark.operators.text import oov_rate
+
+    # vocab_size=2 keeps the two most frequent tokens ("aa","bb");
+    # everything else is OOV
+    texts = ["aa bb aa", "aa bb rare1 rare2", "aa aa aa bb"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(3), "text": texts})
+    )
+    out = oov_rate(docs, vocab_size=2).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_oov"] == 0
+    assert out.loc[1, "n_oov"] == 2
+    assert out.loc[1, "oov_ppm"] == 500_000
+    assert out.loc[2, "n_oov"] == 0
+    assert (out["n_tokens"] == [3, 4, 4]).all()
