@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "cur_quality_rebalance",
     "doc_line_dedup",
     "ts_asof_nearest",
+    "emb_margin_pairs",
+    "doc_textrank",
+    "ts_funnel",
 ]
 
 
