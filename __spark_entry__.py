@@ -1188,6 +1188,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code-vs-prose routing (symbol density + indentation rate); every
         # 20th doc is rewritten as a code snippet so the verdict column is
         # value-bearing at every sf — exact oracle
+        # linear multi-touch attribution: each purchase splits one unit of
+        # ppm credit equally across lookback-window touches — exact oracle
+        "ts_attribution_linear": _q(events_ops.linear_attribution, "events"),
+        # dataset-version diff (added/removed/changed/unchanged by key +
+        # content hash); old/new snapshots carved deterministically from
+        # events with planted edits so all four verdicts appear
+        "ts_snapshot_diff": lambda spark, sf: (
+            lambda ev: curation.snapshot_diff(
+                ev.where(F.col("event_id") % 3 != 0).select(
+                    "event_id", "user_id", "event_type"
+                ),
+                ev.where(F.col("event_id") % 3 != 1)
+                .withColumn(
+                    "event_type",
+                    F.when(
+                        F.col("event_id") % 5 == 0,
+                        F.concat(F.col("event_type"), F.lit("_v2")),
+                    ).otherwise(F.col("event_type")),
+                )
+                .select("event_id", "user_id", "event_type"),
+                key_cols=["event_id"],
+                compare_cols=["user_id", "event_type"],
+            )
+        )(load_table(spark, sf, "events")),
+        # distributed BPE training: 3 greedy merge rounds over the
+        # word-count table (argmax pair -> merge everywhere) — an
+        # iterative tokenizer-training loop with a bit-exact oracle
+        "doc_bpe_train": _q(text.bpe_train, "documents"),
         # exact per-source length quantiles (quantile_disc convention) —
         # the chunk-size/packing profiling table — exact oracle
         "doc_length_profile": _q(text.length_profile, "documents"),
@@ -4505,6 +4533,110 @@ def oracle_sql() -> dict[str, str]:
             FROM counts c CROSS JOIN fst LEFT JOIN prv USING (step)
             ORDER BY c.step
         """,
+        "ts_attribution_linear": """
+            WITH p AS (
+                SELECT user_id, ts AS p_ts, event_id AS p_id
+                FROM events WHERE event_type = 'purchase'
+            ),
+            t AS (
+                SELECT user_id AS t_user, ts AS t_ts,
+                       event_type AS channel
+                FROM events
+                WHERE event_type IN ('view', 'click', 'signup')
+            ),
+            j AS (
+                SELECT p_id, channel FROM p JOIN t ON user_id = t_user
+                 AND t_ts <= p_ts
+                 AND t_ts >= p_ts - INTERVAL '24 hours'
+            ),
+            np AS (
+                SELECT p_id, CAST(count(*) AS BIGINT) AS n_t
+                FROM j GROUP BY p_id
+            )
+            SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+                   CAST(count(DISTINCT j.p_id) AS BIGINT)
+                       AS n_conversions_touched,
+                   CAST(SUM(1000000 // np.n_t) AS BIGINT)
+                       AS total_credit_ppm
+            FROM j JOIN np USING (p_id)
+            GROUP BY channel ORDER BY channel
+        """,
+        "ts_snapshot_diff": """
+            WITH o AS (
+                SELECT event_id,
+                       md5(concat_ws(chr(1),
+                           coalesce(CAST(user_id AS VARCHAR),
+                                    chr(0) || 'null'),
+                           coalesce(CAST(event_type AS VARCHAR),
+                                    chr(0) || 'null'))) AS old_hash
+                FROM events WHERE event_id % 3 <> 0
+            ),
+            n AS (
+                SELECT event_id,
+                       md5(concat_ws(chr(1),
+                           coalesce(CAST(user_id AS VARCHAR),
+                                    chr(0) || 'null'),
+                           coalesce(CAST(
+                               CASE WHEN event_id % 5 = 0
+                                    THEN event_type || '_v2'
+                                    ELSE event_type END AS VARCHAR),
+                               chr(0) || 'null'))) AS new_hash
+                FROM events WHERE event_id % 3 <> 1
+            )
+            SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+                   old_hash, new_hash,
+                   CASE WHEN old_hash IS NULL THEN 'added'
+                        WHEN new_hash IS NULL THEN 'removed'
+                        WHEN old_hash <> new_hash THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+            ORDER BY event_id
+        """,
+        # BPE training replay: same symbolization, same doubled-space
+        # merge trick, 3 unrolled argmax+merge rounds
+        "doc_bpe_train": (
+            """
+            WITH w0 AS (
+                SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g'))
+                           AS syms,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE length(word) > 0 GROUP BY 1
+            )"""
+            + "".join(
+                f""",
+            p{i} AS (
+                SELECT ws[j] AS left_sym, ws[j + 1] AS right_sym,
+                       CAST(SUM(n) AS BIGINT) AS pair_count
+                FROM (SELECT string_split(syms, ' ') AS ws, n
+                      FROM w{i - 1}) t,
+                     unnest(range(1, len(ws))) AS u(j)
+                GROUP BY 1, 2
+            ),
+            t{i} AS (
+                SELECT CAST({i} AS INTEGER) AS merge_round, left_sym,
+                       right_sym, left_sym || right_sym AS merged,
+                       pair_count
+                FROM p{i}
+                ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+            ),
+            w{i} AS (
+                SELECT trim(replace(replace(
+                           ' ' || replace(syms, ' ', '  ') || ' ',
+                           ' ' || left_sym || '  ' || right_sym || ' ',
+                           ' ' || left_sym || right_sym || ' '),
+                           '  ', ' ')) AS syms,
+                       n
+                FROM w{i - 1} CROSS JOIN t{i}
+            )"""
+                for i in (1, 2, 3)
+            )
+            + """
+            SELECT * FROM t1 UNION ALL SELECT * FROM t2
+            UNION ALL SELECT * FROM t3 ORDER BY merge_round
+        """
+        ),
         "doc_length_profile": """
             WITH ranked AS (
                 SELECT source, n_chars, doc_id,

@@ -674,3 +674,54 @@ def epoch_shuffle(
         .select("shard", "pos", id_col, "order_key")
         .orderBy("shard", "pos")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Dataset-version diff: classify every key as ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, different content hash) or
+    ``unchanged`` — the change-capture primitive behind incremental
+    republish ("which training shards actually need rebuilding between
+    snapshot t1 and t2") and feature-parity audits.
+
+    Content identity is md5 over the compare columns (null-tagged so
+    NULL vs 'null' don't collide). Scale shape: one hash-partition of
+    each side on the key and a single co-partitioned full outer join —
+    row volume |old ∪ new|, no corpus-wide sort; the verdict is a pure
+    projection.
+    """
+    def tag(df: DataFrame, hash_name: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")).alias(c)
+            for c in compare_cols
+        ]
+        return df.select(
+            *key_cols,
+            F.md5(F.concat_ws("\x01", *parts)).alias(hash_name),
+        )
+
+    o = tag(old, "old_hash")
+    n = tag(new, "new_hash")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, key_cols, "full_outer")
+        .select(*key_cols, "old_hash", "new_hash", status.alias("status"))
+        .orderBy(*key_cols)
+    )
+
+
+def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
+    """Rollup of snapshot_diff: row counts per verdict (the 4-row table a
+    pipeline gate actually checks before deciding to republish)."""
+    return (
+        diff.groupBy("status").agg(F.count("*").alias("n")).orderBy("status")
+    )

@@ -1385,3 +1385,58 @@ def funnel(
         )
         .orderBy("step")
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click", "signup"),
+    lookback_hours: int = 24,
+) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits one unit of
+    credit EQUALLY across all of the user's touch events (view/click/
+    signup) in the lookback window before it; per-channel totals answer
+    "which channel actually carries conversions" — the complement of
+    first-touch (earliest wins) and as-of (latest wins) attribution.
+
+    Credit is integer ppm via floor division (1e6 div n_touches), so
+    totals are exact cross-engine; the sub-ppm remainder per conversion
+    is deliberately dropped rather than assigned tie-break-ambiguously.
+
+    Scale shape: one user-keyed join carries the window predicate as a
+    join filter (pair volume bounded by per-user activity × lookback,
+    never |events|²); the per-purchase touch count and the channel
+    rollup share the purchase-id shuffle.
+    """
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    t = events.where(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_hours} HOURS")
+        ),
+    )
+    n_per = j.groupBy("p_id").agg(F.count("*").alias("n_touches"))
+    credited = j.join(n_per, "p_id").withColumn(
+        "credit_ppm", F.expr("1000000 div n_touches")
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.countDistinct("p_id").alias("n_conversions_touched"),
+            F.sum("credit_ppm").alias("total_credit_ppm"),
+        )
+        .orderBy("channel")
+    )

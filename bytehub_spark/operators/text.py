@@ -1182,3 +1182,102 @@ def oov_rate(documents: DataFrame, vocab_size: int = 20) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 3) -> DataFrame:
+    """Distributed BPE training, the real merge loop (not just pair
+    counts — cf. bpe_pair_counts): start from the character
+    symbolization of the corpus word-count table, then ``n_merges``
+    times pick the globally most frequent adjacent symbol pair
+    (count desc, pair asc tie-break) and merge it everywhere. Returns
+    the learned merge table (round, pair, merged symbol, count) — the
+    artifact a tokenizer trainer actually ships.
+
+    The merge-application trick is engine-portable plain string ops, no
+    lookarounds (RE2 has none): double every separator space, replace
+    ``' a  b '`` with ``' ab '`` (each boundary now owns its own space,
+    so adjacent occurrences can't swallow each other's separators —
+    correct greedy left-to-right BPE), then collapse doubles.
+
+    Scale shape: training runs on the WORD-COUNT table (|vocab| rows,
+    not |corpus|) — one explode+count shuffle up front, then per round
+    one row-local pair explode + pair-keyed aggregation, a TakeOrdered(1)
+    argmax (no global sort), and a broadcast of the single winning pair.
+    Iterations build the plan; persisted intermediates are vocab-scale.
+
+    Caveat: '.' in the symbolization regex is a UTF-16 code unit in
+    Spark and a codepoint in DuckDB — identical on BMP text; non-BMP
+    (emoji) corpora would need explicit codepoint splitting.
+    """
+    from ..plans.scratch import scratch_persist
+
+    words = (
+        documents.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias(
+                "syms"
+            ),
+            "n",
+        )
+    )
+    words = scratch_persist(words)
+    merge_rows = []
+    for r in range(1, n_merges + 1):
+        pairs = (
+            words.withColumn("__s", F.split(F.col("syms"), " "))
+            .where(F.size("__s") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__s) - 1), "
+                        "i -> struct(__s[i - 1] AS a, __s[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(
+                F.col("p.a").alias("left_sym"), F.col("p.b").alias("right_sym")
+            )
+            .agg(F.sum("n").alias("pair_count"))
+        )
+        top1 = scratch_persist(
+            pairs.orderBy(
+                F.col("pair_count").desc(), "left_sym", "right_sym"
+            )
+            .limit(1)
+            .select(
+                F.lit(r).cast("int").alias("merge_round"),
+                "left_sym",
+                "right_sym",
+                F.concat("left_sym", "right_sym").alias("merged"),
+                "pair_count",
+            )
+        )
+        merge_rows.append(top1)
+        words = scratch_persist(
+            words.crossJoin(
+                F.broadcast(
+                    top1.select(
+                        F.col("left_sym").alias("__a"),
+                        F.col("right_sym").alias("__b"),
+                    )
+                )
+            )
+            .withColumn(
+                "syms",
+                F.expr(
+                    "trim(replace(replace("
+                    "' ' || replace(syms, ' ', '  ') || ' ', "
+                    "' ' || __a || '  ' || __b || ' ', "
+                    "' ' || __a || __b || ' '), '  ', ' '))"
+                ),
+            )
+            .select("syms", "n")
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_round")

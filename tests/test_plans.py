@@ -262,3 +262,30 @@ def test_round3c_graph_funnel_plan_shapes(spark):
 
     p = _plan(text.code_detect(docs))
     assert p.count("Exchange") <= 1, p  # only the final orderBy range part
+
+
+def test_round3c_attribution_diff_bpe_plan_shapes(spark):
+    """attribution: user-keyed join, no cartesian; snapshot_diff: one
+    co-partitioned full outer join; bpe_train: argmax is TakeOrdered,
+    never a global Sort over the pair table."""
+    from bytehub_spark.operators import curation, events_ops, text
+
+    ev = load_table(spark, SF, "events")
+    docs = load_table(spark, SF, "documents")
+
+    p = _plan(events_ops.linear_attribution(ev))
+    assert "CartesianProduct" not in p
+
+    d = curation.snapshot_diff(
+        ev.select("event_id", "user_id", "event_type"),
+        ev.select("event_id", "user_id", "event_type"),
+        ["event_id"],
+        ["user_id", "event_type"],
+    )
+    p = _plan(d)
+    assert "CartesianProduct" not in p
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
+
+    p = _plan(text.bpe_train(docs, n_merges=2))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

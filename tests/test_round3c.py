@@ -319,3 +319,111 @@ def test_oov_rate_counts_out_of_vocab_tokens(spark):
     assert out.loc[1, "oov_ppm"] == 500_000
     assert out.loc[2, "n_oov"] == 0
     assert (out["n_tokens"] == [3, 4, 4]).all()
+
+
+# ----------------------------------------------------- linear attribution
+def test_linear_attribution_splits_credit(spark):
+    from bytehub_spark.operators.events_ops import linear_attribution
+
+    ev = _events(
+        spark,
+        [
+            # purchase with 2 touches in window: view+click get 500000 each
+            (1, "view", "2024-01-01 09:00"),
+            (1, "click", "2024-01-01 09:30"),
+            (1, "purchase", "2024-01-01 10:00"),
+            # touch outside 24h lookback: not credited
+            (2, "view", "2024-01-05 09:00"),
+            (2, "purchase", "2024-01-07 10:00"),
+            # 3 touches -> 333333 each (floor), remainder dropped
+            (3, "view", "2024-01-02 09:00"),
+            (3, "click", "2024-01-02 09:10"),
+            (3, "signup", "2024-01-02 09:20"),
+            (3, "purchase", "2024-01-02 10:00"),
+        ],
+    )
+    out = linear_attribution(ev).toPandas().set_index("channel")
+    assert out.loc["view", "total_credit_ppm"] == 500_000 + 333_333
+    assert out.loc["click", "total_credit_ppm"] == 500_000 + 333_333
+    assert out.loc["signup", "total_credit_ppm"] == 333_333
+    assert out.loc["view", "n_conversions_touched"] == 2
+    # user 2's purchase had no in-window touches -> contributes nowhere
+    assert out["n_touches"].sum() == 5
+
+
+# --------------------------------------------------------- snapshot diff
+def test_snapshot_diff_all_verdicts(spark):
+    from bytehub_spark.operators.curation import (
+        snapshot_diff,
+        snapshot_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 2, 3], "v": ["a", "b", "c"], "w": [10, 20, 30]}
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [2, 3, 4], "v": ["b", "CHANGED", "d"], "w": [20, 30, 40]}
+        )
+    )
+    d = snapshot_diff(old, new, ["k"], ["v", "w"]).toPandas().set_index("k")
+    assert d.loc[1, "status"] == "removed" and pd.isna(d.loc[1, "new_hash"])
+    assert d.loc[2, "status"] == "unchanged"
+    assert d.loc[3, "status"] == "changed"
+    assert d.loc[4, "status"] == "added" and pd.isna(d.loc[4, "old_hash"])
+    s = (
+        snapshot_diff_summary(snapshot_diff(old, new, ["k"], ["v", "w"]))
+        .toPandas()
+        .set_index("status")["n"]
+    )
+    assert s.to_dict() == {
+        "added": 1, "changed": 1, "removed": 1, "unchanged": 1
+    }
+
+
+def test_snapshot_diff_null_vs_literal_null(spark):
+    from bytehub_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [None]}))
+    new = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["null"]}))
+    d = snapshot_diff(
+        old.withColumn("v", F.col("v").cast("string")), new, ["k"], ["v"]
+    ).toPandas()
+    # NULL and the string 'null' must NOT hash equal
+    assert d.iloc[0]["status"] == "changed"
+
+
+# ------------------------------------------------------------- bpe train
+def test_bpe_train_learns_expected_merges(spark):
+    from bytehub_spark.operators.text import bpe_train
+
+    # corpus: "aab" x3, "ab" x2 -> pair counts: (a,a)=3, (a,b)=5 ->
+    # round 1 merges (a,b)->"ab"; then words are "a ab" x3, "ab" x2 ->
+    # round 2 merges (a,ab)->"aab" (count 3)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["aab aab aab", "ab ab"]}
+        )
+    )
+    out = bpe_train(docs, n_merges=2).toPandas().set_index("merge_round")
+    assert out.loc[1, "left_sym"] == "a" and out.loc[1, "right_sym"] == "b"
+    assert out.loc[1, "merged"] == "ab" and out.loc[1, "pair_count"] == 5
+    assert out.loc[2, "left_sym"] == "a" and out.loc[2, "right_sym"] == "ab"
+    assert out.loc[2, "pair_count"] == 3
+
+
+def test_bpe_train_adjacent_merges_greedy_left_to_right(spark):
+    from bytehub_spark.operators.text import bpe_train
+
+    # "aaaa" occurs twice (n=2): pairs (a,a)=3 per occurrence -> 6. After
+    # merging (a,a)->"aa" greedily left-to-right, "a a a a" -> "aa aa"
+    # (NOT "aa a a"). Round 2 then sees (aa,aa)=1 per occurrence -> 2.
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["aaaa aaaa"]})
+    )
+    out = bpe_train(docs, n_merges=2).toPandas().set_index("merge_round")
+    assert out.loc[1, "merged"] == "aa" and out.loc[1, "pair_count"] == 6
+    assert out.loc[2, "left_sym"] == "aa" and out.loc[2, "right_sym"] == "aa"
+    assert out.loc[2, "pair_count"] == 2
