@@ -34,6 +34,7 @@ from bytehub_spark.operators import (
     tpch,
 )
 from bytehub_spark.sources import load_table
+from bytehub_spark.sources import zorder as zorder_src
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -1191,6 +1192,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # linear multi-touch attribution: each purchase splits one unit of
         # ppm credit equally across lookback-window touches — exact oracle
         "ts_attribution_linear": _q(events_ops.linear_attribution, "events"),
+        # Morton z-order keys over (user_id, ts): the integer quantize +
+        # bit-interleave behind the multi-column-pruning file layout
+        # (sources/zorder.py; layout proof in tests/test_zorder.py) —
+        # exact oracle
+        "ts_zorder_keys": lambda spark, sf: zorder_src.zorder_keys(
+            load_table(spark, sf, "events").withColumn(
+                "ts_us", F.unix_micros("ts")
+            ),
+            "user_id",
+            "ts_us",
+            bits=8,
+        )
+        .select("event_id", "q_a", "q_b", "zkey")
+        .orderBy("event_id"),
         # dataset-version diff (added/removed/changed/unchanged by key +
         # content hash); old/new snapshots carved deterministically from
         # events with planted edits so all four verdicts appear
@@ -4533,6 +4548,38 @@ def oracle_sql() -> dict[str, str]:
             FROM counts c CROSS JOIN fst LEFT JOIN prv USING (step)
             ORDER BY c.step
         """,
+        # z-order replay: step-based integer quantization + Morton
+        # interleave as disjoint power-of-two terms (same arithmetic as
+        # sources/zorder.py with // for div)
+        "ts_zorder_keys": (
+            lambda bits=8, n=256: """
+            WITH b AS (
+                SELECT min(user_id) AS amin, max(user_id) AS amax,
+                       min(epoch_us(ts)) AS bmin, max(epoch_us(ts)) AS bmax
+                FROM events
+            ),
+            k AS (
+                SELECT event_id,
+                       least(((user_id - amin) * {n1})
+                           // greatest(amax - amin, 1), {n1}) AS q_a,
+                       least(((epoch_us(ts) - bmin) * {n1})
+                           // greatest(bmax - bmin, 1), {n1}) AS q_b
+                FROM events CROSS JOIN b
+            )
+            SELECT event_id, CAST(q_a AS BIGINT) AS q_a,
+                   CAST(q_b AS BIGINT) AS q_b,
+                   CAST({inter} AS BIGINT) AS zkey
+            FROM k ORDER BY event_id
+        """.format(
+                n=n,
+                n1=n - 1,
+                inter=" + ".join(
+                    f"((q_a // {1 << i}) % 2) * {1 << (2 * i + 1)} + "
+                    f"((q_b // {1 << i}) % 2) * {1 << (2 * i)}"
+                    for i in range(bits)
+                ),
+            )
+        )(),
         "ts_attribution_linear": """
             WITH p AS (
                 SELECT user_id, ts AS p_ts, event_id AS p_id
