@@ -1184,8 +1184,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_textrank": _q(text.textrank_keywords, "documents"),
         # ordered view->click->purchase funnel (strictly increasing
         # timestamps, earliest-after-t per step) with ppm conversions —
+        # the multi-step complement of ts_funnel's daily 2-step CVR —
         # exact oracle
-        "ts_funnel": _q(events_ops.funnel, "events"),
+        "ts_funnel_steps": _q(events_ops.funnel, "events"),
         # code-vs-prose routing (symbol density + indentation rate); every
         # 20th doc is rewritten as a code snippet so the verdict column is
         # value-bearing at every sf — exact oracle
@@ -4513,7 +4514,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, rank_u FROM r3 ORDER BY rank_u DESC, token
         """
         ),
-        "ts_funnel": """
+        "ts_funnel_steps": """
             WITH s1 AS (
                 SELECT user_id, min(ts) AS t1 FROM events
                 WHERE event_type = 'view' GROUP BY user_id

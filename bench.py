@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "ts_asof_nearest",
     "emb_margin_pairs",
     "doc_textrank",
-    "ts_funnel",
+    "ts_funnel_steps",
 ]
 
 
