@@ -427,3 +427,29 @@ def test_bpe_train_adjacent_merges_greedy_left_to_right(spark):
     assert out.loc[1, "merged"] == "aa" and out.loc[1, "pair_count"] == 6
     assert out.loc[2, "left_sym"] == "aa" and out.loc[2, "right_sym"] == "aa"
     assert out.loc[2, "pair_count"] == 2
+
+
+# ------------------------------------------------- registration hygiene
+def test_no_duplicate_registration_keys():
+    """A repeated dict key in queries()/oracle_sql() silently REPLACES
+    the earlier query (later literal wins) — exactly how the multi-step
+    funnel shadowed the daily-CVR ts_funnel. Parse the source and require
+    each key to appear exactly once per dict literal."""
+    import ast
+    import collections
+
+    src = open("__spark_entry__.py").read()
+    tree = ast.parse(src)
+    offenders = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Dict):
+            continue
+        keys = [
+            k.value
+            for k in node.keys
+            if isinstance(k, ast.Constant) and isinstance(k.value, str)
+        ]
+        for key, cnt in collections.Counter(keys).items():
+            if cnt > 1:
+                offenders.append((key, cnt))
+    assert offenders == [], offenders
