@@ -921,3 +921,124 @@ def stream_lateness_monitor(
         .start()
     )
     return q, mon
+
+
+class FunnelMonitor:
+    """Incremental ordered-funnel maintenance — the STREAMING twin of
+    events_ops.funnel. Contract (same as LatenessMonitor): micro-batches
+    arrive in event-time order; under that contract each user's stage
+    time is FINAL once set (step i is the earliest step-i event after
+    t_{i-1}, and later batches only carry later timestamps), so the
+    per-batch update is ``coalesce(existing, batch candidate)``.
+
+    State is a DISTRIBUTED DataFrame (user_id, t1..tk) — not a driver
+    dict: per-user funnel state at corpus scale belongs on executors.
+    Each batch costs k-1 user-keyed joins + aggregations against batch
+    data only, and the state frame is localCheckpointed so the lineage
+    does not grow with batch count. ``result()`` reduces state to the
+    same per-step table events_ops.funnel emits — equality is pinned in
+    tests/test_round3c.py.
+    """
+
+    def __init__(self, steps: tuple[str, ...] = ("view", "click", "purchase")):
+        if len(steps) < 2:
+            raise ValueError("funnel needs at least 2 steps")
+        self.steps = steps
+        self.state: DataFrame | None = None
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        b = batch_df.select("user_id", "event_type", "ts")
+        k = len(self.steps)
+        tcols = [f"t{i}" for i in range(1, k + 1)]
+        if self.state is None:
+            spark = batch_df.sparkSession
+            schema = "user_id long, " + ", ".join(
+                f"{c} timestamp" for c in tcols
+            )
+            self.state = spark.createDataFrame([], schema)
+        st = self.state
+        # step 1: earliest step-1 event ever seen (final under ordered
+        # arrival once set)
+        a1 = (
+            b.where(F.col("event_type") == self.steps[0])
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("__b1"))
+        )
+        st = st.join(a1, "user_id", "full_outer").withColumn(
+            "t1", F.coalesce("t1", "__b1")
+        ).drop("__b1")
+        # steps 2..k: earliest batch step-i event after the (possibly
+        # just-updated) t_{i-1}
+        for i, s in enumerate(self.steps[1:], start=2):
+            ai = (
+                b.where(F.col("event_type") == s)
+                .join(
+                    st.select("user_id", f"t{i - 1}").where(
+                        F.col(f"t{i - 1}").isNotNull()
+                    ),
+                    "user_id",
+                )
+                .where(F.col("ts") > F.col(f"t{i - 1}"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias(f"__b{i}"))
+            )
+            st = st.join(ai, "user_id", "left").withColumn(
+                f"t{i}", F.coalesce(f"t{i}", f"__b{i}")
+            ).drop(f"__b{i}")
+        # pin the state: lineage would otherwise grow by ~k joins/batch
+        self.state = st.select("user_id", *tcols).localCheckpoint(eager=True)
+
+    def result(self) -> DataFrame:
+        """Per-step reached-user counts + ppm conversions — the same
+        table shape as events_ops.funnel."""
+        st = self.state
+        counts = None
+        for i, s in enumerate(self.steps, start=1):
+            c = st.where(F.col(f"t{i}").isNotNull()).agg(
+                F.lit(i).cast("int").alias("step"),
+                F.lit(s).alias("event_type"),
+                F.count("*").alias("n_users"),
+            )
+            counts = c if counts is None else counts.unionByName(c)
+        first = counts.where(F.col("step") == 1).select(
+            F.col("n_users").alias("n_first")
+        )
+        prev = counts.select(
+            (F.col("step") + 1).alias("step"), F.col("n_users").alias("n_prev")
+        )
+        return (
+            counts.join(F.broadcast(first))
+            .join(F.broadcast(prev), "step", "left")
+            .select(
+                "step",
+                "event_type",
+                "n_users",
+                F.coalesce(
+                    F.expr("(n_users * 1000000) div nullif(n_first, 0)"),
+                    F.lit(0),
+                ).alias("ppm_of_first"),
+                F.coalesce(
+                    F.expr("(n_users * 1000000) div nullif(n_prev, 0)"),
+                    F.lit(1_000_000),
+                ).alias("ppm_of_prev"),
+            )
+            .orderBy("step")
+        )
+
+
+def stream_funnel_monitor(
+    events: DataFrame,
+    checkpoint_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+):
+    """Attach a FunnelMonitor to an event stream. Returns
+    (StreamingQuery, monitor) — read monitor.result() after
+    processAllAvailable()."""
+    mon = FunnelMonitor(steps=steps)
+    q = (
+        events.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

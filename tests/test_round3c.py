@@ -453,3 +453,65 @@ def test_no_duplicate_registration_keys():
             if cnt > 1:
                 offenders.append((key, cnt))
     assert offenders == [], offenders
+
+
+# -------------------------------------------------------- streaming funnel
+def test_stream_funnel_monitor_equals_batch(spark, tmp_path):
+    """Incremental funnel over event-time-ordered micro-batches must equal
+    the one-shot events_ops.funnel (stage times are final once set under
+    ordered arrival)."""
+    import os
+    import time
+
+    from bytehub_spark import streaming as st
+    from bytehub_spark.operators.events_ops import funnel
+
+    ev = load_table(spark, SF, "events")
+    expect = funnel(ev).toPandas().reset_index(drop=True)
+
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    src = str(tmp_path / "funnel_src")
+    os.makedirs(src)
+    bounds = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(
+            src
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q, mon = st.stream_funnel_monitor(stream, str(tmp_path / "ckpt_funnel"))
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    got = mon.result().toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_funnel_monitor_mid_batch_stage_chain(spark):
+    """A step-2 event in the SAME batch as the step-1 event it follows
+    must count (the update joins batch data against the just-updated
+    previous stage)."""
+    from bytehub_spark.streaming import FunnelMonitor
+
+    mon = FunnelMonitor()
+    b1 = _events(
+        spark,
+        [
+            (1, "view", "2024-01-01 10:00"),
+            (1, "click", "2024-01-01 10:30"),  # same batch as its view
+        ],
+    )
+    mon.process_batch(b1)
+    b2 = _events(spark, [(1, "purchase", "2024-01-01 11:00")])
+    mon.process_batch(b2)
+    out = mon.result().toPandas().set_index("step")
+    assert (out["n_users"] == 1).all()
+    assert out.loc[3, "ppm_of_first"] == 1_000_000
