@@ -1232,6 +1232,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # word-count table (argmax pair -> merge everywhere) — an
         # iterative tokenizer-training loop with a bit-exact oracle
         "doc_bpe_train": _q(text.bpe_train, "documents"),
+        # multimodal sequence-position budget (LLaVA-style tile/audio/
+        # video token costs + text tokens, integer ceil-div) — exact oracle
+        "mm_token_budget": lambda spark, sf: (
+            lambda docs: multimodal.token_budget(
+                multimodal.media_from_documents(docs), docs
+            )
+        )(load_table(spark, sf, "documents")),
+        # per-source percentile normalization of the quality score
+        # (rank-based, integer ppm) — exact oracle
+        "doc_quality_pct": _q(text.quality_percentile, "documents"),
         # exact per-source length quantiles (quantile_disc convention) —
         # the chunk-size/packing profiling table — exact oracle
         "doc_length_profile": _q(text.length_profile, "documents"),
@@ -4685,6 +4695,68 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM t3 ORDER BY merge_round
         """
         ),
+        "mm_token_budget": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 64 + doc_id % 4 END AS width,
+                       CASE WHEN doc_id % 3 = 0 THEN 64 END AS height,
+                       CASE WHEN doc_id % 3 <> 0
+                            THEN 1000 + (doc_id % 10) * 500
+                            END AS duration_ms,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS text_tokens
+                FROM documents
+            ),
+            b AS (
+                SELECT media_id, kind, text_tokens,
+                       CASE WHEN kind = 'image'
+                            THEN ((width + 31) // 32) * ((height + 31) // 32)
+                            ELSE 0 END AS n_tiles,
+                       CASE WHEN kind = 'audio'
+                            THEN (duration_ms + 79) // 80
+                            ELSE 0 END AS audio_tokens,
+                       CASE WHEN kind = 'video'
+                            THEN ((duration_ms + 999) // 1000) * 2
+                            ELSE 0 END AS video_tokens
+                FROM m
+            )
+            SELECT media_id, kind, text_tokens,
+                   CAST(n_tiles * 85 AS BIGINT) AS image_tokens,
+                   CAST(audio_tokens AS BIGINT) AS audio_tokens,
+                   CAST(video_tokens AS BIGINT) AS video_tokens,
+                   CAST(text_tokens + n_tiles * 85 + audio_tokens
+                        + video_tokens AS BIGINT) AS total_tokens
+            FROM b ORDER BY media_id
+        """,
+        "doc_quality_pct": """
+            WITH s AS (
+                SELECT doc_id, source,
+                       0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                           + 0.5 * (1.0 - CAST(len(list_filter(
+                               string_split(text, ' '),
+                               w -> w IN ('the', 'a', 'and', 'of', 'to')))
+                               AS DOUBLE)
+                               / len(string_split(text, ' ')))
+                           AS quality_score
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, source, quality_score,
+                       CAST(row_number() OVER (PARTITION BY source
+                           ORDER BY quality_score, doc_id) AS BIGINT)
+                           AS rank,
+                       CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+                           AS n
+                FROM s
+            )
+            SELECT doc_id, source, quality_score, rank,
+                   CAST(((rank - 1) * 1000000) // greatest(n - 1, 1)
+                       AS BIGINT) AS pct_ppm
+            FROM r ORDER BY doc_id
+        """,
         "doc_length_profile": """
             WITH ranked AS (
                 SELECT source, n_chars, doc_id,

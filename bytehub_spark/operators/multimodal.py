@@ -347,3 +347,71 @@ def modality_mix_plan(media: DataFrame, budget_items: int = 10000) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+def token_budget(
+    media: DataFrame,
+    documents: DataFrame,
+    tokens_per_tile: int = 85,
+    tile: int = 32,
+    ms_per_audio_token: int = 80,
+    fps_tokens_per_s: int = 2,
+) -> DataFrame:
+    """Multimodal training token budget: what each example COSTS in
+    sequence positions once modalities are spliced into the token stream
+    (LLaVA-style: an image contributes ceil(w/tile)·ceil(h/tile) tiles ×
+    tokens_per_tile; audio one token per ``ms_per_audio_token``; video a
+    fixed token rate per second) plus the document's own text tokens.
+    The packer and the batch scheduler both key off this number — text
+    token counts alone under-budget multimodal examples by orders of
+    magnitude.
+
+    Pure integer ceil-division arithmetic joined one-to-one on the id —
+    a single co-partitioned join, no explode (the budget needs tile
+    COUNTS, not tile work items — cf. tile_image_plan). Exact oracle.
+    """
+    tiles = F.when(
+        F.col("kind") == "image",
+        (
+            F.expr(f"(width + {tile} - 1) div {tile}")
+            * F.expr(f"(height + {tile} - 1) div {tile}")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    audio_toks = F.when(
+        F.col("kind") == "audio",
+        F.expr(
+            f"(duration_ms + {ms_per_audio_token} - 1)"
+            f" div {ms_per_audio_token}"
+        ),
+    ).otherwise(F.lit(0))
+    video_toks = F.when(
+        F.col("kind") == "video",
+        F.expr(f"((duration_ms + 999) div 1000) * {fps_tokens_per_s}"),
+    ).otherwise(F.lit(0))
+    text_toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    m = media.select(
+        "media_id",
+        "kind",
+        tiles.alias("n_tiles"),
+        audio_toks.alias("audio_tokens"),
+        video_toks.alias("video_tokens"),
+    )
+    d = documents.select(F.col("doc_id"), text_toks.alias("text_tokens"))
+    return (
+        m.join(d, m.media_id == d.doc_id)
+        .select(
+            "media_id",
+            "kind",
+            "text_tokens",
+            (F.col("n_tiles") * tokens_per_tile).alias("image_tokens"),
+            "audio_tokens",
+            "video_tokens",
+            (
+                F.col("text_tokens")
+                + F.col("n_tiles") * tokens_per_tile
+                + F.col("audio_tokens")
+                + F.col("video_tokens")
+            ).alias("total_tokens"),
+        )
+        .orderBy("media_id")
+    )

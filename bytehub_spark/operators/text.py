@@ -1281,3 +1281,33 @@ def bpe_train(documents: DataFrame, n_merges: int = 3) -> DataFrame:
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out.orderBy("merge_round")
+
+
+def quality_percentile(documents: DataFrame) -> DataFrame:
+    """Per-source percentile normalization of the quality score: sources
+    have incomparable raw score scales (a median zh doc shouldn't be
+    filtered by an en threshold), so mixing/filtering uses the WITHIN-
+    source rank instead — ``pct_ppm = (rank-1)·1e6 div (n-1)`` with
+    (score, doc_id) ordering for determinism. Integer output; the raw
+    double score rides along for auditing (identical IEEE expression to
+    text_stats, so it still hash-matches cross-engine).
+
+    One shuffle on source shared by the rank window and the count —
+    same plan family as length_profile, same hot-key caveat.
+    """
+    q = quality_score_col()
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    ranked = (
+        documents.select("doc_id", "source", q.alias("quality_score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    n = ranked.groupBy("source").agg(F.count("*").alias("__n"))
+    return (
+        ranked.join(F.broadcast(n), "source")
+        .withColumn(
+            "pct_ppm",
+            F.expr("((rank - 1) * 1000000) div greatest(__n - 1, 1)"),
+        )
+        .select("doc_id", "source", "quality_score", "rank", "pct_ppm")
+        .orderBy("doc_id")
+    )

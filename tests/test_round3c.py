@@ -515,3 +515,52 @@ def test_funnel_monitor_mid_batch_stage_chain(spark):
     out = mon.result().toPandas().set_index("step")
     assert (out["n_users"] == 1).all()
     assert out.loc[3, "ppm_of_first"] == 1_000_000
+
+
+# --------------------------------------------------------- token budget
+def test_token_budget_arithmetic(spark):
+    from bytehub_spark.operators.multimodal import (
+        media_from_documents,
+        token_budget,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],  # image, audio, video by doc_id % 3
+                "text": ["one two three", "four five", "six"],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": [13, 9, 3],
+            }
+        )
+    )
+    out = (
+        token_budget(media_from_documents(docs), docs)
+        .toPandas()
+        .set_index("media_id")
+    )
+    # image doc 0: width 64, height 64, tile 32 -> 4 tiles * 85
+    assert out.loc[0, "image_tokens"] == 4 * 85
+    assert out.loc[0, "total_tokens"] == 3 + 340
+    # audio doc 1: duration 1500ms -> ceil(1500/80) = 19 tokens
+    assert out.loc[1, "audio_tokens"] == 19
+    assert out.loc[1, "total_tokens"] == 2 + 19
+    # video doc 2: duration 2000ms -> 2s * 2 tokens/s = 4
+    assert out.loc[2, "video_tokens"] == 4
+    assert out.loc[2, "total_tokens"] == 1 + 4
+
+
+# ------------------------------------------------------ quality percentile
+def test_quality_percentile_rank_normalizes_per_source(spark):
+    from bytehub_spark.operators.text import quality_percentile
+
+    docs = load_table(spark, SF, "documents")
+    out = quality_percentile(docs).toPandas()
+    for _, grp in out.groupby("source"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert grp["pct_ppm"].min() == 0
+        assert grp["pct_ppm"].max() == 1_000_000
+        # rank order follows score order (ties broken by doc_id)
+        g = grp.sort_values("rank")
+        assert (g["quality_score"].diff().dropna() >= -1e-12).all()
