@@ -1232,6 +1232,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # word-count table (argmax pair -> merge everywhere) — an
         # iterative tokenizer-training loop with a bit-exact oracle
         "doc_bpe_train": _q(text.bpe_train, "documents"),
+        # DAU / rolling-7d WAU / stickiness via the day-explode trick
+        # (sliding distinct as a plain keyed distinct) — exact oracle
+        "ts_active_users": _q(events_ops.active_users, "events"),
+        # corpus URL-domain inventory (regex extract -> host -> top-k);
+        # every 7th doc gets a deterministic URL appended so the table is
+        # value-bearing at every sf — exact oracle
+        "doc_url_domains": lambda spark, sf: text.url_domains(
+            load_table(spark, sf, "documents").withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" see https://www.site"),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit(".example.com/page/"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                ).otherwise(F.col("text")),
+            )
+        ),
         # multimodal sequence-position budget (LLaVA-style tile/audio/
         # video token costs + text tokens, integer ceil-div) — exact oracle
         "mm_token_budget": lambda spark, sf: (
@@ -4695,6 +4716,58 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM t3 ORDER BY merge_round
         """
         ),
+        "ts_active_users": """
+            WITH days AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events
+            ),
+            dau AS (
+                SELECT day, CAST(count(*) AS BIGINT) AS dau
+                FROM days GROUP BY day
+            ),
+            member AS (
+                SELECT DISTINCT user_id, wday FROM days,
+                    unnest(generate_series(day,
+                        day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS t(wday)
+            ),
+            wau AS (
+                SELECT wday, CAST(count(*) AS BIGINT) AS wau
+                FROM member GROUP BY wday
+            )
+            SELECT day, dau, wau,
+                   CAST((dau * 1000000) // wau AS BIGINT)
+                       AS stickiness_ppm
+            FROM dau JOIN wau ON wau.wday = dau.day
+            ORDER BY day
+        """,
+        "doc_url_domains": """
+            WITH docs AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' see https://www.site'
+                                 || CAST(doc_id % 5 AS VARCHAR)
+                                 || '.example.com/page/'
+                                 || CAST(doc_id AS VARCHAR)
+                            ELSE text END AS text
+                FROM documents
+            ),
+            u AS (
+                SELECT doc_id, unnest(regexp_extract_all(
+                           text, 'https?://[^ ]+', 0)) AS url
+                FROM docs
+            ),
+            h AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_extract(
+                           url, 'https?://([^/ ]+)', 1),
+                           '^www\\.', '') AS domain
+                FROM u
+            )
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM h GROUP BY domain
+            ORDER BY n_urls DESC, domain LIMIT 50
+        """,
         "mm_token_budget": """
             WITH m AS (
                 SELECT doc_id AS media_id,

@@ -1440,3 +1440,45 @@ def linear_attribution(
         )
         .orderBy("channel")
     )
+
+
+def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """DAU / rolling WAU / stickiness per day. The sliding distinct is
+    computed with the day-explode trick: each (user, active-day) row
+    claims membership in the ``window_days`` windows it participates in
+    (one explode ×window_days), turning "distinct users over a sliding
+    window" into a plain keyed distinct-count — no self-join of day
+    ranges, no window over the raw stream, state ∝ users·days not
+    events. Early days have naturally partial windows (standard WAU
+    semantics). Stickiness is integer ppm (DAU/WAU — the DAU/MAU-style
+    engagement ratio).
+    """
+    days = (
+        events.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    dau = days.groupBy("day").agg(F.count("*").alias("dau"))
+    membership = (
+        days.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"sequence(day, day + INTERVAL {window_days - 1} DAYS, "
+                    "INTERVAL 1 DAY)"
+                )
+            ).alias("wday"),
+        )
+        .distinct()
+        .groupBy("wday")
+        .agg(F.count("*").alias("wau"))
+    )
+    return (
+        dau.join(membership, dau.day == membership.wday)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) div wau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )

@@ -1311,3 +1311,31 @@ def quality_percentile(documents: DataFrame) -> DataFrame:
         .select("doc_id", "source", "quality_score", "rank", "pct_ppm")
         .orderBy("doc_id")
     )
+
+
+def url_domains(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus URL-domain inventory: extract every http(s) URL, reduce to
+    its registrable host, and rank domains by page and document counts —
+    the table behind domain allow/deny lists and per-domain crawl caps.
+
+    Pure JVM regex (shared Java/RE2 subset): one extract-all + explode,
+    one map to host, a single domain-keyed aggregation (map-side
+    combined — shuffle volume is |domains|), TakeOrdered top-k.
+    """
+    urls = F.expr(r"regexp_extract_all(text, 'https?://[^ ]+', 0)")
+    host = F.regexp_replace(
+        F.regexp_extract(F.col("url"), r"https?://([^/ ]+)", 1),
+        r"^www\.",
+        "",
+    )
+    return (
+        documents.select("doc_id", F.explode(urls).alias("url"))
+        .select("doc_id", host.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_urls").desc(), F.col("domain").asc())
+        .limit(k)
+    )

@@ -564,3 +564,65 @@ def test_quality_percentile_rank_normalizes_per_source(spark):
         # rank order follows score order (ties broken by doc_id)
         g = grp.sort_values("rank")
         assert (g["quality_score"].diff().dropna() >= -1e-12).all()
+
+
+# ----------------------------------------------------------- active users
+def test_active_users_sliding_distinct(spark):
+    from bytehub_spark.operators.events_ops import active_users
+
+    ev = _events(
+        spark,
+        [
+            (1, "view", "2024-01-01 10:00"),
+            (2, "view", "2024-01-01 11:00"),
+            (1, "view", "2024-01-03 10:00"),
+            (3, "view", "2024-01-09 10:00"),
+        ],
+    )
+    out = active_users(ev).toPandas()
+    out["day"] = out["day"].dt.strftime("%Y-%m-%d")
+    out = out.set_index("day")
+    assert out.loc["2024-01-01", "dau"] == 2
+    assert out.loc["2024-01-03", "dau"] == 1
+    # window ending Jan 3 covers Jan 1 activity: WAU = {1,2}
+    assert out.loc["2024-01-03", "wau"] == 2
+    # window ending Jan 9 covers only Jan 3..9: users {1(Jan3), 3} -> 2
+    assert out.loc["2024-01-09", "wau"] == 2
+    assert out.loc["2024-01-09", "stickiness_ppm"] == 500_000
+    # user 1 active twice in one window still counts once
+    assert out.loc["2024-01-01", "wau"] == 2
+
+
+def test_active_users_full_table_invariants(spark):
+    from bytehub_spark.operators.events_ops import active_users
+
+    ev = load_table(spark, SF, "events")
+    out = active_users(ev).toPandas()
+    assert (out["wau"] >= out["dau"]).all()
+    assert out["stickiness_ppm"].between(0, 1_000_000).all()
+    n_users = ev.select("user_id").distinct().count()
+    assert out["wau"].max() <= n_users
+
+
+# ------------------------------------------------------------ url domains
+def test_url_domains_extraction(spark):
+    from bytehub_spark.operators.text import url_domains
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "see https://www.foo.com/a and https://foo.com/b done",
+                    "visit http://bar.org/x today",
+                    "no links here",
+                ],
+            }
+        )
+    )
+    out = url_domains(docs).toPandas().set_index("domain")
+    # www. is stripped -> both foo urls collapse to one domain
+    assert out.loc["foo.com", "n_urls"] == 2
+    assert out.loc["foo.com", "n_docs"] == 1
+    assert out.loc["bar.org", "n_urls"] == 1
+    assert len(out) == 2
