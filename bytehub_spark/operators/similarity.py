@@ -831,8 +831,17 @@ def margin_pairs(
     a_side = ensure_parallelism(
         embeddings.where(F.col(label_col) == label_a).select(id_col, vec_col)
     )
-    parts = a_side.mapInPandas(
-        block, schema="dir string, a_id long, b_id long, cos_u long"
+    # the partial table feeds four downstream branches (forward ranks,
+    # forward sums, backward ranks, backward sums) — persist it or the
+    # Arrow GEMM pass re-runs per branch (measured 1.6s -> ~0.9s at
+    # sf0.1). k-bounded rows: k·(|A| + n_partitions·|B|) ids, never the
+    # similarity matrix.
+    from ..plans.scratch import scratch_persist
+
+    parts = scratch_persist(
+        a_side.mapInPandas(
+            block, schema="dir string, a_id long, b_id long, cos_u long"
+        )
     )
     wa = Window.partitionBy("a_id").orderBy(
         F.col("cos_u").desc(), F.col("b_id").asc()
