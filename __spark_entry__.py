@@ -1232,6 +1232,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # word-count table (argmax pair -> merge everywhere) — an
         # iterative tokenizer-training loop with a bit-exact oracle
         "doc_bpe_train": _q(text.bpe_train, "documents"),
+        # feature-hashing text embedder (hashing trick): portable Horner
+        # hash -> bucket counts, sparse rows, JVM-side fold — exact oracle
+        "doc_hash_embed": _q(text.hash_embed, "documents"),
         # DAU / rolling-7d WAU / stickiness via the day-explode trick
         # (sliding distinct as a plain keyed distinct) — exact oracle
         "ts_active_users": _q(events_ops.active_users, "events"),
@@ -4716,6 +4719,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM t3 ORDER BY merge_round
         """
         ),
+        # Horner code-point fold replayed with list_reduce; ord() via
+        # unicode() codepoint
+        "doc_hash_embed": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       CAST(list_reduce(
+                           list_prepend(CAST(0 AS BIGINT), list_transform(
+                               string_split_regex(token, ''),
+                               ch -> CAST(unicode(ch) AS BIGINT))),
+                           (acc, c) -> (acc * 1000003 + c) % 2147483647)
+                           % 32 AS INTEGER) AS bucket
+                FROM toks WHERE length(token) > 0
+            )
+            SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM hashed GROUP BY doc_id, bucket
+            ORDER BY doc_id, bucket
+        """,
         "ts_active_users": """
             WITH days AS (
                 SELECT DISTINCT user_id, date_trunc('day', ts) AS day

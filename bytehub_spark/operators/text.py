@@ -1339,3 +1339,63 @@ def url_domains(documents: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.col("n_urls").desc(), F.col("domain").asc())
         .limit(k)
     )
+
+
+# Horner string hash over code points mod the Mersenne prime 2^31-1:
+# every intermediate < 2^51, so the fold is ANSI-safe BIGINT arithmetic
+# in Spark SQL AND plain list_reduce arithmetic in DuckDB — the same
+# portability contract as operators/hashing.py's band fold, but usable
+# JVM-side (no Python worker) since it never needs 64-bit wraparound.
+HORNER_HASH = (
+    "aggregate(transform(split({col}, ''), ch -> ascii(ch)), 0L, "
+    "(acc, c) -> (acc * 1000003 + c) % 2147483647)"
+)
+
+
+def hash_embed(documents: DataFrame, dim: int = 32) -> DataFrame:
+    """Feature-hashing text embedder (the hashing trick, cf. scikit's
+    HashingVectorizer): token → portable Horner hash → bucket; a
+    document's embedding is its bucket-count vector, emitted SPARSE as
+    (doc_id, bucket, cnt) rows. Vocabulary-free (no training pass, no
+    drift between corpus shards), deterministic, and integer-exact —
+    the honest baseline featurizer that turns the text corpus into
+    input for every downstream ANN/dedup/centroid operator.
+
+    One explode + one (doc, bucket)-keyed count — map-side combined,
+    JVM-side end to end (no Python workers; the hash is a SQL
+    aggregate fold over code points).
+    """
+    h = HORNER_HASH.format(col="token")
+    return (
+        documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .where(F.length("token") > 0)
+        .withColumn("bucket", F.expr(f"pmod({h}, {dim})").cast("int"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+def hash_embed_dense(documents: DataFrame, dim: int = 32) -> DataFrame:
+    """Dense-array view of hash_embed for downstream GEMM/ANN consumers:
+    (doc_id, embedding array<double> of length dim), zero-filled via a
+    deterministic map lookup (collect_list order never matters)."""
+    sparse = hash_embed(documents, dim)
+    return (
+        sparse.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "cnt"))
+            ).alias("__m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), "
+                "i -> CAST(coalesce(__m[i], 0) AS DOUBLE))"
+            ).alias("embedding"),
+        )
+        .orderBy("doc_id")
+    )

@@ -626,3 +626,42 @@ def test_url_domains_extraction(spark):
     assert out.loc["foo.com", "n_docs"] == 1
     assert out.loc["bar.org", "n_urls"] == 1
     assert len(out) == 2
+
+
+# -------------------------------------------------------- hash embedding
+def test_hash_embed_deterministic_and_conserves_tokens(spark):
+    from bytehub_spark.operators.text import hash_embed
+
+    docs = load_table(spark, SF, "documents")
+    s1 = hash_embed(docs).toPandas()
+    s2 = hash_embed(docs).toPandas()
+    pd.testing.assert_frame_equal(s1, s2)
+    # bucket counts conserve the token count exactly
+    n_tokens = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.length("t") > 0)
+        .count()
+    )
+    assert s1["cnt"].sum() == n_tokens
+    assert s1["bucket"].between(0, 31).all()
+
+
+def test_hash_embed_dense_matches_sparse(spark):
+    from bytehub_spark.operators.text import hash_embed, hash_embed_dense
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["aa bb aa cc", "dd dd"]}
+        )
+    )
+    sp = hash_embed(docs, dim=8).toPandas()
+    de = hash_embed_dense(docs, dim=8).toPandas().set_index("doc_id")
+    for doc_id, grp in sp.groupby("doc_id"):
+        vec = np.zeros(8)
+        vec[grp["bucket"].to_numpy()] = grp["cnt"].to_numpy()
+        assert list(de.loc[doc_id, "embedding"]) == list(vec)
+    # same token -> same bucket: doc 0's "aa" x2 share a bucket (other
+    # tokens may collide into it too at dim=8 — that's the hashing trick)
+    assert sp[sp.doc_id == 0]["cnt"].max() >= 2
+    assert sp[sp.doc_id == 0]["cnt"].sum() == 4
+    assert sp[sp.doc_id == 1]["cnt"].tolist() == [2]
