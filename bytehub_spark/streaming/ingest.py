@@ -1042,3 +1042,69 @@ def stream_funnel_monitor(
         .start()
     )
     return q, mon
+
+
+class ActiveUsersMonitor:
+    """Incremental DAU/WAU maintenance — streaming twin of
+    events_ops.active_users. State is the distinct (user_id, day) set as
+    a DISTRIBUTED DataFrame; merging a batch is union + distinct, which
+    is ORDER-INDEPENDENT — unlike the funnel monitor this twin needs no
+    arrival-order contract at all (late or replayed events land in the
+    same set). State grows with users x active-days, not events;
+    localCheckpoint keeps lineage flat. result() runs the same
+    day-explode WAU kernel the batch op uses over the accumulated set.
+    """
+
+    def __init__(self, window_days: int = 7):
+        self.window_days = window_days
+        self.state: DataFrame | None = None
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        b = batch_df.select(
+            "user_id", F.date_trunc("day", "ts").alias("day")
+        ).distinct()
+        st = b if self.state is None else self.state.unionByName(b).distinct()
+        self.state = st.localCheckpoint(eager=True)
+
+    def result(self) -> DataFrame:
+        days = self.state
+        dau = days.groupBy("day").agg(F.count("*").alias("dau"))
+        membership = (
+            days.select(
+                "user_id",
+                F.explode(
+                    F.expr(
+                        f"sequence(day, day + INTERVAL {self.window_days - 1}"
+                        " DAYS, INTERVAL 1 DAY)"
+                    )
+                ).alias("wday"),
+            )
+            .distinct()
+            .groupBy("wday")
+            .agg(F.count("*").alias("wau"))
+        )
+        return (
+            dau.join(membership, dau.day == membership.wday)
+            .select(
+                "day",
+                "dau",
+                "wau",
+                F.expr("(dau * 1000000) div wau").alias("stickiness_ppm"),
+            )
+            .orderBy("day")
+        )
+
+
+def stream_active_users(
+    events: DataFrame, checkpoint_dir: str, window_days: int = 7
+):
+    """Attach an ActiveUsersMonitor to an event stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = ActiveUsersMonitor(window_days=window_days)
+    q = (
+        events.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

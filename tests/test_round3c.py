@@ -665,3 +665,45 @@ def test_hash_embed_dense_matches_sparse(spark):
     assert sp[sp.doc_id == 0]["cnt"].max() >= 2
     assert sp[sp.doc_id == 0]["cnt"].sum() == 4
     assert sp[sp.doc_id == 1]["cnt"].tolist() == [2]
+
+
+# -------------------------------------------------- streaming active users
+def test_stream_active_users_equals_batch_any_order(spark, tmp_path):
+    """Distinct-set state is order-independent: feed chunks in REVERSED
+    time order and still match the batch kernel exactly."""
+    import os
+    import time
+
+    from bytehub_spark import streaming as st
+    from bytehub_spark.operators.events_ops import active_users
+
+    ev = load_table(spark, SF, "events")
+    expect = active_users(ev).toPandas().reset_index(drop=True)
+
+    # chunks in reverse time order — would break an ordered-arrival twin
+    pdf = ev.toPandas().sort_values("ts", ascending=False).reset_index(
+        drop=True
+    )
+    src = str(tmp_path / "au_src")
+    os.makedirs(src)
+    bounds = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(
+            src
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q, mon = st.stream_active_users(stream, str(tmp_path / "ckpt_au"))
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    got = mon.result().toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect)
