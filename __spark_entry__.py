@@ -1285,6 +1285,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).otherwise(F.col("text")),
             )
         ),
+        # tokenizer APPLY: encode the corpus with the bpe_train merges
+        # and emit the token histogram — same doubled-space merge chain,
+        # so the segmentation is bit-exact in both engines — exact oracle
+        "doc_bpe_encode": _q(text.bpe_encode, "documents"),
+        # fastText-style linear quality-classifier inference: hashing-
+        # trick features × deterministic integer weights -> BIGINT score
+        # + keep/drop label — exact oracle
+        "doc_quality_classifier": _q(text.quality_classifier, "documents"),
+        # perceptual near-dup media pairs: aHash over the (stubbed)
+        # decode boundary, Manku banding + popcount verify; injected
+        # suffix twins guarantee hamming-0 pairs at every sf — exact
+        # oracle (hex-byte replay of the signature)
+        "mm_phash_pairs": lambda spark, sf: multimodal.ahash_pairs(
+            load_table(spark, sf, "documents"), fake=True
+        ),
     }
 
 
@@ -4943,5 +4958,133 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sym_ppm >= 15000 OR indent_ppm >= 300000
                         THEN 1 ELSE 0 END AS is_code
             FROM p ORDER BY doc_id
+        """,
+        # BPE ENCODE replay: the bpe_train CTE chain to w3, then the
+        # token histogram of the merged word table
+        "doc_bpe_encode": (
+            """
+            WITH w0 AS (
+                SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g'))
+                           AS syms,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE length(word) > 0 GROUP BY 1
+            )"""
+            + "".join(
+                f""",
+            p{i} AS (
+                SELECT ws[j] AS left_sym, ws[j + 1] AS right_sym,
+                       CAST(SUM(n) AS BIGINT) AS pair_count
+                FROM (SELECT string_split(syms, ' ') AS ws, n
+                      FROM w{i - 1}) t,
+                     unnest(range(1, len(ws))) AS u(j)
+                GROUP BY 1, 2
+            ),
+            t{i} AS (
+                SELECT left_sym, right_sym
+                FROM p{i}
+                ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+            ),
+            w{i} AS (
+                SELECT trim(replace(replace(
+                           ' ' || replace(syms, ' ', '  ') || ' ',
+                           ' ' || left_sym || '  ' || right_sym || ' ',
+                           ' ' || left_sym || right_sym || ' '),
+                           '  ', ' ')) AS syms,
+                       n
+                FROM w{i - 1} CROSS JOIN t{i}
+            )"""
+                for i in (1, 2, 3)
+            )
+            + """
+            SELECT token, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT syms) AS BIGINT) AS n_word_forms
+            FROM (SELECT syms, n, unnest(string_split(syms, ' ')) AS token
+                  FROM w3)
+            GROUP BY token ORDER BY n_tokens DESC, token
+        """
+        ),
+        # classifier replay: hash_embed CTE + the same integer weight
+        # expression, LEFT JOIN back so zero-token docs score 0
+        "doc_quality_classifier": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       CAST(list_reduce(
+                           list_prepend(CAST(0 AS BIGINT), list_transform(
+                               string_split_regex(token, ''),
+                               ch -> CAST(unicode(ch) AS BIGINT))),
+                           (acc, c) -> (acc * 1000003 + c) % 2147483647)
+                           % 32 AS BIGINT) AS bucket
+                FROM toks WHERE length(token) > 0
+            ),
+            bux AS (
+                SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+                FROM hashed GROUP BY doc_id, bucket
+            ),
+            s AS (
+                SELECT doc_id,
+                       CAST(SUM(cnt * (((bucket * 1000003 + 99991) % 2003)
+                           - 1001)) AS BIGINT) AS score
+                FROM bux GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+                   CASE WHEN COALESCE(s.score, 0) > 0
+                        THEN 'keep' ELSE 'drop' END AS label
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id
+        """,
+        # aHash replay from hex(encode(text)): byte extraction via hex
+        # digits, integer mean threshold, bit 63 via two's complement,
+        # then all-pairs popcount (oracle-side only; Spark bands)
+        "mm_phash_pairs": """
+            WITH media AS (
+                SELECT doc_id AS media_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000, text || ' twin-marker'
+                FROM documents WHERE doc_id % 97 = 0
+            ),
+            hx AS (
+                SELECT media_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS nb
+                FROM media
+            ),
+            bytes AS (
+                SELECT media_id, j,
+                       CASE WHEN j < nb THEN
+                           (strpos('0123456789ABCDEF',
+                               substr(h, 2 * j + 1, 1)) - 1) * 16
+                           + (strpos('0123456789ABCDEF',
+                               substr(h, 2 * j + 2, 1)) - 1)
+                       ELSE 0 END AS bv
+                FROM hx, unnest(range(0, 64)) AS t(j)
+            ),
+            m AS (
+                SELECT media_id, SUM(bv) // 64 AS mn
+                FROM bytes GROUP BY media_id
+            ),
+            sig AS (
+                SELECT b.media_id,
+                       CAST(SUM(CASE WHEN b.bv > m.mn AND b.j < 63
+                                THEN (CAST(1 AS BIGINT) << b.j)
+                                ELSE 0 END)
+                          + SUM(CASE WHEN b.bv > m.mn AND b.j = 63
+                                THEN 1 ELSE 0 END)
+                            * (-9223372036854775807 - 1)
+                           AS BIGINT) AS ahash
+                FROM bytes b JOIN m ON b.media_id = m.media_id
+                GROUP BY b.media_id
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER)
+                       AS hamming
+            FROM sig a JOIN sig b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+            ORDER BY id_a, id_b
         """,
     }

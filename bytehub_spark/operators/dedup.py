@@ -1099,17 +1099,35 @@ def simhash_pairs(
     """
     from ..plans.scratch import scratch_persist
 
-    def _signed(m: int) -> int:
-        return m - (1 << 64) if m >= (1 << 63) else m
-
     sigs = scratch_persist(
         simhash64(documents, text_col=text_col, id_col=id_col)
     )
+    return banded_hamming_pairs(
+        sigs, id_col=id_col, sig_col="simhash", max_hamming=max_hamming
+    )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Manku 4×16-bit band blocking + exact popcount verify over ANY
+    64-bit signature table ``(id_col, sig_col)`` — shared by the text
+    SimHash path (simhash_pairs) and the multimodal average-hash path
+    (multimodal.ahash_pairs). EXACT for ``max_hamming <= 3`` by the
+    pigeonhole argument; the join fan-out is band-bucket bounded, never
+    all-pairs."""
+
+    def _signed(m: int) -> int:
+        return m - (1 << 64) if m >= (1 << 63) else m
+
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.col("simhash")
+                F.col(sig_col)
                 .bitwiseAND(F.lit(_signed(0xFFFF << (16 * b))))
                 .alias("bkey"),
             )
@@ -1118,7 +1136,7 @@ def simhash_pairs(
     )
     exploded = sigs.select(
         F.col(id_col).alias("id"),
-        F.col("simhash").alias("sig"),
+        F.col(sig_col).alias("sig"),
         F.explode(band_arr).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     a = exploded.select(

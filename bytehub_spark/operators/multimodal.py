@@ -239,6 +239,81 @@ def chunk_audio_plan(
     ).orderBy("media_id", "chunk_idx")
 
 
+_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def media_with_twins(documents: DataFrame) -> DataFrame:
+    """media_from_documents plus an injected near-duplicate twin for every
+    97th document (suffix-perturbed payload, media_id offset by 1e9) — the
+    deterministic-injection pattern (cf. doc_redact_pii) that keeps the
+    near-dup gate non-vacuous at every scale factor: a suffix edit leaves
+    the first 64 payload bytes intact for any document >= 64 bytes, so
+    each twin is a guaranteed Hamming-0 aHash pair."""
+    twins = media_from_documents(
+        documents.where(F.col("doc_id") % 97 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" twin-marker")))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000000))
+    )
+    return media_from_documents(documents).unionByName(twins)
+
+
+def ahash64(media: DataFrame, fake: bool = False) -> DataFrame:
+    """64-bit average-hash perceptual signature per media blob: decode
+    (stubbed codec boundary — a real pHash would DCT the decoded pixels
+    here), take the first 64 samples zero-padded, threshold each against
+    the integer mean, assemble bit k from sample k (two's complement for
+    bit 63). Pure integer arithmetic end-to-end, so the DuckDB oracle
+    can replay it byte-for-byte from hex(encode(text)).
+
+    Arrow-batched mapInPandas, one pass over the blobs; the signature
+    table is 16 bytes/row — the only thing downstream joins touch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for content, fmt in zip(pdf["content"], pdf["format"]):
+                raw = _decode_stub(content, fmt, fake).astype(np.uint8)
+                buf = np.zeros(64, dtype=np.uint8)
+                n = min(64, len(raw))
+                buf[:n] = raw[:64]
+                mean = int(buf.sum()) // 64
+                bits = buf > mean
+                u = int(
+                    (np.uint64(1) << np.arange(64, dtype=np.uint64))[bits]
+                    .sum(dtype=np.uint64)
+                )
+                sigs.append(u - (1 << 64) if u >= (1 << 63) else u)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ahash": sigs}
+            )
+
+    return media.mapInPandas(run, schema=_AHASH_SCHEMA)
+
+
+def ahash_pairs(
+    documents: DataFrame, max_hamming: int = 3, fake: bool = False
+) -> DataFrame:
+    """Perceptual near-duplicate media pairs: aHash signatures (with
+    injected twins, see media_with_twins) through the shared Manku
+    4×16-bit band blocking + exact popcount verify
+    (dedup.banded_hamming_pairs) — EXACT for hamming <= 3, join fan-out
+    band-bucket bounded, never all-pairs. The multimodal mirror of the
+    text simhash_pairs path; at 100 TB the blobs are read once by the
+    signature pass and the join moves only 16-byte signatures."""
+    from ..plans.scratch import scratch_persist
+    from .dedup import banded_hamming_pairs
+
+    sigs = scratch_persist(ahash64(media_with_twins(documents), fake=fake))
+    return banded_hamming_pairs(
+        sigs, id_col="media_id", sig_col="ahash", max_hamming=max_hamming
+    )
+
+
 def metadata_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate: never touches the binary column (column
     pruning keeps the blobs out of the scan — verify via ReadSchema)."""

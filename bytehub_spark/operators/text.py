@@ -1184,6 +1184,24 @@ def oov_rate(documents: DataFrame, vocab_size: int = 20) -> DataFrame:
     )
 
 
+def _bpe_word_counts(documents: DataFrame) -> DataFrame:
+    """Character-symbolized word-count table — the corpus BPE actually
+    trains on (|vocab| rows, not |corpus|): one explode+count shuffle,
+    then a row-local space-join symbolization."""
+    return (
+        documents.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias(
+                "syms"
+            ),
+            "n",
+        )
+    )
+
+
 def bpe_train(documents: DataFrame, n_merges: int = 3) -> DataFrame:
     """Distributed BPE training, the real merge loop (not just pair
     counts — cf. bpe_pair_counts): start from the character
@@ -1209,20 +1227,19 @@ def bpe_train(documents: DataFrame, n_merges: int = 3) -> DataFrame:
     Spark and a codepoint in DuckDB — identical on BMP text; non-BMP
     (emoji) corpora would need explicit codepoint splitting.
     """
+    merge_rows, _ = _bpe_merge_loop(_bpe_word_counts(documents), n_merges)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_round")
+
+
+def _bpe_merge_loop(words: DataFrame, n_merges: int):
+    """The shared train/apply loop: per round, argmax the adjacent-pair
+    counts and apply the winning merge to every word. Returns the list
+    of 1-row merge DataFrames and the fully-merged word table."""
     from ..plans.scratch import scratch_persist
 
-    words = (
-        documents.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
-        .where(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias(
-                "syms"
-            ),
-            "n",
-        )
-    )
     words = scratch_persist(words)
     merge_rows = []
     for r in range(1, n_merges + 1):
@@ -1277,10 +1294,37 @@ def bpe_train(documents: DataFrame, n_merges: int = 3) -> DataFrame:
             )
             .select("syms", "n")
         )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("merge_round")
+    return merge_rows, words
+
+
+def bpe_encode(documents: DataFrame, n_merges: int = 3) -> DataFrame:
+    """Tokenizer APPLY — the other half of the bpe_train story: encode
+    the corpus with the merge table the loop just learned and emit the
+    corpus token histogram ``(token, n_tokens, n_word_forms)`` — the
+    vocabulary-frequency artifact behind token budgets, OOV audits, and
+    subword coverage checks. ``n_tokens`` counts every occurrence
+    (weighted by word frequency, including repeats within one word);
+    ``n_word_forms`` counts distinct word shapes containing the token.
+
+    Same scale shape as training: everything after the initial word
+    count runs on the |vocab|-rows table, so the encode explode and the
+    token-keyed aggregation (map-side combined) never touch corpus-sized
+    data. The merge application is the identical doubled-space replace
+    chain, so the segmentation is bit-exact greedy left-to-right BPE in
+    both engines.
+    """
+    _, words = _bpe_merge_loop(_bpe_word_counts(documents), n_merges)
+    return (
+        words.select(
+            "syms", "n", F.explode(F.split(F.col("syms"), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.countDistinct("syms").alias("n_word_forms"),
+        )
+        .orderBy(F.col("n_tokens").desc(), "token")
+    )
 
 
 def quality_percentile(documents: DataFrame) -> DataFrame:
@@ -1396,6 +1440,46 @@ def hash_embed_dense(documents: DataFrame, dim: int = 32) -> DataFrame:
                 f"transform(sequence(0, {dim - 1}), "
                 "i -> CAST(coalesce(__m[i], 0) AS DOUBLE))"
             ).alias("embedding"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_classifier(documents: DataFrame, dim: int = 32) -> DataFrame:
+    """fastText-style linear quality classifier INFERENCE at corpus
+    scale: hashing-trick featurize (hash_embed) then a sparse dot with a
+    broadcast weight vector and a sign decision — the standard
+    "score every document with a shipped quality model" pass (cf.
+    CCNet/LLaMA wiki-ref filtering). The weights here are a
+    deterministic integer function of the bucket id (a stand-in for
+    shipped model weights, which would arrive as a dim-length array);
+    the pipeline shape — tokenize → hash → sparse dot → threshold — is
+    the real artifact, and integer weights keep the score BIGINT-exact
+    cross-engine.
+
+    Scale: one explode + one doc_id-keyed sum (map-side combined), then
+    a broadcast-join back to documents so zero-token docs still get a
+    scored row (score 0). No Python workers, no weight shuffle: the
+    weight is an inline expression of the bucket id, so the "model" adds
+    zero bytes to the shuffle.
+    """
+    # w(b) in [-1001, 1001]; bucket >= 0 so plain % is already positive
+    w = f"((bucket * 1000003 + 99991) % 2003) - 1001"
+    scores = (
+        hash_embed(documents, dim)
+        .withColumn("__w", F.expr(w).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("__w")).alias("score"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+            F.when(F.coalesce(F.col("score"), F.lit(0)) > 0, "keep")
+            .otherwise("drop")
+            .alias("label"),
         )
         .orderBy("doc_id")
     )

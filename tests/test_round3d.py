@@ -1,0 +1,153 @@
+"""Round-3 (fourth pass) operators: BPE encode, linear quality-classifier
+inference, and perceptual aHash near-dup pairs."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from bytehub_spark.operators.multimodal import (
+    ahash64,
+    ahash_pairs,
+    media_from_documents,
+    media_with_twins,
+)
+from bytehub_spark.operators.text import (
+    bpe_encode,
+    bpe_train,
+    hash_embed,
+    quality_classifier,
+)
+from bytehub_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, texts, ids=None, source="s"):
+    ids = list(range(len(texts))) if ids is None else ids
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "text": texts, "source": source})
+    )
+
+
+# ------------------------------------------------------------- bpe encode
+def test_bpe_encode_known_corpus(spark):
+    # corpus: "low low low lower" -> top pair ('l','o') then ('lo','w');
+    # third merge is deterministic by tie-break. After round 2 the word
+    # "low" is the single token 'low'.
+    docs = _docs(spark, ["low low low", "lower low lowest"])
+    merges = bpe_train(docs, n_merges=2).toPandas()
+    assert list(merges["merged"]) == ["lo", "low"]
+    enc = bpe_encode(docs, n_merges=2).toPandas().set_index("token")
+    # 'low' appears as a standalone word 4x and as a prefix of lower/lowest
+    assert enc.loc["low", "n_tokens"] == 6
+    assert enc.loc["low", "n_word_forms"] == 3
+    # residual characters stay unmerged symbols
+    assert enc.loc["e", "n_tokens"] == 2
+
+
+def test_bpe_encode_conserves_characters(spark):
+    # total characters = sum over tokens of n_tokens * len(token), since
+    # merging never drops or duplicates a symbol.
+    docs = load_table(spark, SF, "documents").limit(80)
+    enc = bpe_encode(docs, n_merges=3).toPandas()
+    total_from_tokens = int(
+        (enc["n_tokens"] * enc["token"].str.len()).sum()
+    )
+    total_chars = docs.select(
+        F.sum(F.length(F.regexp_replace(F.col("text"), " ", "")))
+    ).collect()[0][0]
+    assert total_from_tokens == int(total_chars)
+
+
+# ---------------------------------------------------- quality classifier
+def test_quality_classifier_matches_manual_dot(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    out = quality_classifier(docs).toPandas().set_index("doc_id")
+    sparse = hash_embed(docs).toPandas()
+    sparse["w"] = ((sparse["bucket"] * 1000003 + 99991) % 2003) - 1001
+    manual = (
+        (sparse["cnt"] * sparse["w"]).groupby(sparse["doc_id"]).sum()
+    )
+    for did, score in manual.items():
+        assert out.loc[did, "score"] == score
+        assert out.loc[did, "label"] == ("keep" if score > 0 else "drop")
+
+
+def test_quality_classifier_scores_every_doc(spark):
+    # zero-token docs (empty text) still get a scored row with score 0
+    docs = _docs(spark, ["", "the quick fox", "   "], ids=[7, 8, 9])
+    out = quality_classifier(docs).toPandas().set_index("doc_id")
+    assert sorted(out.index) == [7, 8, 9]
+    assert out.loc[7, "score"] == 0 and out.loc[7, "label"] == "drop"
+
+
+# ------------------------------------------------------------ aHash pairs
+def test_ahash_twins_are_hamming_zero(spark):
+    docs = load_table(spark, SF, "documents")
+    pairs = ahash_pairs(docs, fake=True).toPandas()
+    long_twins = (
+        docs.where(
+            (F.col("doc_id") % 97 == 0)
+            & (F.length(F.encode(F.col("text"), "UTF-8")) >= 64)
+        )
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .tolist()
+    )
+    assert long_twins, "fixture should contain at least one long twin"
+    got = pairs.set_index(["id_a", "id_b"])["hamming"]
+    for did in long_twins:
+        assert got.loc[(did, did + 1000000000)] == 0
+
+
+def test_ahash_banded_equals_bruteforce(spark):
+    # the banded join must return exactly the pairs a brute-force popcount
+    # over the signature table finds at hamming <= 3
+    docs = load_table(spark, SF, "documents").limit(120)
+    sigs = (
+        ahash64(media_with_twins(docs), fake=True)
+        .toPandas()
+        .sort_values("media_id")
+    )
+    ids = sigs["media_id"].to_numpy()
+    h = sigs["ahash"].to_numpy().astype(np.uint64)
+    brute = set()
+    for i in range(len(ids)):
+        x = np.bitwise_xor(h[i], h[i + 1 :])
+        cnt = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.nonzero(cnt <= 3)[0]:
+            brute.add((int(ids[i]), int(ids[i + 1 + j])))
+    got = set(
+        map(
+            tuple,
+            ahash_pairs(docs, fake=True).select("id_a", "id_b").toPandas()
+            .to_numpy(),
+        )
+    )
+    assert got == brute
+
+
+def test_ahash_plan_has_no_cartesian(spark):
+    docs = load_table(spark, SF, "documents").limit(30)
+    plan = ahash_pairs(docs, fake=True)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ahash_signature_spec(spark):
+    # signature follows the documented byte spec: first 64 bytes zero-
+    # padded, strict > integer-floor mean, bit k from byte k
+    text = "".join(chr(97 + (i * 7) % 26) for i in range(100))
+    docs = _docs(spark, [text], ids=[1])
+    sig = int(
+        ahash64(media_from_documents(docs), fake=True).toPandas()["ahash"][0]
+    )
+    raw = text.encode()[:64]
+    mean = sum(raw) // 64
+    expect = 0
+    for k, bv in enumerate(raw):
+        if bv > mean:
+            expect |= 1 << k
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert sig == expect
