@@ -530,6 +530,46 @@ def _ivf_pq_append_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out)
 
 
+def _semantic_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic gate: SemDeDup over the corpus plus injected exact
+    twins (vec_id % 53, id offset 1e9 — an exact copy lands in the same
+    k-means cell and sits at cosine 1.0, so it MUST be dropped). Gates
+    the operator's contract: row conservation, every injected twin
+    dropped, every dropped row carrying >= threshold dup evidence, and
+    the lowest id of every cluster kept (k-means itself is the
+    non-SQL-able part; the raw per-vector output stays pinned in
+    tests/test_round3d.py)."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.where(F.col("vec_id") % 53 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000000)
+    )
+    out = similarity.semantic_dedup(
+        emb.unionByName(twins), threshold=0.95
+    ).toPandas()
+    n_base = emb.count()
+    n_twins = twins.count()
+    twin_rows = out[out["vec_id"] >= 1000000000]
+    dropped = out[~out["keep"]]
+    minima_kept = bool(
+        out.loc[out.groupby("cell")["vec_id"].idxmin()]["keep"].all()
+    )
+    res = pd.DataFrame(
+        {
+            "n_rows": [len(out)],
+            "n_twins": [int(n_twins)],
+            "conserved": [len(out) == n_base + n_twins],
+            "twins_all_dropped": [bool((~twin_rows["keep"]).all())],
+            "dropped_have_evidence": [
+                bool((dropped["max_dup_ppm"] >= 949999).all())
+            ],
+            "cluster_minima_kept": [minima_kept],
+        }
+    )
+    return spark.createDataFrame(res)
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- timeseries / feature-store kernel (SURVEY §2.2-§2.6) ---
@@ -1300,6 +1340,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_pairs": lambda spark, sf: multimodal.ahash_pairs(
             load_table(spark, sf, "documents"), fake=True
         ),
+        # SemDeDup (cluster-then-prune semantic dedup): invariant-summary
+        # gate with injected exact twins — k-means is the non-SQL part;
+        # per-vector outputs pinned in pytest
+        "dedup_semantic": _semantic_dedup_invariants,
     }
 
 
@@ -1857,6 +1901,16 @@ def _invariant_oracles() -> dict[str, str]:
                    TRUE AS n_novel_bounded,
                    TRUE AS verdicts_match_recompute
             FROM embeddings WHERE vec_id % 10 = 0
+        """,
+        "dedup_semantic": """
+            SELECT (count(*) + (SELECT count(*) FROM embeddings
+                                WHERE vec_id % 53 = 0))::BIGINT AS n_rows,
+                   (SELECT count(*) FROM embeddings
+                    WHERE vec_id % 53 = 0)::BIGINT AS n_twins,
+                   TRUE AS conserved, TRUE AS twins_all_dropped,
+                   TRUE AS dropped_have_evidence,
+                   TRUE AS cluster_minima_kept
+            FROM embeddings
         """,
     }
 

@@ -876,3 +876,84 @@ def margin_pairs(
         )
         .orderBy("a_id")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse k-means clustering, then WITHIN-cluster
+    pairwise cosine — a vector is dropped when some lower-id member of
+    its cluster sits above ``threshold`` (low-id-wins is deterministic
+    and auditable; the paper keeps the member farthest from the
+    centroid, an orthogonal choice). Near-dup semantics without any
+    all-pairs corpus compare: k-means confines the O(m²) GEMM to
+    cluster-local matrices.
+
+    Output: one row per input vector — (vec_id, cell, keep,
+    max_dup_ppm) where max_dup_ppm is the highest cosine (micro-units)
+    to any lower-id cluster member, -1 when the vector is the cluster's
+    lowest id.
+
+    Scale shape: centroid training is a bounded driver sample
+    (ivf.train_centroids), assignment is one Arrow matmul per batch,
+    and the dedup pass is applyInPandas grouped by cell — each task
+    holds one cluster, and the in-task GEMM is row-blocked (``block``)
+    so memory is O(block × |cluster|) not O(|cluster|²). At 100 TB,
+    n_cells scales with corpus size to keep clusters task-sized
+    (n/k items per task); a pathological mega-cluster is the documented
+    skew risk, mitigated by raising n_cells (the paper runs k≈10⁴⁻⁵).
+    """
+    from pyspark.sql import types as T
+
+    from .ivf import assign_cells, train_centroids
+
+    cents = train_centroids(
+        embeddings, n_cells, id_col=id_col, vec_col=vec_col
+    )
+    celled = assign_cells(embeddings, cents, vec_col)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("keep", T.BooleanType()),
+            T.StructField("max_dup_ppm", T.LongType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        m = len(pdf)
+        best = np.full(m, -1.0)
+        for lo in range(1, m, block):
+            hi = min(lo + block, m)
+            # rows lo..hi against ALL strictly-lower rows (0..hi-1 tri)
+            sims = x[lo:hi] @ x[:hi].T
+            for r in range(lo, hi):
+                best[r] = sims[r - lo, :r].max()
+        keep = best < thr
+        return pd.DataFrame(
+            {
+                "vec_id": pdf[id_col].astype("int64"),
+                "cell": pdf["cell"].astype("int32"),
+                "keep": keep,
+                "max_dup_ppm": np.where(
+                    best < 0, -1, np.floor(best * 1_000_000)
+                ).astype("int64"),
+            }
+        )
+
+    return (
+        celled.select(id_col, vec_col, "cell")
+        .groupBy("cell")
+        .applyInPandas(dedup_cluster, schema)
+        .orderBy("vec_id")
+    )

@@ -151,3 +151,75 @@ def test_ahash_signature_spec(spark):
     if expect >= 1 << 63:
         expect -= 1 << 64
     assert sig == expect
+
+
+# --------------------------------------------------------- semantic dedup
+def _emb(spark, vecs, ids=None):
+    ids = list(range(len(vecs))) if ids is None else ids
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": ids,
+                "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            }
+        )
+    )
+
+
+def test_semantic_dedup_drops_exact_twin_keeps_low_id(spark):
+    from bytehub_spark.operators.similarity import semantic_dedup
+
+    rng2 = np.random.default_rng(5)
+    base = rng2.normal(size=(10, 16))
+    vecs = list(base) + [base[3]]  # id 10 duplicates id 3
+    out = (
+        semantic_dedup(_emb(spark, vecs), threshold=0.95, n_cells=2)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == 11
+    assert bool(out.loc[3, "keep"])
+    assert not bool(out.loc[10, "keep"])
+    assert out.loc[10, "max_dup_ppm"] >= 999999
+
+
+def test_semantic_dedup_orthogonal_all_kept(spark):
+    from bytehub_spark.operators.similarity import semantic_dedup
+
+    vecs = list(np.eye(8))
+    out = semantic_dedup(
+        _emb(spark, vecs), threshold=0.5, n_cells=2
+    ).toPandas()
+    assert out["keep"].all()
+
+
+def test_semantic_dedup_blocking_invariant(spark):
+    # row-blocked GEMM must give identical results for any block size
+    from bytehub_spark.operators.similarity import semantic_dedup
+
+    rng2 = np.random.default_rng(9)
+    vecs = list(rng2.normal(size=(40, 8)))
+    a = (
+        semantic_dedup(_emb(spark, vecs), threshold=0.6, n_cells=1, block=3)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        semantic_dedup(
+            _emb(spark, vecs), threshold=0.6, n_cells=1, block=1024
+        )
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_semantic_dedup_conserves_rows_on_fixture(spark):
+    from bytehub_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    out = semantic_dedup(emb).toPandas()
+    assert len(out) == emb.count()
+    assert out["vec_id"].is_unique
