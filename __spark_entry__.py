@@ -1344,6 +1344,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate with injected exact twins — k-means is the non-SQL part;
         # per-vector outputs pinned in pytest
         "dedup_semantic": _semantic_dedup_invariants,
+        # WebDataset-style shard manifest: token_budget pricing + hash
+        # shard assignment + per-shard resume position — exact oracle
+        "mm_shard_manifest": lambda spark, sf: (
+            lambda docs: multimodal.shard_manifest(
+                multimodal.media_from_documents(docs), docs
+            )
+        )(load_table(spark, sf, "documents")),
+        # dedup-quality monitor: LSH candidate precision/recall vs exact
+        # Jaccard ground truth, integer ppm — exact oracle (both pair
+        # sets replay deterministically)
+        "dedup_lsh_eval": _q(dedup.lsh_dedup_eval, "documents"),
+        # domain deny-list flags (exact + subdomain suffix match) over
+        # the same injected URLs as doc_url_domains, so site1/site3 hits
+        # exist at every sf — exact oracle
+        "doc_url_blocklist": lambda spark, sf: text.url_blocklist_flags(
+            load_table(spark, sf, "documents").withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" see https://www.site"),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit(".example.com/page/"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                ).otherwise(F.col("text")),
+            )
+        ),
     }
 
 
@@ -1839,6 +1868,45 @@ def _lsh_oracles() -> dict[str, str]:
         "emb_lsh_topk": lsh_topk,
         "emb_lsh_multiprobe": mp_topk,
         "emb_ann_recall_eval": recall_eval,
+        # LSH-vs-exact-Jaccard precision/recall: band candidates from the
+        # minhash CTEs, ground truth from the exact inverted-index pair
+        # SQL, integer ppm ratios
+        "dedup_lsh_eval": f"""
+        WITH {_minhash_ctes()},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                        AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                              AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2
+        ),
+        j AS (
+            SELECT COALESCE(c.c, 0) AS c, COALESCE(t.t, 0) AS t
+            FROM (SELECT doc_a, doc_b, 1 AS c FROM cand) c
+            FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS t FROM truth) t
+            USING (doc_a, doc_b)
+        )
+        SELECT CAST(SUM(c) AS BIGINT) AS n_candidates,
+               CAST(SUM(t) AS BIGINT) AS n_truth,
+               CAST(SUM(c * t) AS BIGINT) AS n_hits,
+               CAST(SUM(c * t) * 1000000
+                    // greatest(SUM(c), 1) AS BIGINT) AS precision_ppm,
+               CAST(SUM(c * t) * 1000000
+                    // greatest(SUM(t), 1) AS BIGINT) AS recall_ppm
+        FROM j
+    """,
     }
 
 
@@ -5140,5 +5208,88 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.media_id < b.media_id
             WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
             ORDER BY id_a, id_b
+        """,
+        # token_budget replay + deterministic hash shard + per-shard
+        # row_number resume position
+        "mm_shard_manifest": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 64 + doc_id % 4 END AS width,
+                       CASE WHEN doc_id % 3 = 0 THEN 64 END AS height,
+                       CASE WHEN doc_id % 3 <> 0
+                            THEN 1000 + (doc_id % 10) * 500
+                            END AS duration_ms,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS text_tokens
+                FROM documents
+            ),
+            b AS (
+                SELECT media_id, kind,
+                       text_tokens
+                       + CASE WHEN kind = 'image'
+                              THEN ((width + 31) // 32)
+                                   * ((height + 31) // 32) * 85
+                              ELSE 0 END
+                       + CASE WHEN kind = 'audio'
+                              THEN (duration_ms + 79) // 80
+                              ELSE 0 END
+                       + CASE WHEN kind = 'video'
+                              THEN ((duration_ms + 999) // 1000) * 2
+                              ELSE 0 END AS total_tokens
+                FROM m
+            )
+            SELECT media_id, kind, CAST(total_tokens AS BIGINT)
+                       AS total_tokens,
+                   CAST(((media_id * 1000003 + 12345) % 2147483647) % 8
+                       AS INTEGER) AS shard,
+                   total_tokens <= 4096 AS fits,
+                   CAST(row_number() OVER (
+                       PARTITION BY ((media_id * 1000003 + 12345)
+                           % 2147483647) % 8
+                       ORDER BY media_id) AS BIGINT) AS seq_in_shard
+            FROM b ORDER BY media_id
+        """,
+        "doc_url_blocklist": """
+            WITH docs AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' see https://www.site'
+                                 || CAST(doc_id % 5 AS VARCHAR)
+                                 || '.example.com/page/'
+                                 || CAST(doc_id AS VARCHAR)
+                            ELSE text END AS text
+                FROM documents
+            ),
+            u AS (
+                SELECT doc_id, unnest(regexp_extract_all(
+                           text, 'https?://[^ ]+', 0)) AS url
+                FROM docs
+            ),
+            h AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_extract(
+                           url, 'https?://([^/ ]+)', 1),
+                           '^www\\.', '') AS host
+                FROM u
+            ),
+            f AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_urls,
+                       CAST(SUM(CASE WHEN len(list_filter(
+                           ['site1.example.com', 'site3.example.com',
+                            'ads.example.org'],
+                           d -> host = d
+                                OR ends_with(host, '.' || d))) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+                FROM h GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(f.n_urls, 0) AS BIGINT) AS n_urls,
+                   CAST(COALESCE(f.n_blocked, 0) AS BIGINT) AS n_blocked,
+                   COALESCE(f.n_blocked, 0) > 0 AS blocked
+            FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+            ORDER BY d.doc_id
         """,
     }

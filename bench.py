@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "emb_margin_pairs",
     "doc_textrank",
     "ts_funnel_steps",
+    "doc_quality_classifier",
+    "mm_phash_pairs",
+    "dedup_semantic",
 ]
 
 

@@ -1158,3 +1158,46 @@ def banded_hamming_pairs(
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+def lsh_dedup_eval(
+    documents: DataFrame,
+    threshold: float = 0.2,
+    n_hashes: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup-quality monitor: precision/recall of the banded MinHash-LSH
+    candidate set against EXACT n-gram-Jaccard ground truth at
+    ``threshold`` — the dedup twin of similarity.ann_recall_eval, and
+    the number an operator watches before trusting an LSH configuration
+    on the full corpus (b/r trade recall against candidate volume; this
+    op turns that curve into a measured row). Both pair sets are
+    deterministic (FNV-hashed signatures, integer-derived Jaccard), so
+    precision/recall are integer-exact cross-engine.
+
+    One full-outer join of the two pair tables on the pair key, then a
+    single global count row — the heavy lifting stays in the two
+    operators being compared (each linear-in-corpus by their df-cut/
+    banding arguments); the eval adds one pair-keyed shuffle.
+    """
+    cand = minhash_lsh_pairs(
+        documents, n_hashes, bands, n, text_col, id_col
+    ).select("doc_a", "doc_b", F.lit(1).alias("c"))
+    truth = ngram_jaccard_pairs(
+        documents, threshold, n, text_col, id_col
+    ).select("doc_a", "doc_b", F.lit(1).alias("t"))
+    j = cand.join(truth, ["doc_a", "doc_b"], "outer")
+    return j.agg(
+        F.sum("c").cast("long").alias("n_candidates"),
+        F.sum("t").cast("long").alias("n_truth"),
+        F.sum(F.col("c") * F.col("t")).cast("long").alias("n_hits"),
+        F.expr(
+            "CAST(sum(c * t) * 1000000 div greatest(sum(c), 1) AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(sum(c * t) * 1000000 div greatest(sum(t), 1) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

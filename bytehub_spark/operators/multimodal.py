@@ -490,3 +490,45 @@ def token_budget(
         )
         .orderBy("media_id")
     )
+
+
+def shard_manifest(
+    media: DataFrame,
+    documents: DataFrame,
+    n_shards: int = 8,
+    max_seq: int = 4096,
+    **budget_kw,
+) -> DataFrame:
+    """WebDataset-style training-shard manifest for the multimodal corpus:
+    price every example in sequence positions (token_budget), flag the
+    ones that fit ``max_seq``, and hash-assign each to one of
+    ``n_shards`` output shards with a deterministic integer hash of the
+    id — shards are reproducible across runs and balanced in
+    expectation, which is what a distributed data loader needs
+    (re-sharding must not reshuffle history). ``seq_in_shard`` is the
+    example's position within its shard (media_id order), the record a
+    resumable loader checkpoints against.
+
+    Pure integer arithmetic on the token_budget join plus one
+    shard-keyed window — the window partitions on shard (n_shards
+    groups), so at 100 TB this is the one place to raise n_shards in
+    step with corpus size (real WebDataset runs use 1e4-1e5 shards,
+    which also keeps the per-shard window tiny)."""
+    b = token_budget(media, documents, **budget_kw)
+    from pyspark.sql import Window
+
+    shard = F.expr(
+        f"((media_id * 1000003 + 12345) % 2147483647) % {n_shards}"
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("media_id")
+    return (
+        b.select(
+            "media_id",
+            "kind",
+            "total_tokens",
+            shard.alias("shard"),
+            (F.col("total_tokens") <= max_seq).alias("fits"),
+        )
+        .withColumn("seq_in_shard", F.row_number().over(w).cast("long"))
+        .orderBy("media_id")
+    )

@@ -1483,3 +1483,56 @@ def quality_classifier(documents: DataFrame, dim: int = 32) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BLOCKLIST_DEFAULT = ("site1.example.com", "site3.example.com", "ads.example.org")
+
+
+def url_blocklist_flags(
+    documents: DataFrame, blocklist: tuple[str, ...] = BLOCKLIST_DEFAULT
+) -> DataFrame:
+    """Domain deny-list filtering — the crawl-hygiene pass every web
+    corpus runs before training (cf. CommonCrawl block/allow lists):
+    extract every URL, reduce to its host, and flag documents whose
+    host matches a blocked domain exactly OR as a subdomain (suffix
+    match on '.' + domain). Emits a flag per document (not a filter) so
+    the audit trail conserves rows; callers drop `blocked` downstream.
+
+    The deny list is driver-side tiny and compiled INTO the expression
+    (an `exists` over an array literal — JVM-side, no join, no shuffle
+    for the membership test); the only shuffle is the doc_id re-agg of
+    the exploded URLs, map-side combined. At 100 TB a million-entry
+    blocklist would swap the array literal for a broadcast join on the
+    registrable domain — same flag semantics.
+    """
+    urls = F.expr(r"regexp_extract_all(text, 'https?://[^ ]+', 0)")
+    host = F.regexp_replace(
+        F.regexp_extract(F.col("url"), r"https?://([^/ ]+)", 1),
+        r"^www\.",
+        "",
+    )
+    arr = ", ".join("'" + d + "'" for d in blocklist)
+    hit = F.expr(
+        f"exists(array({arr}), d -> host = d OR endswith(host, '.' || d))"
+    )
+    per_doc = (
+        documents.select("doc_id", F.explode(urls).alias("url"))
+        .select("doc_id", host.alias("host"))
+        .withColumn("hit", hit.cast("int"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum("hit").alias("n_blocked"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_urls", F.lit(0)).cast("long").alias("n_urls"),
+            F.coalesce("n_blocked", F.lit(0)).cast("long").alias("n_blocked"),
+            (F.coalesce("n_blocked", F.lit(0)) > 0).alias("blocked"),
+        )
+        .orderBy("doc_id")
+    )

@@ -223,3 +223,75 @@ def test_semantic_dedup_conserves_rows_on_fixture(spark):
     out = semantic_dedup(emb).toPandas()
     assert len(out) == emb.count()
     assert out["vec_id"].is_unique
+
+
+# ---------------------------------------------------------- shard manifest
+def test_shard_manifest_contract(spark):
+    from bytehub_spark.operators.multimodal import (
+        media_from_documents,
+        shard_manifest,
+        token_budget,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    media = media_from_documents(docs)
+    out = shard_manifest(media, docs, n_shards=8, max_seq=4096).toPandas()
+    budget = token_budget(media, docs).toPandas().set_index("media_id")
+    assert len(out) == 200 and out["media_id"].is_unique
+    # shard is the documented hash, fits matches the budget
+    expect_shard = ((out["media_id"] * 1000003 + 12345) % 2147483647) % 8
+    assert (out["shard"] == expect_shard).all()
+    for _, r in out.head(20).iterrows():
+        assert r["total_tokens"] == budget.loc[r["media_id"], "total_tokens"]
+        assert r["fits"] == (r["total_tokens"] <= 4096)
+    # per-shard resume positions are 1..n_shard contiguous in media_id order
+    for s, grp in out.sort_values("media_id").groupby("shard"):
+        assert grp["seq_in_shard"].tolist() == list(
+            range(1, len(grp) + 1)
+        )
+
+
+# ----------------------------------------------------------- url blocklist
+def test_url_blocklist_subdomain_semantics(spark):
+    from bytehub_spark.operators.text import url_blocklist_flags
+
+    docs = _docs(
+        spark,
+        [
+            "x https://www.site1.example.com/a y",      # exact (www stripped)
+            "x https://cdn.site3.example.com/b y",      # subdomain
+            "x https://site2.example.com/c y",          # not blocked
+            "x https://evilsite1.example.com/d y",      # NOT a subdomain match
+            "no urls here",
+            "https://ads.example.org/e https://site1.example.com/f",
+        ],
+    )
+    out = url_blocklist_flags(docs).toPandas().set_index("doc_id")
+    assert bool(out.loc[0, "blocked"]) and out.loc[0, "n_blocked"] == 1
+    assert bool(out.loc[1, "blocked"])
+    assert not bool(out.loc[2, "blocked"])
+    assert not bool(out.loc[3, "blocked"])
+    assert out.loc[4, "n_urls"] == 0 and not bool(out.loc[4, "blocked"])
+    assert out.loc[5, "n_blocked"] == 2
+
+
+# ----------------------------------------------------------- lsh eval
+def test_lsh_dedup_eval_counts_consistent(spark):
+    from bytehub_spark.operators.dedup import (
+        lsh_dedup_eval,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    row = lsh_dedup_eval(docs).toPandas().iloc[0]
+    n_cand = minhash_lsh_pairs(docs).count()
+    n_truth = ngram_jaccard_pairs(docs, 0.2).count()
+    assert row["n_candidates"] == n_cand
+    assert row["n_truth"] == n_truth
+    assert row["n_hits"] <= min(n_cand, n_truth)
+    assert 0 <= row["precision_ppm"] <= 1_000_000
+    assert 0 <= row["recall_ppm"] <= 1_000_000
+    # at b=32/r=2 the detection threshold ~0.18 sits below the 0.2 truth
+    # cut, so recall on real near-dups should be high
+    assert row["recall_ppm"] >= 900_000
