@@ -1457,19 +1457,26 @@ def quality_classifier(documents: DataFrame, dim: int = 32) -> DataFrame:
     the real artifact, and integer weights keep the score BIGINT-exact
     cross-engine.
 
-    Scale: one explode + one doc_id-keyed sum (map-side combined), then
-    a broadcast-join back to documents so zero-token docs still get a
-    scored row (score 0). No Python workers, no weight shuffle: the
-    weight is an inline expression of the bucket id, so the "model" adds
-    zero bytes to the shuffle.
+    Scale: one explode + ONE doc_id-keyed sum (map-side combined), then
+    a join back to documents so zero-token docs still get a scored row
+    (score 0). The bucket-count table of hash_embed is deliberately NOT
+    an intermediate: score = Σ_tokens w(bucket(token)) needs no
+    per-bucket counts, and fusing the weight into the token projection
+    saves the second (doc_id,bucket)→doc_id exchange. No Python
+    workers, no weight shuffle: the weight is an inline expression of
+    the hashed token, so the "model" adds zero bytes to the shuffle.
     """
+    h = HORNER_HASH.format(col="token")
     # w(b) in [-1001, 1001]; bucket >= 0 so plain % is already positive
-    w = f"((bucket * 1000003 + 99991) % 2003) - 1001"
+    w = f"((pmod({h}, {dim}) * 1000003 + 99991) % 2003) - 1001"
     scores = (
-        hash_embed(documents, dim)
-        .withColumn("__w", F.expr(w).cast("long"))
+        documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .where(F.length("token") > 0)
+        .select("doc_id", F.expr(w).cast("long").alias("__w"))
         .groupBy("doc_id")
-        .agg(F.sum(F.col("cnt") * F.col("__w")).alias("score"))
+        .agg(F.sum("__w").alias("score"))
     )
     return (
         documents.select("doc_id")
