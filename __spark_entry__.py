@@ -4841,13 +4841,14 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
             ),
             w{i} AS (
-                SELECT trim(replace(replace(
+                SELECT CASE WHEN left_sym IS NULL THEN syms ELSE
+                           trim(replace(replace(
                            ' ' || replace(syms, ' ', '  ') || ' ',
                            ' ' || left_sym || '  ' || right_sym || ' ',
                            ' ' || left_sym || right_sym || ' '),
-                           '  ', ' ')) AS syms,
+                           '  ', ' ')) END AS syms,
                        n
-                FROM w{i - 1} CROSS JOIN t{i}
+                FROM w{i - 1} LEFT JOIN t{i} ON TRUE
             )"""
                 for i in (1, 2, 3)
             )
@@ -5109,13 +5110,14 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
             ),
             w{i} AS (
-                SELECT trim(replace(replace(
+                SELECT CASE WHEN left_sym IS NULL THEN syms ELSE
+                           trim(replace(replace(
                            ' ' || replace(syms, ' ', '  ') || ' ',
                            ' ' || left_sym || '  ' || right_sym || ' ',
                            ' ' || left_sym || right_sym || ' '),
-                           '  ', ' ')) AS syms,
+                           '  ', ' ')) END AS syms,
                        n
-                FROM w{i - 1} CROSS JOIN t{i}
+                FROM w{i - 1} LEFT JOIN t{i} ON TRUE
             )"""
                 for i in (1, 2, 3)
             )

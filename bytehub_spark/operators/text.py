@@ -1274,22 +1274,29 @@ def _bpe_merge_loop(words: DataFrame, n_merges: int):
             )
         )
         merge_rows.append(top1)
+        # LEFT join, not crossJoin: a round with NO adjacent pair left
+        # (fully-merged or single-char vocabulary) yields an empty argmax
+        # row, and a cross join would annihilate the word table — words
+        # must pass through unchanged instead (hypothesis-found edge)
         words = scratch_persist(
-            words.crossJoin(
+            words.join(
                 F.broadcast(
                     top1.select(
                         F.col("left_sym").alias("__a"),
                         F.col("right_sym").alias("__b"),
                     )
-                )
+                ),
+                F.lit(True),
+                "left",
             )
             .withColumn(
                 "syms",
                 F.expr(
+                    "CASE WHEN __a IS NULL THEN syms ELSE "
                     "trim(replace(replace("
                     "' ' || replace(syms, ' ', '  ') || ' ', "
                     "' ' || __a || '  ' || __b || ' ', "
-                    "' ' || __a || __b || ' '), '  ', ' '))"
+                    "' ' || __a || __b || ' '), '  ', ' ')) END"
                 ),
             )
             .select("syms", "n")
