@@ -289,3 +289,39 @@ def test_round3c_attribution_diff_bpe_plan_shapes(spark):
     p = _plan(text.bpe_train(docs, n_merges=2))
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_round3d_ops_plan_shapes(spark):
+    """classifier: single doc-keyed agg (3 exchanges total incl. the
+    flag-join and output sort), no Python stages; blocklist: membership
+    is an inline exists() — no extra join beyond the flag-join; shard
+    manifest: no cartesian, no Python; ahash band join covered in
+    test_round3d. bpe_encode keeps the TakeOrdered argmax and gains a
+    1-row broadcast LEFT join (the empty-round passthrough) — never a
+    cartesian product."""
+    from bytehub_spark.operators import multimodal, text
+
+    docs = load_table(spark, SF, "documents")
+
+    p = _plan(text.quality_classifier(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange") <= 3
+    assert "CartesianProduct" not in p
+
+    p = _plan(text.url_blocklist_flags(docs))
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") \
+        + p.count("BroadcastHashJoin") <= 1
+
+    p = _plan(
+        multimodal.shard_manifest(
+            multimodal.media_from_documents(docs), docs
+        )
+    )
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+    p = _plan(text.bpe_encode(docs, n_merges=2))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
