@@ -1355,6 +1355,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Jaccard ground truth, integer ppm — exact oracle (both pair
         # sets replay deterministically)
         "dedup_lsh_eval": _q(dedup.lsh_dedup_eval, "documents"),
+        # weighted deterministic source interleave (stride scheduling):
+        # integer virtual-time schedule keys — exact oracle
+        "cur_interleave": _q(curation.interleave_sources, "documents"),
         # domain deny-list flags (exact + subdomain suffix match) over
         # the same injected URLs as doc_url_domains, so site1/site3 hits
         # exist at every sf — exact oracle
@@ -5293,5 +5296,21 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(f.n_blocked, 0) > 0 AS blocked
             FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
             ORDER BY d.doc_id
+        """,
+        # stride-schedule replay: same rank window, same integer
+        # virtual-time formula
+        "cur_interleave": """
+            WITH r AS (
+                SELECT doc_id, source,
+                       CAST(row_number() OVER (
+                           PARTITION BY source ORDER BY doc_id
+                       ) - 1 AS BIGINT) AS src_rank,
+                       CAST((length(source) % 3) + 1 AS BIGINT) AS weight
+                FROM documents
+            )
+            SELECT doc_id, source, src_rank, weight,
+                   CAST((2 * src_rank + 1) * 1000000
+                        // (2 * weight) AS BIGINT) AS vt_u
+            FROM r ORDER BY vt_u, source, doc_id
         """,
     }

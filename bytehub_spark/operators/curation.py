@@ -725,3 +725,47 @@ def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
     return (
         diff.groupBy("status").agg(F.count("*").alias("n")).orderBy("status")
     )
+
+
+def interleave_sources(
+    documents: DataFrame,
+    weights: Mapping[str, int] | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted deterministic source interleaving — the training-order
+    artifact of `interleave_datasets`: sources are consumed in a stride
+    schedule so a weight-3 source contributes 3 examples for every 1 of
+    a weight-1 source, evenly spread (not block-wise). Each document's
+    schedule key is the classic stride virtual time
+    ``vt_u = (2·rank+1)·1e6 // (2·weight)`` over its within-source rank;
+    reading rows by (vt_u, source, id) IS the epoch order. Integer
+    arithmetic end-to-end — the schedule replays exactly cross-engine.
+
+    Unspecified sources default to weight ``(length(source) % 3) + 1``
+    (a deterministic stand-in for a shipped weight table — wired so the
+    gate exercises unequal strides at every sf).
+
+    Scale shape: one source-keyed window for ranks (few heavy groups —
+    same hot-key caveat as length_profile), then a projection; the
+    output order is conveyed BY vt_u (a range-partition sort, never a
+    single-task global row_number — cf. epoch_shuffle's shard trick).
+    """
+    if weights:
+        w_expr = "CASE " + " ".join(
+            f"WHEN {group_col} = '{s}' THEN {int(w)}" for s, w in weights.items()
+        ) + f" ELSE (length({group_col}) % 3) + 1 END"
+    else:
+        w_expr = f"(length({group_col}) % 3) + 1"
+    rank_w = Window.partitionBy(group_col).orderBy(id_col)
+    return (
+        documents.select(id_col, group_col)
+        .withColumn("src_rank", F.row_number().over(rank_w).cast("long") - 1)
+        .withColumn("weight", F.expr(w_expr).cast("long"))
+        .withColumn(
+            "vt_u",
+            F.expr("(2 * src_rank + 1) * 1000000 div (2 * weight)"),
+        )
+        .select(id_col, group_col, "src_rank", "weight", "vt_u")
+        .orderBy("vt_u", group_col, id_col)
+    )

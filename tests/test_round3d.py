@@ -295,3 +295,37 @@ def test_lsh_dedup_eval_counts_consistent(spark):
     # at b=32/r=2 the detection threshold ~0.18 sits below the 0.2 truth
     # cut, so recall on real near-dups should be high
     assert row["recall_ppm"] >= 900_000
+
+
+# ------------------------------------------------------------- interleave
+def test_interleave_stride_schedule(spark):
+    from bytehub_spark.operators.curation import interleave_sources
+
+    # weight 2 source 'aa' vs weight 1 source 'b': in any prefix of the
+    # schedule, 'aa' count >= 'b' count, and overall evenly interleaved
+    docs = _docs(spark, [f"t{i}" for i in range(9)])
+    docs = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 3 < 2, "aa").otherwise("b")
+    )
+    out = interleave_sources(
+        docs, weights={"aa": 2, "b": 1}
+    ).toPandas()
+    order = out.sort_values(["vt_u", "source", "doc_id"])["source"].tolist()
+    na = nb = 0
+    for s in order:
+        na, nb = na + (s == "aa"), nb + (s == "b")
+        assert na >= nb  # stride keeps the heavy source ahead
+    assert na == 6 and nb == 3
+    # vt formula check
+    r0 = out[(out.source == "aa") & (out.src_rank == 0)].iloc[0]
+    assert r0["vt_u"] == 1000000 // 4
+
+
+def test_interleave_default_weights_deterministic(spark):
+    from bytehub_spark.operators.curation import interleave_sources
+
+    docs = load_table(spark, SF, "documents").limit(60)
+    a = interleave_sources(docs).toPandas()
+    b = interleave_sources(docs).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["weight"] == (a["source"].str.len() % 3) + 1).all()
