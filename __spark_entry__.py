@@ -1358,6 +1358,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted deterministic source interleave (stride scheduling):
         # integer virtual-time schedule keys — exact oracle
         "cur_interleave": _q(curation.interleave_sources, "documents"),
+        # embedding-health monitor (norm mass + adjacent-pair cosine
+        # profile, floor-quantized integer sums) — exact oracle
+        "emb_health": _q(similarity.embedding_health, "embeddings"),
         # domain deny-list flags (exact + subdomain suffix match) over
         # the same injected URLs as doc_url_domains, so site1/site3 hits
         # exist at every sf — exact oracle
@@ -5296,6 +5299,50 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(f.n_blocked, 0) > 0 AS blocked
             FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
             ORDER BY d.doc_id
+        """,
+        # embedding-health replay: milli-quantized components, BIGINT
+        # dots/norms, floor-quantized adjacent-pair cosine
+        "emb_health": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+                FROM embeddings
+            ),
+            n AS (
+                SELECT vec_id, qv,
+                       CAST(list_sum(list_transform(
+                           range(1, len(qv) + 1),
+                           i -> qv[i] * qv[i])) AS BIGINT) AS qnorm2
+                FROM q
+            ),
+            s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                       CAST(SUM(qnorm2) AS BIGINT) AS sum_qnorm2,
+                       CAST(MIN(qnorm2) AS BIGINT) AS min_qnorm2,
+                       CAST(MAX(qnorm2) AS BIGINT) AS max_qnorm2,
+                       CAST(SUM(CASE WHEN qnorm2 < 10000 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_near_zero
+                FROM n
+            ),
+            p AS (
+                SELECT CAST(floor(CAST(list_sum(list_transform(
+                           range(1, len(a.qv) + 1),
+                           i -> a.qv[i] * b.qv[i])) AS DOUBLE) * 1000000
+                           / (sqrt(CAST(a.qnorm2 AS DOUBLE))
+                              * sqrt(CAST(b.qnorm2 AS DOUBLE))))
+                       AS BIGINT) AS qcos
+                FROM n a JOIN n b ON b.vec_id = a.vec_id + 1
+                WHERE a.qnorm2 > 0 AND b.qnorm2 > 0
+            ),
+            ps AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(qcos) AS BIGINT) AS sum_qcos,
+                       CAST(MIN(qcos) AS BIGINT) AS min_qcos,
+                       CAST(MAX(qcos) AS BIGINT) AS max_qcos
+                FROM p
+            )
+            SELECT * FROM s CROSS JOIN ps
         """,
         # stride-schedule replay: same rank window, same integer
         # virtual-time formula

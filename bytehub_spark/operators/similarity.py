@@ -957,3 +957,78 @@ def semantic_dedup(
         .applyInPandas(dedup_cluster, schema)
         .orderBy("vec_id")
     )
+
+
+def embedding_health(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus embedding-health monitor — the one-row table a training
+    pipeline alerts on: squared-norm mass (dead/exploding vectors) and
+    the adjacent-pair cosine profile (representation collapse pushes the
+    mean pairwise cosine toward 1; healthy high-dim embeddings sit near
+    0). The pair sample is the deterministic adjacent-id stride
+    (vec_id, vec_id+1) — unbiased enough for a monitor, reproducible
+    everywhere, and NOT an all-pairs scan: at 100 TB the monitor costs
+    one pass plus one slim self-join on the id.
+
+    Exactness: components are floor-quantized to milli-units FIRST, so
+    dots and norms are pure BIGINT arithmetic; the cosine then divides
+    identical integers through single IEEE ops (cast/sqrt/mul/div are
+    each correctly rounded), so floor(cos·1e6) is deterministic
+    cross-engine — stricter than the round-4 policy the GEMM dedup ops
+    use, as befits a monitor that integer-sums its quantities.
+    Zero-norm vectors are counted in n_near_zero and excluded from the
+    pair profile (cosine undefined).
+    """
+    qv = (
+        f"transform({vec_col}, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    )
+    idot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, "
+        "(acc, v) -> acc + v)"
+    )
+    from ..plans.scratch import scratch_persist
+
+    q = scratch_persist(
+        embeddings.select(
+            F.col(id_col), F.expr(qv).alias("qv")
+        ).withColumn(
+            "qnorm2", F.expr(idot.format(a="qv", b="qv"))
+        )
+    )
+    stats = q.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("qnorm2").alias("sum_qnorm2"),
+        F.min("qnorm2").alias("min_qnorm2"),
+        F.max("qnorm2").alias("max_qnorm2"),
+        F.sum((F.col("qnorm2") < 10_000).cast("long")).alias("n_near_zero"),
+    )
+    a = q.select(
+        F.col(id_col).alias("ida"),
+        F.col("qv").alias("va"),
+        F.col("qnorm2").alias("qa2"),
+    )
+    b = q.select(
+        (F.col(id_col) - 1).alias("ida"),
+        F.col("qv").alias("vb"),
+        F.col("qnorm2").alias("qb2"),
+    )
+    cos_u = (
+        f"CAST(floor(CAST({idot.format(a='va', b='vb')} AS DOUBLE) * 1000000 "
+        "/ (sqrt(CAST(qa2 AS DOUBLE)) * sqrt(CAST(qb2 AS DOUBLE)))) AS BIGINT)"
+    )
+    pairs = (
+        a.join(b, "ida")
+        .where((F.col("qa2") > 0) & (F.col("qb2") > 0))
+        .select(F.expr(cos_u).alias("qcos"))
+    )
+    pstats = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("qcos").alias("sum_qcos"),
+        F.min("qcos").alias("min_qcos"),
+        F.max("qcos").alias("max_qcos"),
+    )
+    return stats.crossJoin(pstats)

@@ -329,3 +329,33 @@ def test_interleave_default_weights_deterministic(spark):
     b = interleave_sources(docs).toPandas()
     pd.testing.assert_frame_equal(a, b)
     assert (a["weight"] == (a["source"].str.len() % 3) + 1).all()
+
+
+# --------------------------------------------------------- embedding health
+def test_embedding_health_detects_collapse_and_dead(spark):
+    from bytehub_spark.operators.similarity import embedding_health
+
+    # ids 0..5: five copies of one direction (collapse) + one dead vector
+    v = [0.5] * 8
+    vecs = [v] * 5 + [[0.0] * 8]
+    out = embedding_health(_emb(spark, vecs)).toPandas().iloc[0]
+    assert out["n_vecs"] == 6
+    assert out["n_near_zero"] == 1
+    # adjacent pairs among ids 0..4 are identical -> qcos ~ 1e6 each;
+    # the (4,5) pair is excluded (zero norm)
+    assert out["n_pairs"] == 4
+    assert out["min_qcos"] >= 999999
+    # healthy-looking orthogonal corpus: mean cosine 0
+    eye = list(np.eye(6))
+    out2 = embedding_health(_emb(spark, eye)).toPandas().iloc[0]
+    assert out2["n_pairs"] == 5 and out2["sum_qcos"] == 0
+
+
+def test_embedding_health_fixture_sane(spark):
+    from bytehub_spark.operators.similarity import embedding_health
+
+    emb = load_table(spark, SF, "embeddings")
+    out = embedding_health(emb).toPandas().iloc[0]
+    assert out["n_vecs"] == emb.count()
+    assert out["n_pairs"] <= out["n_vecs"] - 1
+    assert -1_000_000 <= out["min_qcos"] <= out["max_qcos"] <= 1_000_000
