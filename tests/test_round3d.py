@@ -359,3 +359,40 @@ def test_embedding_health_fixture_sane(spark):
     assert out["n_vecs"] == emb.count()
     assert out["n_pairs"] <= out["n_vecs"] - 1
     assert -1_000_000 <= out["min_qcos"] <= out["max_qcos"] <= 1_000_000
+
+
+# ------------------------------------------------------ end-to-end chain
+def test_new_ops_compose_end_to_end(spark):
+    """Realistic curation chain over the fixture corpus: classifier
+    keep-filter -> blocklist drop -> shard manifest over survivors.
+    Checks the stages compose lazily (one action at the end) and row
+    accounting is consistent at every step."""
+    from bytehub_spark.operators.multimodal import (
+        media_from_documents,
+        shard_manifest,
+    )
+    from bytehub_spark.operators.text import (
+        quality_classifier,
+        url_blocklist_flags,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    n_docs = docs.count()
+    kept = quality_classifier(docs).where("label = 'keep'").select("doc_id")
+    clean = (
+        url_blocklist_flags(docs)
+        .where(~F.col("blocked"))
+        .select("doc_id")
+        .join(kept, "doc_id")
+    )
+    survivors = docs.join(clean, "doc_id")
+    manifest = shard_manifest(
+        media_from_documents(survivors), survivors, n_shards=4
+    )
+    out = manifest.toPandas()
+    n_kept = kept.count()
+    assert 0 < len(out) <= n_kept <= n_docs
+    assert out["media_id"].is_unique
+    assert set(out["shard"].unique()) <= {0, 1, 2, 3}
+    # every surviving doc has exactly one manifest row
+    assert len(out) == survivors.count()
