@@ -83,30 +83,33 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 # NTZ cast) and the TPC-H tail. Everything outside the 50 has a green row
 # in r01∪r02 and is swept locally at sf0.01+sf0.1 via check_oracle.py.
 _GATE_FIRST = [
-    # --- (a) never driver-gated before this round ---
-    "ts_ohlc_bars", "ts_gap_report", "ts_first_touch", "ts_level_shifts",
-    "ts_user_profiles", "ts_seasonal_anomaly", "dedup_containment",
-    "dedup_rate_by_source", "doc_bpe_pairs", "cur_corpus_pipeline",
-    "emb_label_outliers", "mm_chunk_audio",
-    "emb_pca_project", "emb_pca_spectrum", "emb_pq_topk", "emb_ivf_pq_topk",
-    # --- (b) hashing/registration changed in round 3 ---
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_lsh_novelty",
-    "dedup_incremental_lsh", "dedup_embedding_cosine_lsh", "emb_lsh_topk",
-    "emb_ivf_topk", "cur_pack_greedy",
+    # Round-4 rotation (VERDICT r03 item 1): ALL 40 queries registered
+    # after r03's 50-slot gate filled — i.e. queries() minus
+    # CORRECTNESS_r01∪r02∪r03 keys — go first, bringing union driver
+    # coverage to 172/172. All 40 were locally swept at 3 scales in r03.
+    # --- (a) never driver-gated: round-3 second/third/fourth sessions ---
+    "mm_tile_plan", "ts_weekly_growth", "doc_sentence_stats",
+    "cur_split_leakage", "emb_ann_recall_eval", "doc_line_dedup",
+    "doc_ngram_novelty", "ts_lateness_audit", "ts_event_pmi",
+    "ts_asof_nearest", "dedup_simhash_pairs", "emb_matryoshka_recall",
+    "mm_modality_mix", "ts_basket_pmi", "ts_debounce", "emb_margin_pairs",
+    "cur_epoch_shuffle", "doc_textrank", "ts_funnel_steps",
+    "ts_attribution_linear", "ts_zorder_keys", "ts_snapshot_diff",
+    "doc_bpe_train", "doc_hash_embed", "ts_active_users",
+    "doc_url_domains", "mm_token_budget", "doc_quality_pct",
+    "doc_length_profile", "doc_oov_rate", "doc_code_detect",
+    "doc_bpe_encode", "doc_quality_classifier", "mm_phash_pairs",
+    "dedup_semantic", "mm_shard_manifest", "dedup_lsh_eval",
+    "cur_interleave", "emb_health", "doc_url_blocklist",
+    # --- (b) new in round 4 (never driver-gated) ---
+    "emb_margin_pairs_lsh",
     # --- (c) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (d) new in round 3 (never driver-gated) ---
-    "link_fuzzy_docs", "ts_decay_score", "ts_sketch_accuracy",
-    "doc_bigram_lm", "cur_sample_k_per_group", "dedup_source_overlap",
-    "emb_stored_ivf_pq", "emb_pq_novelty",
-    "doc_domain_affinity", "cur_quality_rebalance", "ts_top_paths",
-    "ts_quality_audit", "ts_churn_labels", "ts_rollup_incremental",
-    "ts_mad_outliers", "ts_heavy_hitters",
-    "emb_hard_negatives", "doc_langid_confusion", "dedup_two_stage",
-    "emb_lsh_multiprobe", "doc_bigram_xent", "ts_value_drift",
-    "emb_ivf_pq_append",
-    # --- (e) r01-only greens refreshed (NTZ-affected ts family first;
-    # the tail dropped this round has r01∪r02 green rows + local sweeps) ---
+    # --- (d) stalest refresh: r01-only greens whose code or plan changed
+    # since (ts_dedup_latest got the r03 WindowGroupLimit plan fix;
+    # tpch_q3 is the r03 bench-regression re-measure target) ---
+    "ts_dedup_latest", "tpch_q3", "tpch_q1", "tpch_q6", "doc_fingerprint",
+    "doc_lang_id",
 ]
 
 
@@ -542,8 +545,15 @@ def _semantic_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    twins = emb.where(F.col("vec_id") % 53 == 0).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(1000000000)
+    # twins only of NONZERO-norm originals: semantic_dedup normalizes with
+    # max(norm, eps), so a zero-norm vector's exact twin sits at cosine 0
+    # and is legitimately kept — it must not count against the gate.
+    nonzero = F.expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + x * x) > 0"
+    )
+    twins = (
+        emb.where((F.col("vec_id") % 53 == 0) & nonzero)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(1000000000))
     )
     out = similarity.semantic_dedup(
         emb.unionByName(twins), threshold=0.95
@@ -1212,6 +1222,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         )(load_table(spark, sf, "embeddings")),
+        # the 100 TB scale mode of margin mining (VERDICT r03 item 2):
+        # SRP-bucketed candidates (8 planes × 6 bands), integer-quantized
+        # cosines, candidate-top-k ratio margin — same twin injection
+        # (exact copies co-bucket in EVERY band, so the gate is
+        # non-vacuous at every sf); no broadcast of B anywhere — exact
+        # oracle replays buckets + int dots relationally
+        "emb_margin_pairs_lsh": lambda spark, sf: (
+            lambda emb: similarity.margin_pairs_lsh(
+                emb.unionByName(
+                    emb.where(
+                        (F.col("label") == 0) & (F.col("vec_id") % 10 == 0)
+                    ).select(
+                        (F.col("vec_id") + 200000).alias("vec_id"),
+                        "embedding",
+                        F.lit(1).cast("int").alias("label"),
+                    )
+                )
+            )
+        )(load_table(spark, sf, "embeddings")),
         # deterministic epoch shuffle: (shard, pos) training order from
         # two LCG rounds mod 2^31-1 — hash-bucket + per-shard sort, the
         # 100 TB shuffle shape (no global orderBy) — exact oracle
@@ -1432,7 +1461,7 @@ def _minhash_ctes(doc_filter: str = "") -> str:
         )"""
 
 
-def _cosine_bucket_ctes(n_planes: int, bands: int) -> str:
+def _cosine_bucket_ctes(n_planes: int, bands: int, src: str = "embeddings") -> str:
     """CTE chain embeddings→quantized dims→plane signs→banded bucket ids,
     mirroring similarity.hyperplane_signature / lsh_cosine_buckets: int64
     dots of floor(v·1e6) against ±1 planes — order-independent integer
@@ -1443,7 +1472,7 @@ def _cosine_bucket_ctes(n_planes: int, bands: int) -> str:
             SELECT vec_id, d,
                    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0)
                         AS BIGINT) AS q
-            FROM embeddings, (SELECT unnest(generate_series(0, 255)) AS d)
+            FROM {src}, (SELECT unnest(generate_series(0, 255)) AS d)
             WHERE d < len(embedding)
         ),
         planes AS (
@@ -4603,6 +4632,68 @@ def oracle_sql() -> dict[str, str]:
                 JOIN asum USING (a_id) JOIN bsum USING (b_id)
                 JOIN b1 ON b1.b_id = f1.b_id
                 WHERE sa + sb > 0
+            )
+            SELECT * FROM sel WHERE margin_u >= 1020000 ORDER BY a_id
+        """,
+        # LSH scale mode: SRP buckets (8 planes × 6 bands) + integer dots
+        # replayed relationally — candidate set, cos_u, and the
+        # generalized candidate-top-k margin are ALL integer-derived, so
+        # the match is bit-exact (no GEMM rounding reliance)
+        "emb_margin_pairs_lsh": f"""
+            WITH embu AS (
+                SELECT vec_id, embedding, label FROM embeddings
+                UNION ALL
+                SELECT vec_id + 200000, embedding, 1
+                FROM embeddings WHERE label = 0 AND vec_id % 10 = 0
+            ),
+            {_cosine_bucket_ctes(8, 6, src="embu")},
+            norms AS (SELECT vec_id, SUM(q * q) AS nq FROM dims GROUP BY vec_id),
+            lab AS (SELECT vec_id, label FROM embu),
+            ba AS (SELECT vec_id AS a_id, band, bucket
+                   FROM buckets JOIN lab USING (vec_id) WHERE label = 0),
+            bb AS (SELECT vec_id AS b_id, band, bucket
+                   FROM buckets JOIN lab USING (vec_id) WHERE label = 1),
+            cand AS (SELECT DISTINCT a_id, b_id FROM ba JOIN bb USING (band, bucket)),
+            na AS (SELECT vec_id AS a_id, nq AS naa FROM norms
+                   JOIN lab USING (vec_id) WHERE label = 0 AND nq > 0),
+            nb AS (SELECT vec_id AS b_id, nq AS nbb FROM norms
+                   JOIN lab USING (vec_id) WHERE label = 1 AND nq > 0),
+            pdots AS (
+                SELECT c.a_id, c.b_id, SUM(da.q * db.q) AS dab
+                FROM cand c
+                JOIN dims da ON da.vec_id = c.a_id
+                JOIN dims db ON db.vec_id = c.b_id AND db.d = da.d
+                GROUP BY c.a_id, c.b_id
+            ),
+            scored AS (
+                SELECT p.a_id, p.b_id,
+                       CAST(round(10000 * (CAST(dab AS DOUBLE)
+                            / (sqrt(CAST(naa AS DOUBLE))
+                               * sqrt(CAST(nbb AS DOUBLE)))), 0)
+                           AS BIGINT) AS cos_u
+                FROM pdots p JOIN na USING (a_id) JOIN nb USING (b_id)
+            ),
+            fwd AS (SELECT *, row_number() OVER (
+                        PARTITION BY a_id ORDER BY cos_u DESC, b_id) AS r
+                    FROM scored),
+            bwd AS (SELECT *, row_number() OVER (
+                        PARTITION BY b_id ORDER BY cos_u DESC, a_id) AS r
+                    FROM scored),
+            aagg AS (SELECT a_id, SUM(cos_u) AS sa, COUNT(*) AS ca
+                     FROM fwd WHERE r <= 4 GROUP BY a_id),
+            bagg AS (SELECT b_id, SUM(cos_u) AS sb, COUNT(*) AS cb
+                     FROM bwd WHERE r <= 4 GROUP BY b_id),
+            f1 AS (SELECT a_id, b_id, cos_u FROM fwd WHERE r = 1),
+            b1 AS (SELECT b_id, a_id AS best_a FROM bwd WHERE r = 1),
+            sel AS (
+                SELECT f1.a_id, f1.b_id, f1.cos_u,
+                       CAST((2 * ca * cb * f1.cos_u * 1000000)
+                           // (cb * sa + ca * sb) AS BIGINT) AS margin_u,
+                       (b1.best_a = f1.a_id) AS mutual
+                FROM f1
+                JOIN aagg USING (a_id) JOIN bagg USING (b_id)
+                JOIN b1 ON b1.b_id = f1.b_id
+                WHERE f1.cos_u > 0 AND cb * sa + ca * sb > 0
             )
             SELECT * FROM sel WHERE margin_u >= 1020000 ORDER BY a_id
         """,

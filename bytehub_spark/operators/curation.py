@@ -751,17 +751,26 @@ def interleave_sources(
     output order is conveyed BY vt_u (a range-partition sort, never a
     single-task global row_number — cf. epoch_shuffle's shard trick).
     """
+    # chained F.when, NOT f-string SQL: a source name containing a quote
+    # must stay data, never become expression text.
+    default_w = (F.length(F.col(group_col)) % 3 + 1).cast("long")
     if weights:
-        w_expr = "CASE " + " ".join(
-            f"WHEN {group_col} = '{s}' THEN {int(w)}" for s, w in weights.items()
-        ) + f" ELSE (length({group_col}) % 3) + 1 END"
+        w_col = None
+        for s, w in weights.items():
+            cond = F.col(group_col) == F.lit(s)
+            w_col = (
+                F.when(cond, F.lit(int(w)))
+                if w_col is None
+                else w_col.when(cond, F.lit(int(w)))
+            )
+        w_col = w_col.otherwise(default_w).cast("long")
     else:
-        w_expr = f"(length({group_col}) % 3) + 1"
+        w_col = default_w
     rank_w = Window.partitionBy(group_col).orderBy(id_col)
     return (
         documents.select(id_col, group_col)
         .withColumn("src_rank", F.row_number().over(rank_w).cast("long") - 1)
-        .withColumn("weight", F.expr(w_expr).cast("long"))
+        .withColumn("weight", w_col)
         .withColumn(
             "vt_u",
             F.expr("(2 * src_rank + 1) * 1000000 div (2 * weight)"),

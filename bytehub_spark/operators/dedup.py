@@ -1190,14 +1190,21 @@ def lsh_dedup_eval(
         documents, threshold, n, text_col, id_col
     ).select("doc_a", "doc_b", F.lit(1).alias("t"))
     j = cand.join(truth, ["doc_a", "doc_b"], "outer")
+    # coalesce every aggregate: on a corpus with no near-dups (or no LSH
+    # candidates) sum() over all-NULL is NULL in Spark while the DuckDB
+    # oracle COALESCEs per-row to 0 — the counts contract is integer 0.
     return j.agg(
-        F.sum("c").cast("long").alias("n_candidates"),
-        F.sum("t").cast("long").alias("n_truth"),
-        F.sum(F.col("c") * F.col("t")).cast("long").alias("n_hits"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum(F.col("c") * F.col("t")), F.lit(0))
+        .cast("long")
+        .alias("n_hits"),
         F.expr(
-            "CAST(sum(c * t) * 1000000 div greatest(sum(c), 1) AS BIGINT)"
+            "CAST(coalesce(sum(c * t), 0) * 1000000"
+            " div greatest(coalesce(sum(c), 0), 1) AS BIGINT)"
         ).alias("precision_ppm"),
         F.expr(
-            "CAST(sum(c * t) * 1000000 div greatest(sum(t), 1) AS BIGINT)"
+            "CAST(coalesce(sum(c * t), 0) * 1000000"
+            " div greatest(coalesce(sum(t), 0), 1) AS BIGINT)"
         ).alias("recall_ppm"),
     )

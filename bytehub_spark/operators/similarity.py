@@ -878,10 +878,177 @@ def margin_pairs(
     )
 
 
+def margin_pairs_lsh(
+    embeddings: DataFrame,
+    label_a: int = 0,
+    label_b: int = 1,
+    k: int = 4,
+    threshold_u: int = 1_020_000,
+    n_planes: int = 8,
+    bands: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Margin-based cross-group pair mining, LSH-bucketed — the 100 TB
+    scale mode of ``margin_pairs``: instead of broadcasting group B
+    (capped at MARGIN_BROADCAST_CAP rows in the exact mode), both groups
+    are pre-bucketed with ``lsh_cosine_buckets`` and only pairs sharing a
+    (band, bucket) are scored. No broadcast of B, no |A|·|B| matrix: the
+    pairing is a plain (band, bucket) equi-join over slim id rows, then
+    one Arrow-batched pass scores the distinct candidate set.
+
+    Semantics differ from the exact mode in exactly two documented ways:
+    (1) neighborhood sums run over each side's CANDIDATE top-k (<= k
+    rows; the ratio margin generalizes to
+    ``2·ca·cb·cos_u·1e6 div (cb·sa + ca·sb)``, which reduces to the exact
+    formula when ca = cb = k), and (2) cosines are computed over
+    1e6-quantized components — int64 dots are order-independent and the
+    remaining per-op IEEE float steps (sqrt, mul, div, round) are
+    correctly rounded in both engines, so every emitted value is
+    bit-exact replayable in the DuckDB oracle with NO rounding-boundary
+    hazard (the exact mode's GEMM relies on round-to-4 absorbing
+    summation-order ulps). Zero-norm vectors are excluded (a dead vector
+    has no cosine neighborhood); best-matches at cos_u <= 0 are dropped
+    before the margin (never pairs semantically, and keeps the integer
+    division on positive operands where Spark ``div`` and DuckDB ``//``
+    agree).
+
+    Scale shape: bucket width tunes with ``n_planes`` (buckets per band =
+    2^n_planes — grow it logarithmically with corpus size to hold
+    candidate counts flat) and recall with ``bands`` (OR-composition).
+    Shuffles: one per bucket join + one per vector fetch + the two
+    top-k windows — all keyed, all AQE-skew-splittable; nothing is
+    collected to the driver.
+    """
+    from ..plans import ensure_parallelism
+    from ..plans.scratch import scratch_persist
+
+    both = embeddings.where(
+        F.col(label_col).isin([label_a, label_b])
+    ).select(id_col, vec_col, label_col)
+    # 1e6-quantized int vectors + integer norms, n-scale (not pair-scale)
+    q_expr = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)"
+        " AS BIGINT))"
+    )
+    nq_expr = F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+    quant = (
+        both.withColumn("q", q_expr)
+        .withColumn("nq", nq_expr)
+        .where(F.col("nq") > 0)
+        .select(id_col, label_col, "q", "nq")
+    )
+    qa = quant.where(F.col(label_col) == label_a).select(
+        F.col(id_col).alias("a_id"), F.col("q").alias("qa"),
+        F.col("nq").alias("naa"),
+    )
+    qb = quant.where(F.col(label_col) == label_b).select(
+        F.col(id_col).alias("b_id"), F.col("q").alias("qb"),
+        F.col("nq").alias("nbb"),
+    )
+    # banded SRP buckets per side; candidates = any shared (band, bucket)
+    buck_a = lsh_cosine_buckets(
+        embeddings.where(F.col(label_col) == label_a), n_planes,
+        id_col, vec_col, bands=bands,
+    ).select(F.col(id_col).alias("a_id"), "band", "bucket")
+    buck_b = lsh_cosine_buckets(
+        embeddings.where(F.col(label_col) == label_b), n_planes,
+        id_col, vec_col, bands=bands,
+    ).select(F.col(id_col).alias("b_id"), "band", "bucket")
+    cand = (
+        buck_a.join(buck_b, ["band", "bucket"])
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf["qa"].tolist(), dtype=np.int64)
+            B = np.array(pdf["qb"].tolist(), dtype=np.int64)
+            dab = (A * B).sum(axis=1)  # int64: exact, order-independent
+            naa = pdf["naa"].to_numpy(dtype=np.int64)
+            nbb = pdf["nbb"].to_numpy(dtype=np.int64)
+            c = dab.astype(np.float64) / (
+                np.sqrt(naa.astype(np.float64))
+                * np.sqrt(nbb.astype(np.float64))
+            )
+            scaled = c * 1e4  # SQL ROUND: half away from zero
+            cos_u = np.where(
+                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "a_id": pdf["a_id"].to_numpy(),
+                    "b_id": pdf["b_id"].to_numpy(),
+                    "cos_u": cos_u,
+                }
+            )
+
+    scored = scratch_persist(
+        ensure_parallelism(cand.join(qa, "a_id").join(qb, "b_id"))
+        .mapInPandas(score, schema="a_id long, b_id long, cos_u long")
+    )
+    wa = Window.partitionBy("a_id").orderBy(
+        F.col("cos_u").desc(), F.col("b_id").asc()
+    )
+    wb = Window.partitionBy("b_id").orderBy(
+        F.col("cos_u").desc(), F.col("a_id").asc()
+    )
+    fwd = scored.withColumn("r", F.row_number().over(wa)).where(
+        F.col("r") <= k
+    )
+    a_agg = fwd.groupBy("a_id").agg(
+        F.sum("cos_u").alias("sa"), F.count("*").alias("ca")
+    )
+    f1 = fwd.where("r = 1").select("a_id", "b_id", "cos_u")
+    bwd = scored.withColumn("r", F.row_number().over(wb)).where(
+        F.col("r") <= k
+    )
+    b_agg = bwd.groupBy("b_id").agg(
+        F.sum("cos_u").alias("sb"), F.count("*").alias("cb")
+    )
+    b1 = bwd.where("r = 1").select("b_id", F.col("a_id").alias("best_a"))
+    return (
+        f1.where(F.col("cos_u") > 0)
+        .join(a_agg, "a_id")
+        .join(b_agg, "b_id")
+        .join(b1, "b_id")
+        .where(F.col("cb") * F.col("sa") + F.col("ca") * F.col("sb") > 0)
+        .withColumn(
+            "margin_u",
+            F.expr(
+                "(2 * ca * cb * cos_u * 1000000) div (cb * sa + ca * sb)"
+            ),
+        )
+        .where(F.col("margin_u") >= threshold_u)
+        .select(
+            "a_id", "b_id", "cos_u", "margin_u",
+            (F.col("best_a") == F.col("a_id")).alias("mutual"),
+        )
+        .orderBy("a_id")
+    )
+
+
+SEMANTIC_DEDUP_CELL_TARGET = 100_000  # aim ≤ this many rows per k-means cell
+
+
+def semantic_dedup_cells(n_rows: int, target: int = SEMANTIC_DEDUP_CELL_TARGET) -> int:
+    """Sizing rule for semantic_dedup's k-means cell count: enough cells
+    that the average cluster fits one applyInPandas task (~``target``
+    rows), floored at 16 so small corpora still get real clustering.
+    At 100 TB this is the knob that keeps the per-task GEMM bounded —
+    a fixed k means ~n/k-row clusters in ONE task each (the r03 verdict
+    trap); k ≈ n/1e5 matches the SemDeDup paper's k≈10⁴⁻⁵ regime."""
+    return max(16, -(-n_rows // target))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block: int = 1024,
@@ -904,15 +1071,19 @@ def semantic_dedup(
     (ivf.train_centroids), assignment is one Arrow matmul per batch,
     and the dedup pass is applyInPandas grouped by cell — each task
     holds one cluster, and the in-task GEMM is row-blocked (``block``)
-    so memory is O(block × |cluster|) not O(|cluster|²). At 100 TB,
-    n_cells scales with corpus size to keep clusters task-sized
-    (n/k items per task); a pathological mega-cluster is the documented
-    skew risk, mitigated by raising n_cells (the paper runs k≈10⁴⁻⁵).
+    so memory is O(block × |cluster|) not O(|cluster|²). ``n_cells``
+    defaults to the ``semantic_dedup_cells`` sizing rule (one count()
+    prepass; k ≈ n/1e5 so average clusters stay task-sized — the paper
+    runs k≈10⁴⁻⁵); pass an explicit value to skip the prepass. A
+    pathological mega-cluster remains the documented skew risk even
+    with correct k — raise n_cells further if one hot cell dominates.
     """
     from pyspark.sql import types as T
 
     from .ivf import assign_cells, train_centroids
 
+    if n_cells is None:
+        n_cells = semantic_dedup_cells(embeddings.count())
     cents = train_centroids(
         embeddings, n_cells, id_col=id_col, vec_col=vec_col
     )

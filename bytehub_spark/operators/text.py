@@ -1525,9 +1525,13 @@ def url_blocklist_flags(
         r"^www\.",
         "",
     )
-    arr = ", ".join("'" + d + "'" for d in blocklist)
-    hit = F.expr(
-        f"exists(array({arr}), d -> host = d OR endswith(host, '.' || d))"
+    # F.lit array, NOT f-string SQL: a blocklist entry containing a quote
+    # must stay data, never become expression text.
+    deny = F.array(*[F.lit(d) for d in blocklist])
+    hit = F.exists(
+        deny,
+        lambda d: (F.col("host") == d)
+        | F.col("host").endswith(F.concat(F.lit("."), d)),
     )
     per_doc = (
         documents.select("doc_id", F.explode(urls).alias("url"))
