@@ -863,7 +863,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     id_col: str = "doc_id",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Dedup clusters from near-dup pairs: connected components by
     iterative min-label propagation (component id = min doc id reachable).
@@ -871,26 +871,32 @@ def connected_components(
     Each round does (a) label <- min(label, neighbors' labels) and
     (b) pointer jumping (label <- label's label), halving the remaining
     distance to the component minimum — convergence in O(log diameter)
-    rounds, not O(diameter). Every round ends with an EAGER
-    localCheckpoint: without it the iterated plan tree nests per round
-    and planning itself OOMs the driver (observed on a 30-node path).
-    Early exit when no label changes. Vertices default to ids present in
-    pairs; pass the full corpus to include singletons.
+    rounds, not O(diameter). Every round ends with an EAGER checkpoint
+    that truncates lineage AND propagated stats (plans.iterate — without
+    the lineage cut, planning OOMs the driver on a 30-node path; without
+    the stats cut, the self-join's size estimate squares per round and
+    Catalyst's BigInt stats math dominates from ~iter 15, measured
+    0.7→153 s/iter at 50k labels). Raises if max_iter rounds pass
+    without convergence — a truncated label table is a WRONG answer for
+    a dedup operator, never a degraded one. Vertices default to ids
+    present in pairs; pass the full corpus to include singletons.
     """
-    edges = (
+    from ..plans.iterate import eager_checkpoint
+
+    edges = eager_checkpoint(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     if vertices is not None:
         verts = vertices.select(F.col(id_col).alias("src")).distinct()
     else:
         verts = edges.select("src").distinct()
-    labels = verts.withColumn("component", F.col("src")).localCheckpoint(eager=True)
+    labels = eager_checkpoint(verts.withColumn("component", F.col("src")))
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("src", "dst2"),
@@ -911,7 +917,7 @@ def connected_components(
         parents = stepped.select(
             F.col("src").alias("p_src"), F.col("component").alias("p_comp")
         )
-        new_labels = (
+        new_labels = eager_checkpoint(
             stepped.join(parents, stepped["component"] == parents["p_src"], "left")
             .select(
                 "src",
@@ -919,7 +925,6 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "src")
@@ -929,7 +934,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (labels would be silently wrong if returned)"
+        )
     return labels.select(F.col("src").alias(id_col), "component").orderBy(id_col)
 
 

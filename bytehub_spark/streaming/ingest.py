@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..plans.iterate import eager_checkpoint
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -986,7 +988,7 @@ class FunnelMonitor:
                 f"t{i}", F.coalesce(f"t{i}", f"__b{i}")
             ).drop(f"__b{i}")
         # pin the state: lineage would otherwise grow by ~k joins/batch
-        self.state = st.select("user_id", *tcols).localCheckpoint(eager=True)
+        self.state = eager_checkpoint(st.select("user_id", *tcols))
 
     def result(self) -> DataFrame:
         """Per-step reached-user counts + ppm conversions — the same
@@ -1064,7 +1066,7 @@ class ActiveUsersMonitor:
             "user_id", F.date_trunc("day", "ts").alias("day")
         ).distinct()
         st = b if self.state is None else self.state.unionByName(b).distinct()
-        self.state = st.localCheckpoint(eager=True)
+        self.state = eager_checkpoint(st)
 
     def result(self) -> DataFrame:
         days = self.state
