@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "emb_cosine_topk",
@@ -60,6 +61,7 @@ BENCH_QUERIES = [
     "doc_line_dedup",
     "ts_asof_nearest",
     "emb_margin_pairs",
+    "emb_margin_pairs_lsh",
     "doc_textrank",
     "ts_funnel_steps",
     "doc_quality_classifier",
