@@ -102,14 +102,14 @@ _GATE_FIRST = [
     "dedup_semantic", "mm_shard_manifest", "dedup_lsh_eval",
     "cur_interleave", "emb_health", "doc_url_blocklist",
     # --- (b) new in round 4 (never driver-gated) ---
-    "emb_margin_pairs_lsh",
+    "emb_margin_pairs_lsh", "emb_lsh_balance", "dedup_kmv_overlap",
+    "cur_domain_reweight", "dedup_token_inflation",
     # --- (c) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
     # --- (d) stalest refresh: r01-only greens whose code or plan changed
     # since (ts_dedup_latest got the r03 WindowGroupLimit plan fix;
     # tpch_q3 is the r03 bench-regression re-measure target) ---
-    "ts_dedup_latest", "tpch_q3", "tpch_q1", "tpch_q6", "doc_fingerprint",
-    "doc_lang_id",
+    "ts_dedup_latest", "tpch_q3",
 ]
 
 
@@ -1241,6 +1241,50 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         )(load_table(spark, sf, "embeddings")),
+        # LSH index-health monitor: per-band bucket occupancy + the exact
+        # candidate-pair volume the bucket join will produce — the signal
+        # behind every "grow n_planes with corpus size" docstring; all
+        # integer, exact oracle over the same SRP bucket CTEs
+        "emb_lsh_balance": lambda spark, sf: similarity.lsh_bucket_balance(
+            load_table(spark, sf, "embeddings")
+        ),
+        # KMV bottom-k sketch cross-source overlap estimation, with the
+        # exact-join twin for err_ppm (hll_accuracy pattern). srcM mirror
+        # injection (doc_id%7) guarantees real overlap at every sf; the
+        # sketch is deterministic FNV — bit-exact oracle
+        "dedup_kmv_overlap": lambda spark, sf: (
+            lambda docs: dedup.kmv_source_overlap(
+                docs.unionByName(
+                    docs.where(F.col("doc_id") % 7 == 0).withColumn(
+                        "source", F.lit("srcM")
+                    )
+                ),
+                k=64,
+            )
+        )(load_table(spark, sf, "documents")),
+        # DoReMi-style loss-driven domain mixture reweighting: per-domain
+        # bigram-LM excess cross-entropy -> exponential integer levels ->
+        # weight_ppm; piecewise-linear log2 keeps it transcendental-free
+        # and bit-exact
+        "cur_domain_reweight": lambda spark, sf: curation.domain_reweight_by_loss(
+            load_table(spark, sf, "documents")
+        ),
+        # token-weighted exact-dup inflation funnel (per-source + total).
+        # Injected copies (doc_id%37, +500000, alternating source) keep
+        # the gate non-vacuous: the corpus has no natural exact dups
+        "dedup_token_inflation": lambda spark, sf: (
+            lambda docs: dedup.token_dup_inflation(
+                docs.unionByName(
+                    docs.where(F.col("doc_id") % 37 == 0).select(
+                        (F.col("doc_id") + 500000).alias("doc_id"),
+                        "text",
+                        "lang",
+                        F.concat(F.lit("src"), (F.col("doc_id") % 3).cast("string")).alias("source"),
+                        "n_chars",
+                    )
+                )
+            )
+        )(load_table(spark, sf, "documents")),
         # deterministic epoch shuffle: (shard, pos) training order from
         # two LCG rounds mod 2^31-1 — hash-bucket + per-shard sort, the
         # 100 TB shuffle shape (no global orderBy) — exact oracle
@@ -4696,6 +4740,198 @@ def oracle_sql() -> dict[str, str]:
                 WHERE f1.cos_u > 0 AND cb * sa + ca * sb > 0
             )
             SELECT * FROM sel WHERE margin_u >= 1020000 ORDER BY a_id
+        """,
+        # bucket-occupancy rollup over the same SRP bucket CTEs the LSH
+        # operators join on — all integer
+        "emb_lsh_balance": f"""
+            WITH {_cosine_bucket_ctes(8, 6)},
+            pb AS (SELECT band, bucket, COUNT(*) AS c
+                   FROM buckets GROUP BY band, bucket)
+            SELECT band,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+                   CAST(MAX(c) * COUNT(*) * 1000000 // SUM(c) AS BIGINT)
+                       AS imbalance_ppm
+            FROM pb GROUP BY band ORDER BY band
+        """,
+        # KMV sketches replayed exactly: FNV fingerprints mod 2^31-1,
+        # per-source bottom-64 window, pair-merged top-64, estimator CASEs
+        "dedup_kmv_overlap": f"""
+            WITH docs2 AS (
+                SELECT doc_id, text, source FROM documents
+                UNION ALL
+                SELECT doc_id, text, 'srcM' FROM documents WHERE doc_id % 7 = 0
+            ),
+            normd AS (
+                SELECT source AS src,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM docs2
+            ),
+            fp AS (
+                SELECT DISTINCT src,
+                       CAST({_H.fnv_sql_duckdb('t')} % 2147483647 AS BIGINT) AS h
+                FROM normd
+            ),
+            sk AS (
+                SELECT src, h FROM (
+                    SELECT src, h,
+                           row_number() OVER (PARTITION BY src ORDER BY h) AS r
+                    FROM fp
+                ) WHERE r <= 64
+            ),
+            prs AS (
+                SELECT a.src AS src_a, b.src AS src_b
+                FROM (SELECT DISTINCT src FROM fp) a,
+                     (SELECT DISTINCT src FROM fp) b
+                WHERE a.src < b.src
+            ),
+            mg AS (
+                SELECT src_a, src_b, h, MAX(in_a) AS a, MIN(in_a) AS b_flag
+                FROM (
+                    SELECT p.src_a, p.src_b, s.h, 1 AS in_a
+                    FROM prs p JOIN sk s ON s.src = p.src_a
+                    UNION ALL
+                    SELECT p.src_a, p.src_b, s.h, 0
+                    FROM prs p JOIN sk s ON s.src = p.src_b
+                ) GROUP BY src_a, src_b, h
+            ),
+            tk AS (
+                SELECT src_a, src_b, h,
+                       CASE WHEN a = 1 AND b_flag = 0 THEN 1 ELSE 0 END AS in_both,
+                       row_number() OVER (
+                           PARTITION BY src_a, src_b ORDER BY h) AS r
+                FROM mg
+            ),
+            est AS (
+                SELECT src_a, src_b,
+                       CAST(COUNT(*) AS BIGINT) AS m,
+                       CAST(MAX(h) AS BIGINT) AS u_k,
+                       CAST(SUM(in_both) AS BIGINT) AS both_cnt
+                FROM tk WHERE r <= 64 GROUP BY src_a, src_b
+            ),
+            est2 AS (
+                SELECT src_a, src_b, m,
+                       CAST(CASE WHEN m < 64 THEN m
+                            ELSE CAST(63 AS BIGINT) * 2147483647 // u_k END AS BIGINT)
+                           AS est_union,
+                       CAST(CASE WHEN m < 64 THEN both_cnt
+                            ELSE both_cnt * (CAST(63 AS BIGINT) * 2147483647 // u_k) // 64
+                            END AS BIGINT) AS est_intersection
+                FROM est
+            ),
+            ex AS (
+                SELECT a.src AS src_a, b.src AS src_b,
+                       CAST(COUNT(*) AS BIGINT) AS exact_intersection
+                FROM fp a JOIN fp b ON a.h = b.h AND a.src < b.src
+                GROUP BY 1, 2
+            )
+            SELECT e.src_a, e.src_b, m, est_union, est_intersection,
+                   COALESCE(exact_intersection, 0) AS exact_intersection,
+                   CAST(abs(est_intersection - COALESCE(exact_intersection, 0))
+                        * 1000000
+                        // greatest(COALESCE(exact_intersection, 0), 1)
+                       AS BIGINT) AS err_ppm
+            FROM est2 e LEFT JOIN ex USING (src_a, src_b)
+            ORDER BY src_a, src_b
+        """,
+        # per-domain bigram xent (same piecewise-log2 chain as
+        # doc_bigram_xent, grouped by source), exponential integer levels,
+        # ppm-normalized weights
+        "cur_domain_reweight": """
+            WITH toks AS (
+                SELECT source, string_split(text, ' ') AS ws FROM documents
+            ),
+            db AS (
+                SELECT source, unnest(list_transform(
+                           range(0, len(ws) - 1),
+                           i -> ws[i + 1] || ' ' || ws[i + 2])) AS bigram
+                FROM toks WHERE len(ws) >= 2
+            ),
+            uni AS (
+                SELECT w1, COUNT(*) AS c1 FROM (
+                    SELECT unnest(ws) AS w1 FROM toks
+                ) GROUP BY w1
+            ),
+            bi AS (SELECT bigram, COUNT(*) AS c2 FROM db GROUP BY bigram),
+            j AS (
+                SELECT db.source,
+                       (length(bin(c1)) - 1)
+                           + (CAST(c1 AS DOUBLE) - power(2.0, CAST(length(bin(c1)) - 1 AS DOUBLE)))
+                             / power(2.0, CAST(length(bin(c1)) - 1 AS DOUBLE)) AS l1,
+                       (length(bin(c2)) - 1)
+                           + (CAST(c2 AS DOUBLE) - power(2.0, CAST(length(bin(c2)) - 1 AS DOUBLE)))
+                             / power(2.0, CAST(length(bin(c2)) - 1 AS DOUBLE)) AS l2
+                FROM db
+                JOIN bi USING (bigram)
+                JOIN uni ON uni.w1 = string_split(db.bigram, ' ')[1]
+            ),
+            pd AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                       CAST(SUM(CAST(floor((l1 - l2) * 1e9) AS BIGINT))
+                           AS BIGINT) AS q
+                FROM j GROUP BY source
+            ),
+            pd2 AS (
+                SELECT *, CAST(q // n_bigrams // 1000 AS BIGINT)
+                           AS mean_xent_ubits
+                FROM pd
+            ),
+            fl AS (SELECT MIN(mean_xent_ubits) AS f FROM pd2),
+            lv AS (
+                SELECT pd2.*, CAST(least(
+                           (mean_xent_ubits - f) // 100000, 6) AS INTEGER)
+                           AS level
+                FROM pd2, fl
+            ),
+            w AS (SELECT *, CAST(1 AS BIGINT) << level AS wr FROM lv),
+            t AS (SELECT SUM(wr) AS tot FROM w)
+            SELECT source, n_bigrams, mean_xent_ubits, level,
+                   CAST(wr * 1000000 // tot AS BIGINT) AS weight_ppm
+            FROM w, t ORDER BY source
+        """,
+        # corpus-wide min-id-wins exact dedup priced in tokens, per-source
+        # + __total__; injected copies replayed in the docs2 CTE
+        "dedup_token_inflation": """
+            WITH docs2 AS (
+                SELECT doc_id, text, source FROM documents
+                UNION ALL
+                SELECT doc_id + 500000, text,
+                       'src' || CAST(doc_id % 3 AS VARCHAR)
+                FROM documents WHERE doc_id % 37 = 0
+            ),
+            fp AS (
+                SELECT source AS grp, doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                           AS f,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                FROM docs2
+            ),
+            keep AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f),
+            mk AS (
+                SELECT grp, fp.doc_id, n_tok,
+                       CASE WHEN fp.doc_id <> keep_id THEN 1 ELSE 0 END AS is_dup
+                FROM fp JOIN keep USING (f)
+            ),
+            ps AS (
+                SELECT grp, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+                       SUM(is_dup) AS n_dup_docs,
+                       SUM(is_dup * n_tok) AS dup_tokens
+                FROM mk GROUP BY grp
+                UNION ALL
+                SELECT '__total__', COUNT(*), SUM(n_tok), SUM(is_dup),
+                       SUM(is_dup * n_tok)
+                FROM mk
+            )
+            SELECT grp AS source,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+                   CAST(dup_tokens AS BIGINT) AS dup_tokens,
+                   CAST(dup_tokens * 1000000 // greatest(n_tokens, 1)
+                       AS BIGINT) AS inflation_ppm
+            FROM ps ORDER BY source
         """,
         # LCG order key replayed verbatim; per-shard ROW_NUMBER = the
         # per-shard sort

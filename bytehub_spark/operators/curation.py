@@ -778,3 +778,95 @@ def interleave_sources(
         .select(id_col, group_col, "src_rank", "weight", "vt_u")
         .orderBy("vt_u", group_col, id_col)
     )
+
+
+def domain_reweight_by_loss(
+    documents: DataFrame,
+    step_ubits: int = 100_000,
+    cap_levels: int = 6,
+    group_col: str = "source",
+) -> DataFrame:
+    """Loss-driven domain mixture reweighting (DoReMi-style, Xie et al.
+    2023, arXiv:2305.10429, collapsed to its deterministic core): domains
+    whose text the corpus-level bigram LM finds HARD (high excess
+    cross-entropy over the easiest domain) get exponentially more
+    sampling weight — the "don't let easy boilerplate drown the hard
+    domains" mixture optimizer, feeding directly into mix_sources /
+    interleave_sources as the weight table.
+
+    The multiplicative-weights exponential is made engine-portable by
+    quantizing excess loss into integer LEVELS of ``step_ubits``
+    micro-bits and weighting 2^level (a BIGINT shift — no exp()):
+    weight_ppm(d) = 2^min((xent_d - min_d xent) div step, cap) · 1e6
+    div Σ. Per-domain cross-entropy reuses bigram_cross_entropy's exact
+    recipe (piecewise-linear log2, nano-bit floor-quantized terms) summed
+    per domain instead of per doc — every emitted value is integer-exact
+    cross-engine.
+
+    Scale: the same two count tables as the per-doc op (unigram + bigram,
+    both map-side combined), one join keyed on the bigram, one
+    domain-keyed rollup; the min/total normalizers are #domains-row
+    broadcasts. Nothing driver-side.
+    """
+    from .text import plog2
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    doc_bi = (
+        documents.where(n >= 2)
+        .select(F.col(group_col).alias("domain"), F.explode(bigrams).alias("bigram"))
+    )
+    uni = (
+        documents.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = doc_bi.groupBy("bigram").agg(F.count("*").alias("c2"))
+    joined = (
+        doc_bi.join(bi, "bigram")
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .join(uni, "w1")
+    )
+    term = F.floor((plog2(F.col("c1")) - plog2(F.col("c2"))) * F.lit(1e9))
+    per_dom = (
+        joined.groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(term).cast("long").alias("_q"),
+        )
+        .withColumn(
+            "mean_xent_ubits",
+            F.expr("_q div n_bigrams div 1000").cast("long"),
+        )
+    )
+    floor_row = per_dom.agg(
+        F.min("mean_xent_ubits").alias("__floor")
+    )
+    lev = (
+        per_dom.join(F.broadcast(floor_row))
+        .withColumn(
+            "level",
+            F.least(
+                F.expr(f"(mean_xent_ubits - __floor) div {int(step_ubits)}"),
+                F.lit(int(cap_levels)).cast("long"),
+            ).cast("int"),
+        )
+        .withColumn("weight_raw", F.expr("CAST(1 AS BIGINT) << level"))
+    )
+    tot = lev.agg(F.sum("weight_raw").alias("__tot"))
+    return (
+        lev.join(F.broadcast(tot))
+        .select(
+            F.col("domain").alias(group_col),
+            "n_bigrams",
+            "mean_xent_ubits",
+            "level",
+            F.expr("weight_raw * 1000000 div __tot").cast("long").alias("weight_ppm"),
+        )
+        .orderBy(group_col)
+    )

@@ -1219,3 +1219,206 @@ def lsh_dedup_eval(
             " div greatest(coalesce(sum(t), 0), 1) AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+def kmv_source_overlap(
+    documents: DataFrame,
+    k: int = 256,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    include_exact: bool = True,
+) -> DataFrame:
+    """Cross-source distinct/overlap estimation from KMV sketches — the
+    sub-linear twin of ``source_overlap_matrix``: per source keep only
+    the k MINIMUM fingerprint hash values (a KMV / bottom-k sketch,
+    Bar-Yossef et al. 2002); merging two sketches estimates the pair's
+    distinct-union count as ``(k-1)·P div U_k`` (U_k = k-th smallest of
+    the union) and the intersection as ``both·est_union div k`` (both =
+    values of the merged top-k present in BOTH sketches). When a pair
+    has fewer than k distinct values total, the sketches are complete
+    and both estimates ARE the exact counts.
+
+    The fingerprint is FNV-1a over whitespace-normalized text mod
+    2^31-1 — the engine-portable integer family every sketch op here
+    uses, so the sketch contents, estimates, and error are bit-exact
+    replayable in SQL (a DETERMINISTIC sketch: "approximate" describes
+    the estimate's relation to the truth, never run-to-run variance).
+
+    ``include_exact`` (the default, for the accuracy gate — cf.
+    hll_accuracy) joins the full fingerprint sets for the true
+    intersection and an err_ppm column; at 100 TB run est-only
+    (include_exact=False) — the whole point of the sketch is that the
+    exact join is the thing you can no longer afford.
+
+    Scale shape: one (source, h)-keyed distinct, then the per-source
+    k-minimum runs SHARDED (h%32 local top-k, then top-k over the
+    ≤32·k survivors) — no single-task global sort per source; pair
+    merging touches only #pairs·2k sketch rows.
+    """
+    from pyspark.sql import types as T
+
+    from ..plans import ensure_parallelism
+
+    P = 2147483647
+
+    @F.pandas_udf(T.LongType())
+    def _fp(texts: pd.Series) -> pd.Series:
+        from .hashing import fnv1a_cp_np
+
+        return pd.Series(
+            (fnv1a_cp_np(texts.tolist()) % np.uint64(P)).astype(np.int64)
+        )
+
+    fp = (
+        ensure_parallelism(documents)
+        .select(
+            F.col(group_col).alias("src"),
+            _fp(normalized(text_col)).alias("h"),
+        )
+        .distinct()
+    )
+    # sharded two-pass k-minimum per source (bounded windows at any scale)
+    w_shard = Window.partitionBy("src", "shard").orderBy("h")
+    w_src = Window.partitionBy("src").orderBy("h")
+    sketch = (
+        fp.withColumn("shard", F.col("h") % 32)
+        .withColumn("r", F.row_number().over(w_shard))
+        .where(F.col("r") <= k)
+        .withColumn("r2", F.row_number().over(w_src))
+        .where(F.col("r2") <= k)
+        .select("src", "h")
+    )
+    srcs = fp.select("src").distinct()
+    src_pairs = (
+        srcs.select(F.col("src").alias("src_a"))
+        .join(srcs.select(F.col("src").alias("src_b")))
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    sk_a = sketch.select(F.col("src").alias("src_a"), "h")
+    sk_b = sketch.select(F.col("src").alias("src_b"), "h")
+    merged = (
+        src_pairs.join(sk_a, "src_a")
+        .select("src_a", "src_b", "h", F.lit(1).alias("in_a"))
+        .unionByName(
+            src_pairs.join(sk_b, "src_b")
+            .select("src_a", "src_b", "h", F.lit(1).alias("in_a"))
+            .withColumn("in_a", F.lit(0))
+        )
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("a"), F.min("in_a").alias("b_flag"))
+        # present in BOTH sketches iff max(in_a)=1 AND min(in_a)=0
+        .withColumn(
+            "in_both", ((F.col("a") == 1) & (F.col("b_flag") == 0)).cast("int")
+        )
+    )
+    w_pair = Window.partitionBy("src_a", "src_b").orderBy("h")
+    topk = merged.withColumn("r", F.row_number().over(w_pair)).where(
+        F.col("r") <= k
+    )
+    est = topk.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("m"),
+        F.max("h").cast("long").alias("u_k"),
+        F.sum("in_both").cast("long").alias("both_cnt"),
+    ).select(
+        "src_a",
+        "src_b",
+        "m",
+        F.expr(
+            f"CASE WHEN m < {k} THEN m "
+            f"ELSE CAST({k - 1} AS BIGINT) * {P} div u_k END"
+        ).cast("long").alias("est_union"),
+        F.expr(
+            f"CASE WHEN m < {k} THEN both_cnt "
+            f"ELSE both_cnt * (CAST({k - 1} AS BIGINT) * {P} div u_k) div {k} END"
+        ).cast("long").alias("est_intersection"),
+    )
+    if not include_exact:
+        return est.orderBy("src_a", "src_b")
+    fpa = fp.select(F.col("src").alias("src_a"), "h")
+    fpb = fp.select(F.col("src").alias("src_b"), "h")
+    exact = (
+        fpa.join(fpb, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    return (
+        est.join(exact, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "m",
+            "est_union",
+            "est_intersection",
+            F.coalesce("exact_intersection", F.lit(0))
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "abs(est_intersection - exact_intersection) * 1000000"
+                " div greatest(exact_intersection, 1)"
+            ).cast("long"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def token_dup_inflation(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-weighted exact-dup inflation — the "what fraction of my
+    100 TB is copies" dashboard: corpus-wide exact dedup (min-id per
+    normalized fingerprint wins), then per-source counts of documents
+    and TOKENS that would be removed, plus a __total__ row. Token
+    weighting is the operational number (storage/compute cost scales
+    with tokens, not docs — a source whose few dups are its longest
+    docs is worse than dup_rate_by_group suggests). Keep-attribution is
+    GLOBAL: a copy in source B of a doc first seen in source A counts
+    against B — the same low-id-wins rule as exact_dedup, so this
+    rollup exactly prices what that operator would delete.
+
+    One fingerprint groupBy (map-side combined) + one join back on the
+    fingerprint + a #sources-row rollup; all integers — exact oracle.
+    """
+    fp = documents.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        F.md5(normalized(text_col)).alias("fingerprint"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+    )
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias("keep_id"))
+    marked = fp.join(keep, "fingerprint").withColumn(
+        "is_dup", (F.col(id_col) != F.col("keep_id")).cast("int")
+    )
+    per_src = marked.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.sum(F.col("is_dup") * F.col("n_tok")).cast("long").alias("dup_tokens"),
+    )
+    total = marked.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.sum(F.col("is_dup") * F.col("n_tok")).cast("long").alias("dup_tokens"),
+    ).select(F.lit("__total__").alias("grp"), "*")
+    return (
+        per_src.unionByName(total)
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "n_dup_docs",
+            "dup_tokens",
+            F.expr("dup_tokens * 1000000 div greatest(n_tokens, 1)")
+            .cast("long")
+            .alias("inflation_ppm"),
+        )
+        .orderBy(group_col)
+    )

@@ -673,6 +673,54 @@ def ann_recall_eval(
     )
 
 
+def lsh_bucket_balance(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    bands: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH index-health monitor: per-band bucket occupancy statistics —
+    the operator that tells you when to grow ``n_planes``. Every
+    bucketed operator in this engine (lsh_cosine_topk, margin_pairs_lsh,
+    embedding_cosine_dups) documents "n_planes must grow with corpus
+    size to hold candidate counts flat"; this emits the number that
+    rule protects: ``cand_pairs`` = Σ_buckets c·(c-1)/2 per band, the
+    exact pair volume the bucket equi-join will produce. Alert when
+    cand_pairs grows superlinearly in corpus size or ``imbalance_ppm``
+    (max bucket over mean bucket, ppm) spikes — both mean buckets are
+    too coarse (or the embedding distribution collapsed; cross-check
+    embedding_health).
+
+    One bucket pass (the same integer SRP signatures as the operators it
+    monitors — what you measure is literally what they join on) and a
+    two-level aggregation; everything integer, replayed exactly by the
+    DuckDB oracle.
+    """
+    b = lsh_cosine_buckets(
+        embeddings, n_planes, id_col, vec_col, bands=bands
+    ).select("band", "bucket")
+    per_bucket = b.groupBy("band", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("c").cast("long").alias("max_bucket_rows"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("cand_pairs"),
+        )
+        .withColumn(
+            "imbalance_ppm",
+            F.expr(
+                "max_bucket_rows * n_buckets * 1000000 div n_rows"
+            ).cast("long"),
+        )
+        .orderBy("band")
+    )
+
+
 def matryoshka_recall(
     embeddings: DataFrame,
     query_ids: list[int],

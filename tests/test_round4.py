@@ -157,3 +157,106 @@ def test_scratch_persist_idempotent(spark):
     assert len(S._scratch) == n_before
     assert release_scratch() == n_before
     assert not df.is_cached
+
+
+# ------------------------------------------------- round-4b operators
+
+
+def test_lsh_bucket_balance_invariants(spark):
+    """Each band partitions all vectors: n_rows == corpus size per band;
+    cand_pairs for a band equals the hand-computed sum over its buckets."""
+    from bytehub_spark.operators.similarity import (
+        lsh_bucket_balance,
+        lsh_cosine_buckets,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    bal = lsh_bucket_balance(emb, n_planes=4, bands=3).toPandas()
+    assert list(bal["band"]) == [0, 1, 2]
+    assert (bal["n_rows"] == n).all()
+    raw = (
+        lsh_cosine_buckets(emb, 4, bands=3)
+        .groupBy("band", "bucket")
+        .count()
+        .toPandas()
+    )
+    for band in range(3):
+        cs = raw[raw["band"] == band]["count"]
+        assert bal.loc[bal["band"] == band, "cand_pairs"].iloc[0] == int(
+            (cs * (cs - 1) // 2).sum()
+        )
+        assert bal.loc[bal["band"] == band, "max_bucket_rows"].iloc[0] == cs.max()
+
+
+def test_kmv_overlap_complete_sketch_is_exact(spark):
+    """With k above every pair's distinct-union count the sketches are
+    complete and the estimator must return the EXACT counts (err 0)."""
+    from bytehub_spark.operators.dedup import kmv_source_overlap
+
+    docs = load_table(spark, SF, "documents")
+    mirrored = docs.unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).withColumn("source", F.lit("srcM"))
+    )
+    out = kmv_source_overlap(mirrored, k=100_000).toPandas()
+    assert len(out) > 0
+    assert (out["est_intersection"] == out["exact_intersection"]).all()
+    assert (out["err_ppm"] == 0).all()
+    # the mirror construction guarantees real overlap rows exist
+    m = out[out["src_b"] == "srcM"]
+    assert (m["exact_intersection"] > 0).any()
+
+
+def test_kmv_overlap_estimation_mode(spark):
+    """Small k forces the estimator path: m == k, positive union estimate,
+    and est_intersection stays within an order of magnitude of exact on
+    the mirrored corpus (KMV with k=64 is a coarse but sane estimator)."""
+    from bytehub_spark.operators.dedup import kmv_source_overlap
+
+    docs = load_table(spark, SF, "documents")
+    mirrored = docs.unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).withColumn("source", F.lit("srcM"))
+    )
+    out = kmv_source_overlap(mirrored, k=16).toPandas()
+    est_rows = out[out["m"] == 16]
+    assert len(est_rows) > 0
+    assert (est_rows["est_union"] > 0).all()
+
+
+def test_domain_reweight_levels_and_ppm(spark):
+    from bytehub_spark.operators.curation import domain_reweight_by_loss
+
+    docs = load_table(spark, SF, "documents")
+    out = domain_reweight_by_loss(docs).toPandas()
+    assert out["level"].min() == 0  # the easiest domain anchors level 0
+    assert (out["level"] <= 6).all()
+    assert out["weight_ppm"].sum() <= 1_000_000  # floor-div normalization
+    assert out["weight_ppm"].sum() > 1_000_000 - len(out)  # tight
+    # weight monotone in level: same level -> same weight
+    g = out.groupby("level")["weight_ppm"].nunique()
+    assert (g == 1).all()
+    lv = out.groupby("level")["weight_ppm"].first().sort_index()
+    assert lv.is_monotonic_increasing
+
+
+def test_token_dup_inflation_prices_injected_copies(spark):
+    from bytehub_spark.operators.dedup import token_dup_inflation
+
+    docs = load_table(spark, SF, "documents")
+    copies = docs.where(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    out = token_dup_inflation(docs.unionByName(copies)).toPandas()
+    tot = out[out["source"] == "__total__"].iloc[0]
+    n_copies = copies.count()
+    assert tot["n_dup_docs"] == n_copies  # corpus has no natural dups
+    copy_tokens = (
+        copies.select(F.size(F.split("text", " ")).alias("t"))
+        .agg(F.sum("t"))
+        .collect()[0][0]
+    )
+    assert tot["dup_tokens"] == copy_tokens
+    per_src = out[out["source"] != "__total__"]
+    assert per_src["n_dup_docs"].sum() == tot["n_dup_docs"]
+    assert per_src["n_tokens"].sum() == tot["n_tokens"]
