@@ -103,13 +103,13 @@ _GATE_FIRST = [
     "cur_interleave", "emb_health", "doc_url_blocklist",
     # --- (b) new in round 4 (never driver-gated) ---
     "emb_margin_pairs_lsh", "emb_lsh_balance", "dedup_kmv_overlap",
-    "cur_domain_reweight", "dedup_token_inflation",
+    "cur_domain_reweight", "dedup_token_inflation", "dedup_kmv_distinct",
     # --- (c) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (d) stalest refresh: r01-only greens whose code or plan changed
-    # since (ts_dedup_latest got the r03 WindowGroupLimit plan fix;
-    # tpch_q3 is the r03 bench-regression re-measure target) ---
-    "ts_dedup_latest", "tpch_q3",
+    # --- (d) stalest refresh: ts_dedup_latest got the r03
+    # WindowGroupLimit plan fix (tpch_q3, the other candidate, was
+    # re-measured clean in a steal-checked window this round) ---
+    "ts_dedup_latest",
 ]
 
 
@@ -1262,6 +1262,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 k=64,
             )
         )(load_table(spark, sf, "documents")),
+        # per-source KMV distinct-cardinality estimation (the streaming
+        # KMVDistinctMonitor's batch twin; stream==batch pinned in
+        # pytest). k=16 keeps the ESTIMATOR path active at every sf
+        # (each source has >16 distinct docs) — deterministic sketch,
+        # bit-exact oracle
+        "dedup_kmv_distinct": lambda spark, sf: dedup.kmv_source_distinct(
+            load_table(spark, sf, "documents"), k=16
+        ),
         # DoReMi-style loss-driven domain mixture reweighting: per-domain
         # bigram-LM excess cross-entropy -> exponential integer levels ->
         # weight_ppm; piecewise-linear log2 keeps it transcendental-free
@@ -4835,6 +4843,46 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS err_ppm
             FROM est2 e LEFT JOIN ex USING (src_a, src_b)
             ORDER BY src_a, src_b
+        """,
+        # per-source bottom-16 sketch + estimator CASE, exact twin + err
+        "dedup_kmv_distinct": f"""
+            WITH normd AS (
+                SELECT source AS src,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            fp AS (
+                SELECT DISTINCT src,
+                       CAST({_H.fnv_sql_duckdb('t')} % 2147483647 AS BIGINT) AS h
+                FROM normd
+            ),
+            sk AS (
+                SELECT src, h FROM (
+                    SELECT src, h,
+                           row_number() OVER (PARTITION BY src ORDER BY h) AS r
+                    FROM fp
+                ) WHERE r <= 16
+            ),
+            est AS (
+                SELECT src, CAST(COUNT(*) AS BIGINT) AS m,
+                       CAST(MAX(h) AS BIGINT) AS u_k
+                FROM sk GROUP BY src
+            ),
+            est2 AS (
+                SELECT src, m, u_k,
+                       CAST(CASE WHEN m < 16 THEN m
+                            ELSE CAST(15 AS BIGINT) * 2147483647 // u_k
+                            END AS BIGINT) AS est_distinct
+                FROM est
+            ),
+            ex AS (
+                SELECT src, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+                FROM fp GROUP BY src
+            )
+            SELECT e.src AS source, m, u_k, est_distinct, exact_distinct,
+                   CAST(abs(est_distinct - exact_distinct) * 1000000
+                        // greatest(exact_distinct, 1) AS BIGINT) AS err_ppm
+            FROM est2 e JOIN ex USING (src) ORDER BY source
         """,
         # per-domain bigram xent (same piecewise-log2 chain as
         # doc_bigram_xent, grouped by source), exponential integer levels,

@@ -1221,6 +1221,123 @@ def lsh_dedup_eval(
     )
 
 
+KMV_PRIME = 2147483647  # fingerprint space: FNV-1a mod 2^31-1
+
+
+def kmv_fingerprints(
+    documents: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Distinct (src, h) fingerprint rows for the KMV sketch family:
+    FNV-1a over whitespace-normalized text mod 2^31-1 — the same
+    engine-portable integer hash the MinHash family replays in SQL."""
+    from pyspark.sql import types as T
+
+    from ..plans import ensure_parallelism
+
+    @F.pandas_udf(T.LongType())
+    def _fp(texts: pd.Series) -> pd.Series:
+        from .hashing import fnv1a_cp_np
+
+        return pd.Series(
+            (fnv1a_cp_np(texts.tolist()) % np.uint64(KMV_PRIME)).astype(
+                np.int64
+            )
+        )
+
+    return (
+        ensure_parallelism(documents)
+        .select(
+            F.col(group_col).alias("src"),
+            _fp(normalized(text_col)).alias("h"),
+        )
+        .distinct()
+    )
+
+
+def kmv_bottom_k(fp: DataFrame, k: int) -> DataFrame:
+    """Per-source k minimum hash values — the KMV sketch itself, as
+    (src, h) rows. Sharded two-pass (h%32 local bottom-k, then bottom-k
+    over the ≤32·k survivors): no single-task global sort per source at
+    any corpus size. Mergeable: bottom_k(A ∪ B) == bottom_k(bottom_k(A)
+    ∪ bottom_k(B)) — the property the streaming twin's state update
+    relies on."""
+    w_shard = Window.partitionBy("src", "shard").orderBy("h")
+    w_src = Window.partitionBy("src").orderBy("h")
+    return (
+        fp.withColumn("shard", F.col("h") % 32)
+        .withColumn("r", F.row_number().over(w_shard))
+        .where(F.col("r") <= k)
+        .withColumn("r2", F.row_number().over(w_src))
+        .where(F.col("r2") <= k)
+        .select("src", "h")
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Finish a KMV sketch into per-source distinct estimates:
+    (src, m, u_k, est_distinct) — est = (k-1)·P div u_k, or exactly m
+    when the sketch is complete (m < k). Pure integers."""
+    P = KMV_PRIME
+    return (
+        sketch.groupBy("src")
+        .agg(
+            F.count("*").cast("long").alias("m"),
+            F.max("h").cast("long").alias("u_k"),
+        )
+        .select(
+            "src",
+            "m",
+            "u_k",
+            F.expr(
+                f"CASE WHEN m < {k} THEN m "
+                f"ELSE CAST({k - 1} AS BIGINT) * {P} div u_k END"
+            ).cast("long").alias("est_distinct"),
+        )
+        .orderBy("src")
+    )
+
+
+def kmv_source_distinct(
+    documents: DataFrame,
+    k: int = 256,
+    text_col: str = "text",
+    group_col: str = "source",
+    include_exact: bool = True,
+) -> DataFrame:
+    """Per-source distinct-document estimation from a KMV bottom-k
+    sketch — the sub-linear cardinality monitor for a corpus too big to
+    COUNT(DISTINCT) per source (and the batch twin of the streaming
+    KMVDistinctMonitor, whose merged state must finish to EXACTLY these
+    rows — sketch merging is order-independent). ``include_exact``
+    (default, for the gate) adds the true distinct count and err_ppm;
+    at 100 TB run est-only.
+    """
+    fp = kmv_fingerprints(documents, text_col, group_col)
+    est = kmv_distinct_estimate(kmv_bottom_k(fp, k), k)
+    if not include_exact:
+        return est
+    exact = fp.groupBy("src").agg(
+        F.count("*").cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "src")
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 1000000"
+                " div greatest(exact_distinct, 1)"
+            ).cast("long"),
+        )
+        .select(
+            F.col("src").alias(group_col),
+            "m", "u_k", "est_distinct", "exact_distinct", "err_ppm",
+        )
+        .orderBy(group_col)
+    )
+
+
 def kmv_source_overlap(
     documents: DataFrame,
     k: int = 256,
@@ -1256,39 +1373,9 @@ def kmv_source_overlap(
     ≤32·k survivors) — no single-task global sort per source; pair
     merging touches only #pairs·2k sketch rows.
     """
-    from pyspark.sql import types as T
-
-    from ..plans import ensure_parallelism
-
     P = 2147483647
-
-    @F.pandas_udf(T.LongType())
-    def _fp(texts: pd.Series) -> pd.Series:
-        from .hashing import fnv1a_cp_np
-
-        return pd.Series(
-            (fnv1a_cp_np(texts.tolist()) % np.uint64(P)).astype(np.int64)
-        )
-
-    fp = (
-        ensure_parallelism(documents)
-        .select(
-            F.col(group_col).alias("src"),
-            _fp(normalized(text_col)).alias("h"),
-        )
-        .distinct()
-    )
-    # sharded two-pass k-minimum per source (bounded windows at any scale)
-    w_shard = Window.partitionBy("src", "shard").orderBy("h")
-    w_src = Window.partitionBy("src").orderBy("h")
-    sketch = (
-        fp.withColumn("shard", F.col("h") % 32)
-        .withColumn("r", F.row_number().over(w_shard))
-        .where(F.col("r") <= k)
-        .withColumn("r2", F.row_number().over(w_src))
-        .where(F.col("r2") <= k)
-        .select("src", "h")
-    )
+    fp = kmv_fingerprints(documents, text_col, group_col)
+    sketch = kmv_bottom_k(fp, k)
     srcs = fp.select("src").distinct()
     src_pairs = (
         srcs.select(F.col("src").alias("src_a"))

@@ -1110,3 +1110,44 @@ def stream_active_users(
         .start()
     )
     return q, mon
+
+
+class KMVDistinctMonitor:
+    """Streaming per-source distinct-cardinality estimation — twin of
+    dedup.kmv_source_distinct(include_exact=False). State is the merged
+    KMV bottom-k sketch (≤ k rows PER SOURCE, a distributed frame that
+    never grows past k·n_sources regardless of stream length — contrast
+    ActiveUsersMonitor, whose state grows with the data). Merging is
+    bottom_k(state ∪ batch_sketch): KMV sketches are MERGEABLE and set
+    union is order-independent, so replays and late arrivals land in the
+    identical sketch and result() equals the batch op on the union of
+    all batches, row for row."""
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.state: DataFrame | None = None
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        from ..operators.dedup import kmv_bottom_k, kmv_fingerprints
+
+        b = kmv_bottom_k(kmv_fingerprints(batch_df), self.k)
+        st = b if self.state is None else self.state.unionByName(b).distinct()
+        self.state = eager_checkpoint(kmv_bottom_k(st, self.k))
+
+    def result(self) -> DataFrame:
+        from ..operators.dedup import kmv_distinct_estimate
+
+        return kmv_distinct_estimate(self.state, self.k)
+
+
+def stream_kmv_distinct(docs: DataFrame, checkpoint_dir: str, k: int = 256):
+    """Attach a KMVDistinctMonitor to a documents stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = KMVDistinctMonitor(k=k)
+    q = (
+        docs.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

@@ -260,3 +260,65 @@ def test_token_dup_inflation_prices_injected_copies(spark):
     per_src = out[out["source"] != "__total__"]
     assert per_src["n_dup_docs"].sum() == tot["n_dup_docs"]
     assert per_src["n_tokens"].sum() == tot["n_tokens"]
+
+
+# ------------------------------------------------- streaming KMV twin
+
+
+def test_kmv_distinct_batch_estimates(spark):
+    """k above per-source distinct count: complete sketch, est == exact,
+    err 0. Small k: estimator path, positive estimates."""
+    from bytehub_spark.operators.dedup import kmv_source_distinct
+
+    docs = load_table(spark, SF, "documents")
+    full = kmv_source_distinct(docs, k=100_000).toPandas()
+    assert (full["est_distinct"] == full["exact_distinct"]).all()
+    assert (full["err_ppm"] == 0).all()
+    est = kmv_source_distinct(docs, k=8).toPandas()
+    assert (est["m"] == 8).all()
+    assert (est["est_distinct"] > 0).all()
+
+
+def test_stream_kmv_distinct_equals_batch_any_order(spark, tmp_path):
+    """KMV sketch merging is order-independent: feed document chunks in
+    reversed id order; the monitor's finished state must equal the
+    batch op (est-only mode) row for row."""
+    import os
+    import time
+
+    from bytehub_spark import streaming as st
+    from bytehub_spark.operators.dedup import kmv_source_distinct
+
+    docs = load_table(spark, SF, "documents")
+    expect = (
+        kmv_source_distinct(docs, k=16, include_exact=False)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+    pdf = docs.toPandas().sort_values("doc_id", ascending=False).reset_index(
+        drop=True
+    )
+    src = str(tmp_path / "kmv_src")
+    os.makedirs(src)
+    bounds = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(
+            src
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q, mon = st.stream_kmv_distinct(stream, str(tmp_path / "ckpt_kmv"), k=16)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    got = mon.result().toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect)
