@@ -1489,11 +1489,17 @@ def token_dup_inflation(
         F.sum("is_dup").cast("long").alias("n_dup_docs"),
         F.sum(F.col("is_dup") * F.col("n_tok")).cast("long").alias("dup_tokens"),
     )
-    total = marked.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("n_tokens"),
-        F.sum("is_dup").cast("long").alias("n_dup_docs"),
-        F.sum(F.col("is_dup") * F.col("n_tok")).cast("long").alias("dup_tokens"),
+    from ..plans.scratch import scratch_persist
+
+    per_src = scratch_persist(per_src)
+    # the __total__ row re-aggregates the #sources-row rollup, NOT the
+    # corpus (per-source sums of per-row quantities compose) — one scan
+    # of the data total, not two
+    total = per_src.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_dup_docs").cast("long").alias("n_dup_docs"),
+        F.sum("dup_tokens").cast("long").alias("dup_tokens"),
     ).select(F.lit("__total__").alias("grp"), "*")
     return (
         per_src.unionByName(total)

@@ -322,3 +322,44 @@ def test_stream_kmv_distinct_equals_batch_any_order(spark, tmp_path):
 
     got = mon.result().toPandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, expect)
+
+
+# ------------------------------------------------- round-4b plan pins
+
+
+def test_round4_ops_plan_shapes(spark):
+    """domain_reweight and token_dup_inflation are pure-JVM (no Python
+    eval anywhere); the KMV family's only Python is the Arrow-batched
+    fingerprint UDF; no cartesian products except the #sources² pair
+    frame in the overlap op (intentional and tiny — assert it stays
+    bounded to the broadcast side)."""
+    from bytehub_spark.operators.curation import domain_reweight_by_loss
+    from bytehub_spark.operators.dedup import (
+        kmv_source_distinct,
+        token_dup_inflation,
+    )
+    from bytehub_spark.operators.similarity import lsh_bucket_balance
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+
+    p = _plan(domain_reweight_by_loss(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+    p = _plan(token_dup_inflation(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the __total__ leg re-aggregates the CACHED per-source rollup, not
+    # the corpus: both union legs must read InMemoryTableScan (one data
+    # scan total at runtime; the FileScans still printed are the
+    # cacheBuilder plans nested inside the InMemoryRelation blocks)
+    assert p.count("InMemoryTableScan") >= 2, p
+
+    p = _plan(kmv_source_distinct(docs, k=16))
+    assert "CartesianProduct" not in p
+    assert p.count("ArrowEvalPython") <= 2  # fingerprint UDF only
+
+    p = _plan(lsh_bucket_balance(emb, n_planes=4, bands=2))
+    assert "CartesianProduct" not in p
+    assert p.count("ArrowEvalPython") <= 2  # signature UDF only
