@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_kmv_overlap",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "emb_cosine_topk",
