@@ -1,5 +1,6 @@
 from .bucketed import drop_bucketed, read_bucketed, write_bucketed
 from .jsonl import DOCUMENTS_DDL, read_jsonl, write_jsonl
+from .csv import read_csv, write_csv
 from .orc import read_orc, write_orc
 from .tables import TABLES, load_table, register_views
 
@@ -9,6 +10,8 @@ __all__ = [
     "register_views",
     "read_jsonl",
     "write_jsonl",
+    "read_csv",
+    "write_csv",
     "read_orc",
     "write_orc",
     "DOCUMENTS_DDL",
