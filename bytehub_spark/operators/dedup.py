@@ -864,24 +864,83 @@ def connected_components(
     b_col: str = "doc_b",
     id_col: str = "doc_id",
     max_iter: int = 50,
+    driver_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """Dedup clusters from near-dup pairs: connected components by
     iterative min-label propagation (component id = min doc id reachable).
 
-    Each round does (a) label <- min(label, neighbors' labels) and
-    (b) pointer jumping (label <- label's label), halving the remaining
-    distance to the component minimum — convergence in O(log diameter)
-    rounds, not O(diameter). Every round ends with an EAGER checkpoint
-    that truncates lineage AND propagated stats (plans.iterate — without
-    the lineage cut, planning OOMs the driver on a 30-node path; without
-    the stats cut, the self-join's size estimate squares per round and
-    Catalyst's BigInt stats math dominates from ~iter 15, measured
-    0.7→153 s/iter at 50k labels). Raises if max_iter rounds pass
-    without convergence — a truncated label table is a WRONG answer for
-    a dedup operator, never a degraded one. Vertices default to ids
-    present in pairs; pass the full corpus to include singletons.
+    **Small-graph fast path**: when the PAIR table fits the driver
+    (≤ ``driver_edge_cap`` edges — a bounded materialization, same
+    policy as MARGIN_BROADCAST_CAP), components come from an in-driver
+    union-find in one collect: the pair graph after LSH banding is
+    usually tiny relative to the corpus even at 100 TB, and the
+    distributed loop's per-round scheduling overhead (2 jobs × rounds)
+    dwarfs the actual work (measured 4.1s for a 256-edge graph at
+    sf0.1 vs ~1.5s via union-find). The VERTEX table is never
+    collected: singletons from a corpus-scale ``vertices`` frame join
+    the broadcast component map distributively.
+
+    **Distributed path** (> cap): each round does (a) label <-
+    min(label, neighbors' labels) and (b) pointer jumping (label <-
+    label's label) — convergence bounded by the graph's min-propagation
+    depth (measured 25 rounds on a 533k-edge chain-heavy corpus; extra
+    jump hops per round do NOT reduce rounds — the bottleneck is the
+    one-edge-hop-per-round min walk, not label-chain depth). Every
+    round ends with an EAGER checkpoint that truncates lineage AND
+    propagated stats (plans.iterate — without the lineage cut, planning
+    OOMs the driver on a 30-node path; without the stats cut, the
+    self-join's size estimate squares per round and Catalyst's BigInt
+    stats math dominates from ~iter 15, measured 0.7→153 s/iter at 50k
+    labels). Raises if max_iter rounds pass without convergence — a
+    truncated label table is a WRONG answer for a dedup operator, never
+    a degraded one. Vertices default to ids present in pairs; pass the
+    full corpus to include singletons.
     """
     from ..plans.iterate import eager_checkpoint
+
+    edge_rows = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    # ONE materialization decides the path AND feeds the fast path: a
+    # second action would re-run the (expensive) pair pipeline
+    probe = edge_rows.limit(driver_edge_cap + 1).collect()
+    if len(probe) <= driver_edge_cap:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        endpoints: set = set()
+        for row in probe:
+            endpoints.add(row.src)
+            endpoints.add(row.dst)
+            ra, rb = find(row.src), find(row.dst)
+            if ra != rb:
+                # min root wins -> component id = min id reachable
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        spark = pairs.sparkSession
+        comp_rows = [(int(v), int(find(v))) for v in endpoints]
+        comp_df = spark.createDataFrame(
+            comp_rows or [(None, None)], schema=f"{id_col} long, component long"
+        ).where(F.col(id_col).isNotNull())
+        if vertices is not None:
+            return (
+                vertices.select(F.col(id_col))
+                .distinct()
+                .join(F.broadcast(comp_df), id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce("component", F.col(id_col)).alias("component"),
+                )
+                .orderBy(id_col)
+            )
+        return comp_df.orderBy(id_col)
 
     edges = eager_checkpoint(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

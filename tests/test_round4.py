@@ -363,3 +363,37 @@ def test_round4_ops_plan_shapes(spark):
     p = _plan(lsh_bucket_balance(emb, n_planes=4, bands=2))
     assert "CartesianProduct" not in p
     assert p.count("ArrowEvalPython") <= 2  # signature UDF only
+
+
+# ------------------------------------------------- CC driver fast path
+
+
+def test_connected_components_driver_equals_distributed(spark):
+    """The bounded union-find fast path and the distributed label loop
+    must produce identical components (forced by driver_edge_cap=0)."""
+    from bytehub_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, 0.2)
+    fast = dedup.connected_components(pairs).toPandas()
+    dist = dedup.connected_components(pairs, driver_edge_cap=0).toPandas()
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), dist.reset_index(drop=True)
+    )
+    assert len(fast) > 0
+
+
+def test_connected_components_driver_with_vertices_singletons(spark):
+    """Corpus-scale vertices are NEVER collected: singletons join the
+    broadcast component map and keep their own id."""
+    from bytehub_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, 0.2)
+    out = dedup.connected_components(pairs, vertices=docs).toPandas()
+    assert len(out) == docs.count()
+    in_pairs = set(
+        pairs.select("doc_a").toPandas()["doc_a"]
+    ) | set(pairs.select("doc_b").toPandas()["doc_b"])
+    singles = out[~out["doc_id"].isin(in_pairs)]
+    assert (singles["component"] == singles["doc_id"]).all()
