@@ -397,3 +397,30 @@ def test_connected_components_driver_with_vertices_singletons(spark):
     ) | set(pairs.select("doc_b").toPandas()["doc_b"])
     singles = out[~out["doc_id"].isin(in_pairs)]
     assert (singles["component"] == singles["doc_id"]).all()
+
+
+# ------------------------------------------------- pipeline composition
+
+
+def test_reweight_feeds_interleave(spark):
+    """The mixture pipeline composes: domain_reweight_by_loss emits the
+    weight table interleave_sources consumes — harder domains must then
+    appear more often in any schedule prefix (stride dominance)."""
+    from bytehub_spark.operators.curation import (
+        domain_reweight_by_loss,
+        interleave_sources,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    w = domain_reweight_by_loss(docs).toPandas()
+    weights = dict(zip(w["source"], w["weight_ppm"]))
+    sched = interleave_sources(docs, weights=weights).toPandas()
+    assert (sched["weight"].map(int) == sched["source"].map(weights)).all()
+    # prefix dominance: in the first half of the schedule, a domain with
+    # 2x+ the weight of another contributes at least as many rows
+    half = sched.iloc[: len(sched) // 2]
+    counts = half["source"].value_counts()
+    for s1, w1 in weights.items():
+        for s2, w2 in weights.items():
+            if w1 >= 2 * w2:
+                assert counts.get(s1, 0) >= counts.get(s2, 0)
