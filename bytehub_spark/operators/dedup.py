@@ -540,12 +540,12 @@ def minhash_lsh_pairs(
     # persists fine even at 100 TB corpus scale (MEMORY_AND_DISK spills).
     from pyspark import StorageLevel
 
-    from ..plans.scratch import _scratch
+    from ..plans.scratch import scratch_persist
 
-    sig = minhash_signatures(documents, n_hashes, n, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = scratch_persist(
+        minhash_signatures(documents, n_hashes, n, text_col, id_col),
+        StorageLevel.MEMORY_AND_DISK,
     )
-    _scratch.append(sig)
     # candidate generation carries ONLY ids through the bucket self-join —
     # the (band, bh) equi-join shuffles slim rows, not signature arrays
     buckets = _band_buckets(sig, n_hashes, bands, id_col)
@@ -896,14 +896,26 @@ def connected_components(
     a degraded one. Vertices default to ids present in pairs; pass the
     full corpus to include singletons.
     """
-    from ..plans.iterate import eager_checkpoint
+    from pyspark.sql.types import StructField, StructType
 
-    edge_rows = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    from ..plans.iterate import eager_checkpoint
+    from ..plans.scratch import scratch_persist
+
+    # Persist the slim (src, dst) projection BEFORE probing: the probe's
+    # limit job caches the edge partitions it scans, so a >cap graph's
+    # distributed path reuses them instead of re-running the whole pair
+    # pipeline for its second pass (previously the probe was discarded
+    # and >cap inputs paid the pair scan twice).
+    edge_rows = scratch_persist(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     )
-    # ONE materialization decides the path AND feeds the fast path: a
-    # second action would re-run the (expensive) pair pipeline
-    probe = edge_rows.limit(driver_edge_cap + 1).collect()
+    id_type = pairs.schema[a_col].dataType
+    # Probe via Arrow (toPandas on the limited frame): at the 1M-edge cap
+    # a Row-object collect holds ~1M two-field Rows (~hundreds of MB of
+    # Python object overhead on a default driver heap); two Arrow-backed
+    # numpy/object columns are ~16 MB for long ids. Size the driver heap
+    # for driver_edge_cap * ~16 B/edge (+ the union-find dict, ~2x that).
+    probe = edge_rows.limit(driver_edge_cap + 1).toPandas()
     if len(probe) <= driver_edge_cap:
         parent: dict = {}
 
@@ -916,19 +928,23 @@ def connected_components(
             return r
 
         endpoints: set = set()
-        for row in probe:
-            endpoints.add(row.src)
-            endpoints.add(row.dst)
-            ra, rb = find(row.src), find(row.dst)
+        for a, b in zip(probe["src"].tolist(), probe["dst"].tolist()):
+            endpoints.add(a)
+            endpoints.add(b)
+            ra, rb = find(a), find(b)
             if ra != rb:
                 # min root wins -> component id = min id reachable
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         spark = pairs.sparkSession
-        comp_rows = [(int(v), int(find(v))) for v in endpoints]
+        # component ids inherit the pair column's type (long doc ids and
+        # string ids both work — the distributed path always did)
+        schema = StructType(
+            [StructField(id_col, id_type, False), StructField("component", id_type, False)]
+        )
         comp_df = spark.createDataFrame(
-            comp_rows or [(None, None)], schema=f"{id_col} long, component long"
-        ).where(F.col(id_col).isNotNull())
+            [(v, find(v)) for v in endpoints], schema=schema
+        )
         if vertices is not None:
             return (
                 vertices.select(F.col(id_col))
@@ -943,11 +959,9 @@ def connected_components(
         return comp_df.orderBy(id_col)
 
     edges = eager_checkpoint(
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .distinct()
+        edge_rows.unionByName(
+            edge_rows.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
     )
     if vertices is not None:
         verts = vertices.select(F.col(id_col).alias("src")).distinct()

@@ -424,7 +424,7 @@ def modality_mix_plan(media: DataFrame, budget_items: int = 10000) -> DataFrame:
     )
 
 
-def token_budget(
+def _token_budget(
     media: DataFrame,
     documents: DataFrame,
     tokens_per_tile: int = 85,
@@ -488,8 +488,25 @@ def token_budget(
                 + F.col("video_tokens")
             ).alias("total_tokens"),
         )
-        .orderBy("media_id")
     )
+
+
+def token_budget(
+    media: DataFrame,
+    documents: DataFrame,
+    tokens_per_tile: int = 85,
+    tile: int = 32,
+    ms_per_audio_token: int = 80,
+    fps_tokens_per_s: int = 2,
+) -> DataFrame:
+    """``_token_budget`` + deterministic media_id output order. Compose
+    downstream operators on ``_token_budget`` (unordered): a mid-plan
+    global sort is a full-data range exchange the next shuffle destroys
+    (the plan-fingerprint gate's global_sort flag caught exactly this in
+    shard_manifest)."""
+    return _token_budget(
+        media, documents, tokens_per_tile, tile, ms_per_audio_token, fps_tokens_per_s
+    ).orderBy("media_id")
 
 
 def shard_manifest(
@@ -514,7 +531,7 @@ def shard_manifest(
     groups), so at 100 TB this is the one place to raise n_shards in
     step with corpus size (real WebDataset runs use 1e4-1e5 shards,
     which also keeps the per-shard window tiny)."""
-    b = token_budget(media, documents, **budget_kw)
+    b = _token_budget(media, documents, **budget_kw)
     from pyspark.sql import Window
 
     shard = F.expr(

@@ -18,23 +18,28 @@ block if nobody ever releases it.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _scratch: list[DataFrame] = []
 
 
-def scratch_persist(df: DataFrame) -> DataFrame:
+def scratch_persist(df: DataFrame, storage_level: StorageLevel | None = None) -> DataFrame:
     """persist() + register for bulk release by the harness.
 
-    Idempotent per plan: best-of-N harness reps re-run the same operator
-    and would otherwise re-persist the identical frame every rep, filling
-    the bench tail with `CacheManager: Asked to cache already cached
-    data` warnings and churning the LRU. Already-cached frames are left
-    alone (they are already registered from the rep that cached them).
+    Idempotent per PLAN, not per Python object: best-of-N harness reps
+    rebuild the DataFrame each rep (new object, ``is_cached`` False) but
+    produce an identical analyzed plan, and re-persisting it fills the
+    bench tail with `CacheManager: Asked to cache already cached data`
+    warnings and churns the LRU. ``df.storageLevel`` routes through the
+    JVM CacheManager's plan lookup (Dataset.storageLevel =
+    cacheManager.lookupCachedData(this)...getOrElse(NONE)), so an equal
+    plan cached by a PREVIOUS rep is detected and left alone (it is
+    already registered from the rep that cached it).
     """
-    if df.is_cached:
+    if df.storageLevel != StorageLevel.NONE:
         return df
-    _scratch.append(df.persist())
+    _scratch.append(df.persist(storage_level) if storage_level is not None else df.persist())
     return df
 
 

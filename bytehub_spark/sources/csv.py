@@ -38,7 +38,22 @@ def read_csv(
     keep_corrupt: bool = False,
 ) -> DataFrame:
     """Read CSV. Pass ``schema`` in production — inference costs a full
-    extra data pass and type-drifts on dirty input."""
+    extra data pass and type-drifts on dirty input; ``schema=None`` sets
+    ``inferSchema`` so the fallback actually infers (without it Spark
+    silently reads every column as string).
+
+    ``keep_corrupt`` requires an explicit schema: Spark only populates
+    ``_corrupt_record`` when the column exists in a user schema, so with
+    ``schema=None`` the quarantine would silently not exist — raise
+    rather than pretend.
+    """
+    if keep_corrupt and schema is None:
+        raise ValueError(
+            "keep_corrupt=True requires an explicit schema: Spark only "
+            "populates _corrupt_record when it is present in a user-"
+            "provided schema (with inference the flag would silently do "
+            "nothing)"
+        )
     reader = (
         spark.read.option("mode", "PERMISSIVE")
         .option("header", str(header).lower())
@@ -52,6 +67,8 @@ def read_csv(
             schema = schema.add("_corrupt_record", T.StringType())
     if schema is not None:
         reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
     df = reader.csv(path)
     if columns:
         df = df.select(*columns)

@@ -8,9 +8,28 @@ physical-plan properties that must never silently regress:
 - py_eval:   row-at-a-time Python (BatchEvalPython) present
 - arrow_eval: Arrow-batched Python stages (expected only where an
   operator declares a pandas UDF boundary)
-- global_sort / global_window: single-partition total orders over data
-  (rangepartitioning to 1 partition is fine for tiny frames; the flag
-  tracks Window specs with no PARTITION BY)
+- global_window: a Window-family node (WindowExec / WindowInPandasExec /
+  WindowGroupLimitExec) with an EMPTY partitionSpec — the classic
+  single-partition scale-killer: ALL rows shuffle to one task. Detected
+  from the physical plan's JSON serialization (string-regexing the
+  rendered Window line is unreliable because the expression list nests
+  brackets).
+- global_sort: a global SortExec that is NOT the output finisher — a
+  mid-plan total order feeding further computation (range partitioning
+  makes it distributed, but it is still an extra full-data range
+  exchange that an operator should not silently grow). The finisher
+  ``orderBy`` every oracle-compared query ends with is exempt: a global
+  sort whose ancestors are all pass-through nodes (Project /
+  CollectLimit / codegen wrappers) is the deterministic-output sort,
+  not a plan smell. Detected by rebuilding the plan tree from the JSON
+  pre-order (num-children) and checking ancestors.
+
+Both new flags read the PRE-execution AQE plan (initialPlan); subquery
+plans are not traversed (none of the registered queries hide data-scale
+sorts in subqueries — scalar-attach subqueries are 1-row). If a plan's
+JSON serialization throws (some lambda expressions are not
+JSON-serializable), the two flags are recorded as null = unknown and
+skipped in comparison.
 
 Usage:
   python scripts/check_plans.py --snapshot   # (re)write PLANS.json
@@ -30,6 +49,21 @@ loop-joined onto a data frame, the standard way to attach a scalar
 without a collect. No registered query does a data-by-data cartesian
 (separately pinned per-operator in tests/test_plans.py). The check
 exists for the TRANSITION: a formerly clean query growing one.
+
+Round-5 adjudication of the two new flags over all 178 plans:
+- global_sort: ONE hit (mm_shard_manifest) — a REAL catch: token_budget
+  ended with orderBy("media_id") and shard_manifest composed on top,
+  inheriting a full-data range exchange + sort that the window's hash
+  shuffle immediately destroyed. Fixed (unordered _token_budget core);
+  snapshot now has global_sort=0 everywhere.
+- global_window: FOUR hits, all reviewed tiny-frame windows, kept:
+  cur_pack_sequences + ts_align_ffill (locf) + ts_lateness_audit — the
+  pass-2 prefix scan over the <= shuffle-partitions-row per-shard
+  offsets table of the two-pass prefix-sum/cummax pattern (the pattern
+  exists precisely so the DATA never sees a partition-less window);
+  ts_top_paths — rank over the k=20 survivors of a
+  TakeOrderedAndProject. These stay true in the snapshot; a NEW
+  global_window anywhere else fails the gate.
 """
 
 from __future__ import annotations
@@ -59,6 +93,72 @@ def fingerprint(plan: str) -> dict:
     }
 
 
+_WINDOW_CLASSES = ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec")
+# nodes that may sit between the root and the deterministic-output sort
+# without making it "mid-plan": pure row-preserving finishers/wrappers
+_PASSTHROUGH = (
+    "AdaptiveSparkPlanExec",
+    "ProjectExec",
+    "CollectLimitExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "WholeStageCodegenExec",
+    "InputAdapter",
+    "ColumnarToRowExec",
+    "ResultQueryStageExec",
+    "CoalesceExec",
+)
+
+
+def _build_tree(nodes: list) -> tuple:
+    """Rebuild (node, children) from TreeNode.toJSON's pre-order list."""
+    it = iter(nodes)
+
+    def build():
+        n = next(it)
+        kids = [build() for _ in range(n.get("num-children", 0))]
+        return (n, kids)
+
+    return build()
+
+
+def structural_flags(jplan) -> dict:
+    """global_sort / global_window from the plan's JSON serialization.
+
+    ``jplan`` is the py4j SparkPlan (possibly AdaptiveSparkPlanExec —
+    unwrapped to its pre-execution plan, whose children ARE serialized;
+    the adaptive wrapper itself hides the tree in an inputPlan field).
+    Returns None-valued flags if serialization throws (not all
+    expressions are JSON-serializable).
+    """
+    import json as _json
+
+    try:
+        cls = jplan.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            jplan = jplan.executedPlan()  # == initialPlan before execution
+        nodes = _json.loads(jplan.toJSON())
+        root = _build_tree(nodes)
+    except Exception:
+        return {"global_sort": None, "global_window": None}
+
+    flags = {"global_sort": False, "global_window": False}
+
+    def walk(tree, interior: bool):
+        n, kids = tree
+        simple = n.get("class", "").rsplit(".", 1)[-1]
+        if any(simple == w for w in _WINDOW_CLASSES) and n.get("partitionSpec") == []:
+            flags["global_window"] = True
+        if simple == "SortExec" and n.get("global") and interior:
+            flags["global_sort"] = True
+        child_interior = interior or simple not in _PASSTHROUGH
+        for k in kids:
+            walk(k, child_interior)
+
+    walk(root, False)
+    return flags
+
+
 def collect_fingerprints() -> dict:
     import __spark_entry__ as entry_mod
     from bytehub_spark.plans.scratch import release_scratch
@@ -70,8 +170,10 @@ def collect_fingerprints() -> dict:
         t0 = time.time()
         try:
             df = fn(spark, SF_DIR)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            out[name] = fingerprint(plan)
+            jplan = df._jdf.queryExecution().executedPlan()
+            fp = fingerprint(jplan.toString())
+            fp.update(structural_flags(jplan))
+            out[name] = fp
         except Exception as e:  # plan construction itself failed
             out[name] = {"error": str(e)[:200]}
         finally:
@@ -91,12 +193,20 @@ def main() -> int:
         n_cart = sum(1 for v in got.values() if v.get("cartesian"))
         n_py = sum(1 for v in got.values() if v.get("py_eval"))
         n_arrow = sum(1 for v in got.values() if v.get("arrow_eval"))
+        n_gsort = sum(1 for v in got.values() if v.get("global_sort"))
+        n_gwin = sum(1 for v in got.values() if v.get("global_window"))
+        n_json = sum(1 for v in got.values() if v.get("global_sort", False) is None)
         n_err = sum(1 for v in got.values() if "error" in v)
         print(
             f"snapshot: {len(got)} queries -> {SNAPSHOT} "
             f"(cartesian={n_cart} py_eval={n_py} arrow_eval={n_arrow} "
-            f"errors={n_err})"
+            f"global_sort={n_gsort} global_window={n_gwin} "
+            f"json_unknown={n_json} errors={n_err})"
         )
+        for flag in ("global_sort", "global_window"):
+            hits = sorted(k for k, v in got.items() if v.get(flag))
+            if hits:
+                print(f"  {flag}: {', '.join(hits)}")
         return 0
     want = json.load(open(SNAPSHOT))
     failures = []
@@ -110,8 +220,10 @@ def main() -> int:
             continue
         if "error" in w:
             continue
-        for flag in ("cartesian", "py_eval", "arrow_eval"):
-            if g.get(flag) and not w.get(flag):
+        for flag in ("cartesian", "py_eval", "arrow_eval", "global_sort", "global_window"):
+            # None = JSON serialization unavailable for this plan: no info,
+            # skip (never treat unknown as a regression or as a clean bill)
+            if g.get(flag) and w.get(flag) is not None and not w.get(flag):
                 failures.append(f"REGRESSED {name}: {flag} false -> true")
     for f_ in failures:
         print(f_)

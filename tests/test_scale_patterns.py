@@ -84,3 +84,68 @@ def test_pack_sequences_no_global_data_window(spark):
     gw = plans.global_windows(out)
     assert gw, "expected the per-shard offset prefix scan to be present"
     assert all("__tot" in g for g in gw), gw
+
+
+def test_lsh_hot_bucket_join_aqe_skew_split(spark):
+    """Pin the "AQE-skew-splittable" claim in margin_pairs_lsh's docstring:
+    a deliberately hot (band, bucket) — every vector identical, so ALL
+    rows of both sides share one bucket per band — must complete AND
+    actually engage AQE's skew-join split on the bucket equi-join, with
+    test-scoped thresholds lowered so the sandbox-sized fixture crosses
+    the skew bar (production: hot partitions cross the default 256 MB
+    threshold on their own; near-identical rows also LZ4-compress hard,
+    which is why the test threshold is 8KB not 64KB — skew detection
+    reads COMPRESSED map-output sizes).
+
+    The executed plan is read from the SAME DataFrame that was collected
+    (df.count() would run its own QueryExecution and leave this one
+    un-executed/un-adapted)."""
+    from bytehub_spark.operators.similarity import lsh_cosine_buckets
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {}
+    for k, v in conf.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        vec = [0.5] * 8
+        pdf_a = pd.DataFrame({"vec_id": range(60_000), "embedding": [vec] * 60_000})
+        pdf_b = pd.DataFrame(
+            {"vec_id": range(100_000, 100_100), "embedding": [vec] * 100}
+        )
+        emb_a = spark.createDataFrame(pdf_a).repartition(8)
+        emb_b = spark.createDataFrame(pdf_b).repartition(2)
+        ba = lsh_cosine_buckets(emb_a, 8, "vec_id", "embedding", bands=2).select(
+            F.col("vec_id").alias("a_id"), "band", "bucket"
+        )
+        bb = lsh_cosine_buckets(emb_b, 8, "vec_id", "embedding", bands=2).select(
+            F.col("vec_id").alias("b_id"), "band", "bucket"
+        )
+        agg = (
+            ba.join(bb, ["band", "bucket"])
+            .select("a_id", "b_id")
+            .groupBy()
+            .agg(F.count("*").alias("n"))
+        )
+        n = agg.collect()[0]["n"]
+        # identical vectors agree on every band: 60k x 100 pairs x 2 bands
+        assert n == 60_000 * 100 * 2
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
