@@ -857,6 +857,12 @@ def substring_dup_pairs(
     )
 
 
+# observability: rounds the last distributed connected_components run
+# took (0 = fast path / not run) — scale experiments and ops dashboards
+# read it; never an API input
+_cc_last_rounds: int = 0
+
+
 def connected_components(
     pairs: DataFrame,
     vertices: DataFrame | None = None,
@@ -970,7 +976,10 @@ def connected_components(
     labels = eager_checkpoint(verts.withColumn("component", F.col("src")))
 
     converged = False
-    for _ in range(max_iter):
+    global _cc_last_rounds
+    _cc_last_rounds = 0
+    for _round in range(1, max_iter + 1):
+        _cc_last_rounds = _round
         neighbor_min = (
             edges.join(labels.withColumnRenamed("src", "dst2"),
                        F.col("dst") == F.col("dst2"))
