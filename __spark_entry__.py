@@ -81,33 +81,34 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 # scales via scripts/check_oracle.py (round-4 sweeps: 178/178 ALL MATCH
 # at sf0.001, sf0.01, and sf0.1).
 _GATE_FIRST = [
-    # Round-4 rotation (VERDICT r03 item 1): ALL 40 queries registered
-    # after r03's 50-slot gate filled — i.e. queries() minus
-    # CORRECTNESS_r01∪r02∪r03 keys — go first, bringing union driver
-    # coverage to 172/172. All 40 were locally swept at 3 scales in r03.
-    # --- (a) never driver-gated: round-3 second/third/fourth sessions ---
-    "mm_tile_plan", "ts_weekly_growth", "doc_sentence_stats",
-    "cur_split_leakage", "emb_ann_recall_eval", "doc_line_dedup",
-    "doc_ngram_novelty", "ts_lateness_audit", "ts_event_pmi",
-    "ts_asof_nearest", "dedup_simhash_pairs", "emb_matryoshka_recall",
-    "mm_modality_mix", "ts_basket_pmi", "ts_debounce", "emb_margin_pairs",
-    "cur_epoch_shuffle", "doc_textrank", "ts_funnel_steps",
-    "ts_attribution_linear", "ts_zorder_keys", "ts_snapshot_diff",
-    "doc_bpe_train", "doc_hash_embed", "ts_active_users",
-    "doc_url_domains", "mm_token_budget", "doc_quality_pct",
-    "doc_length_profile", "doc_oov_rate", "doc_code_detect",
-    "doc_bpe_encode", "doc_quality_classifier", "mm_phash_pairs",
-    "dedup_semantic", "mm_shard_manifest", "dedup_lsh_eval",
-    "cur_interleave", "emb_health", "doc_url_blocklist",
-    # --- (b) new in round 4 (never driver-gated) ---
-    "emb_margin_pairs_lsh", "emb_lsh_balance", "dedup_kmv_overlap",
-    "cur_domain_reweight", "dedup_token_inflation", "dedup_kmv_distinct",
+    # Round-5 rotation (VERDICT r04 item 5): debt is zero, so the gate =
+    # new + changed-this-round + permanent + the stalest r01 greens.
+    # --- (a) new in round 5 (never driver-gated; swept at 3 scales) ---
+    "ts_event_transitions", "ts_rfm_segments", "cur_budget_alloc",
+    "emb_knn_graph", "dedup_bloom_decontaminate",
+    # --- (b) changed this round: connected_components rework (Arrow
+    # probe, schema-derived ids, pre-probe persist), minhash persist via
+    # the scratch registry, token_budget/shard_manifest orderBy fix ---
+    "dedup_clusters", "dedup_minhash_lsh", "mm_shard_manifest",
+    "mm_token_budget",
     # --- (c) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (d) stalest refresh: ts_dedup_latest got the r03
-    # WindowGroupLimit plan fix (tpch_q3, the other candidate, was
-    # re-measured clean in a steal-checked window this round) ---
-    "ts_dedup_latest",
+    # --- (d) stalest refresh: 38 of the 42 queries whose only driver
+    # row is r01 (the full TPC-H block minus the permanent three, the
+    # r01 ts_* family, the two join gates, doc_text_stats). Deferred to
+    # r06 for slots: doc_token_counts, doc_lang_id, doc_fingerprint,
+    # doc_clean_text (locally swept green at 3 scales this round) ---
+    "ts_time_travel", "ts_seed_lookup", "ts_last_per_key",
+    "ts_time_bounds", "ts_topk_per_key", "ts_range_scan",
+    "ts_partition_derive", "ts_json_extract", "ts_rollup",
+    "ts_moving_avg", "ts_quantiles", "ts_zscore_outliers", "ts_funnel",
+    "ts_salted_rollup", "ts_interval_join", "ts_histogram",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q22",
+    "join_anti_inactive_customers", "join_semi_big_spenders",
+    "doc_text_stats",
 ]
 
 
@@ -1458,6 +1459,57 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).otherwise(F.col("text")),
             )
         ),
+        # --- round 5 ---
+        # first-order Markov transition matrix over per-user streams:
+        # lead() per user + (prev,next) counts + conditional ppm — exact
+        "ts_event_transitions": _q(events_ops.event_transitions, "events"),
+        # RFM quintile segmentation: per-user recency/frequency/monetary
+        # (µ-unit BIGINT sums), exact percentile breakpoints (broadcast
+        # scalar), 1-5 scores, segment rollup — exact oracle
+        "ts_rfm_segments": _q(events_ops.rfm_segments, "events"),
+        # token-budget allocator on DoReMi weights: per-domain target
+        # tokens / sampling rate / epochs under a fixed budget — exact
+        "cur_budget_alloc": lambda spark, sf: curation.budget_allocation(
+            load_table(spark, sf, "documents"), budget_tokens=1_000_000
+        ),
+        # LSH-bucketed approximate k-NN graph: every vector's top-5
+        # bucket-mates by integer-quantized cosine — exact oracle
+        "emb_knn_graph": lambda spark, sf: similarity.knn_graph(
+            load_table(spark, sf, "embeddings"), k=5, n_planes=8, bands=6
+        ),
+        # Bloom-filter decontamination audit: the bounded-memory scale
+        # mode (m_bits/32-word broadcast filter, FNV+KM probes) joined
+        # against the exact shingle join — per-doc bloom vs exact hit
+        # counts; bloom ⊇ exact by construction (no false negatives),
+        # false_positive marks bloom-only docs. Same %50 benchmark split
+        # as dedup_decontaminate — exact oracle (full bit replay)
+        "dedup_bloom_decontaminate": lambda spark, sf: (
+            lambda docs: (
+                lambda train, bench: dedup.bloom_decontaminate(
+                    train, bench, 4, 1 << 18, 4
+                )
+                .withColumnRenamed("n_maybe_shingles", "n_bloom_shingles")
+                .join(
+                    dedup.decontaminate(train, bench, 4).withColumnRenamed(
+                        "n_hit_shingles", "n_exact_shingles"
+                    ),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    "n_bloom_shingles",
+                    F.coalesce("n_exact_shingles", F.lit(0)).alias(
+                        "n_exact_shingles"
+                    ),
+                    F.col("n_exact_shingles").isNull().alias("false_positive"),
+                )
+                .orderBy("doc_id")
+            )(
+                docs.where(F.col("doc_id") % 50 != 0),
+                docs.where(F.col("doc_id") % 50 == 0),
+            )
+        )(load_table(spark, sf, "documents")),
     }
 
 
@@ -5732,5 +5784,245 @@ def oracle_sql() -> dict[str, str]:
                    CAST((2 * src_rank + 1) * 1000000
                         // (2 * weight) AS BIGINT) AS vt_u
             FROM r ORDER BY vt_u, source, doc_id
+        """,
+        # --- round 5 ---
+        # per-user lead() replay; integer conditional ppm
+        "ts_event_transitions": """
+            WITH t AS (
+                SELECT event_type AS prev,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next
+                FROM events
+            ),
+            c AS (
+                SELECT prev, next, count(*) AS n FROM t
+                WHERE next IS NOT NULL GROUP BY prev, next
+            ),
+            m AS (SELECT prev, CAST(sum(n) AS BIGINT) AS n_prev
+                  FROM c GROUP BY prev)
+            SELECT c.prev, c.next, c.n,
+                   CAST((c.n * 1000000) // m.n_prev AS BIGINT) AS p_ppm
+            FROM c JOIN m ON c.prev = m.prev ORDER BY c.prev, c.next
+        """,
+        # quantile_cont == Spark percentile (linear interpolation over
+        # exact integers — the value_quantiles identity); µ-unit BIGINT
+        # monetary so the order-sensitive double sum never appears
+        "ts_rfm_segments": """
+            WITH pu AS (
+                SELECT user_id,
+                       (SELECT epoch_us(max(ts)) FROM events)
+                           - epoch_us(max(ts)) AS rec_us,
+                       count(*) AS freq,
+                       CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS mon_u
+                FROM events GROUP BY user_id
+            ),
+            bp AS (
+                SELECT quantile_cont(rec_us, [0.2, 0.4, 0.6, 0.8]) AS bp_r,
+                       quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS bp_f,
+                       quantile_cont(mon_u, [0.2, 0.4, 0.6, 0.8]) AS bp_m
+                FROM pu
+            ),
+            sc AS (
+                SELECT user_id, mon_u,
+                    6 - (1 + CAST(rec_us > bp_r[1] AS INT)
+                           + CAST(rec_us > bp_r[2] AS INT)
+                           + CAST(rec_us > bp_r[3] AS INT)
+                           + CAST(rec_us > bp_r[4] AS INT)) AS r_score,
+                    1 + CAST(freq > bp_f[1] AS INT)
+                      + CAST(freq > bp_f[2] AS INT)
+                      + CAST(freq > bp_f[3] AS INT)
+                      + CAST(freq > bp_f[4] AS INT) AS f_score,
+                    1 + CAST(mon_u > bp_m[1] AS INT)
+                      + CAST(mon_u > bp_m[2] AS INT)
+                      + CAST(mon_u > bp_m[3] AS INT)
+                      + CAST(mon_u > bp_m[4] AS INT) AS m_score
+                FROM pu, bp
+            )
+            SELECT r_score, f_score, m_score, count(*) AS n_users,
+                   CAST(sum(mon_u) AS BIGINT) AS monetary_u
+            FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # reweight CTE chain (same as cur_domain_reweight) + per-domain
+        # token rollup + BIGINT allocation arithmetic
+        "cur_budget_alloc": """
+            WITH toks AS (
+                SELECT source, string_split(text, ' ') AS ws FROM documents
+            ),
+            db AS (
+                SELECT source, unnest(list_transform(
+                           range(0, len(ws) - 1),
+                           i -> ws[i + 1] || ' ' || ws[i + 2])) AS bigram
+                FROM toks WHERE len(ws) >= 2
+            ),
+            uni AS (
+                SELECT w1, COUNT(*) AS c1 FROM (
+                    SELECT unnest(ws) AS w1 FROM toks
+                ) GROUP BY w1
+            ),
+            bi AS (SELECT bigram, COUNT(*) AS c2 FROM db GROUP BY bigram),
+            j AS (
+                SELECT db.source,
+                       (length(bin(c1)) - 1)
+                           + (CAST(c1 AS DOUBLE) - power(2.0, CAST(length(bin(c1)) - 1 AS DOUBLE)))
+                             / power(2.0, CAST(length(bin(c1)) - 1 AS DOUBLE)) AS l1,
+                       (length(bin(c2)) - 1)
+                           + (CAST(c2 AS DOUBLE) - power(2.0, CAST(length(bin(c2)) - 1 AS DOUBLE)))
+                             / power(2.0, CAST(length(bin(c2)) - 1 AS DOUBLE)) AS l2
+                FROM db
+                JOIN bi USING (bigram)
+                JOIN uni ON uni.w1 = string_split(db.bigram, ' ')[1]
+            ),
+            pd AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                       CAST(SUM(CAST(floor((l1 - l2) * 1e9) AS BIGINT))
+                           AS BIGINT) AS q
+                FROM j GROUP BY source
+            ),
+            pd2 AS (
+                SELECT *, CAST(q // n_bigrams // 1000 AS BIGINT)
+                           AS mean_xent_ubits
+                FROM pd
+            ),
+            fl AS (SELECT MIN(mean_xent_ubits) AS f FROM pd2),
+            lv AS (
+                SELECT pd2.*, CAST(least(
+                           (mean_xent_ubits - f) // 100000, 6) AS INTEGER)
+                           AS level
+                FROM pd2, fl
+            ),
+            w AS (SELECT *, CAST(1 AS BIGINT) << level AS wr FROM lv),
+            t AS (SELECT SUM(wr) AS tot FROM w),
+            wt AS (
+                SELECT source,
+                       CAST(wr * 1000000 // tot AS BIGINT) AS weight_ppm
+                FROM w, t
+            ),
+            av AS (
+                SELECT source,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                           AS avail_tokens
+                FROM documents GROUP BY source
+            ),
+            alloc AS (
+                SELECT av.source, avail_tokens, weight_ppm,
+                       CAST(CAST(1000000 AS BIGINT) * weight_ppm
+                            // 1000000 AS BIGINT) AS target_tokens
+                FROM av JOIN wt ON av.source = wt.source
+            )
+            SELECT source, avail_tokens, weight_ppm, target_tokens,
+                   CAST(target_tokens * 1000000 // avail_tokens
+                       AS BIGINT) AS rate_ppm,
+                   CAST((target_tokens + avail_tokens - 1) // avail_tokens
+                       AS INTEGER) AS epochs,
+                   CAST(target_tokens * 1000000 // avail_tokens AS BIGINT)
+                       > 1000000 AS upsampled
+            FROM alloc ORDER BY source
+        """,
+        # SRP bucket CTEs (shared helper) + symmetric candidate self-join
+        # + integer-quantized cosine + per-source-vector rank
+        "emb_knn_graph": f"""
+            WITH {_cosine_bucket_ctes(8, 6)},
+            norms AS (SELECT vec_id, SUM(q * q) AS nq FROM dims
+                      GROUP BY vec_id),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM buckets a JOIN buckets b USING (band, bucket)
+                WHERE a.vec_id <> b.vec_id
+            ),
+            pdots AS (
+                SELECT c.a_id, c.b_id, SUM(da.q * db.q) AS dab
+                FROM cand c
+                JOIN dims da ON da.vec_id = c.a_id
+                JOIN dims db ON db.vec_id = c.b_id AND db.d = da.d
+                GROUP BY c.a_id, c.b_id
+            ),
+            scored AS (
+                SELECT p.a_id, p.b_id,
+                       CAST(round(10000 * (CAST(dab AS DOUBLE)
+                            / (sqrt(CAST(na.nq AS DOUBLE))
+                               * sqrt(CAST(nb.nq AS DOUBLE)))), 0)
+                           AS BIGINT) AS cos_u
+                FROM pdots p
+                JOIN norms na ON na.vec_id = p.a_id AND na.nq > 0
+                JOIN norms nb ON nb.vec_id = p.b_id AND nb.nq > 0
+            ),
+            ranked AS (
+                SELECT a_id AS vec_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY a_id
+                           ORDER BY cos_u DESC, b_id ASC) AS INTEGER) AS rank,
+                       b_id AS neighbor_id, cos_u
+                FROM scored
+            )
+            SELECT vec_id, rank, neighbor_id, cos_u FROM ranked
+            WHERE rank <= 5 ORDER BY vec_id, rank
+        """,
+        # full Bloom replay: FNV (h1,h2) per shingle, KM probe positions,
+        # 32-bit packed words via bit_or, all-k-bits test, joined against
+        # the exact shingle-join replay for the audit columns
+        "dedup_bloom_decontaminate": f"""
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE len(string_split(text, ' ')) >= 4
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, len(ws) - 3),
+                    i -> array_to_string(ws[i + 1 : i + 4], ' ')))) AS shingle
+                FROM w
+            ),
+            bsh AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 50 = 0),
+            bh AS (
+                SELECT {_H.shingle_h1_sql('shingle')} AS h1,
+                       {_H.shingle_h2_sql('shingle')} AS h2
+                FROM bsh
+            ),
+            bpos AS (
+                SELECT (h1 + j * h2) % 262144 AS pos
+                FROM bh, (SELECT unnest(generate_series(0, 3)) AS j)
+            ),
+            bloom AS (
+                SELECT pos // 32 AS word_idx,
+                       bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+                FROM bpos GROUP BY pos // 32
+            ),
+            tsh AS (SELECT doc_id, shingle FROM s WHERE doc_id % 50 <> 0),
+            tdh AS (
+                SELECT shingle, {_H.shingle_h1_sql('shingle')} AS h1,
+                       {_H.shingle_h2_sql('shingle')} AS h2
+                FROM (SELECT DISTINCT shingle FROM tsh)
+            ),
+            tpos AS (
+                SELECT t.doc_id, d.h1, d.h2, (d.h1 + j * d.h2) % 262144 AS pos
+                FROM tsh t JOIN tdh d USING (shingle),
+                     (SELECT unnest(generate_series(0, 3)) AS j)
+            ),
+            probed AS (
+                SELECT doc_id, h1, h2,
+                       CASE WHEN word IS NOT NULL
+                            AND ((word >> CAST(pos % 32 AS INT)) & 1) = 1
+                            THEN 1 ELSE 0 END AS hit
+                FROM tpos LEFT JOIN bloom ON tpos.pos // 32 = bloom.word_idx
+            ),
+            maybe AS (
+                SELECT doc_id, h1, h2 FROM probed
+                GROUP BY doc_id, h1, h2 HAVING CAST(SUM(hit) AS BIGINT) = 4
+            ),
+            bdocs AS (
+                SELECT doc_id, count(*) AS n_bloom_shingles
+                FROM maybe GROUP BY doc_id
+            ),
+            exact AS (
+                SELECT doc_id, count(*) AS n_exact_shingles
+                FROM tsh WHERE shingle IN (SELECT shingle FROM bsh)
+                GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_bloom_shingles,
+                   coalesce(e.n_exact_shingles, 0) AS n_exact_shingles,
+                   e.n_exact_shingles IS NULL AS false_positive
+            FROM bdocs b LEFT JOIN exact e ON b.doc_id = e.doc_id
+            ORDER BY b.doc_id
         """,
     }

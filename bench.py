@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "doc_quality_classifier",
     "mm_phash_pairs",
     "dedup_semantic",
+    # round 5 additions
+    "emb_knn_graph",
+    "dedup_bloom_decontaminate",
 ]
 
 

@@ -870,3 +870,59 @@ def domain_reweight_by_loss(
         )
         .orderBy(group_col)
     )
+
+
+def budget_allocation(
+    documents: DataFrame,
+    budget_tokens: int = 1_000_000,
+    step_ubits: int = 100_000,
+    cap_levels: int = 6,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget allocator: turn the DoReMi-style mixture weights
+    (domain_reweight_by_loss) into the concrete per-domain sampling plan
+    a training run executes against a fixed token budget — target tokens
+    per domain, the sampling rate vs what the domain actually HAS, and
+    how many epochs (full passes) of the domain that implies.
+    rate_ppm > 1e6 means the domain is upsampled (multiple epochs —
+    DoReMi's hard domains); < 1e6 means it is subsampled. This is the
+    table a data loader and a capacity planner both read: "to train on
+    B tokens with these weights, domain d contributes T_d tokens at
+    rate r_d over e_d epochs".
+
+    Everything is BIGINT arithmetic on top of two aggregates: the
+    reweight table (#domains rows) and a per-domain whitespace-token
+    rollup — one extra corpus scan, map-side combined, broadcast-joined
+    to the weights. epochs = ceil(target/avail) via (t + a - 1) div a.
+    """
+    weights = domain_reweight_by_loss(
+        documents, step_ubits, cap_levels, group_col
+    ).select(group_col, "weight_ppm")
+    avail = (
+        documents.groupBy(group_col)
+        .agg(F.sum(token_count_col(text_col).cast("long")).alias("avail_tokens"))
+    )
+    b = int(budget_tokens)
+    return (
+        avail.join(F.broadcast(weights), group_col)
+        .select(
+            group_col,
+            "avail_tokens",
+            "weight_ppm",
+            F.expr(f"CAST({b} AS BIGINT) * weight_ppm div 1000000").alias(
+                "target_tokens"
+            ),
+        )
+        .withColumn(
+            "rate_ppm", F.expr("target_tokens * 1000000 div avail_tokens")
+        )
+        .withColumn(
+            "epochs",
+            F.expr("(target_tokens + avail_tokens - 1) div avail_tokens").cast(
+                "int"
+            ),
+        )
+        .withColumn("upsampled", F.col("rate_ppm") > 1_000_000)
+        .orderBy(group_col)
+    )

@@ -1597,3 +1597,96 @@ def token_dup_inflation(
         )
         .orderBy(group_col)
     )
+
+
+def bloom_decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bounded-memory benchmark decontamination: a Bloom filter over the
+    benchmark's word n-gram shingles replaces the exact shingle set, so
+    the contamination check against a 100 TB corpus carries a FIXED
+    ``m_bits/32``-row broadcast table instead of the benchmark's full
+    (unbounded) distinct-shingle relation — the scale mode of
+    ``decontaminate``, with the textbook Bloom guarantee: NO false
+    negatives (every truly contaminated doc is flagged), false positives
+    at ≈ (1 - e^(-k·n_shingles/m))^k (size m_bits for ~10 bits/shingle
+    and k≈7 for <1%; the registered audit query measures the real rate
+    against the exact join).
+
+    Engine-portable construction: shingle → FNV-1a (h1, h2) (the same
+    hashing.py primitives MinHash uses), Kirsch-Mitzenmacher positions
+    pos_j = (h1 + j·h2) mod m_bits, packed into 32-bit words
+    (word = pos div 32 — 32 keeps every word value positive in BIGINT in
+    both engines; 64 would need two's-complement top-bit care). The
+    filter is built with one bit_or aggregate over the benchmark
+    positions; the corpus side joins its positions against the
+    ≤ m_bits/32-row word table (broadcast under AQE) and a shingle is
+    "maybe present" iff ALL k probed bits are set. Returns
+    (id, n_maybe_shingles) for flagged docs — same shape as the exact
+    op, deterministically replayable in the DuckDB oracle bit for bit.
+    """
+    m = int(m_bits)
+    k = int(k_hashes)
+    bench_sh = (
+        shingle_sets(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__bid", F.lit(0))
+    )
+    bh = _h1_h2(bench_sh, "__bid")
+    bpos = bh.select(
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+        F.col("__h1"),
+        F.col("__h2"),
+    ).select(
+        F.pmod(F.col("__h1") + F.col("j") * F.col("__h2"), F.lit(m)).alias("pos")
+    )
+    bloom = (
+        bpos.select(
+            F.expr("pos div 32").alias("word_idx"),
+            F.expr("CAST(pos % 32 AS INT)").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("word"))
+    )
+
+    train_sh = shingle_sets(documents, text_col, id_col, n)
+    th = _h1_h2(train_sh, id_col)
+    tpos = th.select(
+        id_col,
+        "__h1",
+        "__h2",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+    ).select(
+        id_col,
+        "__h1",
+        "__h2",
+        F.pmod(F.col("__h1") + F.col("j") * F.col("__h2"), F.lit(m)).alias("pos"),
+    )
+    probed = (
+        tpos.withColumn("word_idx", F.expr("pos div 32"))
+        .withColumn("bit", F.expr("CAST(pos % 32 AS INT)"))
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("word").isNotNull()
+                & (F.expr("(shiftright(word, bit) & 1)") == 1),
+                1,
+            ).otherwise(0),
+        )
+    )
+    return (
+        probed.groupBy(id_col, "__h1", "__h2")
+        .agg(F.sum("hit").alias("n_set"))
+        .where(F.col("n_set") == k)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_maybe_shingles"))
+        .orderBy(id_col)
+    )

@@ -1482,3 +1482,102 @@ def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each user, order events by (ts, event_id) and pair each event
+    type with the NEXT one; count every (prev, next) transition and
+    report its probability conditioned on prev in integer ppm — the
+    behavioural model behind next-action prediction, funnel design, and
+    bot detection (bots have near-deterministic rows; humans don't).
+
+    One lead() window partitioned by user (parallel across users — never
+    a global window), one (prev, next) count, and a prev-marginal
+    broadcast join for the conditional. floor-div ppm keeps every value
+    integer — exact cross-engine. At 100 TB the per-user window is
+    bounded by a user's own history, and the output is |event types|^2
+    rows — tiny.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("prev"),
+            F.lead("event_type").over(w).alias("next"),
+        )
+        .where(F.col("next").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count("*").alias("n"))
+    )
+    marg = trans.groupBy("prev").agg(F.sum("n").alias("n_prev"))
+    return (
+        trans.join(F.broadcast(marg), "prev")
+        .select(
+            "prev",
+            "next",
+            "n",
+            F.expr("(n * 1000000) div n_prev").alias("p_ppm"),
+        )
+        .orderBy("prev", "next")
+    )
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic CRM / lifecycle-marketing cut: per user compute recency
+    (µs since the user's last event, against the corpus max as the
+    reference "now"), frequency (#events) and monetary (sum of value in
+    integer µ-units — floor(value·1e6) per event, BIGINT-summed, so the
+    order-sensitive double sum never appears), then score each dimension
+    1-5 against its own exact quintile breakpoints and report the
+    segment-level rollup (r_score, f_score, m_score, n_users,
+    monetary totals).
+
+    Breakpoints are EXACT percentiles (Spark's sort-based percentile()
+    == DuckDB quantile_cont, linear interpolation over exact integers —
+    the same cross-engine identity value_quantiles pins), computed once
+    over the per-user table and attached as a broadcast 1-row scalar
+    frame. Scores via `1 + sum(v > b_i)` comparisons; recency is
+    reversed (recent = 5). Output is <= 125 rows regardless of scale;
+    the only data-sized shuffle is the user aggregation.
+    """
+    ref = events.agg(F.unix_micros(F.max("ts")).alias("_now_us"))
+    per_user = (
+        events.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            (F.max("_now_us") - F.unix_micros(F.max("ts"))).alias("rec_us"),
+            F.count("*").alias("freq"),
+            F.sum(
+                F.expr("CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)")
+            ).alias("mon_u"),
+        )
+    )
+    bp = per_user.agg(
+        F.expr("percentile(rec_us, array(0.2, 0.4, 0.6, 0.8))").alias("bp_r"),
+        F.expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").alias("bp_f"),
+        F.expr("percentile(mon_u, array(0.2, 0.4, 0.6, 0.8))").alias("bp_m"),
+    )
+
+    def quintile(col: str, bps: str) -> F.Column:
+        q = F.lit(1)
+        for i in range(4):
+            q = q + (F.col(col) > F.element_at(F.col(bps), i + 1)).cast("int")
+        return q
+
+    scored = per_user.crossJoin(F.broadcast(bp)).select(
+        "user_id",
+        "mon_u",
+        (F.lit(6) - quintile("rec_us", "bp_r")).alias("r_score"),
+        quintile("freq", "bp_f").alias("f_score"),
+        quintile("mon_u", "bp_m").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("mon_u").alias("monetary_u"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

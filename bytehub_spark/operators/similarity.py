@@ -1251,3 +1251,102 @@ def embedding_health(
         F.max("qcos").alias("max_qcos"),
     )
     return stats.crossJoin(pstats)
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    bands: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate k-NN GRAPH: every vector's top-k cosine
+    neighbors among the candidates that share at least one SRP
+    (band, bucket) — the all-pairs generalization of lsh_cosine_topk
+    (which serves a fixed query set) and the substrate for graph-based
+    semantic dedup, label propagation, and diversity sampling over a
+    whole corpus. No broadcast, no |N|² matrix: candidate generation is
+    the bucket self-join over slim id rows, scoring is one Arrow-batched
+    integer-GEMM pass over the distinct DIRECTED candidate set, ranking
+    is a per-source-vector window (parallel across vectors).
+
+    Same bit-exact float policy as margin_pairs_lsh: 1e6-quantized int64
+    component dots, per-op IEEE sqrt/div, half-away-from-zero rounding
+    to 1e-4 cosine units — every row replayable in the DuckDB oracle.
+    Zero-norm vectors are excluded (no cosine neighborhood). A vector
+    whose buckets hold fewer than k candidates emits fewer than k rows
+    (LSH recall, not an error — emb_lsh_balance monitors bucket sizes;
+    grow n_planes with corpus size to hold candidates/vector flat).
+    """
+    from ..plans import ensure_parallelism
+    from ..plans.scratch import scratch_persist
+
+    q_expr = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)"
+        " AS BIGINT))"
+    )
+    nq_expr = F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+    quant = (
+        embeddings.withColumn("q", q_expr)
+        .withColumn("nq", nq_expr)
+        .where(F.col("nq") > 0)
+        .select(id_col, "q", "nq")
+    )
+    buck = lsh_cosine_buckets(
+        embeddings, n_planes, id_col, vec_col, bands=bands
+    ).select(id_col, "band", "bucket")
+    a = buck.select(F.col(id_col).alias("a_id"), "band", "bucket")
+    b = buck.select(F.col(id_col).alias("b_id"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    qa = quant.select(
+        F.col(id_col).alias("a_id"), F.col("q").alias("qa"), F.col("nq").alias("naa")
+    )
+    qb = quant.select(
+        F.col(id_col).alias("b_id"), F.col("q").alias("qb"), F.col("nq").alias("nbb")
+    )
+
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf["qa"].tolist(), dtype=np.int64)
+            B = np.array(pdf["qb"].tolist(), dtype=np.int64)
+            dab = (A * B).sum(axis=1)  # int64: exact, order-independent
+            c = dab.astype(np.float64) / (
+                np.sqrt(pdf["naa"].to_numpy(dtype=np.int64).astype(np.float64))
+                * np.sqrt(pdf["nbb"].to_numpy(dtype=np.int64).astype(np.float64))
+            )
+            scaled = c * 1e4  # SQL ROUND: half away from zero
+            cos_u = np.where(
+                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "a_id": pdf["a_id"].to_numpy(),
+                    "b_id": pdf["b_id"].to_numpy(),
+                    "cos_u": cos_u,
+                }
+            )
+
+    scored = scratch_persist(
+        ensure_parallelism(cand.join(qa, "a_id").join(qb, "b_id"))
+        .mapInPandas(score, schema="a_id long, b_id long, cos_u long")
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos_u").desc(), F.col("b_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("a_id").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("b_id").alias("neighbor_id"),
+            "cos_u",
+        )
+        .orderBy(id_col, "rank")
+    )

@@ -1151,3 +1151,94 @@ def stream_kmv_distinct(docs: DataFrame, checkpoint_dir: str, k: int = 256):
         .start()
     )
     return q, mon
+
+
+class RetentionMonitor:
+    """Streaming weekly cohort retention — twin of
+    events_ops.retention_cohorts. State is ONE row per user:
+    (user_id, cohort week, active-week BITMASK) — bit w set means "active
+    in cohort_week + w". The mask bounds per-user state at a single
+    BIGINT forever (vs. keeping the (user, week) activity pairs), so
+    state size is exactly the user dimension, not users × weeks.
+
+    Arrival contract (same as FunnelMonitor/LatenessMonitor): micro-
+    batches arrive in event-time order, so a user's FIRST event arrives
+    before any other — the cohort is final once set and later batches
+    only OR new activity bits in. Offsets beyond 62 weeks are dropped at
+    update time (the batch op's max_weeks cap is far below; 63 keeps the
+    shift off the sign bit).
+
+    result() replays the retention triangle from state with a
+    sequence-explode + bit test — count(*) suffices because state holds
+    one row per user. Equality with the batch op is pinned in
+    tests/test_round5.py (including a reordered-batch twin for the
+    mask-merge associativity: activity bits commute; only the cohort
+    assignment needs ordered arrival).
+    """
+
+    def __init__(self, max_weeks: int = 8):
+        self.max_weeks = int(max_weeks)
+        self.state: DataFrame | None = None
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        b = batch_df.select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("__wk")
+        )
+        agg = b.groupBy("user_id").agg(
+            F.min("__wk").alias("__bmin"), F.collect_set("__wk").alias("__wks")
+        )
+        if self.state is None:
+            spark = batch_df.sparkSession
+            self.state = spark.createDataFrame(
+                [], "user_id long, cohort timestamp, mask long"
+            )
+        merged = (
+            self.state.join(agg, "user_id", "full_outer")
+            .withColumn("cohort", F.coalesce("cohort", "__bmin"))
+            .withColumn("mask", F.coalesce("mask", F.lit(0).cast("long")))
+            .withColumn(
+                "mask",
+                F.expr(
+                    "aggregate(coalesce(__wks, array()), mask, (acc, w) -> "
+                    "acc | CASE WHEN CAST(datediff(w, cohort) / 7 AS INT) "
+                    "BETWEEN 0 AND 62 THEN shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(datediff(w, cohort) / 7 AS INT)) "
+                    "ELSE CAST(0 AS BIGINT) END)"
+                ),
+            )
+        )
+        self.state = eager_checkpoint(merged.select("user_id", "cohort", "mask"))
+
+    def result(self) -> DataFrame:
+        """Same table shape as events_ops.retention_cohorts."""
+        st = self.state
+        return (
+            st.select(
+                "user_id",
+                F.col("cohort"),
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(self.max_weeks))
+                ).alias("week_offset"),
+                "mask",
+            )
+            .where(F.expr("(shiftright(mask, week_offset) & 1) = 1"))
+            .groupBy(
+                F.col("cohort").alias("cohort_week"),
+                F.col("week_offset").cast("int").alias("week_offset"),
+            )
+            .agg(F.count("*").alias("n_users"))
+            .orderBy("cohort_week", "week_offset")
+        )
+
+
+def stream_retention(events: DataFrame, checkpoint_dir: str, max_weeks: int = 8):
+    """Attach a RetentionMonitor to an event stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = RetentionMonitor(max_weeks=max_weeks)
+    q = (
+        events.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

@@ -64,6 +64,13 @@ Round-5 adjudication of the two new flags over all 178 plans:
   ts_top_paths — rank over the k=20 survivors of a
   TakeOrderedAndProject. These stay true in the snapshot; a NEW
   global_window anywhere else fails the gate.
+
+Round-5 additions (183 queries total): the 5 new queries contribute 2
+cartesian=true (ts_rfm_segments' percentile-breakpoint scalar attach,
+cur_budget_alloc's weight-normalizer attach — both the reviewed 1-row
+class) and 2 arrow_eval=true (emb_knn_graph's integer-GEMM scorer,
+dedup_bloom_decontaminate's FNV hasher — declared pandas-UDF
+boundaries); global_sort/global_window clean on all 5.
 """
 
 from __future__ import annotations

@@ -1,0 +1,315 @@
+"""Round-5 operator contracts: Markov transitions, RFM segmentation,
+token-budget allocation, the LSH k-NN graph, and Bloom decontamination.
+
+Each new registered query also has an exact DuckDB oracle (checked by
+scripts/check_oracle.py / the driver gate); these tests pin the
+SEMANTIC invariants the oracle can't express — no-false-negative Bloom
+guarantees, kNN symmetry-vs-recall behavior, allocation arithmetic,
+quintile balance — on small hand-made fixtures.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bytehub_spark.operators import curation, dedup, events_ops, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# event_transitions
+# ---------------------------------------------------------------------------
+
+def test_event_transitions_hand_case(spark):
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:0%d" % i for i in range(6)]
+            ),
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "event_type": ["a", "b", "a", "a", "b", "a"],
+            "value": [0.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    got = (
+        events_ops.event_transitions(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index(["prev", "next"])
+    )
+    # user1: a->b, b->a; user2: a->b; user3: none
+    assert got.loc[("a", "b"), "n"] == 2
+    assert got.loc[("b", "a"), "n"] == 1
+    # conditional: from 'a' all transitions go to b -> 1e6 ppm
+    assert got.loc[("a", "b"), "p_ppm"] == 1_000_000
+    assert got.loc[("b", "a"), "p_ppm"] == 1_000_000
+
+
+def test_event_transitions_ppm_sums_per_prev(spark):
+    """Conditional rows for one prev sum to <= 1e6 (floor-div loss < n_next)."""
+    from bytehub_spark.sources import load_table
+
+    got = events_ops.event_transitions(load_table(spark, SF, "events")).toPandas()
+    sums = got.groupby("prev")["p_ppm"].sum()
+    assert (sums <= 1_000_000).all()
+    assert (sums > 1_000_000 - len(got)).all()
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments
+# ---------------------------------------------------------------------------
+
+def test_rfm_scores_in_range_and_user_conservation(spark):
+    from bytehub_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    got = events_ops.rfm_segments(ev).toPandas()
+    for c in ("r_score", "f_score", "m_score"):
+        assert got[c].between(1, 5).all()
+    assert got["n_users"].sum() == ev.select("user_id").distinct().count()
+
+
+def test_rfm_quintiles_balance_on_uniform_users(spark):
+    """Distinct uniform metric values -> every quintile holds ~n/5 users."""
+    n = 100
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            # user i's single event at minute i: recency strictly ordered
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(range(n), "min"),
+            "user_id": range(n),
+            "event_type": ["a"] * n,
+            "value": [float(i) for i in range(n)],
+            "props": ["{}"] * n,
+        }
+    )
+    got = events_ops.rfm_segments(spark.createDataFrame(pdf)).toPandas()
+    r_counts = got.groupby("r_score")["n_users"].sum()
+    assert sorted(r_counts.index) == [1, 2, 3, 4, 5]
+    assert (r_counts == 20).all()
+
+
+# ---------------------------------------------------------------------------
+# budget_allocation
+# ---------------------------------------------------------------------------
+
+def test_budget_allocation_arithmetic(spark):
+    from bytehub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    got = curation.budget_allocation(docs, budget_tokens=1_000_000).toPandas()
+    # target tokens = budget * weight_ppm / 1e6 exactly (floor)
+    assert (got["target_tokens"] == got["weight_ppm"]).all()  # budget==1e6
+    assert (
+        got["rate_ppm"]
+        == got["target_tokens"] * 1_000_000 // got["avail_tokens"]
+    ).all()
+    assert (got["upsampled"] == (got["rate_ppm"] > 1_000_000)).all()
+    # epochs = ceil(target/avail)
+    exp_epochs = -(-got["target_tokens"] // got["avail_tokens"])
+    assert (got["epochs"] == exp_epochs).all()
+    # targets spend at most the budget (floor-div loss only)
+    assert got["target_tokens"].sum() <= 1_000_000
+
+
+def test_budget_allocation_scales_with_budget(spark):
+    from bytehub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    a = curation.budget_allocation(docs, budget_tokens=1_000_000).toPandas()
+    b = curation.budget_allocation(docs, budget_tokens=10_000_000).toPandas()
+    m = a.merge(b, on="source", suffixes=("_1", "_10"))
+    assert (m["weight_ppm_1"] == m["weight_ppm_10"]).all()  # weights fixed
+    assert (m["target_tokens_10"] == 10 * m["target_tokens_1"]).all()
+
+
+# ---------------------------------------------------------------------------
+# knn_graph
+# ---------------------------------------------------------------------------
+
+def test_knn_graph_hand_planted_neighbors(spark):
+    """Exact duplicates must be each other's rank-1 neighbors (identical
+    vectors share every bucket and cosine 1e4)."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(30, 8)).astype("float32")
+    vecs = np.vstack([base, base[:5]])  # ids 30..34 duplicate 0..4
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    got = similarity.knn_graph(
+        spark.createDataFrame(pdf), k=3, n_planes=4, bands=4
+    ).toPandas()
+    r1 = got[got["rank"] == 1].set_index("vec_id")
+    for i in range(5):
+        assert r1.loc[30 + i, "neighbor_id"] == i
+        assert r1.loc[30 + i, "cos_u"] == 10_000
+        assert r1.loc[i, "neighbor_id"] == 30 + i
+    # per-vector neighbor lists are deduplicated and rank-contiguous
+    per = got.groupby("vec_id")["rank"].apply(list)
+    assert all(r == list(range(1, len(r) + 1)) for r in per)
+
+
+def test_knn_graph_respects_k_and_excludes_self(spark):
+    from bytehub_spark.sources import load_table
+
+    got = similarity.knn_graph(
+        load_table(spark, SF, "embeddings"), k=5, n_planes=8, bands=6
+    ).toPandas()
+    assert got.groupby("vec_id")["rank"].max().le(5).all()
+    assert (got["vec_id"] != got["neighbor_id"]).all()
+    dup = got.duplicated(subset=["vec_id", "neighbor_id"]).any()
+    assert not dup
+
+
+# ---------------------------------------------------------------------------
+# bloom_decontaminate
+# ---------------------------------------------------------------------------
+
+def _doc_frame(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["src0"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        )
+    )
+
+
+def test_bloom_no_false_negatives_tiny_filter(spark):
+    """Even an overloaded 256-bit filter NEVER misses a true hit."""
+    bench = _doc_frame(spark, [(0, "alpha beta gamma delta epsilon zeta")])
+    train = _doc_frame(
+        spark,
+        [
+            (1, "alpha beta gamma delta leaked from the benchmark here"),
+            (2, "totally unrelated words nothing shared at all here ok"),
+        ],
+    )
+    exact = dedup.decontaminate(train, bench, 4).toPandas()
+    bloom = dedup.bloom_decontaminate(
+        train, bench, 4, m_bits=256, k_hashes=4
+    ).toPandas()
+    bm = dict(zip(bloom.doc_id, bloom.n_maybe_shingles))
+    for d, nh in zip(exact.doc_id, exact.n_hit_shingles):
+        assert bm.get(d, 0) >= nh  # superset, per doc
+
+
+def test_bloom_superset_of_exact_on_corpus(spark):
+    from bytehub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    exact = dedup.decontaminate(train, bench, 4).toPandas()
+    bloom = dedup.bloom_decontaminate(train, bench, 4).toPandas()
+    bm = dict(zip(bloom.doc_id, bloom.n_maybe_shingles))
+    assert all(
+        bm.get(d, 0) >= nh
+        for d, nh in zip(exact.doc_id, exact.n_hit_shingles)
+    )
+
+
+def test_bloom_overload_saturates_to_false_positives(spark):
+    """m_bits=32 with k=4: the filter saturates and clean docs flag too —
+    the documented fp-vs-size tradeoff moves the right direction."""
+    bench = _doc_frame(spark, [(0, "alpha beta gamma delta epsilon zeta")])
+    train = _doc_frame(
+        spark, [(2, "totally unrelated words nothing shared at all here ok")]
+    )
+    small = dedup.bloom_decontaminate(
+        train, bench, 4, m_bits=32, k_hashes=4
+    ).toPandas()
+    big = dedup.bloom_decontaminate(
+        train, bench, 4, m_bits=1 << 18, k_hashes=4
+    ).toPandas()
+    n_small = int(small.n_maybe_shingles.sum()) if len(small) else 0
+    n_big = int(big.n_maybe_shingles.sum()) if len(big) else 0
+    assert n_small >= n_big
+    assert n_big == 0  # well-sized filter: no FPs on a disjoint doc
+
+
+# ---------------------------------------------------------------------------
+# RetentionMonitor (streaming twin of retention_cohorts)
+# ---------------------------------------------------------------------------
+
+def test_stream_retention_equals_batch(spark, tmp_path):
+    """Incremental bitmask retention over event-time-ordered micro-batches
+    must equal the one-shot events_ops.retention_cohorts."""
+    import os
+    import time
+
+    from bytehub_spark import streaming as st
+    from bytehub_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    expect = events_ops.retention_cohorts(ev).toPandas().reset_index(drop=True)
+
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    src = str(tmp_path / "ret_src")
+    os.makedirs(src)
+    bounds = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q, mon = st.stream_retention(stream, str(tmp_path / "ckpt_ret"))
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = mon.result().toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_retention_monitor_activity_bits_commute(spark):
+    """Mask merging is order-independent: feeding the NON-first batches in
+    reversed order (first batch first, so cohorts are set correctly) gives
+    the identical triangle — activity bits OR-commute."""
+    from bytehub_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    b = [pdf.iloc[: len(pdf) // 3], pdf.iloc[len(pdf) // 3 : 2 * len(pdf) // 3],
+         pdf.iloc[2 * len(pdf) // 3 :]]
+
+    from bytehub_spark.streaming import RetentionMonitor
+
+    m1 = RetentionMonitor()
+    for chunk in (b[0], b[1], b[2]):
+        m1.process_batch(spark.createDataFrame(chunk))
+    m2 = RetentionMonitor()
+    for chunk in (b[0], b[2], b[1]):  # later batches swapped
+        m2.process_batch(spark.createDataFrame(chunk))
+    pd.testing.assert_frame_equal(
+        m1.result().toPandas().reset_index(drop=True),
+        m2.result().toPandas().reset_index(drop=True),
+    )
+
+
+def test_retention_monitor_state_is_one_row_per_user(spark):
+    from bytehub_spark.sources import load_table
+    from bytehub_spark.streaming import RetentionMonitor
+
+    ev = load_table(spark, SF, "events")
+    mon = RetentionMonitor()
+    mon.process_batch(ev)
+    n_users = ev.select("user_id").distinct().count()
+    assert mon.state.count() == n_users
+    assert mon.state.columns == ["user_id", "cohort", "mask"]
