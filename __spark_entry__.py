@@ -85,7 +85,8 @@ _GATE_FIRST = [
     # new + changed-this-round + permanent + the stalest r01 greens.
     # --- (a) new in round 5 (never driver-gated; swept at 3 scales) ---
     "ts_event_transitions", "ts_rfm_segments", "cur_budget_alloc",
-    "emb_knn_graph", "dedup_bloom_decontaminate",
+    "emb_knn_graph", "dedup_bloom_decontaminate", "emb_graph_clusters",
+    "emb_quantize_int8",
     # --- (b) changed this round: connected_components rework (Arrow
     # probe, schema-derived ids, pre-probe persist), minhash persist via
     # the scratch registry, token_budget/shard_manifest orderBy fix ---
@@ -93,11 +94,11 @@ _GATE_FIRST = [
     "mm_token_budget",
     # --- (c) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (d) stalest refresh: 38 of the 42 queries whose only driver
+    # --- (d) stalest refresh: 36 of the 42 queries whose only driver
     # row is r01 (the full TPC-H block minus the permanent three, the
-    # r01 ts_* family, the two join gates, doc_text_stats). Deferred to
-    # r06 for slots: doc_token_counts, doc_lang_id, doc_fingerprint,
-    # doc_clean_text (locally swept green at 3 scales this round) ---
+    # r01 ts_* family, the two join gates). Deferred to r06 for slots:
+    # doc_token_counts, doc_lang_id, doc_fingerprint, doc_clean_text,
+    # doc_text_stats, tpch_q22 (locally swept green at 3 scales) ---
     "ts_time_travel", "ts_seed_lookup", "ts_last_per_key",
     "ts_time_bounds", "ts_topk_per_key", "ts_range_scan",
     "ts_partition_derive", "ts_json_extract", "ts_rollup",
@@ -106,9 +107,8 @@ _GATE_FIRST = [
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q22",
+    "tpch_q19",
     "join_anti_inactive_customers", "join_semi_big_spenders",
-    "doc_text_stats",
 ]
 
 
@@ -1483,6 +1483,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # counts; bloom ⊇ exact by construction (no false negatives),
         # false_positive marks bloom-only docs. Same %50 benchmark split
         # as dedup_decontaminate — exact oracle (full bit replay)
+        # mutual-kNN semantic clusters: knn_graph edges where BOTH
+        # endpoints list each other at cos_u >= 9000, connected
+        # components over the symmetric graph, singletons = own id —
+        # exact oracle (knn replay + mutual join + recursive CTE)
+        "emb_graph_clusters": lambda spark, sf: similarity.graph_clusters(
+            load_table(spark, sf, "embeddings"), k=5, min_cos_u=9_000,
+            n_planes=8, bands=6
+        ),
+        # per-dim int8 scalar-quantization audit: affine code fit,
+        # codes used, nano-unit reconstruction error — exact oracle
+        "emb_quantize_int8": lambda spark, sf: similarity.quantize_int8_audit(
+            load_table(spark, sf, "embeddings")
+        ),
         "dedup_bloom_decontaminate": lambda spark, sf: (
             lambda docs: (
                 lambda train, bench: dedup.bloom_decontaminate(
@@ -5958,6 +5971,103 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, rank, neighbor_id, cos_u FROM ranked
             WHERE rank <= 5 ORDER BY vec_id, rank
+        """,
+        # knn replay at the threshold + mutual self-join + recursive-CTE
+        # connected components + singleton union (own id)
+        "emb_graph_clusters": f"""
+            WITH {_cosine_bucket_ctes(8, 6)},
+            norms AS (SELECT vec_id, SUM(q * q) AS nq FROM dims
+                      GROUP BY vec_id),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM buckets a JOIN buckets b USING (band, bucket)
+                WHERE a.vec_id <> b.vec_id
+            ),
+            pdots AS (
+                SELECT c.a_id, c.b_id, SUM(da.q * db.q) AS dab
+                FROM cand c
+                JOIN dims da ON da.vec_id = c.a_id
+                JOIN dims db ON db.vec_id = c.b_id AND db.d = da.d
+                GROUP BY c.a_id, c.b_id
+            ),
+            scored AS (
+                SELECT p.a_id, p.b_id,
+                       CAST(round(10000 * (CAST(dab AS DOUBLE)
+                            / (sqrt(CAST(na.nq AS DOUBLE))
+                               * sqrt(CAST(nb.nq AS DOUBLE)))), 0)
+                           AS BIGINT) AS cos_u
+                FROM pdots p
+                JOIN norms na ON na.vec_id = p.a_id AND na.nq > 0
+                JOIN norms nb ON nb.vec_id = p.b_id AND nb.nq > 0
+            ),
+            fwd AS (
+                SELECT a_id, b_id FROM (
+                    SELECT a_id, b_id, cos_u, row_number() OVER (
+                        PARTITION BY a_id ORDER BY cos_u DESC, b_id ASC
+                    ) AS rank FROM scored
+                ) WHERE rank <= 5 AND cos_u >= 9000
+            ),
+            mutual AS (
+                SELECT f.a_id AS doc_a, f.b_id AS doc_b
+                FROM fwd f JOIN fwd r ON f.a_id = r.b_id AND f.b_id = r.a_id
+                WHERE f.a_id < f.b_id
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM mutual
+                UNION SELECT doc_b, doc_a FROM mutual
+            ),
+            rec AS (
+                WITH RECURSIVE reach(src, dst) AS (
+                    SELECT src, dst FROM edges
+                    UNION
+                    SELECT r.src, e.dst FROM reach r JOIN edges e
+                    ON r.dst = e.src
+                )
+                SELECT src, dst FROM reach
+            ),
+            comp AS (
+                SELECT src AS vec_id, least(src, min(dst)) AS component
+                FROM rec GROUP BY src
+            )
+            SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component
+            FROM (SELECT DISTINCT vec_id FROM embeddings) e
+            LEFT JOIN comp c ON e.vec_id = c.vec_id
+            ORDER BY e.vec_id
+        """,
+        # affine int8 replay: same DOUBLE expression shapes, nano-unit
+        # floors, per-dim rollup
+        "emb_quantize_int8": """
+            WITH dims AS (
+                SELECT vec_id, CAST(d AS INT) AS dim,
+                       CAST(embedding[d + 1] AS DOUBLE) AS v
+                FROM embeddings, (SELECT unnest(generate_series(0, 255)) AS d)
+                WHERE d < len(embedding)
+            ),
+            rng AS (
+                SELECT dim, min(v) AS vmin, max(v) AS vmax
+                FROM dims GROUP BY dim
+            ),
+            coded AS (
+                SELECT dim, v, vmin, vmax,
+                       CASE WHEN vmax = vmin THEN 0
+                            ELSE least(255, CAST(floor(
+                                (v - vmin) * 255.0 / (vmax - vmin))
+                                AS INT)) END AS code
+                FROM dims JOIN rng USING (dim)
+            ),
+            err AS (
+                SELECT dim, vmin, vmax, code,
+                       CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+                            ELSE CAST(floor(abs(
+                                vmin + (code + 0.5) * (vmax - vmin) / 255.0
+                                - v) * 1e9) AS BIGINT) END AS err_nu
+                FROM coded
+            )
+            SELECT dim, min(vmin) AS vmin, max(vmax) AS vmax,
+                   count(DISTINCT code) AS codes_used,
+                   max(err_nu) AS max_err_nu,
+                   CAST(sum(err_nu) // count(*) AS BIGINT) AS mean_err_nu
+            FROM err GROUP BY dim ORDER BY dim
         """,
         # full Bloom replay: FNV (h1,h2) per shingle, KM probe positions,
         # 32-bit packed words via bit_or, all-k-bits test, joined against

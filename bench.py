@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     # round 5 additions
     "emb_knn_graph",
     "dedup_bloom_decontaminate",
+    "emb_graph_clusters",
 ]
 
 

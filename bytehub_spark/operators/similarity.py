@@ -1350,3 +1350,112 @@ def knn_graph(
         )
         .orderBy(id_col, "rank")
     )
+
+
+def graph_clusters(
+    embeddings: DataFrame,
+    k: int = 5,
+    min_cos_u: int = 9_000,
+    n_planes: int = 8,
+    bands: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic clusters from the MUTUAL k-NN graph: two vectors are
+    linked iff EACH appears in the other's LSH top-k at cosine >=
+    ``min_cos_u`` (1e-4 units), and clusters are the connected
+    components of that symmetric graph — the mutual-kNN clustering used
+    for corpus topic discovery and embedding-space dedup review queues.
+    Mutuality is the standard hub-suppressor: a hub vector that shows up
+    in everyone's top-k only links where the relation is reciprocal, so
+    components stay tight instead of collapsing into one giant cluster.
+
+    Composition of two already-exact pieces: knn_graph (SRP buckets +
+    integer-quantized cosine) self-joined on reversed (id, neighbor)
+    for mutuality, then connected_components (driver union-find fast
+    path under the bounded cap, distributed min-label loop above it).
+    Every vector appears in the output; non-clustered vectors are
+    their own singleton component (component = own id).
+    """
+    knn = knn_graph(embeddings, k, n_planes, bands, id_col, vec_col)
+    fwd = knn.where(F.col("cos_u") >= min_cos_u).select(
+        id_col, "neighbor_id"
+    )
+    rev = fwd.select(
+        F.col("neighbor_id").alias(id_col), F.col(id_col).alias("neighbor_id")
+    )
+    mutual = (
+        fwd.join(rev, [id_col, "neighbor_id"])
+        .where(F.col(id_col) < F.col("neighbor_id"))
+        .select(F.col(id_col).alias("doc_a"), F.col("neighbor_id").alias("doc_b"))
+    )
+    from .dedup import connected_components
+
+    verts = embeddings.select(F.col(id_col))
+    return connected_components(mutual, vertices=verts, id_col=id_col)
+
+
+def quantize_int8_audit(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar (per-dimension min-max) int8 quantization audit: the
+    4x-storage-compression decision table for an embedding column at
+    100 TB. For every dimension it fits the affine code
+    ``code = floor((v - min) * 255 / (max - min))`` (clamped to 255 at
+    v = max) and reports the achieved precision — codes actually used,
+    max and mean absolute reconstruction error against the midpoint
+    decode ``min + (code + 0.5)·(max - min)/255`` — per dimension, so a
+    capacity planner can see which dims survive int8 and which need
+    fp16. Constant dimensions (max = min) map to code 0 with zero error.
+
+    Exactness: min/max are exact picks; the affine map is one sub, one
+    mul, one div in DOUBLE — the same expression shape in both engines,
+    so every code and every floor(err·1e9) nano-unit is identical. One
+    posexplode + a dim-keyed agg + a <=dims-row broadcast back: the only
+    data-sized shuffle is the per-dim aggregation, map-side combined.
+    """
+    dims = embeddings.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    ).select(id_col, "dim", F.col("__v").cast("double").alias("v"))
+    rng = dims.groupBy("dim").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    coded = (
+        dims.join(F.broadcast(rng), "dim")
+        .withColumn(
+            "code",
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (F.col("v") - F.col("vmin"))
+                        * F.lit(255.0)
+                        / (F.col("vmax") - F.col("vmin"))
+                    ).cast("int"),
+                )
+            ),
+        )
+        .withColumn(
+            "err_nu",
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    "CAST(floor(abs(vmin + (code + 0.5) * (vmax - vmin) / 255.0"
+                    " - v) * 1e9) AS BIGINT)"
+                )
+            ),
+        )
+    )
+    return (
+        coded.groupBy("dim")
+        .agg(
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.countDistinct("code").alias("codes_used"),
+            F.max("err_nu").alias("max_err_nu"),
+            F.expr("sum(err_nu) div count(*)").alias("mean_err_nu"),
+        )
+        .orderBy("dim")
+    )

@@ -313,3 +313,99 @@ def test_retention_monitor_state_is_one_row_per_user(spark):
     n_users = ev.select("user_id").distinct().count()
     assert mon.state.count() == n_users
     assert mon.state.columns == ["user_id", "cohort", "mask"]
+
+
+# ---------------------------------------------------------------------------
+# graph_clusters (mutual-kNN components)
+# ---------------------------------------------------------------------------
+
+def test_graph_clusters_planted_twins_cluster_together(spark):
+    """Exact duplicate pairs are mutual rank-1 neighbors at cos 1e4, so
+    each planted twin pair must share a component (= the lower id)."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 8)).astype("float32")
+    vecs = np.vstack([base, base[:6]])  # 40..45 duplicate 0..5
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    got = (
+        similarity.graph_clusters(
+            spark.createDataFrame(pdf), k=3, min_cos_u=9_999,
+            n_planes=4, bands=4,
+        )
+        .toPandas()
+        .set_index("vec_id")["component"]
+    )
+    assert len(got) == len(vecs)  # every vector appears
+    for i in range(6):
+        assert got[40 + i] == got[i] == i
+    # random base vectors at cos<9999: singletons
+    for i in range(6, 40):
+        assert got[i] == i
+
+
+def test_graph_clusters_mutuality_suppresses_one_way_edges(spark):
+    """A vector close to a pair but not IN either's reciprocal top-k must
+    not merge their cluster: one-way edges are dropped."""
+    a = np.array([1.0, 0.0, 0.0, 0.0], dtype="float32")
+    got = (
+        similarity.graph_clusters(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "vec_id": [0, 1, 2],
+                        "embedding": [
+                            a.tolist(),
+                            a.tolist(),               # exact twin of 0
+                            (a * 0.9 + 0.1).tolist(), # near but not twin
+                        ],
+                        "label": [0, 0, 0],
+                    }
+                )
+            ),
+            k=1, min_cos_u=9_999, n_planes=2, bands=2,
+        )
+        .toPandas()
+        .set_index("vec_id")["component"]
+    )
+    # k=1: 0 and 1 pick each other (twin, cos 1e4); 2's cos to them is
+    # < 9999 -> no edge survives the threshold, 2 stays a singleton
+    assert got[0] == 0 and got[1] == 0
+    assert got[2] == 2
+
+
+# ---------------------------------------------------------------------------
+# quantize_int8_audit
+# ---------------------------------------------------------------------------
+
+def test_quantize_int8_error_bound_and_constant_dim(spark):
+    """Midpoint decode error <= half a code width; constant dims code to
+    0 with zero error and one used code."""
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(200, 4)).astype("float32")
+    vecs[:, 2] = 1.5  # constant dimension
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(200),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [0] * 200,
+        }
+    )
+    got = (
+        similarity.quantize_int8_audit(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("dim")
+    )
+    assert list(got.index) == [0, 1, 2, 3]
+    const = got.loc[2]
+    assert const["codes_used"] == 1
+    assert const["max_err_nu"] == 0
+    for d in (0, 1, 3):
+        row = got.loc[d]
+        half_width_nu = (row["vmax"] - row["vmin"]) / 255.0 / 2.0 * 1e9
+        assert row["max_err_nu"] <= half_width_nu + 1  # floor slack
+        assert 2 <= row["codes_used"] <= 256
