@@ -86,7 +86,7 @@ _GATE_FIRST = [
     # --- (a) new in round 5 (never driver-gated; swept at 3 scales) ---
     "ts_event_transitions", "ts_rfm_segments", "cur_budget_alloc",
     "emb_knn_graph", "dedup_bloom_decontaminate", "emb_graph_clusters",
-    "emb_quantize_int8",
+    "emb_quantize_int8", "dedup_decontaminate_mask",
     # --- (b) changed this round: connected_components rework (Arrow
     # probe, schema-derived ids, pre-probe persist), minhash persist via
     # the scratch registry, token_budget/shard_manifest orderBy fix ---
@@ -98,7 +98,7 @@ _GATE_FIRST = [
     # row is r01 (the full TPC-H block minus the permanent three, the
     # r01 ts_* family, the two join gates). Deferred to r06 for slots:
     # doc_token_counts, doc_lang_id, doc_fingerprint, doc_clean_text,
-    # doc_text_stats, tpch_q22 (locally swept green at 3 scales) ---
+    # doc_text_stats, tpch_q22, tpch_q19 (locally swept at 3 scales) ---
     "ts_time_travel", "ts_seed_lookup", "ts_last_per_key",
     "ts_time_bounds", "ts_topk_per_key", "ts_range_scan",
     "ts_partition_derive", "ts_json_extract", "ts_rollup",
@@ -107,7 +107,6 @@ _GATE_FIRST = [
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19",
     "join_anti_inactive_customers", "join_semi_big_spenders",
 ]
 
@@ -1483,6 +1482,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # counts; bloom ⊇ exact by construction (no false negatives),
         # false_positive marks bloom-only docs. Same %50 benchmark split
         # as dedup_decontaminate — exact oracle (full bit replay)
+        # span-level decontamination: benchmark-shared n-gram positions
+        # masked in place (union of covered word positions per doc) —
+        # every train doc appears, clean ones with count 0. Exact oracle
+        "dedup_decontaminate_mask": lambda spark, sf: (
+            lambda docs: dedup.decontaminate_mask(
+                docs.where(F.col("doc_id") % 50 != 0),
+                docs.where(F.col("doc_id") % 50 == 0),
+                4,
+            )
+        )(load_table(spark, sf, "documents")),
         # mutual-kNN semantic clusters: knn_graph edges where BOTH
         # endpoints list each other at cos_u >= 9000, connected
         # components over the symmetric graph, singletons = own id —
@@ -5971,6 +5980,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, rank, neighbor_id, cos_u FROM ranked
             WHERE rank <= 5 ORDER BY vec_id, rank
+        """,
+        # positional replay: shingles with start index, covered-position
+        # union, list_transform mask — membership only, so the unordered
+        # position sets agree across engines
+        "dedup_decontaminate_mask": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            sidx AS (
+                SELECT doc_id, i,
+                       array_to_string(ws[i + 1 : i + 4], ' ') AS shingle
+                FROM w, unnest(range(0, greatest(len(ws) - 3, 0))) AS t(i)
+                WHERE len(ws) >= 4 AND doc_id % 50 <> 0
+            ),
+            bsh AS (
+                SELECT DISTINCT unnest(list_transform(
+                    range(0, greatest(len(ws) - 3, 0)),
+                    i -> array_to_string(ws[i + 1 : i + 4], ' '))) AS shingle
+                FROM w WHERE len(ws) >= 4 AND doc_id % 50 = 0
+            ),
+            hitp AS (
+                SELECT DISTINCT doc_id, i + jj AS p
+                FROM sidx JOIN bsh USING (shingle),
+                     unnest(range(0, 4)) AS u(jj)
+            ),
+            hits AS (
+                SELECT doc_id, list(p) AS hl, count(*) AS nm
+                FROM hitp GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   array_to_string(list_transform(
+                       range(0, len(ws)),
+                       p -> CASE WHEN list_contains(coalesce(hl, []), p)
+                                 THEN '<MASK>' ELSE ws[p + 1] END),
+                       ' ') AS text_masked,
+                   CAST(coalesce(nm, 0) AS BIGINT) AS n_masked_tokens
+            FROM w LEFT JOIN hits USING (doc_id)
+            WHERE w.doc_id % 50 <> 0
+            ORDER BY w.doc_id
         """,
         # knn replay at the threshold + mutual self-join + recursive-CTE
         # connected components + singleton union (own id)

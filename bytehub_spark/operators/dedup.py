@@ -1690,3 +1690,81 @@ def bloom_decontaminate(
         .agg(F.count("*").alias("n_maybe_shingles"))
         .orderBy(id_col)
     )
+
+
+def decontaminate_mask(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    mask_token: str = "<MASK>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level decontamination: instead of DROPPING a contaminated doc
+    (decontaminate's flag), censor exactly the word positions covered by
+    any benchmark-shared n-gram — the "mask the overlapping spans"
+    treatment that keeps the rest of a long document trainable (dropping
+    whole books over one leaked quiz answer wastes data at 100 TB).
+
+    A shingle starting at word i covers positions [i, i+n); the covered
+    set per doc is the union over all hit shingles. Returns every doc
+    (id, masked text, n_masked_tokens) — clean docs pass through with
+    count 0. Masking is positional membership, not ordering, so the
+    unordered collect_set is safe and the output is exactly replayable
+    in SQL.
+
+    Scale shape: the shingle explode + the (tiny, broadcast) benchmark
+    join are the same stages decontaminate runs; the mask itself is one
+    row-local transform over the words array — no extra shuffle beyond
+    the per-doc position union.
+    """
+    from ..plans import ensure_parallelism
+
+    df = ensure_parallelism(documents).withColumn(
+        "__w", F.split(F.col(text_col), " ")
+    )
+    idx_sh = (
+        df.where(F.size("__w") >= n)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(__w) - {n}), "
+                    f"i -> concat_ws(' ', slice(__w, i + 1, {n})))"
+                )
+            ).alias("__i", "shingle"),
+        )
+    )
+    bench_sh = (
+        shingle_sets(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        idx_sh.join(bench_sh, "shingle")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__i"), F.col("__i") + F.lit(n - 1))
+            ).alias("__p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("__p").alias("__hits"))
+    )
+    masked = F.expr(
+        "concat_ws(' ', zip_with(__w, sequence(0, size(__w) - 1), "
+        f"(w, p) -> IF(array_contains(coalesce(__hits, CAST(array() AS ARRAY<INT>)), p), "
+        f"'{mask_token}', w)))"
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .select(
+            id_col,
+            masked.alias("text_masked"),
+            F.coalesce(F.size("__hits"), F.lit(0)).cast("long").alias(
+                "n_masked_tokens"
+            ),
+        )
+        .orderBy(id_col)
+    )

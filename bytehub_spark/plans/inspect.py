@@ -111,3 +111,149 @@ def ensure_parallelism(df: DataFrame, factor: float = 1.0) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+# ---------------------------------------------------------------------------
+# JSON-serialization-based structural analysis (round 5): the machinery
+# behind scripts/check_plans.py's global_sort/global_window gate flags,
+# exposed as a library feature so tests and ops tooling share ONE
+# implementation with the gate. String-regexing the rendered Window line
+# is unreliable (expression lists nest brackets); per-node JSON fields
+# are the robust parse. All functions read the PRE-execution plan (the
+# AQE wrapper hides its tree in an inputPlan field — unwrap first).
+# Subquery plans are not traversed.
+# ---------------------------------------------------------------------------
+
+WINDOW_CLASSES = ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec")
+
+# nodes that may sit between the root and the deterministic-output sort
+# without making it "mid-plan": pure row-preserving finishers/wrappers
+PASSTHROUGH = (
+    "AdaptiveSparkPlanExec",
+    "ProjectExec",
+    "CollectLimitExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "WholeStageCodegenExec",
+    "InputAdapter",
+    "ColumnarToRowExec",
+    "ResultQueryStageExec",
+    "CoalesceExec",
+)
+
+_JOIN_CLASSES = (
+    "BroadcastHashJoinExec",
+    "SortMergeJoinExec",
+    "ShuffledHashJoinExec",
+    "BroadcastNestedLoopJoinExec",
+    "CartesianProductExec",
+)
+
+_PY_EVAL = ("BatchEvalPythonExec",)
+_ARROW_EVAL = (
+    "ArrowEvalPythonExec",
+    "MapInPandasExec",
+    "FlatMapGroupsInPandasExec",
+)
+
+
+def plan_nodes(df: DataFrame) -> list[dict]:
+    """Pre-order node dicts of the physical plan's JSON serialization.
+
+    Raises whatever py4j raises if an expression in the plan is not
+    JSON-serializable — callers needing best-effort catch it
+    (check_plans records null flags)."""
+    import json
+
+    jplan = df._jdf.queryExecution().executedPlan()
+    if jplan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        jplan = jplan.executedPlan()  # == initialPlan before execution
+    return json.loads(jplan.toJSON())
+
+
+def build_tree(nodes: list) -> tuple:
+    """Rebuild (node, children) from the pre-order list (num-children)."""
+    it = iter(nodes)
+
+    def build():
+        n = next(it)
+        kids = [build() for _ in range(n.get("num-children", 0))]
+        return (n, kids)
+
+    return build()
+
+
+def _simple(n: dict) -> str:
+    return n.get("class", "").rsplit(".", 1)[-1]
+
+
+def structural_flags(df: DataFrame) -> dict:
+    """global_sort / global_window flags (the check_plans gate policy):
+    a Window-family node with an EMPTY partitionSpec, and a global
+    SortExec that is NOT the output finisher (every ancestor a
+    pass-through node). Returns None-valued flags if the plan is not
+    JSON-serializable."""
+    try:
+        root = build_tree(plan_nodes(df))
+    except Exception:
+        return {"global_sort": None, "global_window": None}
+
+    flags = {"global_sort": False, "global_window": False}
+
+    def walk(tree, interior: bool):
+        n, kids = tree
+        simple = _simple(n)
+        if simple in WINDOW_CLASSES and n.get("partitionSpec") == []:
+            flags["global_window"] = True
+        if simple == "SortExec" and n.get("global") and interior:
+            flags["global_sort"] = True
+        child_interior = interior or simple not in PASSTHROUGH
+        for k in kids:
+            walk(k, child_interior)
+
+    walk(root, False)
+    return flags
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call plan audit for ops tooling and tests:
+
+    - joins: [{"strategy", "join_type"}] per join node, in pre-order
+    - n_exchanges: shuffle exchanges (the number that costs at 100 TB)
+    - n_broadcasts: broadcast exchanges
+    - py_eval / arrow_eval: row-at-a-time vs Arrow Python boundaries
+    - global_sort / global_window: single-partition hazards
+    """
+    nodes = plan_nodes(df)
+    joins = []
+    n_ex = n_bc = 0
+    py_eval = arrow_eval = False
+    for n in nodes:
+        simple = _simple(n)
+        if simple in _JOIN_CLASSES:
+            jt = n.get("joinType")
+            if isinstance(jt, dict):
+                jt = jt.get("object", jt.get("product-class", ""))
+            joins.append(
+                {
+                    "strategy": simple.replace("Exec", ""),
+                    "join_type": str(jt).rsplit(".", 1)[-1].rstrip("$"),
+                }
+            )
+        elif simple == "ShuffleExchangeExec":
+            n_ex += 1
+        elif simple == "BroadcastExchangeExec":
+            n_bc += 1
+        elif simple in _PY_EVAL:
+            py_eval = True
+        elif simple in _ARROW_EVAL:
+            arrow_eval = True
+    out = {
+        "joins": joins,
+        "n_exchanges": n_ex,
+        "n_broadcasts": n_bc,
+        "py_eval": py_eval,
+        "arrow_eval": arrow_eval,
+    }
+    out.update(structural_flags(df))
+    return out

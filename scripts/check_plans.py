@@ -100,70 +100,8 @@ def fingerprint(plan: str) -> dict:
     }
 
 
-_WINDOW_CLASSES = ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec")
-# nodes that may sit between the root and the deterministic-output sort
-# without making it "mid-plan": pure row-preserving finishers/wrappers
-_PASSTHROUGH = (
-    "AdaptiveSparkPlanExec",
-    "ProjectExec",
-    "CollectLimitExec",
-    "GlobalLimitExec",
-    "LocalLimitExec",
-    "WholeStageCodegenExec",
-    "InputAdapter",
-    "ColumnarToRowExec",
-    "ResultQueryStageExec",
-    "CoalesceExec",
-)
-
-
-def _build_tree(nodes: list) -> tuple:
-    """Rebuild (node, children) from TreeNode.toJSON's pre-order list."""
-    it = iter(nodes)
-
-    def build():
-        n = next(it)
-        kids = [build() for _ in range(n.get("num-children", 0))]
-        return (n, kids)
-
-    return build()
-
-
-def structural_flags(jplan) -> dict:
-    """global_sort / global_window from the plan's JSON serialization.
-
-    ``jplan`` is the py4j SparkPlan (possibly AdaptiveSparkPlanExec —
-    unwrapped to its pre-execution plan, whose children ARE serialized;
-    the adaptive wrapper itself hides the tree in an inputPlan field).
-    Returns None-valued flags if serialization throws (not all
-    expressions are JSON-serializable).
-    """
-    import json as _json
-
-    try:
-        cls = jplan.getClass().getSimpleName()
-        if cls == "AdaptiveSparkPlanExec":
-            jplan = jplan.executedPlan()  # == initialPlan before execution
-        nodes = _json.loads(jplan.toJSON())
-        root = _build_tree(nodes)
-    except Exception:
-        return {"global_sort": None, "global_window": None}
-
-    flags = {"global_sort": False, "global_window": False}
-
-    def walk(tree, interior: bool):
-        n, kids = tree
-        simple = n.get("class", "").rsplit(".", 1)[-1]
-        if any(simple == w for w in _WINDOW_CLASSES) and n.get("partitionSpec") == []:
-            flags["global_window"] = True
-        if simple == "SortExec" and n.get("global") and interior:
-            flags["global_sort"] = True
-        child_interior = interior or simple not in _PASSTHROUGH
-        for k in kids:
-            walk(k, child_interior)
-
-    walk(root, False)
-    return flags
+# structural analysis lives in the library (bytehub_spark.plans.inspect)
+# so tests and ops tooling share one implementation with this gate
 
 
 def collect_fingerprints() -> dict:
@@ -176,10 +114,12 @@ def collect_fingerprints() -> dict:
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
         try:
+            from bytehub_spark.plans.inspect import structural_flags
+
             df = fn(spark, SF_DIR)
-            jplan = df._jdf.queryExecution().executedPlan()
-            fp = fingerprint(jplan.toString())
-            fp.update(structural_flags(jplan))
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            fp = fingerprint(plan)
+            fp.update(structural_flags(df))
             out[name] = fp
         except Exception as e:  # plan construction itself failed
             out[name] = {"error": str(e)[:200]}

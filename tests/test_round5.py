@@ -409,3 +409,93 @@ def test_quantize_int8_error_bound_and_constant_dim(spark):
         half_width_nu = (row["vmax"] - row["vmin"]) / 255.0 / 2.0 * 1e9
         assert row["max_err_nu"] <= half_width_nu + 1  # floor slack
         assert 2 <= row["codes_used"] <= 256
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_mask
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_mask_masks_exact_span_union(spark):
+    bench = _doc_frame(spark, [(0, "alpha beta gamma delta epsilon")])
+    train = _doc_frame(
+        spark,
+        [
+            # two overlapping hit shingles: positions 2..6 covered
+            (1, "intro words alpha beta gamma delta epsilon outro tail"),
+            (2, "totally unrelated clean words here padded to length ok"),
+            (3, "x y z"),  # < n words: passes through untouched
+        ],
+    )
+    got = (
+        dedup.decontaminate_mask(train, bench, 4)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "text_masked"] == (
+        "intro words <MASK> <MASK> <MASK> <MASK> <MASK> outro tail"
+    )
+    assert got.loc[1, "n_masked_tokens"] == 5
+    assert got.loc[2, "text_masked"].startswith("totally unrelated")
+    assert got.loc[2, "n_masked_tokens"] == 0
+    assert got.loc[3, "text_masked"] == "x y z"
+    assert got.loc[3, "n_masked_tokens"] == 0
+
+
+def test_decontaminate_mask_counts_match_flag_op(spark):
+    """Docs flagged by decontaminate are exactly the docs with masked
+    tokens > 0 (same shingle definition, same benchmark)."""
+    from bytehub_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    flagged = set(
+        dedup.decontaminate(train, bench, 4).toPandas()["doc_id"]
+    )
+    masked = dedup.decontaminate_mask(train, bench, 4).toPandas()
+    assert set(masked[masked["n_masked_tokens"] > 0]["doc_id"]) == flagged
+    assert len(masked) == train.count()  # every train doc appears
+
+
+# ---------------------------------------------------------------------------
+# plans.inspect.plan_report (library twin of the check_plans gate)
+# ---------------------------------------------------------------------------
+
+def test_plan_report_join_strategy_and_exchanges(spark):
+    from bytehub_spark.plans.inspect import plan_report
+    from bytehub_spark.sources import load_table
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_nationkey").count()
+    rep = plan_report(j)
+    assert any(
+        jn["strategy"] in ("BroadcastHashJoin", "SortMergeJoin")
+        for jn in rep["joins"]
+    )
+    assert rep["py_eval"] is False
+    assert rep["global_window"] is False
+
+    # forced SMJ: the join must show up as SortMergeJoin w/ exchanges
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rep2 = plan_report(o.join(c, o.o_custkey == c.c_custkey))
+        assert any(jn["strategy"] == "SortMergeJoin" for jn in rep2["joins"])
+        assert rep2["n_exchanges"] >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_plan_report_flags_agree_with_gate_machinery(spark):
+    """plan_report and structural_flags come from one implementation —
+    a no-partition window flags global_window in both."""
+    from pyspark.sql import Window as W
+
+    from bytehub_spark.plans.inspect import plan_report
+
+    df = spark.range(100).withColumn(
+        "rn", F.row_number().over(W.orderBy("id"))
+    )
+    rep = plan_report(df)
+    assert rep["global_window"] is True
