@@ -86,6 +86,17 @@ def main() -> None:
     q.awaitTermination(600)
     finish("sessionize", t0, n_events)
 
+    # 4. foreachBatch distributed-state monitor (cohort retention — one
+    # bitmask row per user; representative of the monitor family)
+    t0 = time.time()
+    q, mon = st.stream_retention(
+        st.stream_events(spark, src_dir, max_files=2),
+        os.path.join(work, "ckpt_ret"),
+    )
+    q.awaitTermination(600)
+    mon.result().write.format("noop").mode("overwrite").save()
+    finish("retention_monitor", t0, n_events)
+
     shutil.rmtree(work, ignore_errors=True)
     print(
         json.dumps(
