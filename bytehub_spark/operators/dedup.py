@@ -912,6 +912,10 @@ def connected_components(
     # distributed path reuses them instead of re-running the whole pair
     # pipeline for its second pass (previously the probe was discarded
     # and >cap inputs paid the pair scan twice).
+    # reset the observability counter HERE so a fast-path run reads 0
+    # (its documented contract), not the previous distributed run's count
+    global _cc_last_rounds
+    _cc_last_rounds = 0
     edge_rows = scratch_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     )
@@ -976,8 +980,6 @@ def connected_components(
     labels = eager_checkpoint(verts.withColumn("component", F.col("src")))
 
     converged = False
-    global _cc_last_rounds
-    _cc_last_rounds = 0
     for _round in range(1, max_iter + 1):
         _cc_last_rounds = _round
         neighbor_min = (
@@ -1752,10 +1754,13 @@ def decontaminate_mask(
         .groupBy(id_col)
         .agg(F.collect_set("__p").alias("__hits"))
     )
+    # escape the token for the SQL string literal (quotes/backslashes in
+    # a user-supplied mask would otherwise break or mutate the lambda)
+    tok = mask_token.replace("\\", "\\\\").replace("'", "\\'")
     masked = F.expr(
         "concat_ws(' ', zip_with(__w, sequence(0, size(__w) - 1), "
         f"(w, p) -> IF(array_contains(coalesce(__hits, CAST(array() AS ARRAY<INT>)), p), "
-        f"'{mask_token}', w)))"
+        f"'{tok}', w)))"
     )
     return (
         df.join(hits, id_col, "left")

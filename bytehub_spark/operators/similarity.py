@@ -926,6 +926,70 @@ def margin_pairs(
     )
 
 
+def _quantized_vectors(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(id, [extra...], q, nq): 1e6-quantized int64 components + integer
+    self-dot norm; zero-norm vectors excluded (no cosine neighborhood).
+    THE shared quantization for every bit-exact integer-cosine operator
+    (margin_pairs_lsh, knn_graph) — one definition so the DuckDB replay
+    contract can never drift between them."""
+    q_expr = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)"
+        " AS BIGINT))"
+    )
+    nq_expr = F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+    return (
+        embeddings.withColumn("q", q_expr)
+        .withColumn("nq", nq_expr)
+        .where(F.col("nq") > 0)
+        .select(id_col, *extra_cols, "q", "nq")
+    )
+
+
+def _int_gemm_scored(cand: DataFrame, qa: DataFrame, qb: DataFrame) -> DataFrame:
+    """Score (a_id, b_id) candidates to integer cosine units in ONE
+    Arrow-batched pass: exact order-independent int64 dots, per-op IEEE
+    sqrt/div, half-away-from-zero rounding to 1e-4 units (SQL ROUND) —
+    the shared kernel whose every step is replayed in the oracles.
+    Result is scratch-persisted (both ranking directions read it)."""
+    from ..plans import ensure_parallelism
+    from ..plans.scratch import scratch_persist
+
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf["qa"].tolist(), dtype=np.int64)
+            B = np.array(pdf["qb"].tolist(), dtype=np.int64)
+            dab = (A * B).sum(axis=1)  # int64: exact, order-independent
+            naa = pdf["naa"].to_numpy(dtype=np.int64)
+            nbb = pdf["nbb"].to_numpy(dtype=np.int64)
+            c = dab.astype(np.float64) / (
+                np.sqrt(naa.astype(np.float64))
+                * np.sqrt(nbb.astype(np.float64))
+            )
+            scaled = c * 1e4  # SQL ROUND: half away from zero
+            cos_u = np.where(
+                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "a_id": pdf["a_id"].to_numpy(),
+                    "b_id": pdf["b_id"].to_numpy(),
+                    "cos_u": cos_u,
+                }
+            )
+
+    return scratch_persist(
+        ensure_parallelism(cand.join(qa, "a_id").join(qb, "b_id"))
+        .mapInPandas(score, schema="a_id long, b_id long, cos_u long")
+    )
+
+
 def margin_pairs_lsh(
     embeddings: DataFrame,
     label_a: int = 0,
@@ -975,18 +1039,7 @@ def margin_pairs_lsh(
     both = embeddings.where(
         F.col(label_col).isin([label_a, label_b])
     ).select(id_col, vec_col, label_col)
-    # 1e6-quantized int vectors + integer norms, n-scale (not pair-scale)
-    q_expr = F.expr(
-        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)"
-        " AS BIGINT))"
-    )
-    nq_expr = F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
-    quant = (
-        both.withColumn("q", q_expr)
-        .withColumn("nq", nq_expr)
-        .where(F.col("nq") > 0)
-        .select(id_col, label_col, "q", "nq")
-    )
+    quant = _quantized_vectors(both, id_col, vec_col, extra_cols=(label_col,))
     qa = quant.where(F.col(label_col) == label_a).select(
         F.col(id_col).alias("a_id"), F.col("q").alias("qa"),
         F.col("nq").alias("naa"),
@@ -1009,36 +1062,7 @@ def margin_pairs_lsh(
         .select("a_id", "b_id")
         .distinct()
     )
-
-    def score(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            A = np.array(pdf["qa"].tolist(), dtype=np.int64)
-            B = np.array(pdf["qb"].tolist(), dtype=np.int64)
-            dab = (A * B).sum(axis=1)  # int64: exact, order-independent
-            naa = pdf["naa"].to_numpy(dtype=np.int64)
-            nbb = pdf["nbb"].to_numpy(dtype=np.int64)
-            c = dab.astype(np.float64) / (
-                np.sqrt(naa.astype(np.float64))
-                * np.sqrt(nbb.astype(np.float64))
-            )
-            scaled = c * 1e4  # SQL ROUND: half away from zero
-            cos_u = np.where(
-                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
-            ).astype(np.int64)
-            yield pd.DataFrame(
-                {
-                    "a_id": pdf["a_id"].to_numpy(),
-                    "b_id": pdf["b_id"].to_numpy(),
-                    "cos_u": cos_u,
-                }
-            )
-
-    scored = scratch_persist(
-        ensure_parallelism(cand.join(qa, "a_id").join(qb, "b_id"))
-        .mapInPandas(score, schema="a_id long, b_id long, cos_u long")
-    )
+    scored = _int_gemm_scored(cand, qa, qb)
     wa = Window.partitionBy("a_id").orderBy(
         F.col("cos_u").desc(), F.col("b_id").asc()
     )
@@ -1279,20 +1303,7 @@ def knn_graph(
     (LSH recall, not an error — emb_lsh_balance monitors bucket sizes;
     grow n_planes with corpus size to hold candidates/vector flat).
     """
-    from ..plans import ensure_parallelism
-    from ..plans.scratch import scratch_persist
-
-    q_expr = F.expr(
-        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)"
-        " AS BIGINT))"
-    )
-    nq_expr = F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
-    quant = (
-        embeddings.withColumn("q", q_expr)
-        .withColumn("nq", nq_expr)
-        .where(F.col("nq") > 0)
-        .select(id_col, "q", "nq")
-    )
+    quant = _quantized_vectors(embeddings, id_col, vec_col)
     buck = lsh_cosine_buckets(
         embeddings, n_planes, id_col, vec_col, bands=bands
     ).select(id_col, "band", "bucket")
@@ -1310,34 +1321,7 @@ def knn_graph(
     qb = quant.select(
         F.col(id_col).alias("b_id"), F.col("q").alias("qb"), F.col("nq").alias("nbb")
     )
-
-    def score(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            A = np.array(pdf["qa"].tolist(), dtype=np.int64)
-            B = np.array(pdf["qb"].tolist(), dtype=np.int64)
-            dab = (A * B).sum(axis=1)  # int64: exact, order-independent
-            c = dab.astype(np.float64) / (
-                np.sqrt(pdf["naa"].to_numpy(dtype=np.int64).astype(np.float64))
-                * np.sqrt(pdf["nbb"].to_numpy(dtype=np.int64).astype(np.float64))
-            )
-            scaled = c * 1e4  # SQL ROUND: half away from zero
-            cos_u = np.where(
-                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
-            ).astype(np.int64)
-            yield pd.DataFrame(
-                {
-                    "a_id": pdf["a_id"].to_numpy(),
-                    "b_id": pdf["b_id"].to_numpy(),
-                    "cos_u": cos_u,
-                }
-            )
-
-    scored = scratch_persist(
-        ensure_parallelism(cand.join(qa, "a_id").join(qb, "b_id"))
-        .mapInPandas(score, schema="a_id long, b_id long, cos_u long")
-    )
+    scored = _int_gemm_scored(cand, qa, qb)
     w = Window.partitionBy("a_id").orderBy(F.col("cos_u").desc(), F.col("b_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

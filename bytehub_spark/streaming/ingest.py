@@ -993,6 +993,10 @@ class FunnelMonitor:
     def result(self) -> DataFrame:
         """Per-step reached-user counts + ppm conversions — the same
         table shape as events_ops.funnel."""
+        if self.state is None:
+            raise RuntimeError(
+                "FunnelMonitor.result() before any micro-batch was processed"
+            )
         st = self.state
         counts = None
         for i, s in enumerate(self.steps, start=1):
@@ -1137,6 +1141,11 @@ class KMVDistinctMonitor:
     def result(self) -> DataFrame:
         from ..operators.dedup import kmv_distinct_estimate
 
+        if self.state is None:
+            raise RuntimeError(
+                "KMVDistinctMonitor.result() before any micro-batch was "
+                "processed"
+            )
         return kmv_distinct_estimate(self.state, self.k)
 
 
@@ -1211,6 +1220,12 @@ class RetentionMonitor:
 
     def result(self) -> DataFrame:
         """Same table shape as events_ops.retention_cohorts."""
+        if self.state is None:
+            raise RuntimeError(
+                "RetentionMonitor.result() before any micro-batch was "
+                "processed (empty source, or the query has not committed "
+                "a batch yet)"
+            )
         st = self.state
         return (
             st.select(

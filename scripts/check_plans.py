@@ -65,12 +65,17 @@ Round-5 adjudication of the two new flags over all 178 plans:
   TakeOrderedAndProject. These stay true in the snapshot; a NEW
   global_window anywhere else fails the gate.
 
-Round-5 additions (183 queries total): the 5 new queries contribute 2
+Round-5 additions (186 queries total): the 8 new queries contribute 2
 cartesian=true (ts_rfm_segments' percentile-breakpoint scalar attach,
 cur_budget_alloc's weight-normalizer attach — both the reviewed 1-row
 class) and 2 arrow_eval=true (emb_knn_graph's integer-GEMM scorer,
 dedup_bloom_decontaminate's FNV hasher — declared pandas-UDF
-boundaries); global_sort/global_window clean on all 5.
+boundaries); ts_event_transitions, dedup_decontaminate_mask, and
+emb_quantize_int8 are clean on every flag, and emb_graph_clusters'
+registered plan carries none (its CC driver fast path executes the knn
+pipeline during the bounded probe, so the final plan is just
+vertices ⋈ broadcast(component map)). global_sort/global_window clean
+on all 8.
 """
 
 from __future__ import annotations
@@ -114,12 +119,30 @@ def collect_fingerprints() -> dict:
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
         try:
-            from bytehub_spark.plans.inspect import structural_flags
+            from bytehub_spark.plans.inspect import plan_report
 
             df = fn(spark, SF_DIR)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            fp = fingerprint(plan)
-            fp.update(structural_flags(df))
+            try:
+                # ONE implementation for every flag (plans.inspect): the
+                # JSON node classes, not string regex — so this gate and
+                # the library plan_report can never disagree on a plan
+                rep = plan_report(df)
+                fp = {
+                    "cartesian": any(
+                        j["strategy"] in ("BroadcastNestedLoopJoin", "CartesianProduct")
+                        for j in rep["joins"]
+                    ),
+                    "py_eval": rep["py_eval"],
+                    "arrow_eval": rep["arrow_eval"],
+                    "global_sort": rep["global_sort"],
+                    "global_window": rep["global_window"],
+                }
+            except Exception:
+                # JSON serialization unavailable: string-regex fallback
+                # for the three classic flags, unknown for the structural
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                fp = fingerprint(plan)
+                fp.update({"global_sort": None, "global_window": None})
             out[name] = fp
         except Exception as e:  # plan construction itself failed
             out[name] = {"error": str(e)[:200]}

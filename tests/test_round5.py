@@ -279,23 +279,27 @@ def test_stream_retention_equals_batch(spark, tmp_path):
 
 
 def test_retention_monitor_activity_bits_commute(spark):
-    """Mask merging is order-independent: feeding the NON-first batches in
-    reversed order (first batch first, so cohorts are set correctly) gives
-    the identical triangle — activity bits OR-commute."""
+    """Mask merging is order-independent ONCE cohorts are fixed: batch 0
+    carries every user's FIRST event (so the cohort assignment is
+    identical in both runs — the part that genuinely needs the ordered-
+    arrival contract), then the remaining events are split in two and
+    fed in either order. Activity bits OR-commute, so the triangles must
+    be identical regardless of the fixture's user arrival pattern."""
     from bytehub_spark.sources import load_table
 
     ev = load_table(spark, SF, "events")
     pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
-    b = [pdf.iloc[: len(pdf) // 3], pdf.iloc[len(pdf) // 3 : 2 * len(pdf) // 3],
-         pdf.iloc[2 * len(pdf) // 3 :]]
+    first = pdf.groupby("user_id", as_index=False).head(1)
+    rest = pdf.drop(first.index).reset_index(drop=True)
+    b1, b2 = rest.iloc[: len(rest) // 2], rest.iloc[len(rest) // 2 :]
 
     from bytehub_spark.streaming import RetentionMonitor
 
     m1 = RetentionMonitor()
-    for chunk in (b[0], b[1], b[2]):
+    for chunk in (first, b1, b2):
         m1.process_batch(spark.createDataFrame(chunk))
     m2 = RetentionMonitor()
-    for chunk in (b[0], b[2], b[1]):  # later batches swapped
+    for chunk in (first, b2, b1):  # later batches swapped
         m2.process_batch(spark.createDataFrame(chunk))
     pd.testing.assert_frame_equal(
         m1.result().toPandas().reset_index(drop=True),
