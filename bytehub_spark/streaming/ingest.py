@@ -22,7 +22,7 @@ import datetime as dt
 from typing import Iterable, Iterator, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -1250,6 +1250,123 @@ def stream_retention(events: DataFrame, checkpoint_dir: str, max_weeks: int = 8)
     """Attach a RetentionMonitor to an event stream. Returns
     (StreamingQuery, monitor)."""
     mon = RetentionMonitor(max_weeks=max_weeks)
+    q = (
+        events.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon
+
+
+class TransitionMonitor:
+    """Streaming first-order Markov transition counts — twin of
+    events_ops.event_transitions. Two pieces of state, both distributed:
+
+    - ``counts`` (prev, next, n): transition counts are ADDITIVE, so
+      batch results merge by sum — the unbounded-stream part is a
+      |event types|² table, effectively constant-size.
+    - ``last`` (user_id, ts, event_id, event_type): each user's latest
+      event, ONE row per user — the boundary needed to stitch the
+      transition that spans two micro-batches.
+
+    Arrival contract (FunnelMonitor's): micro-batches arrive in event-
+    time order, so a batch's per-user first event follows the carried
+    last event, and within-batch order is resolved by the same
+    (ts, event_id) sort the batch op uses. result() equals the batch op
+    on the union of all batches, row for row (pinned in
+    tests/test_round5.py).
+    """
+
+    def __init__(self):
+        self.counts: DataFrame | None = None
+        self.last: DataFrame | None = None
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        b = batch_df.select("user_id", "ts", "event_id", "event_type")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        within = (
+            b.select(
+                "user_id",
+                F.col("event_type").alias("prev"),
+                F.lead("event_type").over(w).alias("next"),
+            )
+            .where(F.col("next").isNotNull())
+            .groupBy("prev", "next")
+            .agg(F.count("*").alias("n"))
+        )
+        order = F.struct("ts", "event_id")
+        firsts = b.groupBy("user_id").agg(
+            F.min_by("event_type", order).alias("__first")
+        )
+        lasts = b.groupBy("user_id").agg(
+            F.max_by(F.struct("ts", "event_id", "event_type"), order).alias("__l")
+        ).select(
+            "user_id",
+            F.col("__l.ts").alias("ts"),
+            F.col("__l.event_id").alias("event_id"),
+            F.col("__l.event_type").alias("event_type"),
+        )
+        if self.last is not None:
+            boundary = (
+                self.last.select(
+                    "user_id", F.col("event_type").alias("prev")
+                )
+                .join(firsts, "user_id")
+                .select("prev", F.col("__first").alias("next"))
+                .groupBy("prev", "next")
+                .agg(F.count("*").alias("n"))
+            )
+            within = within.unionByName(boundary)
+            new_last = (
+                self.last.unionByName(lasts)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("ts", "event_id", "event_type"), order
+                    ).alias("__l")
+                )
+                .select(
+                    "user_id",
+                    F.col("__l.ts").alias("ts"),
+                    F.col("__l.event_id").alias("event_id"),
+                    F.col("__l.event_type").alias("event_type"),
+                )
+            )
+        else:
+            new_last = lasts
+        merged = (
+            within
+            if self.counts is None
+            else self.counts.unionByName(within)
+        ).groupBy("prev", "next").agg(F.sum("n").alias("n"))
+        self.counts = eager_checkpoint(merged)
+        self.last = eager_checkpoint(new_last)
+
+    def result(self) -> DataFrame:
+        """Same table shape as events_ops.event_transitions."""
+        if self.counts is None:
+            raise RuntimeError(
+                "TransitionMonitor.result() before any micro-batch was "
+                "processed"
+            )
+        marg = self.counts.groupBy("prev").agg(F.sum("n").alias("n_prev"))
+        return (
+            self.counts.join(F.broadcast(marg), "prev")
+            .select(
+                "prev",
+                "next",
+                "n",
+                F.expr("(n * 1000000) div n_prev").alias("p_ppm"),
+            )
+            .orderBy("prev", "next")
+        )
+
+
+def stream_transitions(events: DataFrame, checkpoint_dir: str):
+    """Attach a TransitionMonitor to an event stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = TransitionMonitor()
     q = (
         events.writeStream.foreachBatch(mon.process_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -503,3 +503,67 @@ def test_plan_report_flags_agree_with_gate_machinery(spark):
     )
     rep = plan_report(df)
     assert rep["global_window"] is True
+
+
+def test_stream_transitions_equals_batch(spark, tmp_path):
+    """Incremental Markov counts over event-time-ordered micro-batches
+    (within-batch lead + carried per-user boundary event) must equal the
+    one-shot events_ops.event_transitions."""
+    import os
+    import time
+
+    from bytehub_spark import streaming as st
+    from bytehub_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    expect = events_ops.event_transitions(ev).toPandas().reset_index(drop=True)
+
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    src = str(tmp_path / "trans_src")
+    os.makedirs(src)
+    bounds = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q, mon = st.stream_transitions(stream, str(tmp_path / "ckpt_trans"))
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = mon.result().toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_transition_monitor_boundary_stitching(spark):
+    """A transition split across two batches (user's events in different
+    micro-batches) must still be counted once — the carried last-event
+    state is the stitch."""
+    from bytehub_spark.streaming import TransitionMonitor
+
+    def ev(eid, uid, t, typ):
+        return {
+            "event_id": eid,
+            "ts": pd.Timestamp(t),
+            "user_id": uid,
+            "event_type": typ,
+            "value": 0.0,
+            "props": "{}",
+        }
+
+    b1 = pd.DataFrame([ev(1, 7, "2024-01-01 00:00:00", "a")])
+    b2 = pd.DataFrame([ev(2, 7, "2024-01-01 00:01:00", "b")])
+    mon = TransitionMonitor()
+    mon.process_batch(spark.createDataFrame(b1))
+    mon.process_batch(spark.createDataFrame(b2))
+    got = mon.result().toPandas()
+    assert len(got) == 1
+    assert tuple(got.iloc[0][["prev", "next", "n", "p_ppm"]]) == (
+        "a", "b", 1, 1_000_000,
+    )
