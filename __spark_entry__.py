@@ -87,6 +87,7 @@ _GATE_FIRST = [
     "ts_event_transitions", "ts_rfm_segments", "cur_budget_alloc",
     "emb_knn_graph", "dedup_bloom_decontaminate", "emb_graph_clusters",
     "emb_quantize_int8", "dedup_decontaminate_mask",
+    "ts_forecast_snaive",
     # --- (b) changed this round: connected_components rework (Arrow
     # probe, schema-derived ids, pre-probe persist), minhash persist via
     # the scratch registry, token_budget/shard_manifest orderBy fix ---
@@ -98,7 +99,7 @@ _GATE_FIRST = [
     # row is r01 (the full TPC-H block minus the permanent three, the
     # r01 ts_* family, the two join gates). Deferred to r06 for slots:
     # doc_token_counts, doc_lang_id, doc_fingerprint, doc_clean_text,
-    # doc_text_stats, tpch_q22, tpch_q19 (locally swept at 3 scales) ---
+    # doc_text_stats, tpch_q22, tpch_q19, tpch_q17 (swept 3 scales) ---
     "ts_time_travel", "ts_seed_lookup", "ts_last_per_key",
     "ts_time_bounds", "ts_topk_per_key", "ts_range_scan",
     "ts_partition_derive", "ts_json_extract", "ts_rollup",
@@ -106,7 +107,7 @@ _GATE_FIRST = [
     "ts_salted_rollup", "ts_interval_join", "ts_histogram",
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18",
     "join_anti_inactive_customers", "join_semi_big_spenders",
 ]
 
@@ -1482,6 +1483,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # counts; bloom ⊇ exact by construction (no false negatives),
         # false_positive marks bloom-only docs. Same %50 benchmark split
         # as dedup_decontaminate — exact oracle (full bit replay)
+        # seasonal-naive forecast backtest (M-competition baseline):
+        # hourly µ-unit sums, TIME-keyed one-season-shift self-join,
+        # MAE/bias/max-err per type over the last 48h — exact oracle
+        "ts_forecast_snaive": _q(events_ops.seasonal_naive_backtest, "events"),
         # span-level decontamination: benchmark-shared n-gram positions
         # masked in place (union of covered word positions per doc) —
         # every train doc appears, clean ones with count 0. Exact oracle
@@ -5980,6 +5985,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, rank, neighbor_id, cos_u FROM ranked
             WHERE rank <= 5 ORDER BY vec_id, rank
+        """,
+        # hourly rollup + interval-shift self-join + truncating integer
+        # division (Spark div == DuckDB // : both toward zero, tested)
+        "ts_forecast_snaive": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS v_u
+                FROM events GROUP BY event_type, date_trunc('hour', ts)
+            ),
+            pred AS (
+                SELECT event_type, hour + INTERVAL 24 HOUR AS hour,
+                       v_u AS pred_u
+                FROM hourly
+            ),
+            cut AS (SELECT max(hour) - INTERVAL 48 HOUR AS c FROM hourly),
+            scored AS (
+                SELECT h.event_type, h.v_u, p.pred_u
+                FROM hourly h JOIN pred p USING (event_type, hour), cut
+                WHERE h.hour > cut.c AND p.pred_u IS NOT NULL
+            )
+            SELECT event_type, count(*) AS n_scored,
+                   CAST(sum(abs(v_u - pred_u)) // count(*) AS BIGINT) AS mae_u,
+                   CAST(sum(v_u - pred_u) // count(*) AS BIGINT) AS bias_u,
+                   CAST(max(abs(v_u - pred_u)) AS BIGINT) AS max_err_u
+            FROM scored GROUP BY event_type ORDER BY event_type
         """,
         # positional replay: shingles with start index, covered-position
         # union, list_transform mask — membership only, so the unordered

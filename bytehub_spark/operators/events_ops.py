@@ -1581,3 +1581,62 @@ def rfm_segments(events: DataFrame) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame,
+    season_hours: int = 24,
+    horizon_hours: int = 48,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every real
+    forecasting deployment is graded against (M-competition rule: beat
+    snaive or ship snaive): predict each hour's value-sum as the value
+    one season (``season_hours``) earlier, then score the LAST
+    ``horizon_hours`` hours per event_type with MAE / bias / coverage.
+    The output is the model-selection table a capacity planner reads.
+
+    Exactness: hourly sums accumulate floor(value·1e6) BIGINT µ-units
+    (never an order-sensitive double sum); errors stay integer. The
+    forecast is TIME-keyed (a self-join of the hourly rollup shifted one
+    season), not row-lagged — a missing hour must not slide the season
+    window. Both join sides are the |types|·|hours| rollup (thousands of
+    rows, not the raw stream), so the only data-sized work is the first
+    aggregation; hours whose season-ago hour is missing have no forecast
+    and are excluded (n_scored counts what was scorable).
+    """
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)")
+            ).alias("v_u")
+        )
+    )
+    pred = hourly.select(
+        "event_type",
+        (
+            F.col("hour") + F.make_dt_interval(hours=F.lit(season_hours))
+        ).alias("hour"),
+        F.col("v_u").alias("pred_u"),
+    )
+    lagged = hourly.join(pred, ["event_type", "hour"], "left")
+    cutoff = hourly.agg(
+        (
+            F.max("hour") - F.make_dt_interval(hours=F.lit(horizon_hours))
+        ).alias("_cut")
+    )
+    return (
+        lagged.crossJoin(F.broadcast(cutoff))
+        .where(F.col("hour") > F.col("_cut"))
+        .where(F.col("pred_u").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.expr("sum(abs(v_u - pred_u)) div count(*)").alias("mae_u"),
+            F.expr("sum(v_u - pred_u) div count(*)").alias("bias_u"),
+            F.max(F.expr("abs(v_u - pred_u)")).alias("max_err_u"),
+        )
+        .orderBy("event_type")
+    )

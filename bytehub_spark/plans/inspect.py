@@ -227,7 +227,6 @@ def plan_report(df: DataFrame) -> dict:
     nodes = plan_nodes(df)
     joins = []
     n_ex = n_bc = 0
-    py_eval = arrow_eval = False
     for n in nodes:
         simple = _simple(n)
         if simple in _JOIN_CLASSES:
@@ -244,16 +243,30 @@ def plan_report(df: DataFrame) -> dict:
             n_ex += 1
         elif simple == "BroadcastExchangeExec":
             n_bc += 1
-        elif simple in _PY_EVAL:
-            py_eval = True
-        elif simple in _ARROW_EVAL:
-            arrow_eval = True
-    out = {
-        "joins": joins,
-        "n_exchanges": n_ex,
-        "n_broadcasts": n_bc,
-        "py_eval": py_eval,
-        "arrow_eval": arrow_eval,
-    }
+    out = {"joins": joins, "n_exchanges": n_ex, "n_broadcasts": n_bc}
+    # the three classic flags come from the rendered string (subquery
+    # plans + every pandas-UDF node variant) — shared with check_plans
+    out.update(string_fingerprint(executed_plan(df)))
     out.update(structural_flags(df))
     return out
+
+
+def string_fingerprint(plan: str) -> dict:
+    """cartesian / py_eval / arrow_eval flags from the RENDERED plan
+    string — deliberately string-based, not JSON-class-based: the
+    rendered tree includes subquery plans (where a scalar-attach
+    BroadcastNestedLoopJoin can hide) and every pandas-UDF node variant
+    (AggregateInPandas, FlatMapGroupsInPandasWithState, ...) matches the
+    substring family, while the JSON tree covers neither. THE shared
+    implementation for scripts/check_plans.py and plan_report — the gate
+    and the library audit cannot disagree."""
+    return {
+        "cartesian": "CartesianProduct" in plan
+        or "BroadcastNestedLoopJoin" in plan,
+        "py_eval": "BatchEvalPython" in plan,
+        "arrow_eval": "ArrowEvalPython" in plan
+        or "MapInPandas" in plan
+        or "FlatMapGroupsInPandas" in plan
+        or "AggregateInPandas" in plan
+        or "WindowInPandas" in plan,
+    }

@@ -75,7 +75,14 @@ emb_quantize_int8 are clean on every flag, and emb_graph_clusters'
 registered plan carries none (its CC driver fast path executes the knn
 pipeline during the bounded probe, so the final plan is just
 vertices ⋈ broadcast(component map)). global_sort/global_window clean
-on all 8.
+on all 8. ts_forecast_snaive (the 187th) adds one more reviewed
+cartesian (its backtest-cutoff scalar attach): snapshot totals
+cartesian=28, arrow_eval=27, py_eval=0, global_sort=0, global_window=4.
+NOTE the three classic flags deliberately stay STRING-based
+(plans.inspect.string_fingerprint): the rendered tree includes subquery
+plans and every pandas-UDF node variant; a JSON-class version measured
+2 fewer cartesians (subquery BNLJs) and 7 fewer arrow_evals
+(AggregateInPandas etc.) — i.e. it under-reported.
 """
 
 from __future__ import annotations
@@ -94,19 +101,11 @@ SNAPSHOT = os.path.join(
 SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 
 
-def fingerprint(plan: str) -> dict:
-    return {
-        "cartesian": "CartesianProduct" in plan
-        or "BroadcastNestedLoopJoin" in plan,
-        "py_eval": "BatchEvalPython" in plan,
-        "arrow_eval": "ArrowEvalPython" in plan
-        or "MapInPandas" in plan
-        or "FlatMapGroupsInPandas" in plan,
-    }
-
-
-# structural analysis lives in the library (bytehub_spark.plans.inspect)
-# so tests and ops tooling share one implementation with this gate
+# fingerprinting lives in the library (bytehub_spark.plans.inspect):
+# string_fingerprint for cartesian/py_eval/arrow_eval (rendered string —
+# covers subquery plans and every pandas-UDF node variant),
+# structural_flags for global_sort/global_window (JSON tree) — tests and
+# ops tooling share ONE implementation with this gate
 
 
 def collect_fingerprints() -> dict:
@@ -119,30 +118,15 @@ def collect_fingerprints() -> dict:
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
         try:
-            from bytehub_spark.plans.inspect import plan_report
+            from bytehub_spark.plans.inspect import (
+                executed_plan,
+                string_fingerprint,
+                structural_flags,
+            )
 
             df = fn(spark, SF_DIR)
-            try:
-                # ONE implementation for every flag (plans.inspect): the
-                # JSON node classes, not string regex — so this gate and
-                # the library plan_report can never disagree on a plan
-                rep = plan_report(df)
-                fp = {
-                    "cartesian": any(
-                        j["strategy"] in ("BroadcastNestedLoopJoin", "CartesianProduct")
-                        for j in rep["joins"]
-                    ),
-                    "py_eval": rep["py_eval"],
-                    "arrow_eval": rep["arrow_eval"],
-                    "global_sort": rep["global_sort"],
-                    "global_window": rep["global_window"],
-                }
-            except Exception:
-                # JSON serialization unavailable: string-regex fallback
-                # for the three classic flags, unknown for the structural
-                plan = df._jdf.queryExecution().executedPlan().toString()
-                fp = fingerprint(plan)
-                fp.update({"global_sort": None, "global_window": None})
+            fp = string_fingerprint(executed_plan(df))
+            fp.update(structural_flags(df))  # None-valued if JSON fails
             out[name] = fp
         except Exception as e:  # plan construction itself failed
             out[name] = {"error": str(e)[:200]}

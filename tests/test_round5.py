@@ -567,3 +567,58 @@ def test_transition_monitor_boundary_stitching(spark):
     assert tuple(got.iloc[0][["prev", "next", "n", "p_ppm"]]) == (
         "a", "b", 1, 1_000_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal_naive_backtest
+# ---------------------------------------------------------------------------
+
+def test_snaive_perfect_seasonality_zero_error(spark):
+    """A perfectly 24h-periodic series backtests to MAE == bias == 0."""
+    hours = 96
+    rows = []
+    for h in range(hours):
+        rows.append(
+            {
+                "event_id": h,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h),
+                "user_id": 1,
+                "event_type": "a",
+                "value": float(10 + (h % 24)),  # exact 24h period
+                "props": "{}",
+            }
+        )
+    got = events_ops.seasonal_naive_backtest(
+        spark.createDataFrame(pd.DataFrame(rows))
+    ).toPandas()
+    assert len(got) == 1
+    assert got.loc[0, "mae_u"] == 0
+    assert got.loc[0, "bias_u"] == 0
+    assert got.loc[0, "n_scored"] == 48
+
+
+def test_snaive_missing_hour_does_not_slide_season(spark):
+    """Drop one mid-series hour: the forecast stays TIME-keyed (the hour
+    after the gap still compares against exactly 24h earlier, and the
+    gap's season-later hour is simply unscorable)."""
+    rows = []
+    for h in range(96):
+        if h == 30:  # missing hour in the middle
+            continue
+        rows.append(
+            {
+                "event_id": h,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h),
+                "user_id": 1,
+                "event_type": "a",
+                "value": float(10 + (h % 24)),
+                "props": "{}",
+            }
+        )
+    got = events_ops.seasonal_naive_backtest(
+        spark.createDataFrame(pd.DataFrame(rows))
+    ).toPandas()
+    # hour 54 (= 30 + 24) has no season-ago observation -> one fewer
+    # scorable hour in the 48h window, but every scored hour is exact
+    assert got.loc[0, "mae_u"] == 0
+    assert got.loc[0, "n_scored"] == 47
