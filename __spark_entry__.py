@@ -87,7 +87,7 @@ _GATE_FIRST = [
     "ts_event_transitions", "ts_rfm_segments", "cur_budget_alloc",
     "emb_knn_graph", "dedup_bloom_decontaminate", "emb_graph_clusters",
     "emb_quantize_int8", "dedup_decontaminate_mask",
-    "ts_forecast_snaive",
+    "ts_forecast_snaive", "mm_blob_dedup",
     # --- (b) changed this round: connected_components rework (Arrow
     # probe, schema-derived ids, pre-probe persist), minhash persist via
     # the scratch registry, token_budget/shard_manifest orderBy fix ---
@@ -99,7 +99,7 @@ _GATE_FIRST = [
     # row is r01 (the full TPC-H block minus the permanent three, the
     # r01 ts_* family, the two join gates). Deferred to r06 for slots:
     # doc_token_counts, doc_lang_id, doc_fingerprint, doc_clean_text,
-    # doc_text_stats, tpch_q22, tpch_q19, tpch_q17 (swept 3 scales) ---
+    # doc_text_stats, tpch_q22/q19/q17/q16 (swept at 3 scales) ---
     "ts_time_travel", "ts_seed_lookup", "ts_last_per_key",
     "ts_time_bounds", "ts_topk_per_key", "ts_range_scan",
     "ts_partition_derive", "ts_json_extract", "ts_rollup",
@@ -107,7 +107,7 @@ _GATE_FIRST = [
     "ts_salted_rollup", "ts_interval_join", "ts_histogram",
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18",
+    "tpch_q14", "tpch_q15", "tpch_q18",
     "join_anti_inactive_customers", "join_semi_big_spenders",
 ]
 
@@ -1483,6 +1483,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # counts; bloom ⊇ exact by construction (no false negatives),
         # false_positive marks bloom-only docs. Same %50 benchmark split
         # as dedup_decontaminate — exact oracle (full bit replay)
+        # byte-level media blob dedup by SHA-256 digest (canonical copy,
+        # replica count, bytes reclaimed); injected copies at doc_id%37
+        # (+500000 — shifts kind, exercising n_kinds) keep it
+        # non-vacuous. Exact oracle (DuckDB sha256 == Spark sha2·256)
+        "mm_blob_dedup": lambda spark, sf: (
+            lambda docs: multimodal.blob_dedup(
+                multimodal.media_from_documents(
+                    docs.unionByName(
+                        docs.where(F.col("doc_id") % 37 == 0).withColumn(
+                            "doc_id", F.col("doc_id") + 500000
+                        )
+                    )
+                )
+            )
+        )(load_table(spark, sf, "documents")),
         # seasonal-naive forecast backtest (M-competition baseline):
         # hourly µ-unit sums, TIME-keyed one-season-shift self-join,
         # MAE/bias/max-err per type over the last 48h — exact oracle
@@ -5985,6 +6000,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, rank, neighbor_id, cos_u FROM ranked
             WHERE rank <= 5 ORDER BY vec_id, rank
+        """,
+        # digest replay: sha256 over the UTF-8 payload, octet_length for
+        # BYTE length (DuckDB length() counts characters!)
+        "mm_blob_dedup": """
+            WITH md AS (
+                SELECT doc_id AS media_id, text,
+                       CASE doc_id % 3 WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 500000, text,
+                       CASE (doc_id + 500000) % 3 WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END
+                FROM documents WHERE doc_id % 37 = 0
+            ),
+            d AS (
+                SELECT media_id, kind, sha256(text) AS digest,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS blob_bytes
+                FROM md
+            )
+            SELECT digest, min(media_id) AS canonical_id,
+                   count(*) AS n_copies,
+                   CAST(min(blob_bytes) AS BIGINT) AS blob_bytes,
+                   count(DISTINCT kind) AS n_kinds,
+                   CAST((count(*) - 1) * min(blob_bytes) AS BIGINT)
+                       AS bytes_saved
+            FROM d GROUP BY digest HAVING count(*) >= 2
+            ORDER BY canonical_id
         """,
         # hourly rollup + interval-shift self-join + truncating integer
         # division (Spark div == DuckDB // : both toward zero, tested)

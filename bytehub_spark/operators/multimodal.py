@@ -549,3 +549,41 @@ def shard_manifest(
         .withColumn("seq_in_shard", F.row_number().over(w).cast("long"))
         .orderBy("media_id")
     )
+
+
+def blob_dedup(media: DataFrame) -> DataFrame:
+    """Byte-level media blob dedup: group identical content by SHA-256
+    digest and report, per duplicate group, the canonical copy (lowest
+    media_id), the replica count, and the storage the duplicates waste —
+    the content-addressing pass every multimodal lake runs before
+    anything touches pixels (the same frame/image re-crawled under ten
+    URLs is the NORM at 100 TB, and byte-identity needs no decode).
+
+    One digest projection (JVM-side sha2 over the binary column — no
+    Python), one digest-keyed aggregate. Collision probability at 256
+    bits is negligible and identical in the oracle (DuckDB sha256 ==
+    Spark sha2(·, 256), verified byte-for-byte on UTF-8 payloads).
+    Returns only groups with n_copies >= 2; bytes_saved is what
+    deduplication reclaims ((n-1)·blob_bytes).
+    """
+    digested = media.select(
+        "media_id",
+        "kind",
+        F.sha2(F.col("content"), 256).alias("digest"),
+        F.length(F.col("content")).cast("long").alias("blob_bytes"),
+    )
+    return (
+        digested.groupBy("digest")
+        .agg(
+            F.min("media_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+            F.min("blob_bytes").alias("blob_bytes"),
+            F.countDistinct("kind").alias("n_kinds"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .withColumn(
+            "bytes_saved",
+            ((F.col("n_copies") - 1) * F.col("blob_bytes")).cast("long"),
+        )
+        .orderBy("canonical_id")
+    )

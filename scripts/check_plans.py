@@ -77,7 +77,9 @@ pipeline during the bounded probe, so the final plan is just
 vertices ⋈ broadcast(component map)). global_sort/global_window clean
 on all 8. ts_forecast_snaive (the 187th) adds one more reviewed
 cartesian (its backtest-cutoff scalar attach): snapshot totals
-cartesian=28, arrow_eval=27, py_eval=0, global_sort=0, global_window=4.
+cartesian=28, arrow_eval=27, py_eval=0, global_sort=0, global_window=4
+(unchanged by mm_blob_dedup, the 188th — all flags clean: one JVM-side
+sha2 projection + one digest-keyed aggregate).
 NOTE the three classic flags deliberately stay STRING-based
 (plans.inspect.string_fingerprint): the rendered tree includes subquery
 plans and every pandas-UDF node variant; a JSON-class version measured

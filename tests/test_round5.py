@@ -622,3 +622,31 @@ def test_snaive_missing_hour_does_not_slide_season(spark):
     # scorable hour in the 48h window, but every scored hour is exact
     assert got.loc[0, "mae_u"] == 0
     assert got.loc[0, "n_scored"] == 47
+
+
+# ---------------------------------------------------------------------------
+# blob_dedup
+# ---------------------------------------------------------------------------
+
+def test_blob_dedup_groups_identical_bytes_only(spark):
+    from bytehub_spark.operators import multimodal
+
+    media = multimodal.media_from_documents(
+        _doc_frame(
+            spark,
+            [
+                (0, "same payload here"),
+                (3, "same payload here"),   # identical bytes, image kind
+                (7, "same payload here"),   # identical bytes, audio kind
+                (2, "different payload"),
+            ],
+        )
+    )
+    got = multimodal.blob_dedup(media).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["canonical_id"] == 0
+    assert row["n_copies"] == 3
+    assert row["blob_bytes"] == len("same payload here".encode())
+    assert row["n_kinds"] >= 2  # 0->image, 3->image, 7->audio
+    assert row["bytes_saved"] == 2 * row["blob_bytes"]
