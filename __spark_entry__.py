@@ -87,7 +87,7 @@ _GATE_FIRST = [
     "ts_event_transitions", "ts_rfm_segments", "cur_budget_alloc",
     "emb_knn_graph", "dedup_bloom_decontaminate", "emb_graph_clusters",
     "emb_quantize_int8", "dedup_decontaminate_mask",
-    "ts_forecast_snaive", "mm_blob_dedup",
+    "ts_forecast_snaive", "mm_blob_dedup", "dedup_span_coverage",
     # --- (b) changed this round: connected_components rework (Arrow
     # probe, schema-derived ids, pre-probe persist), minhash persist via
     # the scratch registry, token_budget/shard_manifest orderBy fix ---
@@ -99,7 +99,7 @@ _GATE_FIRST = [
     # row is r01 (the full TPC-H block minus the permanent three, the
     # r01 ts_* family, the two join gates). Deferred to r06 for slots:
     # doc_token_counts, doc_lang_id, doc_fingerprint, doc_clean_text,
-    # doc_text_stats, tpch_q22/q19/q17/q16 (swept at 3 scales) ---
+    # doc_text_stats, tpch_q22/q19/q17/q16/q15 (swept 3 scales) ---
     "ts_time_travel", "ts_seed_lookup", "ts_last_per_key",
     "ts_time_bounds", "ts_topk_per_key", "ts_range_scan",
     "ts_partition_derive", "ts_json_extract", "ts_rollup",
@@ -107,7 +107,7 @@ _GATE_FIRST = [
     "ts_salted_rollup", "ts_interval_join", "ts_histogram",
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q18",
+    "tpch_q14", "tpch_q18",
     "join_anti_inactive_customers", "join_semi_big_spenders",
 ]
 
@@ -1483,6 +1483,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # counts; bloom ⊇ exact by construction (no false negatives),
         # false_positive marks bloom-only docs. Same %50 benchmark split
         # as dedup_decontaminate — exact oracle (full bit replay)
+        # memorization-risk audit: fraction of corpus tokens inside a
+        # duplicated (corpus-count>=2) word 4-gram, per source — the
+        # "what fraction is verbatim-repeatable" number dedup papers
+        # report. Exact oracle (positional replay)
+        "dedup_span_coverage": _q(dedup.dup_span_coverage, "documents"),
         # byte-level media blob dedup by SHA-256 digest (canonical copy,
         # replica count, bytes reclaimed); injected copies at doc_id%37
         # (+500000 — shifts kind, exercising n_kinds) keep it
@@ -6000,6 +6005,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, rank, neighbor_id, cos_u FROM ranked
             WHERE rank <= 5 ORDER BY vec_id, rank
+        """,
+        # corpus-hot shingles + covered-position union, per-source rollup
+        "dedup_span_coverage": """
+            WITH w AS (
+                SELECT doc_id, source, string_split(text, ' ') AS ws
+                FROM documents
+            ),
+            tot AS (
+                SELECT source, CAST(SUM(len(ws)) AS BIGINT) AS total_tokens
+                FROM w GROUP BY source
+            ),
+            sidx AS (
+                SELECT doc_id, source, i,
+                       array_to_string(ws[i + 1 : i + 4], ' ') AS shingle
+                FROM w, unnest(range(0, greatest(len(ws) - 3, 0))) AS t(i)
+                WHERE len(ws) >= 4
+            ),
+            hot AS (
+                SELECT shingle FROM sidx GROUP BY shingle
+                HAVING count(*) >= 2
+            ),
+            cov AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS covered_tokens
+                FROM (
+                    SELECT DISTINCT doc_id, source, i + jj AS p
+                    FROM sidx JOIN hot USING (shingle),
+                         unnest(range(0, 4)) AS u(jj)
+                ) GROUP BY source
+            )
+            SELECT t.source, t.total_tokens,
+                   CAST(coalesce(c.covered_tokens, 0) AS BIGINT)
+                       AS covered_tokens,
+                   CAST((coalesce(c.covered_tokens, 0) * 1000000)
+                        // t.total_tokens AS BIGINT) AS coverage_ppm
+            FROM tot t LEFT JOIN cov c ON t.source = c.source
+            ORDER BY t.source
         """,
         # digest replay: sha256 over the UTF-8 payload, octet_length for
         # BYTE length (DuckDB length() counts characters!)

@@ -1773,3 +1773,82 @@ def decontaminate_mask(
         )
         .orderBy(id_col)
     )
+
+
+def dup_span_coverage(
+    documents: DataFrame,
+    n: int = 4,
+    min_count: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Memorization-risk audit: the fraction of corpus TOKENS that sit
+    inside a word n-gram occurring at least ``min_count`` times corpus-
+    wide — the number the dedup literature uses to quantify how much of
+    a training set is verbatim-repeatable (duplicated spans are what
+    models memorize; post-dedup this should collapse). Reported per
+    source: total token positions, covered positions, coverage_ppm —
+    the per-feed ranking tells you WHICH ingest is feeding the model
+    boilerplate.
+
+    Shape: indexed shingles (the decontaminate_mask projection), one
+    corpus-wide shingle count (map-side combined), a frequency-filtered
+    join back, and a position-union distinct — all keyed shuffles; the
+    covered-position explode is bounded by n · hit-shingles. Docs
+    shorter than ``n`` words contribute positions but can never be
+    covered (a 3-word doc has no 4-gram). Integer counts + floor-div
+    ppm — exact cross-engine.
+    """
+    from ..plans import ensure_parallelism
+
+    df = ensure_parallelism(documents).withColumn(
+        "__w", F.split(F.col(text_col), " ")
+    )
+    totals = df.groupBy(group_col).agg(
+        F.sum(F.size("__w").cast("long")).alias("total_tokens")
+    )
+    idx_sh = df.where(F.size("__w") >= n).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__w) - {n}), "
+                f"i -> concat_ws(' ', slice(__w, i + 1, {n})))"
+            )
+        ).alias("__i", "shingle"),
+    )
+    hot = (
+        idx_sh.groupBy("shingle")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("shingle")
+    )
+    covered = (
+        idx_sh.join(hot, "shingle")
+        .select(
+            id_col,
+            group_col,
+            F.explode(
+                F.sequence(F.col("__i"), F.col("__i") + F.lit(n - 1))
+            ).alias("__p"),
+        )
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    return (
+        totals.join(covered, group_col, "left")
+        .select(
+            group_col,
+            "total_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+        )
+        .withColumn(
+            "coverage_ppm",
+            F.expr("(covered_tokens * 1000000) div total_tokens"),
+        )
+        .orderBy(group_col)
+    )

@@ -650,3 +650,46 @@ def test_blob_dedup_groups_identical_bytes_only(spark):
     assert row["blob_bytes"] == len("same payload here".encode())
     assert row["n_kinds"] >= 2  # 0->image, 3->image, 7->audio
     assert row["bytes_saved"] == 2 * row["blob_bytes"]
+
+
+# ---------------------------------------------------------------------------
+# dup_span_coverage
+# ---------------------------------------------------------------------------
+
+def test_dup_span_coverage_hand_case(spark):
+    docs = _doc_frame(
+        spark,
+        [
+            # the 4-gram "a b c d" appears in docs 1 and 2 -> covered
+            (1, "a b c d x y z w"),
+            (2, "p q a b c d r s"),
+            (3, "totally unique words only here now"),
+            (4, "x y"),  # < n words: contributes tokens, never covered
+        ],
+    )
+    got = dedup.dup_span_coverage(docs).toPandas().set_index("source")
+    row = got.loc["src0"]
+    assert row["total_tokens"] == 8 + 8 + 6 + 2
+    # 4 covered positions in doc1 + 4 in doc2
+    assert row["covered_tokens"] == 8
+    assert row["coverage_ppm"] == 8 * 1_000_000 // 24
+
+
+def test_dup_span_coverage_dedup_collapses_it(spark):
+    """After exact dedup (drop doc 2, the copy), coverage falls — the
+    metric moves the direction the memorization story claims."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact copy
+        (3, "one two three four five six"),
+    ]
+    before = (
+        dedup.dup_span_coverage(_doc_frame(spark, rows))
+        .toPandas()["covered_tokens"].sum()
+    )
+    after = (
+        dedup.dup_span_coverage(_doc_frame(spark, rows[:1] + rows[2:]))
+        .toPandas()["covered_tokens"].sum()
+    )
+    assert before == 12  # both copies fully covered
+    assert after == 0
