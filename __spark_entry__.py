@@ -1621,13 +1621,15 @@ def _cosine_bucket_ctes(n_planes: int, bands: int, src: str = "embeddings") -> s
             SELECT vec_id, d,
                    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0)
                         AS BIGINT) AS q
-            FROM {src}, (SELECT unnest(generate_series(0, 255)) AS d)
+            FROM {src}, (SELECT unnest(generate_series(0,
+                     (SELECT max(len(embedding)) FROM {src}) - 1)) AS d)
             WHERE d < len(embedding)
         ),
         planes AS (
             SELECT p, d, {_H.plane_sign_sql('p', 'd')} AS s
             FROM (SELECT unnest(generate_series(0, {n_total - 1})) AS p),
-                 (SELECT unnest(generate_series(0, 255)) AS d)
+                 (SELECT unnest(generate_series(0,
+                     (SELECT max(len(embedding)) FROM {src}) - 1)) AS d)
         ),
         proj AS (
             SELECT vec_id, p, SUM(q * s) AS dot
@@ -6203,7 +6205,8 @@ def oracle_sql() -> dict[str, str]:
             WITH dims AS (
                 SELECT vec_id, CAST(d AS INT) AS dim,
                        CAST(embedding[d + 1] AS DOUBLE) AS v
-                FROM embeddings, (SELECT unnest(generate_series(0, 255)) AS d)
+                FROM embeddings, (SELECT unnest(generate_series(0,
+                         (SELECT max(len(embedding)) FROM embeddings) - 1)) AS d)
                 WHERE d < len(embedding)
             ),
             rng AS (

@@ -916,8 +916,13 @@ def connected_components(
     # (its documented contract), not the previous distributed run's count
     global _cc_last_rounds
     _cc_last_rounds = 0
+    # Null endpoints are meaningless edges; they must be dropped BEFORE
+    # the Arrow probe — createDataFrame on the non-nullable component
+    # schema raises on None, and the non-Arrow fallback would coerce a
+    # long column with nulls to float64, corrupting ids.
     edge_rows = scratch_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     )
     id_type = pairs.schema[a_col].dataType
     # Probe via Arrow (toPandas on the limited frame): at the 1M-edge cap
@@ -1617,9 +1622,17 @@ def bloom_decontaminate(
     (unbounded) distinct-shingle relation — the scale mode of
     ``decontaminate``, with the textbook Bloom guarantee: NO false
     negatives (every truly contaminated doc is flagged), false positives
-    at ≈ (1 - e^(-k·n_shingles/m))^k (size m_bits for ~10 bits/shingle
-    and k≈7 for <1%; the registered audit query measures the real rate
-    against the exact join).
+    at ≈ (1 - e^(-k·n_shingles/m))^k. For a <1% FP target size m_bits
+    for ~10 bits/shingle and raise k_hashes to ≈7; the defaults here
+    (m_bits=2^18, k_hashes=4) are sized for the gate corpora and give
+    ~2.4% at 10 bits/shingle — the registered audit query measures the
+    real rate against the exact join, so an under-sized filter is
+    visible, never silent. Note ``n_maybe_shingles`` counts distinct
+    (h1, h2) FNV pairs, not distinct shingles: two shingles colliding on
+    the 2-hash pair merge into one count (the oracle mirrors this, so
+    the parity contract is unaffected; the deviation from a literal
+    per-shingle reading only matters at astronomically small odds,
+    ~n²/2^128).
 
     Engine-portable construction: shingle → FNV-1a (h1, h2) (the same
     hashing.py primitives MinHash uses), Kirsch-Mitzenmacher positions

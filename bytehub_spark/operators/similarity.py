@@ -955,9 +955,23 @@ def _int_gemm_scored(cand: DataFrame, qa: DataFrame, qb: DataFrame) -> DataFrame
     Arrow-batched pass: exact order-independent int64 dots, per-op IEEE
     sqrt/div, half-away-from-zero rounding to 1e-4 units (SQL ROUND) —
     the shared kernel whose every step is replayed in the oracles.
-    Result is scratch-persisted (both ranking directions read it)."""
+    Result is scratch-persisted (both ranking directions read it).
+
+    The id output type is derived from ``cand``'s schema (long doc ids
+    and string vec_ids both work — same contract connected_components
+    provides) rather than hardcoded long."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     from ..plans import ensure_parallelism
     from ..plans.scratch import scratch_persist
+
+    out_schema = StructType(
+        [
+            StructField("a_id", cand.schema["a_id"].dataType, True),
+            StructField("b_id", cand.schema["b_id"].dataType, True),
+            StructField("cos_u", LongType(), True),
+        ]
+    )
 
     def score(it):
         for pdf in it:
@@ -986,7 +1000,7 @@ def _int_gemm_scored(cand: DataFrame, qa: DataFrame, qb: DataFrame) -> DataFrame
 
     return scratch_persist(
         ensure_parallelism(cand.join(qa, "a_id").join(qb, "b_id"))
-        .mapInPandas(score, schema="a_id long, b_id long, cos_u long")
+        .mapInPandas(score, schema=out_schema)
     )
 
 

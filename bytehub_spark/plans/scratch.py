@@ -36,8 +36,24 @@ def scratch_persist(df: DataFrame, storage_level: StorageLevel | None = None) ->
     cacheManager.lookupCachedData(this)...getOrElse(NONE)), so an equal
     plan cached by a PREVIOUS rep is detected and left alone (it is
     already registered from the rep that cached it).
+
+    First cacher's level wins: if an equal plan is already cached at a
+    different level than ``storage_level`` requests, the request is
+    dropped (Spark itself refuses to re-cache an equal plan) — we log a
+    warning so a MEMORY_AND_DISK request silently served MEMORY_ONLY is
+    at least visible.
     """
-    if df.storageLevel != StorageLevel.NONE:
+    current = df.storageLevel
+    if current != StorageLevel.NONE:
+        if storage_level is not None and current != storage_level:
+            import warnings
+
+            warnings.warn(
+                "scratch_persist: plan already cached at "
+                f"{current}; requested {storage_level} ignored "
+                "(first cacher's level wins)",
+                stacklevel=2,
+            )
         return df
     _scratch.append(df.persist(storage_level) if storage_level is not None else df.persist())
     return df
