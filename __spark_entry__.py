@@ -1557,6 +1557,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 docs.where(F.col("doc_id") % 50 == 0),
             )
         )(load_table(spark, sf, "documents")),
+        # --- round 6 ---
+        # est-vs-exact quantile-breakpoint audit: RFM quintile cut
+        # points from the deterministic LCG user sample vs the exact
+        # single-buffer percentile, ppm deltas — the measured accuracy
+        # of rfm_segments' scale-safe sampled/auto mode. Exact oracle.
+        "ts_rfm_bp_audit": lambda spark, sf: events_ops.rfm_breakpoint_audit(
+            load_table(spark, sf, "events"), sample_mod=3
+        ),
+        # per-user inter-event cadence profile: gap distribution (mean /
+        # exact median / p90 in µs) + quantile-shape burstiness — one
+        # per-user lag window + one keyed agg. Exact oracle.
+        "ts_cadence_profile": _q(events_ops.cadence_profile, "events"),
     }
 
 
@@ -6300,5 +6312,77 @@ def oracle_sql() -> dict[str, str]:
                    e.n_exact_shingles IS NULL AS false_positive
             FROM bdocs b LEFT JOIN exact e ON b.doc_id = e.doc_id
             ORDER BY b.doc_id
+        """,
+        # --- round 6 ---
+        # sampled-vs-exact breakpoint replay: the LCG sample predicate
+        # is pure BIGINT arithmetic (events_ops.lcg_sample_pred, the
+        # SAME expression string Spark executes), quantile_cont == the
+        # exact percentile over integers, delta per-op IEEE double
+        "ts_rfm_bp_audit": f"""
+            WITH pu AS (
+                SELECT user_id,
+                       (SELECT epoch_us(max(ts)) FROM events)
+                           - epoch_us(max(ts)) AS rec_us,
+                       count(*) AS freq,
+                       CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS mon_u
+                FROM events GROUP BY user_id
+            ),
+            su AS (
+                SELECT * FROM pu
+                WHERE {events_ops.lcg_sample_pred('user_id', 3)}
+            ),
+            be AS (
+                SELECT quantile_cont(rec_us, [0.2, 0.4, 0.6, 0.8]) AS bp_r,
+                       quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS bp_f,
+                       quantile_cont(mon_u, [0.2, 0.4, 0.6, 0.8]) AS bp_m
+                FROM pu
+            ),
+            bs AS (
+                SELECT quantile_cont(rec_us, [0.2, 0.4, 0.6, 0.8]) AS sp_r,
+                       quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS sp_f,
+                       quantile_cont(mon_u, [0.2, 0.4, 0.6, 0.8]) AS sp_m
+                FROM su
+            ),
+            dims AS (
+                SELECT 'recency' AS dim, i, be.bp_r[i] AS bp_exact,
+                       bs.sp_r[i] AS bp_sampled
+                FROM be, bs, (SELECT unnest(generate_series(1, 4)) AS i)
+                UNION ALL
+                SELECT 'frequency', i, be.bp_f[i], bs.sp_f[i]
+                FROM be, bs, (SELECT unnest(generate_series(1, 4)) AS i)
+                UNION ALL
+                SELECT 'monetary', i, be.bp_m[i], bs.sp_m[i]
+                FROM be, bs, (SELECT unnest(generate_series(1, 4)) AS i)
+            )
+            SELECT dim, CAST(i * 20 AS INT) AS prob_pct, bp_exact,
+                   bp_sampled,
+                   CAST(floor(abs(bp_sampled - bp_exact) * 1000000.0
+                        / greatest(abs(bp_exact), 1.0)) AS BIGINT)
+                       AS abs_err_ppm
+            FROM dims ORDER BY dim, prob_pct
+        """,
+        # per-user lag gaps + per-user quantiles: percentile buffers one
+        # USER's gaps (per-key bounded); burstiness per-op IEEE
+        "ts_cadence_profile": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events
+            )
+            SELECT user_id, count(*) AS n_gaps,
+                   CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us,
+                   quantile_cont(gap_us, 0.5) AS p50_gap_us,
+                   quantile_cont(gap_us, 0.9) AS p90_gap_us,
+                   CAST(floor(
+                       (quantile_cont(gap_us, 0.9)
+                        - quantile_cont(gap_us, 0.5)) * 1000000.0
+                       / greatest(quantile_cont(gap_us, 0.9)
+                                  + quantile_cont(gap_us, 0.5), 1.0))
+                       AS BIGINT) AS burstiness_ppm
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
     }

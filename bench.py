@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "emb_knn_graph",
     "dedup_bloom_decontaminate",
     "emb_graph_clusters",
+    # round 6 additions (VERDICT r05 item 8: cover every heavy family)
+    "ts_forecast_snaive",
+    "mm_blob_dedup",
+    "dedup_span_coverage",
+    "ts_cadence_profile",
 ]
 
 

@@ -17,6 +17,30 @@ from pyspark.sql import functions as F
 
 from .. import timeseries as ts
 
+# per-group row count above which quantile ops should stop buffering the
+# full group in one sort-based percentile() aggregation buffer and fall
+# back to the deterministic sample (the "auto" breakpoint mode)
+QUANTILE_SAMPLE_THRESHOLD = 5_000_000
+
+
+def lcg_sample_pred(id_col: str, sample_mod: int, seed: int = 0) -> str:
+    """Engine-portable deterministic ~1/``sample_mod`` row sampler: two
+    LCG rounds mod the Mersenne prime 2^31-1 on the BIGINT id (the
+    epoch_shuffle idiom), keep rows where the hash ≡ 0 mod sample_mod.
+    The id is reduced mod the prime FIRST so arbitrary-magnitude ids
+    (15-digit doc ids) never overflow the `A*x` BIGINT product — every
+    intermediate stays < 2^62. No rand(): content-keyed, so re-runs,
+    engines, and incremental appends all select the same rows, which is
+    what lets the DuckDB oracle replay a "sampled" quantile exactly.
+    """
+    from .hashing import MINHASH_PRIME, PLANE_A, PLANE_C
+
+    m = MINHASH_PRIME
+    s = f"((({id_col}) % {m} + {seed} * 1000003) % {m})"
+    h1 = f"(({PLANE_A} * {s} + {PLANE_C}) % {m})"
+    h2 = f"(({PLANE_A} * {h1} + {PLANE_C}) % {m})"
+    return f"({h2}) % {sample_mod} = 0"
+
 
 def dedup_latest_per_key(events: DataFrame) -> DataFrame:
     """A1 analogue: latest row per (user_id, event_type), event_id tiebreak.
@@ -701,11 +725,24 @@ def seasonal_anomaly(events: DataFrame, n_sigma: float = 3.0) -> DataFrame:
     )
 
 
-def value_quantiles(events: DataFrame) -> DataFrame:
+def value_quantiles(events: DataFrame, sample_mod: int | None = None) -> DataFrame:
     """Exact percentiles per event type (sort-based percentile(), linear
-    interpolation — same semantics as DuckDB quantile_cont)."""
+    interpolation — same semantics as DuckDB quantile_cont).
+
+    Scale note: sort-based ``percentile`` buffers one GROUP's values in
+    a single aggregation buffer — fine per event type at any bench
+    scale, a reducer-memory ceiling when one group holds billions of
+    rows. ``sample_mod=k`` switches to the deterministic LCG row sample
+    (``lcg_sample_pred`` on event_id, ~1/k of rows) — same breakpoints
+    ±DKW sampling error, bounded buffer, still engine-replayable (the
+    sample is a pure integer predicate, not rand()).
+    ``rfm_breakpoint_audit`` measures the est-vs-exact delta of exactly
+    this mechanism."""
+    src = events
+    if sample_mod is not None:
+        src = events.where(F.expr(lcg_sample_pred("event_id", sample_mod)))
     return (
-        events.groupBy("event_type")
+        src.groupBy("event_type")
         .agg(
             F.expr("percentile(value, 0.5)").alias("p50"),
             F.expr("percentile(value, 0.95)").alias("p95"),
@@ -1523,7 +1560,43 @@ def event_transitions(events: DataFrame) -> DataFrame:
     )
 
 
-def rfm_segments(events: DataFrame) -> DataFrame:
+def _rfm_per_user(events: DataFrame) -> DataFrame:
+    """(user_id, rec_us, freq, mon_u): the per-user RFM rollup shared by
+    rfm_segments and rfm_breakpoint_audit — one keyed shuffle, monetary
+    as floor(value·1e6) BIGINT µ-units (never an order-sensitive double
+    sum), recency against the corpus-max "now" attached as a broadcast
+    1-row scalar."""
+    ref = events.agg(F.unix_micros(F.max("ts")).alias("_now_us"))
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            (F.max("_now_us") - F.unix_micros(F.max("ts"))).alias("rec_us"),
+            F.count("*").alias("freq"),
+            F.sum(
+                F.expr("CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)")
+            ).alias("mon_u"),
+        )
+    )
+
+
+_RFM_BP = "array(0.2, 0.4, 0.6, 0.8)"
+
+
+def _rfm_breakpoints(per_user: DataFrame) -> DataFrame:
+    return per_user.agg(
+        F.expr(f"percentile(rec_us, {_RFM_BP})").alias("bp_r"),
+        F.expr(f"percentile(freq, {_RFM_BP})").alias("bp_f"),
+        F.expr(f"percentile(mon_u, {_RFM_BP})").alias("bp_m"),
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    breakpoint_mode: str = "auto",
+    sample_mod: int = 101,
+    sample_threshold: int = QUANTILE_SAMPLE_THRESHOLD,
+) -> DataFrame:
     """RFM (recency / frequency / monetary) quintile segmentation — the
     classic CRM / lifecycle-marketing cut: per user compute recency
     (µs since the user's last event, against the corpus max as the
@@ -1541,24 +1614,36 @@ def rfm_segments(events: DataFrame) -> DataFrame:
     frame. Scores via `1 + sum(v > b_i)` comparisons; recency is
     reversed (recent = 5). Output is <= 125 rows regardless of scale;
     the only data-sized shuffle is the user aggregation.
+
+    **Breakpoint scale mode**: the exact percentile is sort-based and
+    buffers the single global group's per-user values in ONE aggregation
+    buffer — fine at any bench scale, a reducer-memory ceiling at 10⁹
+    users. ``breakpoint_mode``:
+
+    - ``"exact"`` — always the exact buffer (the audit/oracle mode);
+    - ``"sampled"`` — breakpoints from the deterministic LCG user sample
+      (``lcg_sample_pred``, ~1/``sample_mod`` of users): bounded buffer,
+      breakpoints within DKW sampling error, SCORING still exact over
+      every user (only the five cut points are estimated);
+    - ``"auto"`` (default) — one count() prepass over the (persisted)
+      per-user rollup picks exact below ``sample_threshold`` users and
+      sampled above — the eager-small/lazy-large split, same policy as
+      semantic_dedup's adaptive cells. ``rfm_breakpoint_audit`` is the
+      registered est-vs-exact delta monitor for this mode.
     """
-    ref = events.agg(F.unix_micros(F.max("ts")).alias("_now_us"))
-    per_user = (
-        events.crossJoin(F.broadcast(ref))
-        .groupBy("user_id")
-        .agg(
-            (F.max("_now_us") - F.unix_micros(F.max("ts"))).alias("rec_us"),
-            F.count("*").alias("freq"),
-            F.sum(
-                F.expr("CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)")
-            ).alias("mon_u"),
+    from ..plans.scratch import scratch_persist
+
+    if breakpoint_mode not in ("exact", "sampled", "auto"):
+        raise ValueError(f"unknown breakpoint_mode {breakpoint_mode!r}")
+    per_user = scratch_persist(_rfm_per_user(events))
+    if breakpoint_mode == "auto":
+        breakpoint_mode = (
+            "sampled" if per_user.count() > sample_threshold else "exact"
         )
-    )
-    bp = per_user.agg(
-        F.expr("percentile(rec_us, array(0.2, 0.4, 0.6, 0.8))").alias("bp_r"),
-        F.expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").alias("bp_f"),
-        F.expr("percentile(mon_u, array(0.2, 0.4, 0.6, 0.8))").alias("bp_m"),
-    )
+    bp_src = per_user
+    if breakpoint_mode == "sampled":
+        bp_src = per_user.where(F.expr(lcg_sample_pred("user_id", sample_mod)))
+    bp = _rfm_breakpoints(bp_src)
 
     def quintile(col: str, bps: str) -> F.Column:
         q = F.lit(1)
@@ -1580,6 +1665,132 @@ def rfm_segments(events: DataFrame) -> DataFrame:
             F.sum("mon_u").alias("monetary_u"),
         )
         .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def rfm_breakpoint_audit(events: DataFrame, sample_mod: int = 3) -> DataFrame:
+    """Est-vs-exact breakpoint audit for the sampled quantile mode — the
+    KMV ``include_exact`` pattern applied to percentiles: compute the
+    RFM quintile breakpoints BOTH ways (exact single-buffer percentile
+    over all users; the same percentile over the deterministic
+    ~1/``sample_mod`` LCG user sample that ``rfm_segments``'s
+    sampled/auto mode uses) and report per (dimension, probability) the
+    two cut points and the relative error in ppm. This is the monitor
+    that makes the scale mode's accuracy a measured number instead of a
+    DKW citation: at 100 TB you run it on one shard / a fractional
+    corpus slice with the production ``sample_mod`` before trusting the
+    sampled breakpoints fleet-wide.
+
+    Exactness contract: the sample is a pure integer predicate (no
+    rand()), percentile == quantile_cont over exact integers, and the
+    delta arithmetic is per-op IEEE double (abs/sub/mul/div/floor — each
+    correctly rounded identically in Spark and DuckDB), so every row is
+    replayed bit-exactly by the oracle. 12 output rows regardless of
+    scale; both aggregations read one persisted per-user rollup.
+    """
+    from ..plans.scratch import scratch_persist
+
+    per_user = scratch_persist(_rfm_per_user(events))
+    exact = _rfm_breakpoints(per_user)
+    sampled = _rfm_breakpoints(
+        per_user.where(F.expr(lcg_sample_pred("user_id", sample_mod)))
+    ).select(
+        F.col("bp_r").alias("sp_r"),
+        F.col("bp_f").alias("sp_f"),
+        F.col("bp_m").alias("sp_m"),
+    )
+    both = exact.crossJoin(sampled)  # two 1-row scalar frames
+    parts = []
+    for dim, be, bs in (
+        ("frequency", "bp_f", "sp_f"),
+        ("monetary", "bp_m", "sp_m"),
+        ("recency", "bp_r", "sp_r"),
+    ):
+        parts.append(
+            both.select(
+                F.lit(dim).alias("dim"),
+                F.posexplode(F.arrays_zip(F.col(be), F.col(bs))).alias(
+                    "pos", "z"
+                ),
+            ).select(
+                "dim",
+                ((F.col("pos") + 1) * 20).cast("int").alias("prob_pct"),
+                F.col(f"z.{be}").alias("bp_exact"),
+                F.col(f"z.{bs}").alias("bp_sampled"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "dim",
+        "prob_pct",
+        "bp_exact",
+        "bp_sampled",
+        F.expr(
+            "CAST(floor(abs(bp_sampled - bp_exact) * 1000000.0"
+            " / greatest(abs(bp_exact), 1.0)) AS BIGINT)"
+        ).alias("abs_err_ppm"),
+    ).orderBy("dim", "prob_pct")
+
+
+def cadence_profile(events: DataFrame) -> DataFrame:
+    """Per-user cadence profile: the inter-event gap distribution that
+    separates steady heartbeat users from bursty ones — the behavioral
+    feature next to transitions/RFM/retention (churn models key on "gap
+    since last event vs the user's OWN typical gap", not a global
+    threshold). Per user: number of gaps, mean gap (integer-µs div),
+    exact median and p90 gap, and a quantile-shape burstiness score
+    ``(p90 − p50) / (p90 + p50)`` in ppm — 0 for a perfectly regular
+    cadence, → 1e6 as the distribution right-skews (the classic
+    (σ−µ)/(σ+µ) burstiness needs a sum of squared gaps, which overflows
+    BIGINT at corpus-span gaps; the quantile form is outlier-robust and
+    stays in the exact-percentile machinery).
+
+    Scale shape: gaps from one per-user lag() window (parallel across
+    users, never global), then one keyed aggregation; the sort-based
+    percentile buffers ONE USER's gaps per group — per-key bounded, not
+    corpus-bounded, so the single-buffer ceiling of the global-group
+    quantile ops does not apply. Users with a single event have no gap
+    and are excluded (documented; join back against a user dimension for
+    the "never returned" cohort — that is churn_labels' job).
+
+    Exactness: gap_us is exact integer µs; percentile==quantile_cont
+    over exact integers; mean via BIGINT div; burstiness per-op IEEE on
+    correctly-rounded identical doubles. Fully oracle-replayable.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("prev_us", F.lag(F.unix_micros(F.col("ts"))).over(w))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("ts")) - F.col("prev_us")).alias("gap_us"),
+        )
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.expr("CAST(sum(gap_us) div count(*) AS BIGINT)").alias(
+                "mean_gap_us"
+            ),
+            F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+            F.expr("percentile(gap_us, 0.9)").alias("p90_gap_us"),
+        )
+        .select(
+            "user_id",
+            "n_gaps",
+            "mean_gap_us",
+            "p50_gap_us",
+            "p90_gap_us",
+            F.expr(
+                "CAST(floor((p90_gap_us - p50_gap_us) * 1000000.0"
+                " / greatest(p90_gap_us + p50_gap_us, 1.0)) AS BIGINT)"
+            ).alias("burstiness_ppm"),
+        )
+        .orderBy("user_id")
     )
 
 

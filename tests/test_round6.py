@@ -18,7 +18,9 @@ import pytest
 from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
-from bytehub_spark.operators import dedup, similarity
+from bytehub_spark.operators import dedup, events_ops, similarity
+
+SF = "/root/testdata/sf0.001"
 
 
 def test_knn_graph_string_ids(spark):
@@ -53,6 +55,73 @@ def test_connected_components_null_endpoints(spark):
     assert comp == {1: 1, 2: 1}
     # ids stayed integral (the old non-Arrow fallback coerced to float64)
     assert str(got["component"].dtype).startswith("int")
+
+
+def test_lcg_sample_pred_deterministic_and_overflow_safe(spark):
+    # huge ids (beyond 2^31) must not overflow the BIGINT LCG product,
+    # and the selected set must be identical across evaluations
+    big = spark.range(0, 2000).select(
+        (F.col("id") * F.lit(4_611_686_018_000_000)).alias("uid")
+    )
+    pred = events_ops.lcg_sample_pred("uid", 10)
+    sel = [F.count("*"), F.sum(F.col("uid") % 1000003)]
+    a = big.where(F.expr(pred)).agg(*sel).collect()[0]
+    b = big.where(F.expr(pred)).agg(*sel).collect()[0]
+    assert a == b
+    # ~1/10 of rows, loose bounds (it's a hash, not a stratified sample)
+    assert 100 <= a[0] <= 350
+
+
+def test_rfm_sampled_mode_scores_all_users(spark):
+    from bytehub_spark.sources import load_table
+
+    events = load_table(spark, SF, "events")
+    n_users = events.select("user_id").distinct().count()
+    exact = events_ops.rfm_segments(events, breakpoint_mode="exact").toPandas()
+    # force the sampled path via a zero threshold on the auto mode
+    sampled = events_ops.rfm_segments(
+        events, breakpoint_mode="auto", sample_mod=2, sample_threshold=0
+    ).toPandas()
+    # estimated breakpoints move the cut points, never the population:
+    # every user is scored in both modes
+    assert exact["n_users"].sum() == n_users
+    assert sampled["n_users"].sum() == n_users
+    assert (1 <= sampled[["r_score", "f_score", "m_score"]].values).all()
+    assert (sampled[["r_score", "f_score", "m_score"]].values <= 5).all()
+    with pytest.raises(ValueError):
+        events_ops.rfm_segments(events, breakpoint_mode="bogus")
+
+
+def test_cadence_profile_hand_case(spark):
+    # user 1: perfectly regular 60s cadence -> burstiness 0
+    # user 2: gaps 1s, 1s, 98s -> right-skewed -> burstiness > 0
+    # user 3: single event -> excluded
+    rows = []
+    for i in range(5):
+        rows.append((i, f"2024-01-01 00:{i}:00", 1))
+    rows += [
+        (10, "2024-01-01 00:00:00", 2),
+        (11, "2024-01-01 00:00:01", 2),
+        (12, "2024-01-01 00:00:02", 2),
+        (13, "2024-01-01 00:01:40", 2),
+    ]
+    rows.append((20, "2024-01-01 00:00:00", 3))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = events_ops.cadence_profile(df).toPandas().set_index("user_id")
+    assert sorted(got.index) == [1, 2]
+    u1 = got.loc[1]
+    assert u1["n_gaps"] == 4
+    assert u1["mean_gap_us"] == 60_000_000
+    assert u1["p50_gap_us"] == 60_000_000.0
+    assert u1["burstiness_ppm"] == 0
+    u2 = got.loc[2]
+    assert u2["n_gaps"] == 3
+    # gaps 1s,1s,98s: p50=1s, p90=(0.8*98+0.2*1)=78.6s ->
+    # (78.6-1)/(78.6+1) in ppm
+    assert u2["p50_gap_us"] == 1_000_000.0
+    assert u2["burstiness_ppm"] > 900_000
 
 
 def test_scratch_persist_level_mismatch_warns(spark):
