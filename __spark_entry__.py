@@ -81,34 +81,37 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 # scales via scripts/check_oracle.py (round-4 sweeps: 178/178 ALL MATCH
 # at sf0.001, sf0.01, and sf0.1).
 _GATE_FIRST = [
-    # Round-5 rotation (VERDICT r04 item 5): debt is zero, so the gate =
-    # new + changed-this-round + permanent + the stalest r01 greens.
-    # --- (a) new in round 5 (never driver-gated; swept at 3 scales) ---
-    "ts_event_transitions", "ts_rfm_segments", "cur_budget_alloc",
-    "emb_knn_graph", "dedup_bloom_decontaminate", "emb_graph_clusters",
-    "emb_quantize_int8", "dedup_decontaminate_mask",
-    "ts_forecast_snaive", "mm_blob_dedup", "dedup_span_coverage",
-    # --- (b) changed this round: connected_components rework (Arrow
-    # probe, schema-derived ids, pre-probe persist), minhash persist via
-    # the scratch registry, token_budget/shard_manifest orderBy fix ---
-    "dedup_clusters", "dedup_minhash_lsh", "mm_shard_manifest",
-    "mm_token_budget",
+    # Round-6 rotation (VERDICT r05 item 1): debt is zero, so the gate =
+    # new + changed-this-round + permanent + the deferred r01 stale set
+    # + the stalest r02 greens (last-gated round computed from
+    # CORRECTNESS_r01..r05 keys in registry order).
+    # --- (a) new in round 6 (never driver-gated; swept at 3 scales) ---
+    "ts_rfm_bp_audit", "ts_cadence_profile",
+    # --- (b) changed this round: rfm sampled-breakpoint mode + per-user
+    # persist, value_quantiles sample_mod, connected_components null-
+    # edge guard (dedup_clusters), _int_gemm_scored schema-derived ids,
+    # and the 11 oracles whose dim enumeration moved from a 256 cap to
+    # max(len(embedding)) ---
+    "ts_rfm_segments", "ts_quantiles", "dedup_clusters",
+    "dedup_embedding_cosine_lsh", "dedup_two_stage", "emb_lsh_topk",
+    "emb_lsh_multiprobe", "emb_ann_recall_eval", "emb_pca_spectrum",
+    "emb_margin_pairs_lsh", "emb_lsh_balance", "emb_knn_graph",
+    "emb_graph_clusters", "emb_quantize_int8",
     # --- (c) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (d) stalest refresh: 36 of the 42 queries whose only driver
-    # row is r01 (the full TPC-H block minus the permanent three, the
-    # r01 ts_* family, the two join gates). Deferred to r06 for slots:
-    # doc_token_counts, doc_lang_id, doc_fingerprint, doc_clean_text,
-    # doc_text_stats, tpch_q22/q19/q17/q16/q15 (swept 3 scales) ---
-    "ts_time_travel", "ts_seed_lookup", "ts_last_per_key",
-    "ts_time_bounds", "ts_topk_per_key", "ts_range_scan",
-    "ts_partition_derive", "ts_json_extract", "ts_rollup",
-    "ts_moving_avg", "ts_quantiles", "ts_zscore_outliers", "ts_funnel",
-    "ts_salted_rollup", "ts_interval_join", "ts_histogram",
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13",
-    "tpch_q14", "tpch_q18",
-    "join_anti_inactive_customers", "join_semi_big_spenders",
+    # --- (d) the r01 stale set deferred from the r05 rotation ---
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q22",
+    "doc_text_stats", "doc_token_counts", "doc_lang_id",
+    "doc_fingerprint", "doc_clean_text",
+    # --- (e) stalest r02 greens, registry order (21 fill the 50) ---
+    "ts_resample_locf", "ts_align_ffill", "ts_asof_join",
+    "ts_sessionize", "doc_repetition", "doc_curation_pipeline",
+    "doc_vocab_topk", "doc_tfidf_top_terms", "doc_redact_pii",
+    "dedup_decontaminate", "cur_split_summary", "cur_mix_sources",
+    "cur_pack_sequences", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_substring", "cur_stratified_sample",
+    "dedup_decontaminate_flags", "cur_chunk_documents",
+    "cur_cap_per_group",
 ]
 
 
