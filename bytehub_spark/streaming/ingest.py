@@ -933,6 +933,15 @@ class FunnelMonitor:
     t_{i-1}, and later batches only carry later timestamps), so the
     per-batch update is ``coalesce(existing, batch candidate)``.
 
+    Disorder tolerance (MEASURED, tests/test_round6.py): if batches
+    violate the contract, step-1 reach is still exact (every step-1
+    arrival coalesces into t1), and steps >= 2 can only UNDER-count —
+    a late-arriving earlier step-1 event is ignored, so intermediate
+    step events between the true and kept t1 are lost; the funnel never
+    fabricates a conversion. A stream that can be out of order should
+    be watermark-sorted upstream (sessionize's pattern) before this
+    monitor.
+
     State is a DISTRIBUTED DataFrame (user_id, t1..tk) — not a driver
     dict: per-user funnel state at corpus scale belongs on executors.
     Each batch costs k-1 user-keyed joins + aggregations against batch
@@ -1170,19 +1179,26 @@ class RetentionMonitor:
     BIGINT forever (vs. keeping the (user, week) activity pairs), so
     state size is exactly the user dimension, not users × weeks.
 
-    Arrival contract (same as FunnelMonitor/LatenessMonitor): micro-
-    batches arrive in event-time order, so a user's FIRST event arrives
-    before any other — the cohort is final once set and later batches
-    only OR new activity bits in. Offsets beyond 62 weeks are dropped at
-    update time (the batch op's max_weeks cap is far below; 63 keeps the
-    shift off the sign bit).
+    Arrival contract: NONE — unlike FunnelMonitor/LatenessMonitor, this
+    monitor is fully order-independent. The cohort is the MIN week ever
+    seen for the user (not first-arrival week): when a late batch
+    carries an earlier first event, the cohort moves back and the
+    existing mask is left-shifted by the week delta, so every
+    previously-set bit keeps its meaning relative to the new cohort
+    (shifts compose additively, ORs commute — the final state equals
+    the batch op's for ANY arrival permutation, pinned by a shuffled-
+    batch test in tests/test_round6.py). Offsets beyond 62 weeks are
+    dropped at update AND shift time (the batch op's max_weeks cap is
+    far below; 63 keeps the shift off the sign bit — a bit whose final
+    offset exceeds 62 is dropped under either arrival order, so the cap
+    itself is order-consistent: the final cohort is ≤ any intermediate
+    cohort, hence final offsets only grow).
 
     result() replays the retention triangle from state with a
     sequence-explode + bit test — count(*) suffices because state holds
     one row per user. Equality with the batch op is pinned in
-    tests/test_round5.py (including a reordered-batch twin for the
-    mask-merge associativity: activity bits commute; only the cohort
-    assignment needs ordered arrival).
+    tests/test_round5.py + the arrival-permutation test in
+    tests/test_round6.py.
     """
 
     def __init__(self, max_weeks: int = 8):
@@ -1203,8 +1219,35 @@ class RetentionMonitor:
             )
         merged = (
             self.state.join(agg, "user_id", "full_outer")
-            .withColumn("cohort", F.coalesce("cohort", "__bmin"))
-            .withColumn("mask", F.coalesce("mask", F.lit(0).cast("long")))
+            # cohort = min week ever seen (order-independent); when it
+            # moves back, shift the existing bits by the week delta so
+            # bit w still means "active in cohort + w"
+            .withColumn(
+                "__new_cohort",
+                F.when(F.col("cohort").isNull(), F.col("__bmin"))
+                .when(F.col("__bmin").isNull(), F.col("cohort"))
+                .otherwise(F.least("cohort", "__bmin")),
+            )
+            .withColumn(
+                "__shift",
+                F.expr(
+                    "CASE WHEN cohort IS NULL THEN 0 "
+                    "ELSE CAST(datediff(cohort, __new_cohort) / 7 AS INT) END"
+                ),
+            )
+            .withColumn(
+                "mask",
+                F.expr(
+                    # shiftleft past bit 62 must drop (offset > cap);
+                    # the & clears bit 63 (sign), Java's long shift
+                    # already drops bits past 63
+                    "CASE WHEN mask IS NULL OR __shift > 62 "
+                    "THEN CAST(0 AS BIGINT) "
+                    "ELSE shiftleft(mask, __shift)"
+                    " & 9223372036854775807 END"
+                ),
+            )
+            .withColumn("cohort", F.col("__new_cohort"))
             .withColumn(
                 "mask",
                 F.expr(

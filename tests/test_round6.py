@@ -124,6 +124,99 @@ def test_cadence_profile_hand_case(spark):
     assert u2["burstiness_ppm"] > 900_000
 
 
+def test_retention_monitor_arrival_permutation_exact(spark):
+    """Round-6 hardening: the retention monitor is now fully order-
+    independent (min-cohort + mask shift), so feeding the SAME events in
+    an arbitrary batch permutation — including users whose cohort-
+    defining first event arrives LAST — must reproduce the batch op
+    exactly. This is strictly stronger than the r05 commute test, which
+    pinned order-independence only after batch 0 fixed every cohort."""
+    from bytehub_spark.sources import load_table
+    from bytehub_spark.streaming import RetentionMonitor
+
+    ev = load_table(spark, SF, "events")
+    expect = (
+        events_ops.retention_cohorts(ev).toPandas().reset_index(drop=True)
+    )
+    pdf = ev.toPandas()
+    # adversarial permutation: REVERSE event-time order, then chunk —
+    # every user's first event is in the last batch that mentions them
+    pdf = pdf.sort_values(["ts", "event_id"], ascending=False).reset_index(
+        drop=True
+    )
+    k = 4
+    mon = RetentionMonitor()
+    for i in range(k):
+        mon.process_batch(spark.createDataFrame(pdf.iloc[i::k]))
+    got = mon.result().toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_retention_monitor_cohort_shift_hand_case(spark):
+    """A late-arriving earlier first event must move the cohort back and
+    shift the existing activity bits so week offsets stay correct."""
+    from bytehub_spark.streaming import RetentionMonitor
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    mon = RetentionMonitor()
+    # batch 1: activity in ISO weeks of Jan 20 and Jan 27
+    mon.process_batch(batch([(1, "2025-01-20 10:00:00", 7),
+                             (2, "2025-01-27 10:00:00", 7)]))
+    st1 = mon.state.toPandas()
+    assert st1.loc[0, "mask"] == 0b11  # offsets 0,1 vs Jan-20 cohort
+    # batch 2 (late): the user's TRUE first event, two weeks earlier
+    mon.process_batch(batch([(3, "2025-01-06 09:00:00", 7)]))
+    st2 = mon.state.toPandas()
+    assert st2.loc[0, "cohort"] == pd.Timestamp("2025-01-06")
+    # old bits shifted by 2, new bit 0 set: weeks 0, 2, 3
+    assert st2.loc[0, "mask"] == 0b1101
+
+
+def test_funnel_monitor_disorder_error_is_bounded_and_known(spark):
+    """FunnelMonitor keeps its documented ordered-arrival contract (a
+    funnel is inherently sequential). This test MEASURES the failure
+    mode under batch disorder instead of leaving it prose: a step-1
+    event arriving after a later batch already set t1 is ignored
+    (coalesce keeps the first-arrival t1), so an intermediate step-2
+    event between the true and kept t1 is missed. The divergence is
+    exactly one user at steps>=2 on this fixture — never an overcount,
+    and step-1 reach is unaffected (every step-1 arrival still counts
+    the user)."""
+    from bytehub_spark.streaming import FunnelMonitor
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    steps = ("view", "click", "purchase")
+    # ordered truth: view@1, click@2, purchase@3 -> user converts fully
+    ordered = FunnelMonitor(steps)
+    ordered.process_batch(batch([(1, "2025-01-01 00:00:01", 1, "view")]))
+    ordered.process_batch(batch([(2, "2025-01-01 00:00:02", 1, "click")]))
+    ordered.process_batch(batch([(3, "2025-01-01 00:00:03", 1, "purchase")]))
+    exp = ordered.result().toPandas().set_index("step")["n_users"]
+    assert list(exp) == [1, 1, 1]
+
+    # disordered: the view@4 batch arrives FIRST (a later duplicate
+    # view), then the true view@1 -> t1 pinned at 00:04; click@2 is
+    # before the kept t1 and is lost; purchase@3 then never matches
+    dis = FunnelMonitor(steps)
+    dis.process_batch(batch([(4, "2025-01-01 00:00:04", 1, "view")]))
+    dis.process_batch(batch([(1, "2025-01-01 00:00:01", 1, "view"),
+                             (2, "2025-01-01 00:00:02", 1, "click")]))
+    dis.process_batch(batch([(3, "2025-01-01 00:00:03", 1, "purchase")]))
+    got = dis.result().toPandas().set_index("step")["n_users"]
+    # measured tolerance: step-1 exact, later steps UNDER-count only
+    assert got[1] == exp[1]
+    assert list(got) == [1, 0, 0]
+
+
 def test_scratch_persist_level_mismatch_warns(spark):
     from bytehub_spark.plans.scratch import release_scratch, scratch_persist
 
