@@ -86,7 +86,7 @@ _GATE_FIRST = [
     # + the stalest r02 greens (last-gated round computed from
     # CORRECTNESS_r01..r05 keys in registry order).
     # --- (a) new in round 6 (never driver-gated; swept at 3 scales) ---
-    "ts_rfm_bp_audit", "ts_cadence_profile",
+    "ts_rfm_bp_audit", "ts_cadence_profile", "dedup_kmv_overlap_est",
     # --- (b) changed this round: rfm sampled-breakpoint mode + per-user
     # persist, value_quantiles sample_mod, connected_components null-
     # edge guard (dedup_clusters), _int_gemm_scored schema-derived ids,
@@ -111,7 +111,6 @@ _GATE_FIRST = [
     "cur_pack_sequences", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_substring", "cur_stratified_sample",
     "dedup_decontaminate_flags", "cur_chunk_documents",
-    "cur_cap_per_group",
 ]
 
 
@@ -1264,6 +1263,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 k=64,
             )
         )(load_table(spark, sf, "documents")),
+        # est-only mode of the same estimator — the benched query and
+        # the 100 TB mode: the exact-audit join (the dominant cost at
+        # any scale, est-only drops ~45% of the wall time at sf0.1) is
+        # kept as the separate dedup_kmv_overlap gate entry above
+        "dedup_kmv_overlap_est": lambda spark, sf: (
+            lambda docs: dedup.kmv_source_overlap(
+                docs.unionByName(
+                    docs.where(F.col("doc_id") % 7 == 0).withColumn(
+                        "source", F.lit("srcM")
+                    )
+                ),
+                k=64,
+                include_exact=False,
+            )
+        )(load_table(spark, sf, "documents")),
         # per-source KMV distinct-cardinality estimation (the streaming
         # KMVDistinctMonitor's batch twin; stream==batch pinned in
         # pytest). k=16 keeps the ESTIMATOR path active at every sf
@@ -1623,6 +1637,76 @@ def _minhash_ctes(doc_filter: str = "") -> str:
                     + min(CASE WHEN j % 2 = 1 THEN h END)) % {_H.MINHASH_PRIME} AS bh
             FROM sig GROUP BY doc_id, j // 2
         )"""
+
+
+def _kmv_overlap_ctes() -> str:
+    """Shared WITH chain for the KMV source-overlap oracles (srcM mirror
+    injection → normalized FNV fingerprints → per-source bottom-64
+    sketches → pair-merged estimator), ending at ``est2``; the exact-
+    audit entry appends the full-fingerprint join, the est-only entry
+    selects est2 directly — one chain so the two modes can never drift."""
+    return f"""WITH docs2 AS (
+                SELECT doc_id, text, source FROM documents
+                UNION ALL
+                SELECT doc_id, text, 'srcM' FROM documents WHERE doc_id % 7 = 0
+            ),
+            normd AS (
+                SELECT source AS src,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM docs2
+            ),
+            fp AS (
+                SELECT DISTINCT src,
+                       CAST({_H.fnv_sql_duckdb('t')} % 2147483647 AS BIGINT) AS h
+                FROM normd
+            ),
+            sk AS (
+                SELECT src, h FROM (
+                    SELECT src, h,
+                           row_number() OVER (PARTITION BY src ORDER BY h) AS r
+                    FROM fp
+                ) WHERE r <= 64
+            ),
+            prs AS (
+                SELECT a.src AS src_a, b.src AS src_b
+                FROM (SELECT DISTINCT src FROM fp) a,
+                     (SELECT DISTINCT src FROM fp) b
+                WHERE a.src < b.src
+            ),
+            mg AS (
+                SELECT src_a, src_b, h, MAX(in_a) AS a, MIN(in_a) AS b_flag
+                FROM (
+                    SELECT p.src_a, p.src_b, s.h, 1 AS in_a
+                    FROM prs p JOIN sk s ON s.src = p.src_a
+                    UNION ALL
+                    SELECT p.src_a, p.src_b, s.h, 0
+                    FROM prs p JOIN sk s ON s.src = p.src_b
+                ) GROUP BY src_a, src_b, h
+            ),
+            tk AS (
+                SELECT src_a, src_b, h,
+                       CASE WHEN a = 1 AND b_flag = 0 THEN 1 ELSE 0 END AS in_both,
+                       row_number() OVER (
+                           PARTITION BY src_a, src_b ORDER BY h) AS r
+                FROM mg
+            ),
+            est AS (
+                SELECT src_a, src_b,
+                       CAST(COUNT(*) AS BIGINT) AS m,
+                       CAST(MAX(h) AS BIGINT) AS u_k,
+                       CAST(SUM(in_both) AS BIGINT) AS both_cnt
+                FROM tk WHERE r <= 64 GROUP BY src_a, src_b
+            ),
+            est2 AS (
+                SELECT src_a, src_b, m,
+                       CAST(CASE WHEN m < 64 THEN m
+                            ELSE CAST(63 AS BIGINT) * 2147483647 // u_k END AS BIGINT)
+                           AS est_union,
+                       CAST(CASE WHEN m < 64 THEN both_cnt
+                            ELSE both_cnt * (CAST(63 AS BIGINT) * 2147483647 // u_k) // 64
+                            END AS BIGINT) AS est_intersection
+                FROM est
+            )"""
 
 
 def _cosine_bucket_ctes(n_planes: int, bands: int, src: str = "embeddings") -> str:
@@ -4880,69 +4964,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # KMV sketches replayed exactly: FNV fingerprints mod 2^31-1,
         # per-source bottom-64 window, pair-merged top-64, estimator CASEs
+        # est-only mode of the KMV overlap estimator — the benched/100 TB
+        # mode (no exact audit join); same CTE chain, cut at est2
+        "dedup_kmv_overlap_est": f"""
+            {_kmv_overlap_ctes()}
+            SELECT src_a, src_b, m, est_union, est_intersection
+            FROM est2 ORDER BY src_a, src_b
+        """,
         "dedup_kmv_overlap": f"""
-            WITH docs2 AS (
-                SELECT doc_id, text, source FROM documents
-                UNION ALL
-                SELECT doc_id, text, 'srcM' FROM documents WHERE doc_id % 7 = 0
-            ),
-            normd AS (
-                SELECT source AS src,
-                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-                FROM docs2
-            ),
-            fp AS (
-                SELECT DISTINCT src,
-                       CAST({_H.fnv_sql_duckdb('t')} % 2147483647 AS BIGINT) AS h
-                FROM normd
-            ),
-            sk AS (
-                SELECT src, h FROM (
-                    SELECT src, h,
-                           row_number() OVER (PARTITION BY src ORDER BY h) AS r
-                    FROM fp
-                ) WHERE r <= 64
-            ),
-            prs AS (
-                SELECT a.src AS src_a, b.src AS src_b
-                FROM (SELECT DISTINCT src FROM fp) a,
-                     (SELECT DISTINCT src FROM fp) b
-                WHERE a.src < b.src
-            ),
-            mg AS (
-                SELECT src_a, src_b, h, MAX(in_a) AS a, MIN(in_a) AS b_flag
-                FROM (
-                    SELECT p.src_a, p.src_b, s.h, 1 AS in_a
-                    FROM prs p JOIN sk s ON s.src = p.src_a
-                    UNION ALL
-                    SELECT p.src_a, p.src_b, s.h, 0
-                    FROM prs p JOIN sk s ON s.src = p.src_b
-                ) GROUP BY src_a, src_b, h
-            ),
-            tk AS (
-                SELECT src_a, src_b, h,
-                       CASE WHEN a = 1 AND b_flag = 0 THEN 1 ELSE 0 END AS in_both,
-                       row_number() OVER (
-                           PARTITION BY src_a, src_b ORDER BY h) AS r
-                FROM mg
-            ),
-            est AS (
-                SELECT src_a, src_b,
-                       CAST(COUNT(*) AS BIGINT) AS m,
-                       CAST(MAX(h) AS BIGINT) AS u_k,
-                       CAST(SUM(in_both) AS BIGINT) AS both_cnt
-                FROM tk WHERE r <= 64 GROUP BY src_a, src_b
-            ),
-            est2 AS (
-                SELECT src_a, src_b, m,
-                       CAST(CASE WHEN m < 64 THEN m
-                            ELSE CAST(63 AS BIGINT) * 2147483647 // u_k END AS BIGINT)
-                           AS est_union,
-                       CAST(CASE WHEN m < 64 THEN both_cnt
-                            ELSE both_cnt * (CAST(63 AS BIGINT) * 2147483647 // u_k) // 64
-                            END AS BIGINT) AS est_intersection
-                FROM est
-            ),
+            {_kmv_overlap_ctes()},
             ex AS (
                 SELECT a.src AS src_a, b.src AS src_b,
                        CAST(COUNT(*) AS BIGINT) AS exact_intersection

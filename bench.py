@@ -46,7 +46,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "dedup_kmv_overlap",
+    # est-only is the benched/scale mode; the exact-audit twin
+    # (dedup_kmv_overlap) stays a correctness-gate entry (r06 VERDICT
+    # item 3 adjudication: the audit join dominated the old 3s number)
+    "dedup_kmv_overlap_est",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "emb_cosine_topk",
