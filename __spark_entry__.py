@@ -87,6 +87,7 @@ _GATE_FIRST = [
     # CORRECTNESS_r01..r05 keys in registry order).
     # --- (a) new in round 6 (never driver-gated; swept at 3 scales) ---
     "ts_rfm_bp_audit", "ts_cadence_profile", "dedup_kmv_overlap_est",
+    "dedup_band_balance",
     # --- (b) changed this round: rfm sampled-breakpoint mode + per-user
     # persist, value_quantiles sample_mod, connected_components null-
     # edge guard (dedup_clusters), _int_gemm_scored schema-derived ids,
@@ -110,7 +111,7 @@ _GATE_FIRST = [
     "dedup_decontaminate", "cur_split_summary", "cur_mix_sources",
     "cur_pack_sequences", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_substring", "cur_stratified_sample",
-    "dedup_decontaminate_flags", "cur_chunk_documents",
+    "dedup_decontaminate_flags",
 ]
 
 
@@ -739,6 +740,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FNV-1a/Horner hashing (operators/hashing.py) is replayed exactly
         # by the DuckDB oracle — full pair-set + signature value check
         "dedup_minhash_lsh": _q(dedup.minhash_lsh_pairs, "documents"),
+        # band-shape decision table (the minhash analog of emb_lsh_balance):
+        # exact per-(bands, band) bucket occupancy + candidate-pair volume
+        # at three band shapes from ONE signature pass — the prepass that
+        # catches quadratic hot-bucket blowup BEFORE the self-join (500k
+        # low-diversity docs at b=32/r=2 → 9.0e9 raw pairs; b=16 → 1.75e8)
+        "dedup_band_balance": _q(dedup.minhash_band_balance, "documents"),
         "dedup_simhash": _q(dedup.simhash64, "documents"),
         "dedup_embedding_cosine": lambda spark, sf: dedup.embedding_cosine_dups(
             load_table(spark, sf, "embeddings"), 0.4
@@ -2142,8 +2149,39 @@ def _lsh_oracles() -> dict[str, str]:
                           AND a.neighbor_id = e.neighbor_id
         GROUP BY e.query_id ORDER BY e.query_id
     """
+    # band-shape decision table: same signature chain, then one variable-
+    # shape Horner fold per (bands, band) — list_reduce over the j-ordered
+    # per-band signature slice replays dedup._band_fold exactly (acc·K + h
+    # mod p, K=BAND_K, p=2^31-1; every intermediate < 2^51, plain BIGINT)
+    band_balance = f"""
+        WITH {_minhash_ctes()},
+        shapes AS (SELECT unnest([32, 16, 8]) AS bands),
+        bnd AS (
+            SELECT sh.bands, sig.doc_id,
+                   CAST(sig.j // (64 // sh.bands) AS INTEGER) AS band,
+                   list_reduce(
+                       list(sig.h ORDER BY sig.j),
+                       (acc, x) -> (acc * {_H.BAND_K} + x) % {_H.MINHASH_PRIME}
+                   ) AS bh
+            FROM sig CROSS JOIN shapes sh
+            GROUP BY sh.bands, sig.doc_id, band
+        ),
+        occ AS (
+            SELECT bands, band, bh, CAST(count(*) AS BIGINT) AS c
+            FROM bnd GROUP BY bands, band, bh
+        )
+        SELECT CAST(bands AS INTEGER) AS bands, band,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(c) AS BIGINT) AS max_bucket_rows,
+               CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+               CAST(max(c) * count(*) * 1000000 // sum(c) AS BIGINT)
+                   AS imbalance_ppm
+        FROM occ GROUP BY bands, band ORDER BY bands, band
+    """
     return {
         "dedup_minhash_lsh": minhash,
+        "dedup_band_balance": band_balance,
         "dedup_incremental_lsh": incremental,
         "dedup_lsh_novelty": novelty,
         "dedup_simhash": _simhash_oracle(),

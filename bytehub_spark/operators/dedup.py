@@ -577,6 +577,75 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_balance(
+    documents: DataFrame,
+    n_hashes: int = 64,
+    bands_options: tuple[int, ...] = (32, 16, 8),
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band-shape decision table for MinHash LSH: per-(bands, band) bucket
+    occupancy statistics at each candidate band count — the monitor that
+    tells you when to SHARPEN the band shape (fewer bands, more rows per
+    band) as the corpus grows. ``cand_pairs`` = Σ_buckets c·(c-1)/2 is
+    the EXACT raw pair volume ``minhash_lsh_pairs`` would feed its
+    distinct at that shape; run this one-signature-pass prepass before
+    committing to the quadratic join.
+
+    Measured motivation (500k-doc corpus, 10-word docs over a ~31-word
+    vocabulary): the default b=32/r=2 shape (threshold j≈0.18) let random
+    small-vocab collisions form 28k-row hot buckets — 9.0e9 candidate
+    pairs; b=16/r=4 cut that to 1.75e8 and b=8/r=8 to 1.4e7. The same
+    "grow selectivity with corpus size" rule emb_lsh_balance documents
+    for SRP n_planes applies to (bands, rows) here: detection threshold
+    is ≈ (1/b)^(1/r), so halving bands squares-up per-band selectivity
+    while each halving only costs recall below the threshold knee.
+
+    One signature computation (scratch-persisted) feeds every shape; each
+    shape costs one slim bucket pass + a two-level aggregation. All
+    arithmetic is integer and replayed exactly by the DuckDB oracle.
+    Mirrors the near-dup sizing advice in the reference's dedup test
+    suite only abstractly — the reference has no banding monitor; this is
+    the scale tool its fixed-shape design lacks.
+    """
+    from pyspark import StorageLevel
+
+    from ..plans.scratch import scratch_persist
+
+    sig = scratch_persist(
+        minhash_signatures(documents, n_hashes, n, text_col, id_col),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    out = None
+    for bands in bands_options:
+        assert n_hashes % bands == 0
+        b = _band_buckets(sig, n_hashes, bands, id_col)
+        per_bucket = b.groupBy("band", "bh").agg(F.count("*").alias("c"))
+        stats = (
+            per_bucket.groupBy("band")
+            .agg(
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count("*").cast("long").alias("n_buckets"),
+                F.max("c").cast("long").alias("max_bucket_rows"),
+                F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("cand_pairs"),
+            )
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                "band",
+                "n_rows",
+                "n_buckets",
+                "max_bucket_rows",
+                "cand_pairs",
+                F.expr("max_bucket_rows * n_buckets * 1000000 div n_rows")
+                .cast("long")
+                .alias("imbalance_ppm"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.orderBy("bands", "band")
+
+
 def simhash64(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ngram: int = 3,

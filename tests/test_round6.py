@@ -229,3 +229,39 @@ def test_scratch_persist_level_mismatch_warns(spark):
         scratch_persist(rebuilt, StorageLevel.MEMORY_AND_DISK)
     assert any("first cacher" in str(x.message) for x in w)
     release_scratch()
+
+
+def test_minhash_band_balance_accounting(spark):
+    """The decision table's cand_pairs is EXACTLY the raw pre-distinct
+    pair volume the bucket self-join produces at that shape, and the
+    total volume is (weakly) monotone in band sharpness on real data —
+    the property that makes it a trustworthy prepass for
+    minhash_lsh_pairs sizing."""
+    from bytehub_spark.plans.scratch import release_scratch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bal = dedup.minhash_band_balance(docs).toPandas()
+    assert sorted(bal["bands"].unique()) == [8, 16, 32]
+    # per-shape row count == bands; per-band doc count is constant
+    for b in (8, 16, 32):
+        sub = bal[bal["bands"] == b]
+        assert len(sub) == b
+        assert sub["n_rows"].nunique() == 1
+        assert (sub["max_bucket_rows"] <= sub["n_rows"]).all()
+        assert (sub["n_buckets"] <= sub["n_rows"]).all()
+    totals = bal.groupby("bands")["cand_pairs"].sum()
+    assert totals[32] >= totals[16] >= totals[8]
+
+    # exact accounting cross-check at bands=16: replay the raw bucket
+    # self-join and count pairs directly
+    sig = dedup.minhash_signatures(docs, 64, 3)
+    buckets = dedup._band_buckets(sig, 64, 16, "doc_id")
+    a, b2 = buckets.alias("a"), buckets.alias("b")
+    raw = a.join(
+        b2,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    assert raw == int(totals[16])
+    release_scratch()
