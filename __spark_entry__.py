@@ -87,7 +87,7 @@ _GATE_FIRST = [
     # CORRECTNESS_r01..r05 keys in registry order).
     # --- (a) new in round 6 (never driver-gated; swept at 3 scales) ---
     "ts_rfm_bp_audit", "ts_cadence_profile", "dedup_kmv_overlap_est",
-    "dedup_band_balance",
+    "dedup_band_balance", "dedup_bloom_words",
     # --- (b) changed this round: rfm sampled-breakpoint mode + per-user
     # persist, value_quantiles sample_mod, connected_components null-
     # edge guard (dedup_clusters), _int_gemm_scored schema-derived ids,
@@ -111,7 +111,6 @@ _GATE_FIRST = [
     "dedup_decontaminate", "cur_split_summary", "cur_mix_sources",
     "cur_pack_sequences", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_substring", "cur_stratified_sample",
-    "dedup_decontaminate_flags",
 ]
 
 
@@ -1554,6 +1553,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": lambda spark, sf: similarity.quantize_int8_audit(
             load_table(spark, sf, "embeddings")
         ),
+        # the persisted/streamed form of the decontamination state: the
+        # packed Bloom word table over the WHOLE corpus's 4-gram shingles
+        # (≤ m/32 rows regardless of corpus size; bit_or-mergeable, so
+        # streaming.BloomFilterMonitor accumulates this exact frame —
+        # equality incl. permuted batch order pinned in pytest)
+        "dedup_bloom_words": lambda spark, sf: dedup.bloom_build_words(
+            load_table(spark, sf, "documents"), 4, 1 << 18, 4
+        ).orderBy("word_idx"),
         "dedup_bloom_decontaminate": lambda spark, sf: (
             lambda docs: (
                 lambda train, bench: dedup.bloom_decontaminate(
@@ -6317,6 +6324,33 @@ def oracle_sql() -> dict[str, str]:
                    max(err_nu) AS max_err_nu,
                    CAST(sum(err_nu) // count(*) AS BIGINT) AS mean_err_nu
             FROM err GROUP BY dim ORDER BY dim
+        """,
+        # whole-corpus packed Bloom word table: same FNV + KM + 32-bit
+        # bit_or packing as the decontaminate replay, no train/bench split
+        "dedup_bloom_words": f"""
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE len(string_split(text, ' ')) >= 4
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, len(ws) - 3),
+                    i -> array_to_string(ws[i + 1 : i + 4], ' ')))) AS shingle
+                FROM w
+            ),
+            bh AS (
+                SELECT {_H.shingle_h1_sql('shingle')} AS h1,
+                       {_H.shingle_h2_sql('shingle')} AS h2
+                FROM (SELECT DISTINCT shingle FROM s)
+            ),
+            bpos AS (
+                SELECT (h1 + j * h2) % 262144 AS pos
+                FROM bh, (SELECT unnest(generate_series(0, 3)) AS j)
+            )
+            SELECT pos // 32 AS word_idx,
+                   bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+            FROM bpos GROUP BY pos // 32
+            ORDER BY word_idx
         """,
         # full Bloom replay: FNV (h1,h2) per shingle, KM probe positions,
         # 32-bit packed words via bit_or, all-k-bits test, joined against

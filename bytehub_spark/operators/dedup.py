@@ -1675,6 +1675,53 @@ def token_dup_inflation(
     )
 
 
+def bloom_build_words(
+    documents: DataFrame,
+    n: int = 4,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Build the packed Bloom-filter word table (word_idx, word) over a
+    corpus's distinct word n-gram shingles — the construction half of
+    ``bloom_decontaminate``, exposed separately because the filter is
+    also the natural STREAMING dedup/decontamination state: bit_or is
+    commutative, associative and idempotent, so word tables built from
+    any partitioning of the corpus into micro-batches OR-merge to the
+    identical filter (streaming.BloomFilterMonitor holds exactly this
+    frame, bounded at m_bits/32 rows forever). Shingle → FNV-1a (h1,h2)
+    → Kirsch-Mitzenmacher positions pos_j = (h1 + j·h2) mod m_bits,
+    packed 32 bits/word (keeps every word positive in BIGINT in Spark
+    AND the DuckDB oracle). Built by one distinct + one bit_or
+    aggregate; output ≤ m_bits/32 rows regardless of corpus size.
+    """
+    m = int(m_bits)
+    k = int(k_hashes)
+    sh = (
+        shingle_sets(documents, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__bid", F.lit(0))
+    )
+    bh = _h1_h2(sh, "__bid")
+    bpos = bh.select(
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+        F.col("__h1"),
+        F.col("__h2"),
+    ).select(
+        F.pmod(F.col("__h1") + F.col("j") * F.col("__h2"), F.lit(m)).alias("pos")
+    )
+    return (
+        bpos.select(
+            F.expr("pos div 32").alias("word_idx"),
+            F.expr("CAST(pos % 32 AS INT)").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("word"))
+    )
+
+
 def bloom_decontaminate(
     documents: DataFrame,
     benchmark: DataFrame,
@@ -1717,28 +1764,7 @@ def bloom_decontaminate(
     """
     m = int(m_bits)
     k = int(k_hashes)
-    bench_sh = (
-        shingle_sets(benchmark, text_col, id_col, n)
-        .select("shingle")
-        .distinct()
-        .withColumn("__bid", F.lit(0))
-    )
-    bh = _h1_h2(bench_sh, "__bid")
-    bpos = bh.select(
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
-        F.col("__h1"),
-        F.col("__h2"),
-    ).select(
-        F.pmod(F.col("__h1") + F.col("j") * F.col("__h2"), F.lit(m)).alias("pos")
-    )
-    bloom = (
-        bpos.select(
-            F.expr("pos div 32").alias("word_idx"),
-            F.expr("CAST(pos % 32 AS INT)").alias("bit"),
-        )
-        .groupBy("word_idx")
-        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("word"))
-    )
+    bloom = bloom_build_words(benchmark, n, m, k, text_col, id_col)
 
     train_sh = shingle_sets(documents, text_col, id_col, n)
     th = _h1_h2(train_sh, id_col)

@@ -1417,3 +1417,140 @@ def stream_transitions(events: DataFrame, checkpoint_dir: str):
         .start()
     )
     return q, mon
+
+
+class BloomFilterMonitor:
+    """Streaming construction of a packed Bloom filter over the corpus's
+    word n-gram shingles — the continuously-maintained state behind
+    Bloom decontamination/dedup (dedup.bloom_decontaminate probes this
+    exact word table). State is the (word_idx, word) frame: AT MOST
+    m_bits/32 rows FOREVER, the smallest state of any monitor here
+    (KMVDistinctMonitor's is k rows/source; this is fixed regardless of
+    sources, users or stream length).
+
+    Merge is one bit_or aggregate per micro-batch. bit_or is
+    commutative, associative and idempotent, so the final filter is
+    ORDER-INDEPENDENT and replay-safe: any partitioning of the corpus
+    into micro-batches, in any arrival order, with any re-delivery,
+    lands in the identical word table, equal row-for-row to the batch
+    build (dedup.bloom_build_words on the union) — pinned in pytest
+    including a permuted-batch-order case.
+
+    Per-batch observability (``batch_log``): how many of the batch's
+    docs were ALREADY fully covered by the pre-batch filter (every
+    shingle probes all-k-bits set) — the in-stream "maybe exact/near
+    dup of something already ingested" counter. Unlike the filter
+    itself this IS arrival-order-dependent (the first copy passes, the
+    second is flagged), the same ordered-arrival contract FunnelMonitor
+    documents; treat it as telemetry, not as the dedup verdict.
+    """
+
+    def __init__(
+        self,
+        n: int = 4,
+        m_bits: int = 1 << 18,
+        k_hashes: int = 4,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.n = n
+        self.m_bits = int(m_bits)
+        self.k_hashes = int(k_hashes)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.state: DataFrame | None = None
+        self.batch_log: list[dict] = []
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        from ..operators.dedup import bloom_build_words
+
+        n_docs = batch_df.count()
+        n_covered = 0
+        if self.state is not None and n_docs:
+            # docs whose every shingle fully probes the PRE-batch filter
+            n_covered = self._covered_count(batch_df)
+        words = bloom_build_words(
+            batch_df, self.n, self.m_bits, self.k_hashes,
+            self.text_col, self.id_col,
+        )
+        st = (
+            words
+            if self.state is None
+            else self.state.unionByName(words)
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(word)").alias("word"))
+        )
+        self.state = eager_checkpoint(st)
+        self.batch_log.append(
+            {"epoch": int(epoch_id), "n_docs": int(n_docs),
+             "n_covered_docs": int(n_covered)}
+        )
+
+    def _covered_count(self, batch_df: DataFrame) -> int:
+        from ..operators.dedup import _h1_h2, shingle_sets
+
+        m, k = self.m_bits, self.k_hashes
+        sh = shingle_sets(batch_df, self.text_col, self.id_col, self.n)
+        h = _h1_h2(sh, self.id_col)
+        pos = h.select(
+            self.id_col,
+            "__h1",
+            "__h2",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+        ).select(
+            self.id_col,
+            "__h1",
+            "__h2",
+            F.pmod(F.col("__h1") + F.col("j") * F.col("__h2"), F.lit(m)).alias("pos"),
+        )
+        probed = (
+            pos.withColumn("word_idx", F.expr("pos div 32"))
+            .withColumn("bit", F.expr("CAST(pos % 32 AS INT)"))
+            .join(F.broadcast(self.state), "word_idx", "left")
+            .withColumn(
+                "hit",
+                F.when(
+                    F.col("word").isNotNull()
+                    & (F.expr("(shiftright(word, bit) & 1)") == 1),
+                    1,
+                ).otherwise(0),
+            )
+        )
+        per_sh = probed.groupBy(self.id_col, "__h1", "__h2").agg(
+            (F.sum("hit") == k).cast("int").alias("all_set")
+        )
+        return (
+            per_sh.groupBy(self.id_col)
+            .agg(F.min("all_set").alias("covered"))
+            .where(F.col("covered") == 1)
+            .count()
+        )
+
+    def result(self) -> DataFrame:
+        """The merged filter word table, sorted by word_idx — equal to
+        dedup.bloom_build_words over the union of all batches."""
+        if self.state is None:
+            raise RuntimeError(
+                "BloomFilterMonitor.result() before any micro-batch was "
+                "processed"
+            )
+        return self.state.orderBy("word_idx")
+
+
+def stream_bloom_filter(
+    docs: DataFrame,
+    checkpoint_dir: str,
+    n: int = 4,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+):
+    """Attach a BloomFilterMonitor to a documents stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = BloomFilterMonitor(n=n, m_bits=m_bits, k_hashes=k_hashes)
+    q = (
+        docs.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

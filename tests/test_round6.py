@@ -265,3 +265,41 @@ def test_minhash_band_balance_accounting(spark):
     ).count()
     assert raw == int(totals[16])
     release_scratch()
+
+
+def test_bloom_filter_monitor_equals_batch_any_order(spark):
+    """The streaming Bloom filter equals the batch build word-for-word
+    under ANY batch partitioning and arrival order (bit_or commutes and
+    is idempotent — re-delivered docs are no-ops), and the per-batch
+    covered-doc telemetry flags a replayed batch completely."""
+    from bytehub_spark.streaming import BloomFilterMonitor
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    expect = (
+        dedup.bloom_build_words(docs, 4, 1 << 18, 4)
+        .orderBy("word_idx")
+        .toPandas()
+    )
+
+    pdf = docs.toPandas()
+    for order in (False, True):
+        chunks = [pdf.iloc[i::3] for i in range(3)]
+        if order:
+            chunks = chunks[::-1]
+        mon = BloomFilterMonitor()
+        for i, c in enumerate(chunks):
+            mon.process_batch(spark.createDataFrame(c), i)
+        got = mon.result().toPandas()
+        pd.testing.assert_frame_equal(got, expect)
+
+    # replay: feeding the exact same batch twice leaves the filter
+    # unchanged and flags every (>=4-word) doc as covered
+    mon = BloomFilterMonitor()
+    b0 = spark.createDataFrame(pdf.iloc[0:50])
+    mon.process_batch(b0, 0)
+    words_before = mon.result().toPandas()
+    mon.process_batch(b0, 1)
+    pd.testing.assert_frame_equal(mon.result().toPandas(), words_before)
+    n_eligible = b0.where(F.size(F.split("text", " ")) >= 4).count()
+    assert mon.batch_log[1]["n_covered_docs"] == n_eligible
+    assert mon.batch_log[0]["n_covered_docs"] == 0
