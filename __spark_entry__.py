@@ -87,7 +87,7 @@ _GATE_FIRST = [
     # CORRECTNESS_r01..r05 keys in registry order).
     # --- (a) new in round 6 (never driver-gated; swept at 3 scales) ---
     "ts_rfm_bp_audit", "ts_cadence_profile", "dedup_kmv_overlap_est",
-    "dedup_band_balance", "dedup_bloom_words",
+    "dedup_band_balance", "dedup_bloom_words", "emb_snapshot_drift",
     # --- (b) changed this round: rfm sampled-breakpoint mode + per-user
     # persist, value_quantiles sample_mod, connected_components null-
     # edge guard (dedup_clusters), _int_gemm_scored schema-derived ids,
@@ -110,7 +110,7 @@ _GATE_FIRST = [
     "doc_vocab_topk", "doc_tfidf_top_terms", "doc_redact_pii",
     "dedup_decontaminate", "cur_split_summary", "cur_mix_sources",
     "cur_pack_sequences", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_substring", "cur_stratified_sample",
+    "dedup_embedding_cosine", "dedup_substring",
 ]
 
 
@@ -861,6 +861,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-(group, dim) mean embeddings: decimal accumulation makes the
         # centroid independent of row order/partitioning — exact oracle
         "emb_group_centroids": _q(similarity.group_centroids, "embeddings"),
+        # embedding-distribution drift between two snapshots (even/odd
+        # vec_id halves stand in for old/new model versions): per-label
+        # µ²-unit centroid shift + mean-norm change, all-integer — exact
+        # oracle
+        "emb_snapshot_drift": lambda spark, sf: (
+            lambda emb: similarity.snapshot_drift(
+                emb.where(F.col("vec_id") % 2 == 0),
+                emb.where(F.col("vec_id") % 2 == 1),
+            )
+        )(load_table(spark, sf, "embeddings")),
         # class-confusability matrix: cosine between every pair of label
         # centroids; 1e-6 re-quantization makes the dots exact decimal
         # sums — exact oracle over KB-sized centroid tables
@@ -6351,6 +6361,52 @@ def oracle_sql() -> dict[str, str]:
                    bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
             FROM bpos GROUP BY pos // 32
             ORDER BY word_idx
+        """,
+        # snapshot drift: floor-1e6 quantized components, per-(label,
+        # snap, dim) integer sums, truncating integer division (DuckDB
+        # // == Spark div toward zero), per-dim means before the
+        # cross-dim sum — every value a plain BIGINT in both engines
+        "emb_snapshot_drift": """
+            WITH ex AS (
+                SELECT label,
+                       CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+                       d AS dim,
+                       CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000)
+                           AS BIGINT) AS q
+                FROM embeddings, (SELECT unnest(generate_series(0,
+                         (SELECT max(len(embedding)) FROM embeddings) - 1)) AS d)
+                WHERE d < len(embedding)
+            ),
+            pd AS (
+                SELECT label, snap, dim,
+                       CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS c_u,
+                       CAST(sum(q * q) AS BIGINT) AS ss,
+                       count(*) AS n
+                FROM ex GROUP BY label, snap, dim
+            ),
+            pj AS (
+                SELECT label, dim,
+                       coalesce(max(CASE WHEN snap = 'a' THEN c_u END), 0) AS c_a_u,
+                       coalesce(max(CASE WHEN snap = 'b' THEN c_u END), 0) AS c_b_u,
+                       coalesce(max(CASE WHEN snap = 'a' THEN ss END), 0) AS ss_a,
+                       coalesce(max(CASE WHEN snap = 'b' THEN ss END), 0) AS ss_b,
+                       coalesce(max(CASE WHEN snap = 'a' THEN n END), 0) AS n_a,
+                       coalesce(max(CASE WHEN snap = 'b' THEN n END), 0) AS n_b
+                FROM pd GROUP BY label, dim
+            )
+            SELECT label,
+                   CAST(max(n_a) AS BIGINT) AS n_a,
+                   CAST(max(n_b) AS BIGINT) AS n_b,
+                   CAST(sum((c_a_u - c_b_u) * (c_a_u - c_b_u)) AS BIGINT)
+                       AS centroid_dist2_u2,
+                   CAST(sum(ss_a // greatest(n_a, 1)) AS BIGINT)
+                       AS mean_norm2_a_u2,
+                   CAST(sum(ss_b // greatest(n_b, 1)) AS BIGINT)
+                       AS mean_norm2_b_u2,
+                   CAST(sum(ss_b // greatest(n_b, 1))
+                        - sum(ss_a // greatest(n_a, 1)) AS BIGINT)
+                       AS norm2_delta_u2
+            FROM pj GROUP BY label ORDER BY label
         """,
         # full Bloom replay: FNV (h1,h2) per shingle, KM probe positions,
         # 32-bit packed words via bit_or, all-k-bits test, joined against

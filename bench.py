@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "mm_blob_dedup",
     "dedup_span_coverage",
     "ts_cadence_profile",
+    "dedup_band_balance",
+    "dedup_bloom_words",
 ]
 
 

@@ -1457,3 +1457,65 @@ def quantize_int8_audit(
         )
         .orderBy("dim")
     )
+
+
+def snapshot_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-distribution drift between two snapshots (e.g. the same
+    corpus re-embedded by a new model version, or this week's ingest vs
+    last week's): per group, the squared L2 shift of the centroid and
+    the change in mean squared norm — the monitor that catches a
+    re-embedding or collapse event before a retrieval index is rebuilt
+    on mixed vectors (cross-check embedding_health for within-snapshot
+    collapse).
+
+    All-integer exactness scheme (the emb_health/_quantized_vectors
+    policy): components quantize at 1e6 via floor(v·1e6) BIGINT; per
+    (group, dim) the centroid is sum_q div n in µ-units (both engines
+    truncate toward zero); drift is Σ_dim (c_a − c_b)² in µ²-units
+    (≤ 64·4e12 — no overflow), mean norms are Σ_dim (Σq² div n). Shape at
+    scale: one posexplode + (group, dim) partial-aggregated shuffle per
+    snapshot — shuffle volume is |groups|·dims rows, never corpus-sized;
+    the final join is on the tiny (group, dim) frame.
+    """
+
+    def per_dim(df: DataFrame, tag: str) -> DataFrame:
+        ex = df.select(
+            F.col(group_col),
+            F.posexplode(F.col(vec_col)).alias("dim", "v"),
+        ).withColumn("q", F.expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+        return ex.groupBy(group_col, "dim").agg(
+            F.expr("sum(q) div count(*)").alias(f"c_{tag}_u"),
+            F.sum(F.expr("q * q")).alias(f"ss_{tag}"),
+            F.count("*").alias(f"n_{tag}"),
+        )
+
+    a = per_dim(emb_a, "a")
+    b = per_dim(emb_b, "b")
+    j = a.join(b, [group_col, "dim"], "outer").na.fill(
+        {"c_a_u": 0, "c_b_u": 0, "ss_a": 0, "ss_b": 0, "n_a": 0, "n_b": 0}
+    )
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(
+                F.expr("(c_a_u - c_b_u) * (c_a_u - c_b_u)")
+            ).alias("centroid_dist2_u2"),
+            # per-dim mean BEFORE the cross-dim sum: bounds every integer
+            # at dims · q²_max (engine-identical truncation per dim) so
+            # the ceiling is ~2.5e7 vectors/group at |v|<1, not ~1e6
+            F.sum(F.expr("ss_a div greatest(n_a, 1)")).alias("mean_norm2_a_u2"),
+            F.sum(F.expr("ss_b div greatest(n_b, 1)")).alias("mean_norm2_b_u2"),
+        )
+        .withColumn(
+            "norm2_delta_u2",
+            F.expr("mean_norm2_b_u2 - mean_norm2_a_u2"),
+        )
+        .orderBy(group_col)
+    )

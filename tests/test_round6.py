@@ -303,3 +303,25 @@ def test_bloom_filter_monitor_equals_batch_any_order(spark):
     n_eligible = b0.where(F.size(F.split("text", " ")) >= 4).count()
     assert mon.batch_log[1]["n_covered_docs"] == n_eligible
     assert mon.batch_log[0]["n_covered_docs"] == 0
+
+
+def test_snapshot_drift_detects_injected_shift(spark):
+    """A deterministic constant shift on snapshot B moves the per-label
+    centroid by exactly that shift (µ-quantized) and shows up in
+    centroid_dist2_u2; identical snapshots read zero drift."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    same = similarity.snapshot_drift(emb, emb).toPandas()
+    assert (same["centroid_dist2_u2"] == 0).all()
+    assert (same["norm2_delta_u2"] == 0).all()
+
+    shifted = emb.withColumn(
+        "embedding", F.expr("transform(embedding, x -> x + CAST(0.25 AS FLOAT))")
+    )
+    drift = similarity.snapshot_drift(emb, shifted).toPandas()
+    # shift = 0.25 in every dim -> per-dim centroid delta ~250000 µ
+    # (quantization truncation keeps it within a few units), squared and
+    # summed over 64 dims ~= 4e12
+    assert (drift["centroid_dist2_u2"] > 3.9e12).all()
+    assert (drift["centroid_dist2_u2"] < 4.1e12).all()
+    assert (drift["n_a"] == drift["n_b"]).all()
