@@ -1481,24 +1481,56 @@ def snapshot_drift(
     scale: one posexplode + (group, dim) partial-aggregated shuffle per
     snapshot — shuffle volume is |groups|·dims rows, never corpus-sized;
     the final join is on the tiny (group, dim) frame.
-    """
 
-    def per_dim(df: DataFrame, tag: str) -> DataFrame:
-        ex = df.select(
-            F.col(group_col),
-            F.posexplode(F.col(vec_col)).alias("dim", "v"),
-        ).withColumn("q", F.expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
-        return ex.groupBy(group_col, "dim").agg(
-            F.expr("sum(q) div count(*)").alias(f"c_{tag}_u"),
-            F.sum(F.expr("q * q")).alias(f"ss_{tag}"),
-            F.count("*").alias(f"n_{tag}"),
+    Composition note: the per-dim RAW SUMS (sum_q, ss, n) are ADDITIVE —
+    drift_per_dim_sums frames from disjoint row sets merge by plain sum,
+    which is what streaming.EmbeddingDriftMonitor exploits; all derived
+    quantities (centroids, means) are computed only at assembly time in
+    drift_from_sums, so batch and stream can never disagree.
+    """
+    return drift_from_sums(
+        drift_per_dim_sums(emb_a, group_col, vec_col),
+        drift_per_dim_sums(emb_b, group_col, vec_col),
+        group_col,
+    )
+
+
+def drift_per_dim_sums(
+    df: DataFrame, group_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """(group, dim, sum_q, ss, n) raw integer sums of floor-1e6 quantized
+    components — the additive (hence streaming-mergeable) core of
+    snapshot_drift. Bounded at |groups|·dims rows."""
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).withColumn("q", F.expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+    return ex.groupBy(group_col, "dim").agg(
+        F.sum("q").alias("sum_q"),
+        F.sum(F.expr("q * q")).alias("ss"),
+        F.count("*").alias("n"),
+    )
+
+
+def drift_from_sums(
+    sums_a: DataFrame, sums_b: DataFrame, group_col: str = "label"
+) -> DataFrame:
+    """Assemble the snapshot_drift output table from two per-dim sum
+    frames (see drift_per_dim_sums). Centroids derive as sum_q div n —
+    truncating integer division, identical in Spark and DuckDB."""
+
+    def derived(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            group_col,
+            "dim",
+            F.expr("sum_q div greatest(n, 1)").alias(f"c_{tag}_u"),
+            F.col("ss").alias(f"ss_{tag}"),
+            F.col("n").alias(f"n_{tag}"),
         )
 
-    a = per_dim(emb_a, "a")
-    b = per_dim(emb_b, "b")
-    j = a.join(b, [group_col, "dim"], "outer").na.fill(
-        {"c_a_u": 0, "c_b_u": 0, "ss_a": 0, "ss_b": 0, "n_a": 0, "n_b": 0}
-    )
+    j = derived(sums_a, "a").join(
+        derived(sums_b, "b"), [group_col, "dim"], "outer"
+    ).na.fill({"c_a_u": 0, "c_b_u": 0, "ss_a": 0, "ss_b": 0, "n_a": 0, "n_b": 0})
     return (
         j.groupBy(group_col)
         .agg(

@@ -1554,3 +1554,82 @@ def stream_bloom_filter(
         .start()
     )
     return q, mon
+
+
+class EmbeddingDriftMonitor:
+    """Streaming embedding-distribution drift against a fixed reference
+    snapshot — twin of similarity.snapshot_drift(reference, stream).
+    State is the per-(group, dim) frame of RAW integer sums
+    (sum_q, ss, n) over floor-1e6 quantized components: bounded at
+    |groups|·dims rows forever, and ADDITIVE — batch sums merge by plain
+    sum, which commutes, so the drift table is ORDER-INDEPENDENT and
+    equal to the batch op on the union of all batches row for row
+    (pinned in pytest incl. a permuted-batch-order case). Centroids and
+    means are derived only in result() via the shared
+    similarity.drift_from_sums assembly, so stream and batch can never
+    disagree on the derivation.
+
+    Note re-delivered vectors DO double-count (sums are additive, not
+    idempotent — contrast BloomFilterMonitor's bit_or): feed each
+    micro-batch exactly once, the contract every counting monitor here
+    shares (ActiveUsersMonitor, TransitionMonitor).
+    """
+
+    def __init__(
+        self,
+        reference: DataFrame,
+        group_col: str = "label",
+        vec_col: str = "embedding",
+    ):
+        from ..operators.similarity import drift_per_dim_sums
+
+        self.group_col = group_col
+        self.vec_col = vec_col
+        self.ref_sums = eager_checkpoint(
+            drift_per_dim_sums(reference, group_col, vec_col)
+        )
+        self.state: DataFrame | None = None
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        from ..operators.similarity import drift_per_dim_sums
+
+        b = drift_per_dim_sums(batch_df, self.group_col, self.vec_col)
+        st = (
+            b
+            if self.state is None
+            else self.state.unionByName(b)
+            .groupBy(self.group_col, "dim")
+            .agg(
+                F.sum("sum_q").alias("sum_q"),
+                F.sum("ss").alias("ss"),
+                F.sum("n").alias("n"),
+            )
+        )
+        self.state = eager_checkpoint(st)
+
+    def result(self) -> DataFrame:
+        """Same table shape as similarity.snapshot_drift(reference, all
+        streamed vectors)."""
+        from ..operators.similarity import drift_from_sums
+
+        if self.state is None:
+            raise RuntimeError(
+                "EmbeddingDriftMonitor.result() before any micro-batch "
+                "was processed"
+            )
+        return drift_from_sums(self.ref_sums, self.state, self.group_col)
+
+
+def stream_embedding_drift(
+    vecs: DataFrame, checkpoint_dir: str, reference: DataFrame
+):
+    """Attach an EmbeddingDriftMonitor to an embedding stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = EmbeddingDriftMonitor(reference)
+    q = (
+        vecs.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

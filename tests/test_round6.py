@@ -325,3 +325,29 @@ def test_snapshot_drift_detects_injected_shift(spark):
     assert (drift["centroid_dist2_u2"] > 3.9e12).all()
     assert (drift["centroid_dist2_u2"] < 4.1e12).all()
     assert (drift["n_a"] == drift["n_b"]).all()
+
+
+def test_embedding_drift_monitor_equals_batch_any_order(spark):
+    """The streamed drift table equals snapshot_drift(reference, union)
+    row-for-row under any batch partitioning and order — per-(label,
+    dim) integer sums are additive and commute."""
+    from bytehub_spark.streaming import EmbeddingDriftMonitor
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding", F.expr("transform(embedding, x -> x + CAST(0.125 AS FLOAT))")
+    )
+    expect = similarity.snapshot_drift(ref, new).toPandas()
+    assert (expect["centroid_dist2_u2"] > 0).all()
+
+    pdf = new.toPandas()
+    for order in (False, True):
+        chunks = [pdf.iloc[i::3] for i in range(3)]
+        if order:
+            chunks = chunks[::-1]
+        mon = EmbeddingDriftMonitor(ref)
+        for i, c in enumerate(chunks):
+            mon.process_batch(spark.createDataFrame(c, schema=new.schema), i)
+        got = mon.result().toPandas()
+        pd.testing.assert_frame_equal(got, expect)
