@@ -88,6 +88,7 @@ _GATE_FIRST = [
     # --- (a) new in round 6 (never driver-gated; swept at 3 scales) ---
     "ts_rfm_bp_audit", "ts_cadence_profile", "dedup_kmv_overlap_est",
     "dedup_band_balance", "dedup_bloom_words", "emb_snapshot_drift",
+    "ts_holt_winters",
     # --- (b) changed this round: rfm sampled-breakpoint mode + per-user
     # persist, value_quantiles sample_mod, connected_components null-
     # edge guard (dedup_clusters), _int_gemm_scored schema-derived ids,
@@ -110,7 +111,7 @@ _GATE_FIRST = [
     "doc_vocab_topk", "doc_tfidf_top_terms", "doc_redact_pii",
     "dedup_decontaminate", "cur_split_summary", "cur_mix_sources",
     "cur_pack_sequences", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_substring",
+    "dedup_embedding_cosine",
 ]
 
 
@@ -1610,6 +1611,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact median / p90 in µs) + quantile-shape burstiness — one
         # per-user lag window + one keyed agg. Exact oracle.
         "ts_cadence_profile": _q(events_ops.cadence_profile, "events"),
+        # additive Holt-Winters one-step backtest (level+trend+season,
+        # ppm smoothing constants, truncating integer recurrence) per
+        # event_type over the dense hourly grid — the forecasting step
+        # past ts_forecast_snaive; oracle replays the identical
+        # recurrence as a recursive CTE carrying the season vector as a
+        # list. Sequential in time, parallel across series.
+        "ts_holt_winters": _q(events_ops.holt_winters_backtest, "events"),
     }
 
 
@@ -2321,6 +2329,81 @@ def _invariant_oracles() -> dict[str, str]:
             FROM embeddings
         """,
     }
+
+
+def _holt_winters_oracle(
+    m: int = 24,
+    a: int = 300_000,
+    b: int = 100_000,
+    g: int = 200_000,
+) -> str:
+    """Recursive-CTE replay of events_ops.holt_winters_backtest: the
+    season vector rides along as an m-element list rebuilt per step
+    (list_transform + CASE — DuckDB has no list_set); the l_new
+    expression is inlined into the trend/season updates because a
+    recursive term cannot reference its own aliases. DuckDB // truncates
+    toward zero exactly like Spark's div (probed), so every smoothing
+    step is bit-identical."""
+    ia, ib, ig = 1_000_000 - a, 1_000_000 - b, 1_000_000 - g
+    l_new = f"(({a} * y.v_u + {ia} * (r.lvl + r.trd)) // 1000000)"
+    s_old = f"r.seas[CAST((r.t + 1) % {m} AS INT) + 1]"
+    return f"""
+        WITH RECURSIVE hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS v_u
+            FROM events GROUP BY event_type, hour
+        ),
+        grid AS (
+            SELECT et.event_type, gh.hour
+            FROM (SELECT DISTINCT event_type FROM hourly) et,
+                 (SELECT unnest(generate_series(
+                      (SELECT min(hour) FROM hourly),
+                      (SELECT max(hour) FROM hourly),
+                      INTERVAL 1 HOUR)) AS hour) gh
+        ),
+        y AS (
+            SELECT g2.event_type, g2.hour,
+                   row_number() OVER (
+                       PARTITION BY g2.event_type ORDER BY g2.hour
+                   ) - 1 AS idx,
+                   coalesce(h.v_u, CAST(0 AS BIGINT)) AS v_u
+            FROM grid g2 LEFT JOIN hourly h
+              ON h.event_type = g2.event_type AND h.hour = g2.hour
+        ),
+        init AS (
+            SELECT event_type,
+                   CAST(CAST(sum(v_u) AS BIGINT) // {m} AS BIGINT) AS l0,
+                   list(v_u ORDER BY idx) AS y0
+            FROM y WHERE idx < {m} GROUP BY event_type
+        ),
+        rec AS (
+            SELECT event_type, CAST({m} - 1 AS BIGINT) AS t,
+                   l0 AS lvl, CAST(0 AS BIGINT) AS trd,
+                   list_transform(y0, v -> v - l0) AS seas,
+                   CAST(NULL AS BIGINT) AS y_t,
+                   CAST(NULL AS BIGINT) AS f_u
+            FROM init
+            UNION ALL
+            SELECT r.event_type, r.t + 1,
+                   {l_new} AS lvl,
+                   ({b} * ({l_new} - r.lvl) + {ib} * r.trd) // 1000000 AS trd,
+                   list_transform(range({m}), i -> CASE
+                       WHEN i = (r.t + 1) % {m}
+                       THEN ({g} * (y.v_u - {l_new}) + {ig} * {s_old}) // 1000000
+                       ELSE r.seas[i + 1] END) AS seas,
+                   y.v_u AS y_t,
+                   r.lvl + r.trd + {s_old} AS f_u
+            FROM rec r JOIN y
+              ON y.event_type = r.event_type AND y.idx = r.t + 1
+        )
+        SELECT r.event_type, y.hour, r.y_t AS v_u, r.f_u,
+               r.y_t - r.f_u AS err_u, r.lvl AS level_u, r.trd AS trend_u
+        FROM rec r JOIN y
+          ON y.event_type = r.event_type AND y.idx = r.t
+        WHERE r.t >= {m}
+        ORDER BY r.event_type, y.hour
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6546,4 +6629,5 @@ def oracle_sql() -> dict[str, str]:
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY user_id ORDER BY user_id
         """,
+        "ts_holt_winters": _holt_winters_oracle(),
     }

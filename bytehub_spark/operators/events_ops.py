@@ -1851,3 +1851,112 @@ def seasonal_naive_backtest(
         )
         .orderBy("event_type")
     )
+
+
+def holt_winters_backtest(
+    events: DataFrame,
+    season_hours: int = 24,
+    alpha_ppm: int = 300_000,
+    beta_ppm: int = 100_000,
+    gamma_ppm: int = 200_000,
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + season) one-step-ahead
+    backtest per event_type over the dense hourly grid — the forecasting
+    step up from seasonal_naive_backtest (level/trend adaptation instead
+    of pure season echo). Emits one row per (event_type, hour) from the
+    first post-warmup hour on: the observed µ-unit sum, the one-step
+    forecast, the error, and the fitted level/trend for observability.
+
+    Transcendental-free integer exactness: observations are the hourly
+    floor(value·1e6) BIGINT sums (missing grid hours read 0 — absence is
+    zero activity); smoothing constants are ppm integers and every
+    recurrence step is one multiply-accumulate followed by a TRUNCATING
+    division by 1e6 (Spark div == DuckDB // toward zero — Python //
+    floors, so the kernel uses an explicit truncating helper). With
+    α,β,γ and (1e6−·) both ≤ 1e6, intermediates stay < |state|·1e6:
+    plain BIGINT while hourly sums stay under ~9.2e12 µ (quantize
+    coarser above that). Init: l = mean of the first season, b = 0,
+    s_i = y_i − l for the warmup hours; no output during warmup.
+
+    Shape at scale: the only data-sized work is the hourly rollup
+    (map-side-combined groupBy); the recurrence is inherently sequential
+    IN TIME but independent ACROSS series, so it runs as one Arrow
+    applyInPandas batch per event_type over the |hours|-row series —
+    thousands of rows per key, parallel across keys (partition unit =
+    the series, the ts_debounce pattern). The DuckDB oracle replays the
+    identical recurrence as a recursive CTE carrying the seasonal
+    vector as a list.
+    """
+    m, a_p, b_p, g_p = (
+        int(season_hours), int(alpha_ppm), int(beta_ppm), int(gamma_ppm)
+    )
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(
+            F.expr("CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)")
+        ).alias("v_u")
+    )
+    bounds = hourly.agg(
+        F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
+    )
+    grid = (
+        hourly.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(_h0, _h1, interval 1 hour)")
+            ).alias("hour"),
+        )
+    )
+    series = grid.join(hourly, ["event_type", "hour"], "left").na.fill(
+        {"v_u": 0}
+    )
+
+    def tdiv(x: int, d: int) -> int:
+        q = abs(x) // d
+        return q if x >= 0 else -q
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        y = [int(v) for v in pdf["v_u"]]
+        T = len(y)
+        if T < m + 1:
+            return pdf.iloc[0:0].assign(
+                f_u=pd.Series(dtype="int64"),
+                err_u=pd.Series(dtype="int64"),
+                level_u=pd.Series(dtype="int64"),
+                trend_u=pd.Series(dtype="int64"),
+            )[["event_type", "hour", "v_u", "f_u", "err_u", "level_u", "trend_u"]]
+        lvl = tdiv(sum(y[:m]), m)
+        trd = 0
+        seas = [y[i] - lvl for i in range(m)]
+        rows = []
+        for t in range(m, T):
+            f = lvl + trd + seas[t % m]
+            l_new = tdiv(a_p * y[t] + (1_000_000 - a_p) * (lvl + trd), 1_000_000)
+            trd = tdiv(b_p * (l_new - lvl) + (1_000_000 - b_p) * trd, 1_000_000)
+            seas[t % m] = tdiv(
+                g_p * (y[t] - l_new) + (1_000_000 - g_p) * seas[t % m], 1_000_000
+            )
+            lvl = l_new
+            rows.append(
+                (pdf["event_type"].iloc[0], pdf["hour"].iloc[t], y[t],
+                 f, y[t] - f, lvl, trd)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "hour", "v_u", "f_u", "err_u",
+                     "level_u", "trend_u"],
+        )
+
+    out_schema = (
+        "event_type string, hour timestamp, v_u long, f_u long, "
+        "err_u long, level_u long, trend_u long"
+    )
+    return (
+        series.groupBy("event_type")
+        .applyInPandas(kernel, schema=out_schema)
+        .orderBy("event_type", "hour")
+    )

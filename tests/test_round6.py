@@ -351,3 +351,74 @@ def test_embedding_drift_monitor_equals_batch_any_order(spark):
             mon.process_batch(spark.createDataFrame(c, schema=new.schema), i)
         got = mon.result().toPandas()
         pd.testing.assert_frame_equal(got, expect)
+
+
+def test_holt_winters_constant_series_and_gap_fill(spark):
+    """A constant-rate series is a Holt-Winters fixed point (level = the
+    constant, trend = season = 0, zero error at every step), and hours
+    with no events enter the recurrence as explicit zeros (the dense
+    grid), not as skipped steps."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for h in range(72):
+        if h == 50:
+            continue  # a silent hour -> grid zero, not a slid window
+        rows.append((h, base + dt.timedelta(hours=h, minutes=5), 1, "a", 2.5, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = events_ops.holt_winters_backtest(ev).toPandas()
+    # 72 grid hours, 24 warmup -> 48 scored rows
+    assert len(out) == 48
+    gap = out[out["hour"] == base + dt.timedelta(hours=50)]
+    assert len(gap) == 1 and gap["v_u"].iloc[0] == 0
+    # constant series before the gap: zero error, level = 2.5e6, no trend
+    pre = out[out["hour"] < base + dt.timedelta(hours=50)]
+    assert (pre["err_u"] == 0).all()
+    assert (pre["level_u"] == 2_500_000).all()
+    assert (pre["trend_u"] == 0).all()
+    # the gap produces a one-step error of exactly the forecast level
+    assert gap["err_u"].iloc[0] == -gap["f_u"].iloc[0]
+
+
+def test_holt_winters_matches_pure_python_reference(spark):
+    """The Arrow kernel's recurrence equals an independent pure-Python
+    replay (truncating division, ppm constants) on real data."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").where(
+        F.col("event_type") == "purchase"
+    )
+    out = (
+        events_ops.holt_winters_backtest(ev)
+        .toPandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.sum(F.expr("CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)")).alias("v_u"))
+        .toPandas()
+        .set_index("hour")["v_u"]
+    )
+    full = pd.date_range(hourly.index.min(), hourly.index.max(), freq="h")
+    y = [int(hourly.get(h, 0)) for h in full]
+
+    def tdiv(x, d):
+        q = abs(x) // d
+        return q if x >= 0 else -q
+
+    m, a, b, g = 24, 300_000, 100_000, 200_000
+    lvl, trd = tdiv(sum(y[:m]), m), 0
+    seas = [y[i] - lvl for i in range(m)]
+    exp = []
+    for t in range(m, len(y)):
+        f = lvl + trd + seas[t % m]
+        l_new = tdiv(a * y[t] + (1_000_000 - a) * (lvl + trd), 1_000_000)
+        trd = tdiv(b * (l_new - lvl) + (1_000_000 - b) * trd, 1_000_000)
+        seas[t % m] = tdiv(g * (y[t] - l_new) + (1_000_000 - g) * seas[t % m], 1_000_000)
+        lvl = l_new
+        exp.append((y[t], f, y[t] - f, lvl, trd))
+    assert len(out) == len(exp)
+    for col, i in (("v_u", 0), ("f_u", 1), ("err_u", 2), ("level_u", 3), ("trend_u", 4)):
+        assert out[col].tolist() == [e[i] for e in exp], col
