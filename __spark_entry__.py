@@ -81,37 +81,38 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 # scales via scripts/check_oracle.py (round-4 sweeps: 178/178 ALL MATCH
 # at sf0.001, sf0.01, and sf0.1).
 _GATE_FIRST = [
-    # Round-6 rotation (VERDICT r05 item 1): debt is zero, so the gate =
-    # new + changed-this-round + permanent + the deferred r01 stale set
-    # + the stalest r02 greens (last-gated round computed from
-    # CORRECTNESS_r01..r05 keys in registry order).
-    # --- (a) new in round 6 (never driver-gated; swept at 3 scales) ---
-    "ts_rfm_bp_audit", "ts_cadence_profile", "dedup_kmv_overlap_est",
-    "dedup_band_balance", "dedup_bloom_words", "emb_snapshot_drift",
+    # Round-7 rotation (VERDICT r06 item 1): head = new + changed +
+    # permanent + ALL 22 r02-stale queries + the 20 stalest r03 greens
+    # in registry order (1 + 4 + 3 + 22 + 20 = 50). Staleness is now an
+    # enforced invariant: tests/test_round7.py::test_gate_staleness_bound
+    # asserts no registered query's last driver-green round is older
+    # than 4 rounds behind the latest CORRECTNESS file.
+    # --- (a) new in round 7 (never driver-gated; swept at 3 scales) ---
+    "ts_forecast_eval",
+    # --- (b) changed this round: imbalance_ppm divide-first fix
+    # (band_balance + lsh_balance Spark AND oracle), rfm sampled-empty
+    # exact fallback, holt-winters oracle refactored to tail= form ---
+    "dedup_band_balance", "emb_lsh_balance", "ts_rfm_segments",
     "ts_holt_winters",
-    # --- (b) changed this round: rfm sampled-breakpoint mode + per-user
-    # persist, value_quantiles sample_mod, connected_components null-
-    # edge guard (dedup_clusters), _int_gemm_scored schema-derived ids,
-    # and the 11 oracles whose dim enumeration moved from a 256 cap to
-    # max(len(embedding)) ---
-    "ts_rfm_segments", "ts_quantiles", "dedup_clusters",
-    "dedup_embedding_cosine_lsh", "dedup_two_stage", "emb_lsh_topk",
-    "emb_lsh_multiprobe", "emb_ann_recall_eval", "emb_pca_spectrum",
-    "emb_margin_pairs_lsh", "emb_lsh_balance", "emb_knn_graph",
-    "emb_graph_clusters", "emb_quantize_int8",
     # --- (c) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (d) the r01 stale set deferred from the r05 rotation ---
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q22",
-    "doc_text_stats", "doc_token_counts", "doc_lang_id",
-    "doc_fingerprint", "doc_clean_text",
-    # --- (e) stalest r02 greens, registry order (21 fill the 50) ---
-    "ts_resample_locf", "ts_align_ffill", "ts_asof_join",
-    "ts_sessionize", "doc_repetition", "doc_curation_pipeline",
-    "doc_vocab_topk", "doc_tfidf_top_terms", "doc_redact_pii",
-    "dedup_decontaminate", "cur_split_summary", "cur_mix_sources",
-    "cur_pack_sequences", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    # --- (d) all 22 r02-stale queries, registry order ---
+    "dedup_substring", "cur_stratified_sample", "dedup_decontaminate_flags",
+    "cur_chunk_documents", "cur_cap_per_group", "doc_quality_rules",
+    "doc_bm25_topk", "doc_span_dedup", "doc_bm25_indexed",
+    "ts_retention_cohorts", "ts_rollup_pyramid", "emb_dim_stats",
+    "cur_temperature_mix", "cur_temperature_sample", "emb_group_centroids",
+    "emb_label_affinity", "dedup_canonical", "mm_featurize_bytes",
+    "mm_frame_counts", "mm_metadata_stats", "emb_cosine_topk",
+    "emb_batch_topk",
+    # --- (e) stalest r03 greens, registry order (20 fill the 50) ---
+    "cur_pack_greedy", "dedup_containment", "dedup_rate_by_source",
+    "dedup_simhash", "dedup_incremental_lsh", "doc_bpe_pairs",
+    "ts_seasonal_anomaly", "ts_ohlc_bars", "ts_gap_report",
+    "ts_first_touch", "ts_level_shifts", "ts_user_profiles",
+    "cur_corpus_pipeline", "emb_label_outliers", "emb_pca_project",
+    "emb_pq_topk", "emb_ivf_pq_topk", "dedup_lsh_novelty",
+    "mm_chunk_audio", "emb_ivf_topk",
 ]
 
 
@@ -1618,6 +1619,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recurrence as a recursive CTE carrying the season vector as a
         # list. Sequential in time, parallel across series.
         "ts_holt_winters": _q(events_ops.holt_winters_backtest, "events"),
+        # forecaster model-selection rollup (round 7): snaive vs
+        # Holt-Winters MAE/bias/max-err head-to-head per event_type over
+        # the same trailing 48h, full-outer joined with an M-competition
+        # mae_winner verdict. Oracle composes the two existing replays
+        # (the HW recursive CTE via _holt_winters_oracle(tail=...)).
+        "ts_forecast_eval": _q(events_ops.forecast_eval, "events"),
     }
 
 
@@ -2200,7 +2207,7 @@ def _lsh_oracles() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_buckets,
                CAST(max(c) AS BIGINT) AS max_bucket_rows,
                CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
-               CAST(max(c) * count(*) * 1000000 // sum(c) AS BIGINT)
+               CAST((max(c) * 1000000 // sum(c)) * count(*) AS BIGINT)
                    AS imbalance_ppm
         FROM occ GROUP BY bands, band ORDER BY bands, band
     """
@@ -2336,6 +2343,7 @@ def _holt_winters_oracle(
     a: int = 300_000,
     b: int = 100_000,
     g: int = 200_000,
+    tail: str | None = None,
 ) -> str:
     """Recursive-CTE replay of events_ops.holt_winters_backtest: the
     season vector rides along as an m-element list rebuilt per step
@@ -2343,8 +2351,19 @@ def _holt_winters_oracle(
     expression is inlined into the trend/season updates because a
     recursive term cannot reference its own aliases. DuckDB // truncates
     toward zero exactly like Spark's div (probed), so every smoothing
-    step is bit-identical."""
+    step is bit-identical. ``tail`` (SQL appended after the CTE chain)
+    lets composed oracles (ts_forecast_eval) reuse the identical
+    recurrence replay; default tail emits the per-hour backtest rows."""
     ia, ib, ig = 1_000_000 - a, 1_000_000 - b, 1_000_000 - g
+    if tail is None:
+        tail = f"""
+        SELECT r.event_type, y.hour, r.y_t AS v_u, r.f_u,
+               r.y_t - r.f_u AS err_u, r.lvl AS level_u, r.trd AS trend_u
+        FROM rec r JOIN y
+          ON y.event_type = r.event_type AND y.idx = r.t
+        WHERE r.t >= {m}
+        ORDER BY r.event_type, y.hour
+        """
     l_new = f"(({a} * y.v_u + {ia} * (r.lvl + r.trd)) // 1000000)"
     s_old = f"r.seas[CAST((r.t + 1) % {m} AS INT) + 1]"
     return f"""
@@ -2397,13 +2416,63 @@ def _holt_winters_oracle(
             FROM rec r JOIN y
               ON y.event_type = r.event_type AND y.idx = r.t + 1
         )
-        SELECT r.event_type, y.hour, r.y_t AS v_u, r.f_u,
-               r.y_t - r.f_u AS err_u, r.lvl AS level_u, r.trd AS trend_u
-        FROM rec r JOIN y
-          ON y.event_type = r.event_type AND y.idx = r.t
-        WHERE r.t >= {m}
-        ORDER BY r.event_type, y.hour
+        {tail}
     """
+
+
+def _forecast_eval_oracle(m: int = 24, hh: int = 48) -> str:
+    """Composed replay for ts_forecast_eval: the Holt-Winters recursive
+    chain (reused verbatim via _holt_winters_oracle(tail=...) — the
+    `hourly` CTE it defines is byte-identical to the snaive oracle's,
+    so the snaive side rides the same rollup), each backtest scored
+    over the trailing ``hh`` hours, full-outer joined per event_type
+    with the mae_winner CASE mirroring events_ops.forecast_eval."""
+    tail = f"""
+        , hwb AS (
+            SELECT r.event_type, y.hour, r.y_t - r.f_u AS err_u
+            FROM rec r JOIN y
+              ON y.event_type = r.event_type AND y.idx = r.t
+            WHERE r.t >= {m}
+        ),
+        hcut AS (SELECT max(hour) - INTERVAL {hh} HOUR AS c FROM hwb),
+        hw_scored AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS hw_n,
+                   CAST(sum(abs(err_u)) // count(*) AS BIGINT) AS hw_mae_u,
+                   CAST(sum(err_u) // count(*) AS BIGINT) AS hw_bias_u,
+                   CAST(max(abs(err_u)) AS BIGINT) AS hw_max_err_u
+            FROM hwb, hcut WHERE hwb.hour > hcut.c GROUP BY event_type
+        ),
+        pred AS (
+            SELECT event_type, hour + INTERVAL {m} HOUR AS hour,
+                   v_u AS pred_u
+            FROM hourly
+        ),
+        scut AS (SELECT max(hour) - INTERVAL {hh} HOUR AS c FROM hourly),
+        snsc AS (
+            SELECT h.event_type, h.v_u, p.pred_u
+            FROM hourly h JOIN pred p USING (event_type, hour), scut
+            WHERE h.hour > scut.c AND p.pred_u IS NOT NULL
+        ),
+        sn AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS sn_n,
+                   CAST(sum(abs(v_u - pred_u)) // count(*) AS BIGINT)
+                       AS sn_mae_u,
+                   CAST(sum(v_u - pred_u) // count(*) AS BIGINT)
+                       AS sn_bias_u,
+                   CAST(max(abs(v_u - pred_u)) AS BIGINT) AS sn_max_err_u
+            FROM snsc GROUP BY event_type
+        )
+        SELECT event_type, sn_n, sn_mae_u, sn_bias_u, sn_max_err_u,
+               hw_n, hw_mae_u, hw_bias_u, hw_max_err_u,
+               CASE WHEN hw_mae_u IS NULL THEN 'snaive'
+                    WHEN sn_mae_u IS NULL THEN 'holt_winters'
+                    WHEN hw_mae_u < sn_mae_u THEN 'holt_winters'
+                    WHEN sn_mae_u < hw_mae_u THEN 'snaive'
+                    ELSE 'tie' END AS mae_winner
+        FROM sn FULL JOIN hw_scored USING (event_type)
+        ORDER BY event_type
+    """
+    return _holt_winters_oracle(m=m, tail=tail)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5096,7 +5165,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_buckets,
                    CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
                    CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
-                   CAST(MAX(c) * COUNT(*) * 1000000 // SUM(c) AS BIGINT)
+                   CAST((MAX(c) * 1000000 // SUM(c)) * COUNT(*) AS BIGINT)
                        AS imbalance_ppm
             FROM pb GROUP BY band ORDER BY band
         """,
@@ -6630,4 +6699,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id ORDER BY user_id
         """,
         "ts_holt_winters": _holt_winters_oracle(),
+        "ts_forecast_eval": _forecast_eval_oracle(),
     }

@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "ts_cadence_profile",
     "dedup_band_balance",
     "dedup_bloom_words",
+    # round 7: the forecaster model-selection rollup (runs BOTH
+    # backtests — the heaviest ts_ entry by construction)
+    "ts_forecast_eval",
 ]
 
 

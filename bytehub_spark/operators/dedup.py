@@ -605,6 +605,13 @@ def minhash_band_balance(
     One signature computation (scratch-persisted) feeds every shape; each
     shape costs one slim bucket pass + a two-level aggregation. All
     arithmetic is integer and replayed exactly by the DuckDB oracle.
+    ``imbalance_ppm`` (max bucket over mean bucket) divides BEFORE
+    multiplying by ``n_buckets`` — ``(max_bucket_rows * 1e6 div n_rows)
+    * n_buckets`` — so the intermediate stays under BIGINT until
+    ``n_rows`` ≈ 9.2e12 per band (the pre-fix form overflowed around a
+    few million rows on a skewed band, silently in Spark's non-ANSI
+    mode); the truncation-first form under-reports by < n_buckets ppm,
+    irrelevant at alert thresholds.
     Mirrors the near-dup sizing advice in the reference's dedup test
     suite only abstractly — the reference has no banding monitor; this is
     the scale tool its fixed-shape design lacks.
@@ -637,7 +644,7 @@ def minhash_band_balance(
                 "n_buckets",
                 "max_bucket_rows",
                 "cand_pairs",
-                F.expr("max_bucket_rows * n_buckets * 1000000 div n_rows")
+                F.expr("(max_bucket_rows * 1000000 div n_rows) * n_buckets")
                 .cast("long")
                 .alias("imbalance_ppm"),
             )

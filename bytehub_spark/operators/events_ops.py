@@ -1642,7 +1642,24 @@ def rfm_segments(
         )
     bp_src = per_user
     if breakpoint_mode == "sampled":
-        bp_src = per_user.where(F.expr(lcg_sample_pred("user_id", sample_mod)))
+        sampled = per_user.where(
+            F.expr(lcg_sample_pred("user_id", sample_mod))
+        )
+        # An empty sample (small corpus + large sample_mod) would make
+        # every percentile NULL and NULL-propagate into every r/f/m
+        # score silently — fall back to the exact buffer instead
+        # (ADVICE r06). limit(1) keeps the guard a bounded probe.
+        if sampled.limit(1).count() == 0:
+            import warnings
+
+            warnings.warn(
+                "rfm_segments: LCG sample selected zero users "
+                f"(sample_mod={sample_mod}); falling back to exact "
+                "breakpoints",
+                stacklevel=2,
+            )
+        else:
+            bp_src = sampled
     bp = _rfm_breakpoints(bp_src)
 
     def quintile(col: str, bps: str) -> F.Column:
@@ -1959,4 +1976,81 @@ def holt_winters_backtest(
         series.groupBy("event_type")
         .applyInPandas(kernel, schema=out_schema)
         .orderBy("event_type", "hour")
+    )
+
+
+def forecast_eval(
+    events: DataFrame,
+    season_hours: int = 24,
+    horizon_hours: int = 48,
+    alpha_ppm: int = 300_000,
+    beta_ppm: int = 100_000,
+    gamma_ppm: int = 200_000,
+) -> DataFrame:
+    """Forecaster model-selection rollup — the head-to-head table the
+    two backtests exist to feed (closes the "which forecaster do I
+    trust" loop): per event_type, the seasonal-naive baseline's
+    MAE/bias/max-err over its scored horizon next to the Holt-Winters
+    one-step backtest's same metrics over the SAME trailing
+    ``horizon_hours``, plus the M-competition verdict (``mae_winner``:
+    beat snaive or ship snaive; ties go to 'tie').
+
+    Coverage semantics are each model's own and deliberately NOT
+    forced equal — snaive scores the sparse hourly rollup where a
+    season-ago hour exists, Holt-Winters scores every dense-grid hour
+    past warmup — so ``sn_n`` and ``hw_n`` make the differing
+    scorable sets explicit instead of hiding them. A type missing one
+    side entirely (e.g. too short for HW warmup) survives via the full
+    outer join and wins by walkover. The HW horizon cutoff is derived
+    from the HW output's own max hour (scratch-persisted — the
+    |types|·|hours| frame, never the raw stream), mirroring the
+    snaive cutoff hour exactly when any series survives warmup.
+
+    All-integer µ-units end to end (the backtests' own guarantees);
+    the div-based means truncate toward zero in both engines. Only
+    data-sized work: the two hourly rollups inside the backtests.
+    """
+    from ..plans.scratch import scratch_persist
+
+    sn = seasonal_naive_backtest(events, season_hours, horizon_hours).select(
+        "event_type",
+        F.col("n_scored").alias("sn_n"),
+        F.col("mae_u").alias("sn_mae_u"),
+        F.col("bias_u").alias("sn_bias_u"),
+        F.col("max_err_u").alias("sn_max_err_u"),
+    )
+    hw = scratch_persist(
+        holt_winters_backtest(
+            events, season_hours, alpha_ppm, beta_ppm, gamma_ppm
+        )
+    )
+    cut = hw.agg(
+        (
+            F.max("hour") - F.make_dt_interval(hours=F.lit(horizon_hours))
+        ).alias("_cut")
+    )
+    hw_scored = (
+        hw.crossJoin(F.broadcast(cut))
+        .where(F.col("hour") > F.col("_cut"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("hw_n"),
+            F.expr("sum(abs(err_u)) div count(*)").alias("hw_mae_u"),
+            F.expr("sum(err_u) div count(*)").alias("hw_bias_u"),
+            F.max(F.expr("abs(err_u)")).alias("hw_max_err_u"),
+        )
+    )
+    return (
+        sn.join(hw_scored, ["event_type"], "full")
+        .withColumn(
+            "mae_winner",
+            F.expr(
+                "CASE WHEN hw_mae_u IS NULL THEN 'snaive' "
+                "WHEN sn_mae_u IS NULL THEN 'holt_winters' "
+                "WHEN hw_mae_u < sn_mae_u THEN 'holt_winters' "
+                "WHEN sn_mae_u < hw_mae_u THEN 'snaive' "
+                "ELSE 'tie' END"
+            ),
+        )
+        .orderBy("event_type")
     )

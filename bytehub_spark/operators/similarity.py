@@ -695,7 +695,10 @@ def lsh_bucket_balance(
     One bucket pass (the same integer SRP signatures as the operators it
     monitors — what you measure is literally what they join on) and a
     two-level aggregation; everything integer, replayed exactly by the
-    DuckDB oracle.
+    DuckDB oracle. ``imbalance_ppm`` divides before multiplying
+    (``(max_bucket_rows * 1e6 div n_rows) * n_buckets``) to stay under
+    BIGINT up to ~9.2e12 rows/band; truncation-first under-reports by
+    < n_buckets ppm.
     """
     b = lsh_cosine_buckets(
         embeddings, n_planes, id_col, vec_col, bands=bands
@@ -714,7 +717,7 @@ def lsh_bucket_balance(
         .withColumn(
             "imbalance_ppm",
             F.expr(
-                "max_bucket_rows * n_buckets * 1000000 div n_rows"
+                "(max_bucket_rows * 1000000 div n_rows) * n_buckets"
             ).cast("long"),
         )
         .orderBy("band")

@@ -1437,12 +1437,16 @@ class BloomFilterMonitor:
     including a permuted-batch-order case.
 
     Per-batch observability (``batch_log``): how many of the batch's
-    docs were ALREADY fully covered by the pre-batch filter (every
-    shingle probes all-k-bits set) — the in-stream "maybe exact/near
-    dup of something already ingested" counter. Unlike the filter
-    itself this IS arrival-order-dependent (the first copy passes, the
-    second is flagged), the same ordered-arrival contract FunnelMonitor
-    documents; treat it as telemetry, not as the dedup verdict.
+    ELIGIBLE docs (>= ``n`` whitespace words — shorter docs produce no
+    shingles and cannot be probed) were ALREADY fully covered by the
+    pre-batch filter (every shingle probes all-k-bits set) — the
+    in-stream "maybe exact/near dup of something already ingested"
+    counter. Shingle-less docs are reported separately as
+    ``n_short_docs``, never silently folded into either bucket (ADVICE
+    r06). Unlike the filter itself this IS arrival-order-dependent (the
+    first copy passes, the second is flagged), the same ordered-arrival
+    contract FunnelMonitor documents; treat it as telemetry, not as the
+    dedup verdict.
     """
 
     def __init__(
@@ -1465,9 +1469,15 @@ class BloomFilterMonitor:
         from ..operators.dedup import bloom_build_words
 
         n_docs = batch_df.count()
+        # same tokenization + eligibility as shingle_sets: split on " ",
+        # docs with < n words emit no shingles and can't be probed
+        n_short = batch_df.where(
+            F.size(F.split(F.col(self.text_col), " ")) < self.n
+        ).count()
         n_covered = 0
         if self.state is not None and n_docs:
-            # docs whose every shingle fully probes the PRE-batch filter
+            # eligible docs whose every shingle fully probes the
+            # PRE-batch filter
             n_covered = self._covered_count(batch_df)
         words = bloom_build_words(
             batch_df, self.n, self.m_bits, self.k_hashes,
@@ -1483,6 +1493,7 @@ class BloomFilterMonitor:
         self.state = eager_checkpoint(st)
         self.batch_log.append(
             {"epoch": int(epoch_id), "n_docs": int(n_docs),
+             "n_short_docs": int(n_short),
              "n_covered_docs": int(n_covered)}
         )
 

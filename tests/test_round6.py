@@ -303,6 +303,10 @@ def test_bloom_filter_monitor_equals_batch_any_order(spark):
     n_eligible = b0.where(F.size(F.split("text", " ")) >= 4).count()
     assert mon.batch_log[1]["n_covered_docs"] == n_eligible
     assert mon.batch_log[0]["n_covered_docs"] == 0
+    # shingle-less docs are reported separately, never folded into
+    # covered (ADVICE r06): n_short + n_eligible == n_docs
+    for entry in mon.batch_log:
+        assert entry["n_short_docs"] == entry["n_docs"] - n_eligible
 
 
 def test_snapshot_drift_detects_injected_shift(spark):

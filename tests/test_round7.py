@@ -1,0 +1,196 @@
+"""Round-7 contracts: ADVICE r06 fixes + the forecaster eval rollup.
+
+- ``minhash_band_balance`` / ``lsh_balance``'s ``imbalance_ppm``
+  divides BEFORE multiplying by n_buckets (BIGINT-safe to ~9.2e12
+  rows/band; the pre-fix form wrapped silently around a few million
+  rows on a skewed band while the DuckDB oracle raised).
+- ``rfm_segments`` in explicit sampled mode falls back to exact
+  breakpoints (with a warning) when the LCG sample selects zero users,
+  instead of NULL-propagating into every score.
+- ``BloomFilterMonitor.batch_log`` reports shingle-less (< n-word)
+  docs separately as ``n_short_docs`` (covered in test_round6).
+- ``forecast_eval`` composes the two backtests into the
+  model-selection table: per-type sn_/hw_ metrics over the same
+  trailing horizon + the mae_winner verdict, full-outer per type.
+"""
+
+import warnings
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bytehub_spark.operators import dedup, events_ops, similarity
+from bytehub_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_band_balance_imbalance_divides_first(spark):
+    # A band with one hot bucket: the old max*n_buckets*1e6 form would
+    # overflow when max_bucket_rows * n_buckets > ~9.2e12 / 1e6. Can't
+    # build 9e6 rows in a unit test, so pin the FORMULA on a small
+    # frame: imbalance_ppm == (max * 1e6 div n_rows) * n_buckets, which
+    # under-reports the exact ratio by < n_buckets ppm.
+    rows = [(i, "a b c d e f g h") for i in range(6)]
+    rows += [(i, f"w{i} x{i} y{i} z{i} q{i} r{i} s{i} t{i}") for i in range(6, 10)]
+    out = dedup.minhash_band_balance(
+        _docs(spark, rows), n_hashes=8, bands_options=(4,), n=3
+    ).toPandas()
+    for _, r in out.iterrows():
+        expect = (
+            int(r.max_bucket_rows) * 1_000_000 // int(r.n_rows)
+        ) * int(r.n_buckets)
+        assert int(r.imbalance_ppm) == expect
+
+
+def test_lsh_balance_same_formula(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.lsh_bucket_balance(emb).toPandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        expect = (
+            int(r.max_bucket_rows) * 1_000_000 // int(r.n_rows)
+        ) * int(r.n_buckets)
+        assert int(r.imbalance_ppm) == expect
+
+
+def test_rfm_sampled_empty_falls_back_exact(spark):
+    ev = load_table(spark, SF, "events")
+    exact = events_ops.rfm_segments(ev, breakpoint_mode="exact").toPandas()
+    # a sample_mod far above the user count selects ~zero users with
+    # high probability; if it DID select users this test would be
+    # vacuous, so pick a modulus no sf0.001 user hash hits (probed:
+    # the LCG predicate over ~1.5k users at mod 10_000_019 is empty)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = events_ops.rfm_segments(
+            ev, breakpoint_mode="sampled", sample_mod=10_000_019
+        ).toPandas()
+    assert any("zero users" in str(x.message) for x in w)
+    pd.testing.assert_frame_equal(got, exact)
+    # no NULL scores anywhere
+    assert not got[["r_score", "f_score", "m_score"]].isna().any().any()
+
+
+def test_rfm_sampled_nonempty_keeps_sample(spark):
+    ev = load_table(spark, SF, "events")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = events_ops.rfm_segments(
+            ev, breakpoint_mode="sampled", sample_mod=3
+        ).toPandas()
+    assert not any("zero users" in str(x.message) for x in w)
+    # scores defined for every user; row counts conserve users
+    per_user_n = ev.select("user_id").distinct().count()
+    assert got["n_users"].sum() == per_user_n
+
+
+def test_forecast_eval_joins_both_backtests(spark):
+    ev = load_table(spark, SF, "events")
+    out = events_ops.forecast_eval(ev).toPandas()
+    sn = events_ops.seasonal_naive_backtest(ev).toPandas()
+    hw = events_ops.holt_winters_backtest(ev).toPandas()
+    # snaive side carried over verbatim
+    merged = out.merge(
+        sn, left_on="event_type", right_on="event_type", how="inner"
+    )
+    assert (merged["sn_mae_u"] == merged["mae_u"]).all()
+    assert (merged["sn_bias_u"] == merged["bias_u"]).all()
+    assert (merged["sn_n"] == merged["n_scored"]).all()
+    # hw side: recompute the trailing-48h rollup from the per-hour rows
+    cut = hw["hour"].max() - pd.Timedelta(hours=48)
+    tail = hw[hw["hour"] > cut]
+    hw_mae = (
+        tail.groupby("event_type")["err_u"]
+        .apply(lambda s: int(s.abs().sum()) // len(s))
+        .rename("expect_mae")
+    )
+    m2 = out.merge(hw_mae, on="event_type", how="inner")
+    assert (m2["hw_mae_u"] == m2["expect_mae"]).all()
+    # winner column consistent with the two mae columns
+    for _, r in out.dropna(subset=["sn_mae_u", "hw_mae_u"]).iterrows():
+        if r.hw_mae_u < r.sn_mae_u:
+            assert r.mae_winner == "holt_winters"
+        elif r.sn_mae_u < r.hw_mae_u:
+            assert r.mae_winner == "snaive"
+        else:
+            assert r.mae_winner == "tie"
+
+
+def test_forecast_eval_walkover_when_hw_lacks_warmup(spark):
+    # 30 hourly points for type 'a' (survives m=24 warmup barely? needs
+    # T >= m+1 = 25 -> survives); type 'b' gets only 10 hours -> HW
+    # emits nothing for it ON ITS OWN GRID — but the dense grid spans
+    # the GLOBAL time range, so short series are zero-padded and DO
+    # survive. The true walkover case is a type whose season-ago hours
+    # never exist for snaive: give 'b' events only in the final 10
+    # hours -> snaive has no season-ago rows -> sn side NULL, winner
+    # 'holt_winters' by walkover.
+    rows = []
+    for h in range(72):
+        rows.append((h, 1000 + h, "a", float(h % 24), f"2024-01-0{1 + h // 24} {h % 24:02d}:00:00"))
+    for h in range(62, 72):
+        rows.append((1000 + h, 5000 + h, "b", 2.0, f"2024-01-0{1 + h // 24} {h % 24:02d}:00:00"))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "value", "ts"]
+        ).assign(ts=lambda d: pd.to_datetime(d.ts))
+    )
+    out = events_ops.forecast_eval(df, horizon_hours=12).toPandas()
+    b = out[out.event_type == "b"].iloc[0]
+    # 'b' has no hour with a season-ago observation in the sparse
+    # rollup => no sn row => full outer keeps it with NULL sn side
+    # and HW wins by walkover
+    assert pd.isna(b.sn_mae_u)
+    assert b.mae_winner == "holt_winters"
+    assert set(out.event_type) == {"a", "b"}
+
+
+def test_gate_staleness_bound():
+    """VERDICT r06 item 5: the rotation policy as an enforced invariant.
+    Every registered query must either (a) have a driver-green row no
+    more than 4 rounds older than the newest CORRECTNESS file, or (b)
+    sit in _GATE_FIRST (scheduled for re-gating in the imminent driver
+    run — the transitional state at a round boundary). Never-gated
+    queries must always be in _GATE_FIRST (test_round4 pins that too)."""
+    import glob as _glob
+    import json
+    import re
+
+    import __spark_entry__ as E
+
+    last_green: dict[str, int] = {}
+    latest = 0
+    for path in _glob.glob("CORRECTNESS_r*.json"):
+        rnd = int(re.search(r"r0*(\d+)", path).group(1))
+        latest = max(latest, rnd)
+        d = json.load(open(path))
+        qs = d.get("queries", d)
+        if not isinstance(qs, dict):
+            continue
+        for k, v in qs.items():
+            ok = (
+                (not v.get("err"))
+                and v.get("rows_match", True) is not False
+                and v.get("hash_match", True) is not False
+                if isinstance(v, dict)
+                else bool(v)
+            )
+            if ok:
+                last_green[k] = max(last_green.get(k, 0), rnd)
+    head = set(E._GATE_FIRST)
+    stale = sorted(
+        q
+        for q in E._all_queries()
+        if q not in head
+        and latest - last_green.get(q, -10**6) > 4
+    )
+    assert not stale, (
+        f"{len(stale)} queries last driver-gated more than 4 rounds "
+        f"before r{latest} and not scheduled in _GATE_FIRST: {stale}"
+    )
