@@ -83,12 +83,12 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 _GATE_FIRST = [
     # Round-7 rotation (VERDICT r06 item 1): head = new + changed +
     # permanent + ALL 22 r02-stale queries + the 20 stalest r03 greens
-    # in registry order (1 + 4 + 3 + 22 + 20 = 50). Staleness is now an
+    # in registry order (2 + 4 + 3 + 22 + 19 = 50). Staleness is now an
     # enforced invariant: tests/test_round7.py::test_gate_staleness_bound
     # asserts no registered query's last driver-green round is older
     # than 4 rounds behind the latest CORRECTNESS file.
     # --- (a) new in round 7 (never driver-gated; swept at 3 scales) ---
-    "ts_forecast_eval",
+    "ts_forecast_eval", "emb_lsh_plan",
     # --- (b) changed this round: imbalance_ppm divide-first fix
     # (band_balance + lsh_balance Spark AND oracle), rfm sampled-empty
     # exact fallback, holt-winters oracle refactored to tail= form ---
@@ -112,7 +112,8 @@ _GATE_FIRST = [
     "ts_first_touch", "ts_level_shifts", "ts_user_profiles",
     "cur_corpus_pipeline", "emb_label_outliers", "emb_pca_project",
     "emb_pq_topk", "emb_ivf_pq_topk", "dedup_lsh_novelty",
-    "mm_chunk_audio", "emb_ivf_topk",
+    "mm_chunk_audio",
+    # (emb_ivf_topk deferred to r08 to hold the 50 — lag stays <= 4)
 ]
 
 
@@ -1266,6 +1267,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer, exact oracle over the same SRP bucket CTEs
         "emb_lsh_balance": lambda spark, sf: similarity.lsh_bucket_balance(
             load_table(spark, sf, "embeddings")
+        ),
+        # SRP plane-count decision table (round 7): the ANN twin of
+        # dedup_band_balance — per-shape bucket stats + total candidate
+        # volume + budget verdict + recommended (smallest fitting plane
+        # count). Backed by the 500k-vector datapoint: 286M pairs at 12
+        # planes vs 8.5M at 20. Exact oracle over per-shape bucket CTEs.
+        "emb_lsh_plan": lambda spark, sf: similarity.lsh_plane_plan(
+            load_table(spark, sf, "embeddings"), budget_pairs=2_000
         ),
         # KMV bottom-k sketch cross-source overlap estimation, with the
         # exact-join twin for err_ppm (hll_accuracy pattern). srcM mirror
@@ -5168,6 +5177,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST((MAX(c) * 1000000 // SUM(c)) * COUNT(*) AS BIGINT)
                        AS imbalance_ppm
             FROM pb GROUP BY band ORDER BY band
+        """,
+        # per-shape replay of the plane-count decision table: three
+        # bucket-CTE subqueries unioned, shape totals, budget verdict,
+        # recommended = smallest fitting n_planes (coalesce false when
+        # none fits) — mirrors similarity.lsh_plane_plan exactly
+        "emb_lsh_plan": f"""
+            WITH allshapes AS (
+            SELECT * FROM (
+                WITH {_cosine_bucket_ctes(8, 6)},
+                pb AS (SELECT band, bucket, COUNT(*) AS c
+                       FROM buckets GROUP BY band, bucket)
+                SELECT CAST(8 AS INTEGER) AS n_planes, band,
+                       CAST(SUM(c) AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                       CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
+                       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+                       CAST((MAX(c) * 1000000 // SUM(c)) * COUNT(*) AS BIGINT)
+                           AS imbalance_ppm
+                FROM pb GROUP BY band
+            )
+            UNION ALL
+            SELECT * FROM (
+                WITH {_cosine_bucket_ctes(12, 6)},
+                pb AS (SELECT band, bucket, COUNT(*) AS c
+                       FROM buckets GROUP BY band, bucket)
+                SELECT CAST(12 AS INTEGER) AS n_planes, band,
+                       CAST(SUM(c) AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                       CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
+                       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+                       CAST((MAX(c) * 1000000 // SUM(c)) * COUNT(*) AS BIGINT)
+                           AS imbalance_ppm
+                FROM pb GROUP BY band
+            )
+            UNION ALL
+            SELECT * FROM (
+                WITH {_cosine_bucket_ctes(16, 6)},
+                pb AS (SELECT band, bucket, COUNT(*) AS c
+                       FROM buckets GROUP BY band, bucket)
+                SELECT CAST(16 AS INTEGER) AS n_planes, band,
+                       CAST(SUM(c) AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                       CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
+                       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+                       CAST((MAX(c) * 1000000 // SUM(c)) * COUNT(*) AS BIGINT)
+                           AS imbalance_ppm
+                FROM pb GROUP BY band
+            )
+            ),
+            tot AS (
+                SELECT n_planes,
+                       CAST(SUM(cand_pairs) AS BIGINT) AS shape_cand_pairs
+                FROM allshapes GROUP BY n_planes
+            ),
+            tot2 AS (
+                SELECT *, shape_cand_pairs <= 2000 AS within_budget
+                FROM tot
+            ),
+            best AS (
+                SELECT min(CASE WHEN within_budget THEN n_planes END) AS b
+                FROM tot2
+            )
+            SELECT a.n_planes, a.band, a.n_rows, a.n_buckets,
+                   a.max_bucket_rows, a.cand_pairs, a.imbalance_ppm,
+                   t.shape_cand_pairs, t.within_budget,
+                   coalesce(a.n_planes = best.b, FALSE) AS recommended
+            FROM allshapes a JOIN tot2 t USING (n_planes), best
+            ORDER BY a.n_planes, a.band
         """,
         # KMV sketches replayed exactly: FNV fingerprints mod 2^31-1,
         # per-source bottom-64 window, pair-merged top-64, estimator CASEs

@@ -83,8 +83,10 @@ BENCH_QUERIES = [
     "dedup_band_balance",
     "dedup_bloom_words",
     # round 7: the forecaster model-selection rollup (runs BOTH
-    # backtests — the heaviest ts_ entry by construction)
+    # backtests — the heaviest ts_ entry by construction) and the SRP
+    # plane-count decision table (ANN twin of dedup_band_balance)
     "ts_forecast_eval",
+    "emb_lsh_plan",
 ]
 
 

@@ -700,6 +700,22 @@ def lsh_bucket_balance(
     BIGINT up to ~9.2e12 rows/band; truncation-first under-reports by
     < n_buckets ppm.
     """
+    return _lsh_bucket_stats(
+        embeddings, n_planes, bands, id_col, vec_col
+    ).orderBy("band")
+
+
+def _lsh_bucket_stats(
+    embeddings: DataFrame,
+    n_planes: int,
+    bands: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """lsh_bucket_balance without the output sort — the composable core
+    (lsh_plane_plan unions several shapes and must not embed per-shape
+    global sorts mid-plan; each frame is <= bands rows, but the plan
+    gate rightly treats any mid-plan total order as a smell)."""
     b = lsh_cosine_buckets(
         embeddings, n_planes, id_col, vec_col, bands=bands
     ).select("band", "bucket")
@@ -720,7 +736,6 @@ def lsh_bucket_balance(
                 "(max_bucket_rows * 1000000 div n_rows) * n_buckets"
             ).cast("long"),
         )
-        .orderBy("band")
     )
 
 
@@ -1554,3 +1569,71 @@ def drift_from_sums(
         )
         .orderBy(group_col)
     )
+
+
+def lsh_plane_plan(
+    embeddings: DataFrame,
+    planes_options: tuple[int, ...] = (8, 12, 16),
+    bands: int = 6,
+    budget_pairs: int = 20_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP plane-count decision table — the ANN twin of
+    ``dedup.minhash_band_balance``: per candidate ``n_planes`` (at the
+    same band count) the per-band bucket occupancy of
+    ``lsh_bucket_balance`` PLUS the shape-level verdict — total
+    candidate-pair volume, whether it fits ``budget_pairs``, and
+    ``recommended`` = the smallest fitting plane count (cheapest shape
+    inside budget = highest recall inside budget, since recall falls as
+    planes grow). Run this one prepass BEFORE committing knn_graph /
+    margin_pairs_lsh to a shape.
+
+    Measured motivation (500k vectors, 64 dims, 10k near-dup groups of
+    50 at within-group cos ≈ 0.93): n_planes=12 → 286M candidate pairs
+    (the GEMM join would shuffle ~10² GB), 16 → 33.7M, 20 → 8.5M; the
+    whole three-shape table cost 13.5s — the same "selectivity must
+    grow with corpus size" rule minhash_band_balance encodes for
+    (bands, rows). Each shape is one expression-level signature pass
+    over the (id, vec) projection (scratch-persisted here so the
+    source is scanned once, spill-safe at MEMORY_AND_DISK) + a slim
+    two-level aggregation; cost is linear in corpus per shape, never
+    quadratic. All integer; replayed exactly by the DuckDB oracle.
+    When NO shape fits the budget every ``recommended`` is false —
+    grow planes_options or bands.
+    """
+    from pyspark import StorageLevel
+
+    from ..plans.scratch import scratch_persist
+
+    src = scratch_persist(
+        embeddings.select(id_col, vec_col), StorageLevel.MEMORY_AND_DISK
+    )
+    out = None
+    for p in planes_options:
+        stats = _lsh_bucket_stats(src, p, bands, id_col, vec_col).select(
+            F.lit(p).cast("int").alias("n_planes"),
+            "band", "n_rows", "n_buckets", "max_bucket_rows",
+            "cand_pairs", "imbalance_ppm",
+        )
+        out = stats if out is None else out.unionByName(stats)
+    tot = (
+        out.groupBy("n_planes")
+        .agg(F.sum("cand_pairs").cast("long").alias("shape_cand_pairs"))
+        .withColumn(
+            "within_budget",
+            F.col("shape_cand_pairs") <= F.lit(int(budget_pairs)),
+        )
+    )
+    best = tot.agg(
+        F.min(F.when(F.col("within_budget"), F.col("n_planes"))).alias("_best")
+    )
+    tot = (
+        tot.crossJoin(F.broadcast(best))
+        .withColumn(
+            "recommended",
+            F.coalesce(F.col("n_planes") == F.col("_best"), F.lit(False)),
+        )
+        .drop("_best")
+    )
+    return out.join(tot, "n_planes").orderBy("n_planes", "band")

@@ -194,3 +194,33 @@ def test_gate_staleness_bound():
         f"{len(stale)} queries last driver-gated more than 4 rounds "
         f"before r{latest} and not scheduled in _GATE_FIRST: {stale}"
     )
+
+
+def test_lsh_plane_plan_recommends_smallest_fitting(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.lsh_plane_plan(
+        emb, planes_options=(4, 8, 12), budget_pairs=10**9
+    ).toPandas()
+    # per-shape totals really are the sum of the per-band cand_pairs
+    tot = out.groupby("n_planes")["cand_pairs"].sum()
+    for p, t in tot.items():
+        assert (
+            out[out.n_planes == p]["shape_cand_pairs"].iloc[0] == t
+        )
+    # candidate volume is monotone non-increasing in plane count
+    assert tot[4] >= tot[8] >= tot[12]
+    # huge budget: every shape fits, smallest plane count recommended
+    assert out["within_budget"].all()
+    rec = out[out.recommended]["n_planes"].unique()
+    assert list(rec) == [4]
+
+
+def test_lsh_plane_plan_none_fits(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.lsh_plane_plan(
+        emb, planes_options=(4, 8), budget_pairs=0
+    ).toPandas()
+    assert not out["within_budget"].any()
+    # coalesce guard: no NULLs, all false (never a null-propagated rec)
+    assert out["recommended"].notna().all()
+    assert not out["recommended"].any()
