@@ -83,12 +83,12 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 _GATE_FIRST = [
     # Round-7 rotation (VERDICT r06 item 1): head = new + changed +
     # permanent + ALL 22 r02-stale queries + the 20 stalest r03 greens
-    # in registry order (2 + 4 + 3 + 22 + 19 = 50). Staleness is now an
+    # in registry order (3 + 4 + 3 + 22 + 18 = 50). Staleness is now an
     # enforced invariant: tests/test_round7.py::test_gate_staleness_bound
     # asserts no registered query's last driver-green round is older
     # than 4 rounds behind the latest CORRECTNESS file.
     # --- (a) new in round 7 (never driver-gated; swept at 3 scales) ---
-    "ts_forecast_eval", "emb_lsh_plan",
+    "ts_forecast_eval", "emb_lsh_plan", "dedup_band_recall",
     # --- (b) changed this round: imbalance_ppm divide-first fix
     # (band_balance + lsh_balance Spark AND oracle), rfm sampled-empty
     # exact fallback, holt-winters oracle refactored to tail= form ---
@@ -112,8 +112,8 @@ _GATE_FIRST = [
     "ts_first_touch", "ts_level_shifts", "ts_user_profiles",
     "cur_corpus_pipeline", "emb_label_outliers", "emb_pca_project",
     "emb_pq_topk", "emb_ivf_pq_topk", "dedup_lsh_novelty",
-    "mm_chunk_audio",
-    # (emb_ivf_topk deferred to r08 to hold the 50 — lag stays <= 4)
+    # (mm_chunk_audio + emb_ivf_topk deferred to r08 to hold the 50 —
+    # their lag stays <= 4)
 ]
 
 
@@ -1479,6 +1479,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Jaccard ground truth, integer ppm — exact oracle (both pair
         # sets replay deterministically)
         "dedup_lsh_eval": _q(dedup.lsh_dedup_eval, "documents"),
+        # per-shape x per-Jaccard-decile recall curve of the banded
+        # candidates vs exact inverted-index truth (round 7) — the
+        # recall side of the band_balance decision table; lsh_dedup_eval
+        # is its one-row single-shape special case. Exact oracle.
+        "dedup_band_recall": _q(dedup.minhash_band_recall, "documents"),
         # weighted deterministic source interleave (stride scheduling):
         # integer virtual-time schedule keys — exact oracle
         "cur_interleave": _q(curation.interleave_sources, "documents"),
@@ -2220,9 +2225,59 @@ def _lsh_oracles() -> dict[str, str]:
                    AS imbalance_ppm
         FROM occ GROUP BY bands, band ORDER BY bands, band
     """
+
+    band_recall = f"""
+        WITH {_minhash_ctes()},
+        shapes AS (SELECT unnest([32, 16, 8]) AS bands),
+        bnd AS (
+            SELECT sp.bands, sig.doc_id,
+                   CAST(sig.j // (64 // sp.bands) AS INTEGER) AS band,
+                   list_reduce(
+                       list(sig.h ORDER BY sig.j),
+                       (acc, x) -> (acc * {_H.BAND_K} + x) % {_H.MINHASH_PRIME}
+                   ) AS bh
+            FROM sig CROSS JOIN shapes sp
+            GROUP BY sp.bands, sig.doc_id, band
+        ),
+        cand AS (
+            SELECT DISTINCT a.bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bnd a JOIN bnd b
+              ON a.bands = b.bands AND a.band = b.band AND a.bh = b.bh
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+            SELECT doc_a, doc_b,
+                   i * 1000000 // (sa.n_sh + sb.n_sh - i) AS j_ppm
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1000000 // (sa.n_sh + sb.n_sh - i) >= 400000
+        ),
+        marked AS (
+            SELECT s2.bands, t.j_ppm // 100000 AS j_bucket,
+                   CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM truth t CROSS JOIN shapes s2
+            LEFT JOIN cand c
+              ON c.bands = s2.bands AND c.doc_a = t.doc_a
+             AND c.doc_b = t.doc_b
+        )
+        SELECT CAST(bands AS INTEGER) AS bands,
+               CAST(j_bucket AS INTEGER) AS j_bucket,
+               CAST(count(*) AS BIGINT) AS n_true,
+               CAST(sum(hit) AS BIGINT) AS n_captured,
+               CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+        FROM marked GROUP BY bands, j_bucket ORDER BY bands, j_bucket
+    """
     return {
         "dedup_minhash_lsh": minhash,
         "dedup_band_balance": band_balance,
+        "dedup_band_recall": band_recall,
         "dedup_incremental_lsh": incremental,
         "dedup_lsh_novelty": novelty,
         "dedup_simhash": _simhash_oracle(),

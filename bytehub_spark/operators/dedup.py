@@ -1967,3 +1967,84 @@ def dup_span_coverage(
         )
         .orderBy(group_col)
     )
+
+
+def minhash_band_recall(
+    documents: DataFrame,
+    n_hashes: int = 64,
+    bands_options: tuple[int, ...] = (32, 16, 8),
+    n: int = 3,
+    min_j_ppm: int = 400_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The RECALL side of the band-shape decision —
+    ``minhash_band_balance``'s companion: per candidate band count, the
+    measured fraction of EXACT-Jaccard true pairs (integer ppm, from the
+    inverted-index pair source) that the banding's candidate set
+    captures, bucketed by true-Jaccard decile (``j_bucket`` =
+    j_ppm div 100000). band_balance prices each shape in candidate
+    volume; this prices it in missed true pairs across the similarity
+    spectrum, so "sharpen the shape as the corpus grows" becomes a
+    two-sided measured trade instead of the (1-(1-j^r)^b) formula on
+    faith. ``lsh_dedup_eval`` is the one-row single-shape special case.
+
+    Shape at scale: exact ground truth is inverted-index cost
+    (Σ df² — the lsh_dedup_eval / kmv ``include_exact`` audit pattern:
+    run on a shard or a deterministic sample, not the full corpus; the
+    banding shapes themselves are corpus-feasible). One signature pass
+    (scratch-persisted) feeds every shape; each shape adds a slim
+    bucket self-join + a distinct + one broadcast-joined rollup over
+    the (truth-sized, not corpus-sized) pair frame. All integer,
+    replayed exactly by the DuckDB oracle.
+    """
+    from ..plans.scratch import scratch_persist
+
+    pair_src = _shingle_pair_source(documents, n, text_col, id_col, None)
+    truth = scratch_persist(
+        _pair_counts(pair_src, id_col)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("i * 1000000 div (na + nb - i)").alias("j_ppm"),
+        )
+        .where(F.col("j_ppm") >= min_j_ppm)
+    )
+    sig = scratch_persist(
+        minhash_signatures(documents, n_hashes, n, text_col, id_col)
+    )
+    out = None
+    for bands in bands_options:
+        assert n_hashes % bands == 0
+        b = _band_buckets(sig, n_hashes, bands, id_col)
+        left = b.select(F.col(id_col).alias("doc_a"), "band", "bh")
+        right = b.select(F.col(id_col).alias("doc_b"), "band", "bh")
+        cand = (
+            left.join(right, ["band", "bh"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        stats = (
+            truth.join(cand, ["doc_a", "doc_b"], "left")
+            .withColumn("j_bucket", F.expr("CAST(j_ppm div 100000 AS INT)"))
+            .groupBy("j_bucket")
+            .agg(
+                F.count("*").cast("long").alias("n_true"),
+                F.coalesce(F.sum("hit"), F.lit(0))
+                .cast("long")
+                .alias("n_captured"),
+            )
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                "j_bucket",
+                "n_true",
+                "n_captured",
+                F.expr("n_captured * 1000000 div n_true")
+                .cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.orderBy("bands", "j_bucket")

@@ -224,3 +224,28 @@ def test_lsh_plane_plan_none_fits(spark):
     # coalesce guard: no NULLs, all false (never a null-propagated rec)
     assert out["recommended"].notna().all()
     assert not out["recommended"].any()
+
+
+def test_band_recall_exact_dups_always_captured(spark):
+    # exact duplicate docs have identical signatures at every shape ->
+    # the j_bucket=10 row must read recall 1e6 for all bands options;
+    # and sharper shapes (fewer bands, longer rows) can only lose
+    # recall within each bucket
+    base = [(i, f"alpha bravo charlie delta echo foxtrot golf w{i} x{i} y{i} z{i}")
+            for i in range(20)]
+    dups = [(100 + i, base[i][1]) for i in range(10)]
+    out = dedup.minhash_band_recall(
+        _docs(spark, base + dups), min_j_ppm=400_000
+    ).toPandas()
+    exact = out[out.j_bucket == 10]
+    assert len(exact) == 3  # one row per shape
+    assert (exact["recall_ppm"] == 1_000_000).all()
+    assert (exact["n_true"] == 10).all()
+    piv = out.pivot_table(
+        index="j_bucket", columns="bands", values="recall_ppm",
+        aggfunc="first",
+    )
+    for _, row in piv.iterrows():
+        vals = [v for v in (row.get(8), row.get(16), row.get(32))
+                if pd.notna(v)]
+        assert vals == sorted(vals)  # recall non-decreasing in bands
