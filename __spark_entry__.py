@@ -83,12 +83,13 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 _GATE_FIRST = [
     # Round-7 rotation (VERDICT r06 item 1): head = new + changed +
     # permanent + ALL 22 r02-stale queries + the 20 stalest r03 greens
-    # in registry order (3 + 4 + 3 + 22 + 18 = 50). Staleness is now an
+    # in registry order (4 + 4 + 3 + 22 + 17 = 50). Staleness is now an
     # enforced invariant: tests/test_round7.py::test_gate_staleness_bound
     # asserts no registered query's last driver-green round is older
     # than 4 rounds behind the latest CORRECTNESS file.
     # --- (a) new in round 7 (never driver-gated; swept at 3 scales) ---
     "ts_forecast_eval", "emb_lsh_plan", "dedup_band_recall",
+    "emb_cluster_quality",
     # --- (b) changed this round: imbalance_ppm divide-first fix
     # (band_balance + lsh_balance Spark AND oracle), rfm sampled-empty
     # exact fallback, holt-winters oracle refactored to tail= form ---
@@ -111,9 +112,9 @@ _GATE_FIRST = [
     "ts_seasonal_anomaly", "ts_ohlc_bars", "ts_gap_report",
     "ts_first_touch", "ts_level_shifts", "ts_user_profiles",
     "cur_corpus_pipeline", "emb_label_outliers", "emb_pca_project",
-    "emb_pq_topk", "emb_ivf_pq_topk", "dedup_lsh_novelty",
-    # (mm_chunk_audio + emb_ivf_topk deferred to r08 to hold the 50 —
-    # their lag stays <= 4)
+    "emb_pq_topk", "emb_ivf_pq_topk",
+    # (dedup_lsh_novelty + mm_chunk_audio + emb_ivf_topk deferred to
+    # r08 to hold the 50 — their lag stays <= 4)
 ]
 
 
@@ -1574,6 +1575,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf, "embeddings"), k=5, min_cos_u=9_000,
             n_planes=8, bands=6
         ),
+        # cluster-tightness audit (round 7): per multi-member mutual-kNN
+        # component its size, edge count, mean edge cosine (µ-div) —
+        # the auto-collapse vs review-queue split; exact oracle over the
+        # shared recursive-CC chain
+        "emb_cluster_quality": lambda spark, sf: similarity.cluster_quality(
+            load_table(spark, sf, "embeddings"), k=5, min_cos_u=9_000,
+            n_planes=8, bands=6
+        ),
         # per-dim int8 scalar-quantization audit: affine code fit,
         # codes used, nano-unit reconstruction error — exact oracle
         "emb_quantize_int8": lambda spark, sf: similarity.quantize_int8_audit(
@@ -1794,6 +1803,68 @@ def _cosine_bucket_ctes(n_planes: int, bands: int, src: str = "embeddings") -> s
                        THEN (1::BIGINT << (p % {n_planes})) ELSE 0 END) AS bucket
             FROM proj GROUP BY vec_id, p // {n_planes}
         )"""
+
+def _graph_cc_ctes() -> str:
+    """Shared WITH chain for the mutual-kNN cluster oracles
+    (emb_graph_clusters, emb_cluster_quality): SRP buckets -> candidate
+    pairs -> integer-GEMM cosine -> top-5 fwd -> mutual edges ->
+    recursive min-label connected components, ending at ``comp``."""
+    return f"""
+            WITH {_cosine_bucket_ctes(8, 6)},
+            norms AS (SELECT vec_id, SUM(q * q) AS nq FROM dims
+                      GROUP BY vec_id),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM buckets a JOIN buckets b USING (band, bucket)
+                WHERE a.vec_id <> b.vec_id
+            ),
+            pdots AS (
+                SELECT c.a_id, c.b_id, SUM(da.q * db.q) AS dab
+                FROM cand c
+                JOIN dims da ON da.vec_id = c.a_id
+                JOIN dims db ON db.vec_id = c.b_id AND db.d = da.d
+                GROUP BY c.a_id, c.b_id
+            ),
+            scored AS (
+                SELECT p.a_id, p.b_id,
+                       CAST(round(10000 * (CAST(dab AS DOUBLE)
+                            / (sqrt(CAST(na.nq AS DOUBLE))
+                               * sqrt(CAST(nb.nq AS DOUBLE)))), 0)
+                           AS BIGINT) AS cos_u
+                FROM pdots p
+                JOIN norms na ON na.vec_id = p.a_id AND na.nq > 0
+                JOIN norms nb ON nb.vec_id = p.b_id AND nb.nq > 0
+            ),
+            fwd AS (
+                SELECT a_id, b_id FROM (
+                    SELECT a_id, b_id, cos_u, row_number() OVER (
+                        PARTITION BY a_id ORDER BY cos_u DESC, b_id ASC
+                    ) AS rank FROM scored
+                ) WHERE rank <= 5 AND cos_u >= 9000
+            ),
+            mutual AS (
+                SELECT f.a_id AS doc_a, f.b_id AS doc_b
+                FROM fwd f JOIN fwd r ON f.a_id = r.b_id AND f.b_id = r.a_id
+                WHERE f.a_id < f.b_id
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM mutual
+                UNION SELECT doc_b, doc_a FROM mutual
+            ),
+            rec AS (
+                WITH RECURSIVE reach(src, dst) AS (
+                    SELECT src, dst FROM edges
+                    UNION
+                    SELECT r.src, e.dst FROM reach r JOIN edges e
+                    ON r.dst = e.src
+                )
+                SELECT src, dst FROM reach
+            ),
+            comp AS (
+                SELECT src AS vec_id, least(src, min(dst)) AS component
+                FROM rec GROUP BY src
+            )"""
+
 
 
 _COS_SIM_AB = """round(
@@ -6524,64 +6595,40 @@ def oracle_sql() -> dict[str, str]:
         # knn replay at the threshold + mutual self-join + recursive-CTE
         # connected components + singleton union (own id)
         "emb_graph_clusters": f"""
-            WITH {_cosine_bucket_ctes(8, 6)},
-            norms AS (SELECT vec_id, SUM(q * q) AS nq FROM dims
-                      GROUP BY vec_id),
-            cand AS (
-                SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-                FROM buckets a JOIN buckets b USING (band, bucket)
-                WHERE a.vec_id <> b.vec_id
-            ),
-            pdots AS (
-                SELECT c.a_id, c.b_id, SUM(da.q * db.q) AS dab
-                FROM cand c
-                JOIN dims da ON da.vec_id = c.a_id
-                JOIN dims db ON db.vec_id = c.b_id AND db.d = da.d
-                GROUP BY c.a_id, c.b_id
-            ),
-            scored AS (
-                SELECT p.a_id, p.b_id,
-                       CAST(round(10000 * (CAST(dab AS DOUBLE)
-                            / (sqrt(CAST(na.nq AS DOUBLE))
-                               * sqrt(CAST(nb.nq AS DOUBLE)))), 0)
-                           AS BIGINT) AS cos_u
-                FROM pdots p
-                JOIN norms na ON na.vec_id = p.a_id AND na.nq > 0
-                JOIN norms nb ON nb.vec_id = p.b_id AND nb.nq > 0
-            ),
-            fwd AS (
-                SELECT a_id, b_id FROM (
-                    SELECT a_id, b_id, cos_u, row_number() OVER (
-                        PARTITION BY a_id ORDER BY cos_u DESC, b_id ASC
-                    ) AS rank FROM scored
-                ) WHERE rank <= 5 AND cos_u >= 9000
-            ),
-            mutual AS (
-                SELECT f.a_id AS doc_a, f.b_id AS doc_b
-                FROM fwd f JOIN fwd r ON f.a_id = r.b_id AND f.b_id = r.a_id
-                WHERE f.a_id < f.b_id
-            ),
-            edges AS (
-                SELECT doc_a AS src, doc_b AS dst FROM mutual
-                UNION SELECT doc_b, doc_a FROM mutual
-            ),
-            rec AS (
-                WITH RECURSIVE reach(src, dst) AS (
-                    SELECT src, dst FROM edges
-                    UNION
-                    SELECT r.src, e.dst FROM reach r JOIN edges e
-                    ON r.dst = e.src
-                )
-                SELECT src, dst FROM reach
-            ),
-            comp AS (
-                SELECT src AS vec_id, least(src, min(dst)) AS component
-                FROM rec GROUP BY src
-            )
+{_graph_cc_ctes()}
             SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component
             FROM (SELECT DISTINCT vec_id FROM embeddings) e
             LEFT JOIN comp c ON e.vec_id = c.vec_id
             ORDER BY e.vec_id
+        """,
+        # cluster-tightness audit over the same mutual-kNN chain: per
+        # multi-member component its size, mutual-edge count and mean
+        # edge cosine (integer div; edge cos re-read from the symmetric
+        # scored frame) — mirrors similarity.cluster_quality exactly
+        "emb_cluster_quality": f"""
+{_graph_cc_ctes()},
+            compall AS (
+                SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component
+                FROM (SELECT DISTINCT vec_id FROM embeddings) e
+                LEFT JOIN comp c ON e.vec_id = c.vec_id
+            ),
+            members AS (
+                SELECT component, CAST(count(*) AS BIGINT) AS n_members
+                FROM compall GROUP BY component HAVING count(*) >= 2
+            ),
+            eagg AS (
+                SELECT ca.component,
+                       CAST(count(*) AS BIGINT) AS n_edges,
+                       sum(sc.cos_u) AS s
+                FROM mutual m
+                JOIN scored sc ON sc.a_id = m.doc_a AND sc.b_id = m.doc_b
+                JOIN compall ca ON ca.vec_id = m.doc_a
+                GROUP BY ca.component
+            )
+            SELECT component, n_members, n_edges,
+                   CAST(s // n_edges AS BIGINT) AS mean_edge_cos_u
+            FROM members JOIN eagg USING (component)
+            ORDER BY component
         """,
         # affine int8 replay: same DOUBLE expression shapes, nano-unit
         # floors, per-dim rollup

@@ -1637,3 +1637,87 @@ def lsh_plane_plan(
         .drop("_best")
     )
     return out.join(tot, "n_planes").orderBy("n_planes", "band")
+
+
+def cluster_quality(
+    embeddings: DataFrame,
+    k: int = 5,
+    min_cos_u: int = 9_000,
+    n_planes: int = 8,
+    bands: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-tightness audit over the mutual-kNN semantic clusters —
+    the review-queue companion to ``graph_clusters``: for every
+    multi-member component, its size, its mutual-edge count, and the
+    mean edge cosine (1e-4 units, integer-div) — the number that
+    separates a tight duplicate cluster (mean ≈ 10000: candidates for
+    auto-collapse) from a loose topical blob (barely above the
+    ``min_cos_u`` floor: needs human review before deduping). Same
+    composition as graph_clusters with the edge cosines carried
+    through; the mutual-edge frame is scratch-persisted so the GEMM
+    scoring pass is paid once for both the component build and the
+    quality rollup.
+
+    Shape at scale: everything downstream of knn_graph is edge-sized
+    (mutual edges ≤ k·|V|/2), and the rollup is two keyed aggregations
+    plus a broadcast-joinable component map — nothing corpus-quadratic.
+    Exact DuckDB oracle extends the graph_clusters recursive-CC chain.
+    """
+    from pyspark import StorageLevel
+
+    from ..plans.scratch import scratch_persist
+    from .dedup import connected_components
+
+    knn = knn_graph(embeddings, k, n_planes, bands, id_col, vec_col)
+    fwd = knn.where(F.col("cos_u") >= min_cos_u).select(
+        id_col, "neighbor_id", "cos_u"
+    )
+    rev = fwd.select(
+        F.col("neighbor_id").alias(id_col),
+        F.col(id_col).alias("neighbor_id"),
+    )
+    mutual = scratch_persist(
+        fwd.join(rev, [id_col, "neighbor_id"])
+        .where(F.col(id_col) < F.col("neighbor_id"))
+        .select(
+            F.col(id_col).alias("doc_a"),
+            F.col("neighbor_id").alias("doc_b"),
+            "cos_u",
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    comp = connected_components(
+        mutual.select("doc_a", "doc_b"),
+        vertices=embeddings.select(F.col(id_col)),
+        id_col=id_col,
+    )
+    members = (
+        comp.groupBy("component")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+    )
+    edges = (
+        mutual.join(
+            comp.select(
+                F.col(id_col).alias("doc_a"), "component"
+            ),
+            "doc_a",
+        )
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum("cos_u").alias("_s"),
+        )
+    )
+    return (
+        members.join(edges, "component")
+        .select(
+            "component",
+            "n_members",
+            "n_edges",
+            F.expr("_s div n_edges").cast("long").alias("mean_edge_cos_u"),
+        )
+        .orderBy("component")
+    )

@@ -249,3 +249,31 @@ def test_band_recall_exact_dups_always_captured(spark):
         vals = [v for v in (row.get(8), row.get(16), row.get(32))
                 if pd.notna(v)]
         assert vals == sorted(vals)  # recall non-decreasing in bands
+
+
+def test_cluster_quality_tight_vs_loose(spark):
+    # two planted clusters: a tight near-dup trio (cos ~ 1) and a pair
+    # at moderate similarity; quality must separate them and sizes
+    # must match graph_clusters' components
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),
+        (2, [0.998, 0.002, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.3, 0.0]),
+        (11, [0.0, 1.0, 0.42, 0.0]),
+        (99, [0.0, 0.0, 0.0, 1.0]),  # singleton: must NOT appear
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.cluster_quality(df, k=3, n_planes=4, bands=6).toPandas()
+    comp = similarity.graph_clusters(df, k=3, n_planes=4, bands=6).toPandas()
+    sizes = comp.groupby("component").size()
+    multi = sizes[sizes >= 2]
+    assert set(got["component"]) == set(multi.index)
+    got_idx = got.set_index("component")
+    for c, n in multi.items():
+        assert got_idx.loc[c, "n_members"] == n
+    # tight trio's mean edge cosine strictly above the loose pair's
+    tight = got_idx.loc[0, "mean_edge_cos_u"]
+    loose = got_idx.loc[10, "mean_edge_cos_u"]
+    assert tight > loose >= 9000
+    assert 99 not in set(got["component"])
