@@ -1,0 +1,185 @@
+"""Property sweeps for the round-7 operators against pure-python
+references (no Spark — the distributed impls replay the same integer
+recipes; equality with these references is pinned by the DuckDB
+oracles and tests/test_round7.py fixtures).
+
+- Band-refinement law: at aligned shapes (bands dividing each other on
+  the same signature), the finer banding's candidate set CONTAINS the
+  coarser's — the structural reason minhash_band_recall's recall column
+  is monotone non-decreasing in band count.
+- Exact duplicates are captured at EVERY shape (identical signatures).
+- imbalance_ppm divide-first form: BIGINT-safe and under-reports the
+  exact ratio by strictly less than n_buckets ppm.
+- forecast_eval winner law: the CASE verdict equals the argmin of the
+  two MAEs with walkovers for missing sides, replayed on the pure
+  Holt-Winters / seasonal-naive integer recurrences.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from bytehub_spark.operators.hashing import (
+    MINHASH_PRIME,
+    band_fold_py,
+    shingle_h1_h2_np,
+)
+
+# ------------------------------------------------- minhash band laws
+
+_words = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=110),
+    min_size=1,
+    max_size=4,
+)
+_docs = st.lists(
+    st.lists(_words, min_size=3, max_size=12),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _sig(tokens, n_hashes=64, n=3):
+    shingles = sorted(
+        {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+    )
+    if not shingles:
+        return None
+    h1, h2 = shingle_h1_h2_np(shingles)
+    return [
+        min((int(a) + j * int(b)) % MINHASH_PRIME for a, b in zip(h1, h2))
+        for j in range(n_hashes)
+    ]
+
+
+def _cand_pairs(sigs, bands, n_hashes=64):
+    r = n_hashes // bands
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, sig in sigs.items():
+        for b in range(bands):
+            bh = band_fold_py(sig[b * r : (b + 1) * r])
+            buckets.setdefault((b, bh), []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    pairs.add((x, y))
+    return pairs
+
+
+@given(_docs)
+@settings(max_examples=60, deadline=None)
+def test_band_refinement_nests_candidates(docs):
+    sigs = {}
+    for i, toks in enumerate(docs):
+        s = _sig(toks)
+        if s is not None:
+            sigs[i] = s
+    cand = {b: _cand_pairs(sigs, b) for b in (8, 16, 32)}
+    # finer banding (same signature, aligned boundaries) captures a
+    # superset: a full r=8 band match implies its two r=4 halves match,
+    # which imply their r=2 halves match
+    assert cand[8] <= cand[16] <= cand[32]
+
+
+@given(_docs, st.sampled_from([8, 16, 32]))
+@settings(max_examples=60, deadline=None)
+def test_exact_duplicates_always_candidates(docs, bands):
+    # doc 0 duplicated under a fresh id must co-bucket in EVERY band
+    sigs = {}
+    for i, toks in enumerate(docs):
+        s = _sig(toks)
+        if s is not None:
+            sigs[i] = s
+    if 0 not in sigs:
+        return
+    dup_id = 10_000
+    sigs[dup_id] = list(sigs[0])
+    assert (0, dup_id) in _cand_pairs(sigs, bands)
+
+
+# ------------------------------------------------- imbalance_ppm law
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=50)
+)
+@settings(max_examples=200, deadline=None)
+def test_imbalance_divide_first_bound(bucket_sizes):
+    n_rows = sum(bucket_sizes)
+    n_buckets = len(bucket_sizes)
+    mx = max(bucket_sizes)
+    new = (mx * 1_000_000 // n_rows) * n_buckets
+    exact = mx * n_buckets * 1_000_000 // n_rows  # unbounded python ints
+    assert 0 <= exact - new < n_buckets
+    # BIGINT safety of every intermediate in the divide-first form
+    assert mx * 1_000_000 < 2**63
+    assert new < 2**63
+
+
+# ------------------------------------------------- forecaster winner law
+
+
+def _tdiv(x, d):
+    q = abs(x) // d
+    return q if x >= 0 else -q
+
+
+def _hw_errors(y, m=4, a=300_000, b=100_000, g=200_000):
+    """events_ops.holt_winters_backtest kernel on one dense series."""
+    if len(y) < m + 1:
+        return []
+    lvl = _tdiv(sum(y[:m]), m)
+    trd = 0
+    seas = [y[i] - lvl for i in range(m)]
+    errs = []
+    for t in range(m, len(y)):
+        f = lvl + trd + seas[t % m]
+        l_new = _tdiv(a * y[t] + (1_000_000 - a) * (lvl + trd), 1_000_000)
+        trd = _tdiv(b * (l_new - lvl) + (1_000_000 - b) * trd, 1_000_000)
+        seas[t % m] = _tdiv(
+            g * (y[t] - l_new) + (1_000_000 - g) * seas[t % m], 1_000_000
+        )
+        lvl = l_new
+        errs.append(y[t] - f)
+    return errs
+
+
+def _winner(sn_mae, hw_mae):
+    if hw_mae is None:
+        return "snaive"
+    if sn_mae is None:
+        return "holt_winters"
+    if hw_mae < sn_mae:
+        return "holt_winters"
+    if sn_mae < hw_mae:
+        return "snaive"
+    return "tie"
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=2, max_size=40
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=150, deadline=None)
+def test_forecast_winner_is_mae_argmin(y, m):
+    horizon = len(y)  # score everything past warmup
+    hw_errs = _hw_errors(y, m)
+    hw_mae = (
+        _tdiv(sum(abs(e) for e in hw_errs), len(hw_errs)) if hw_errs else None
+    )
+    sn_errs = [y[t] - y[t - m] for t in range(m, len(y))][-horizon:]
+    sn_mae = (
+        _tdiv(sum(abs(e) for e in sn_errs), len(sn_errs)) if sn_errs else None
+    )
+    w = _winner(sn_mae, hw_mae)
+    maes = {"snaive": sn_mae, "holt_winters": hw_mae}
+    if w == "tie":
+        assert sn_mae == hw_mae
+    else:
+        other = "snaive" if w == "holt_winters" else "holt_winters"
+        assert maes[other] is None or maes[w] <= maes[other]
+    # truncating div symmetry the kernel depends on
+    for e in hw_errs[:5]:
+        assert _tdiv(e, 7) == -_tdiv(-e, 7)
