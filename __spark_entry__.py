@@ -24,6 +24,7 @@ from bytehub_spark.operators import (
     dedup,
     events_ops,
     ivf,
+    profile,
     linkage,
     multimodal,
     pca,
@@ -83,13 +84,13 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 _GATE_FIRST = [
     # Round-7 rotation (VERDICT r06 item 1): head = new + changed +
     # permanent + ALL 22 r02-stale queries + the 20 stalest r03 greens
-    # in registry order (4 + 4 + 3 + 22 + 17 = 50). Staleness is now an
+    # in registry order (6 + 4 + 3 + 22 + 15 = 50). Staleness is now an
     # enforced invariant: tests/test_round7.py::test_gate_staleness_bound
     # asserts no registered query's last driver-green round is older
     # than 4 rounds behind the latest CORRECTNESS file.
     # --- (a) new in round 7 (never driver-gated; swept at 3 scales) ---
     "ts_forecast_eval", "emb_lsh_plan", "dedup_band_recall",
-    "emb_cluster_quality",
+    "emb_cluster_quality", "cur_table_profile", "cur_quality_gate",
     # --- (b) changed this round: imbalance_ppm divide-first fix
     # (band_balance + lsh_balance Spark AND oracle), rfm sampled-empty
     # exact fallback, holt-winters oracle refactored to tail= form ---
@@ -112,9 +113,8 @@ _GATE_FIRST = [
     "ts_seasonal_anomaly", "ts_ohlc_bars", "ts_gap_report",
     "ts_first_touch", "ts_level_shifts", "ts_user_profiles",
     "cur_corpus_pipeline", "emb_label_outliers", "emb_pca_project",
-    "emb_pq_topk", "emb_ivf_pq_topk",
-    # (dedup_lsh_novelty + mm_chunk_audio + emb_ivf_topk deferred to
-    # r08 to hold the 50 — their lag stays <= 4)
+    # (emb_pq_topk, emb_ivf_pq_topk, dedup_lsh_novelty, mm_chunk_audio
+    # and emb_ivf_topk deferred to r08 to hold the 50 — lag stays <= 4)
 ]
 
 
@@ -1488,6 +1488,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted deterministic source interleave (stride scheduling):
         # integer virtual-time schedule keys — exact oracle
         "cur_interleave": _q(curation.interleave_sources, "documents"),
+        # per-column table profile (round 7): row/null/exact-distinct
+        # counts + integral min/max + string length min/max, ONE
+        # aggregation pass, long-format output — the pre-flight corpus
+        # profiler. Exact oracle (per-column UNION ALL).
+        "cur_table_profile": _q(profile.table_profile, "documents"),
+        # declarative constraint gate (round 7): not_null / unique /
+        # range / LIKE rules compiled into ONE aggregation pass — the
+        # Deequ-style quality gate before a training run. Exact oracle.
+        "cur_quality_gate": lambda spark, sf: profile.check_constraints(
+            load_table(spark, sf, "documents"),
+            [
+                (0, "not_null", "text"),
+                (1, "unique", "doc_id"),
+                (2, "range", "n_chars", 1, 100_000),
+                (3, "like", "lang", "__"),
+                (4, "not_null", "source"),
+            ],
+        ),
         # embedding-health monitor (norm mass + adjacent-pair cosine
         # profile, floor-quantized integer sums) — exact oracle
         "emb_health": _q(similarity.embedding_health, "embeddings"),
@@ -6275,6 +6293,79 @@ def oracle_sql() -> dict[str, str]:
         """,
         # stride-schedule replay: same rank window, same integer
         # virtual-time formula
+        # one row per column, schema order: counts + integral value
+        # min/max + string length min/max (NULL elsewhere) — mirrors
+        # profile.table_profile's single-pass metrics
+        "cur_table_profile": """
+            SELECT 0 AS col_idx, 'doc_id' AS column,
+                   'bigint' AS dtype,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(min(doc_id) AS BIGINT) AS min_v,
+                   CAST(max(doc_id) AS BIGINT) AS max_v
+            FROM documents
+            UNION ALL
+            SELECT 1, 'text', 'string',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(text) AS BIGINT),
+                   CAST(count(DISTINCT text) AS BIGINT),
+                   CAST(min(length(text)) AS BIGINT),
+                   CAST(max(length(text)) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 2, 'lang', 'string',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(lang) AS BIGINT),
+                   CAST(count(DISTINCT lang) AS BIGINT),
+                   CAST(min(length(lang)) AS BIGINT),
+                   CAST(max(length(lang)) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 3, 'source', 'string',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(source) AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT),
+                   CAST(min(length(source)) AS BIGINT),
+                   CAST(max(length(source)) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 4, 'n_chars', 'bigint',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(n_chars) AS BIGINT),
+                   CAST(count(DISTINCT n_chars) AS BIGINT),
+                   CAST(min(n_chars) AS BIGINT),
+                   CAST(max(n_chars) AS BIGINT)
+            FROM documents
+            ORDER BY col_idx
+        """,
+        # the registered rule set compiled the same way the operator
+        # compiles it: one aggregate per rule, long-format rows
+        "cur_quality_gate": """
+            WITH a AS (
+                SELECT
+                    CAST(coalesce(sum(CASE WHEN text IS NULL THEN 1 END), 0)
+                        AS BIGINT) AS v0,
+                    CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT)
+                        AS v1,
+                    CAST(coalesce(sum(CASE WHEN n_chars IS NOT NULL
+                        AND (n_chars < 1 OR n_chars > 100000) THEN 1 END), 0)
+                        AS BIGINT) AS v2,
+                    CAST(coalesce(sum(CASE WHEN lang IS NOT NULL
+                        AND NOT lang LIKE '__' THEN 1 END), 0)
+                        AS BIGINT) AS v3,
+                    CAST(coalesce(sum(CASE WHEN source IS NULL THEN 1 END), 0)
+                        AS BIGINT) AS v4
+                FROM documents
+            )
+            SELECT 0 AS rule_id, 'not_null' AS kind, 'text' AS column,
+                   v0 AS n_violations, v0 = 0 AS passed FROM a
+            UNION ALL SELECT 1, 'unique', 'doc_id', v1, v1 = 0 FROM a
+            UNION ALL SELECT 2, 'range', 'n_chars', v2, v2 = 0 FROM a
+            UNION ALL SELECT 3, 'like', 'lang', v3, v3 = 0 FROM a
+            UNION ALL SELECT 4, 'not_null', 'source', v4, v4 = 0 FROM a
+            ORDER BY rule_id
+        """,
         "cur_interleave": """
             WITH r AS (
                 SELECT doc_id, source,

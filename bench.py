@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     # plane-count decision table (ANN twin of dedup_band_balance)
     "ts_forecast_eval",
     "emb_lsh_plan",
+    # single-pass data-quality family: per-column profile + rule gate
+    "cur_table_profile",
+    "cur_quality_gate",
 ]
 
 

@@ -1,5 +1,5 @@
-from . import asof, dedup, events_ops, ivf, multimodal, similarity, text, tpch
+from . import asof, dedup, events_ops, ivf, multimodal, profile, similarity, text, tpch
 
 __all__ = [
-    "asof", "dedup", "events_ops", "ivf", "multimodal", "similarity", "text", "tpch",
+    "asof", "dedup", "events_ops", "ivf", "multimodal", "profile", "similarity", "text", "tpch",
 ]

@@ -1,0 +1,151 @@
+"""Table profiling + declarative data-quality gates — the pre-flight
+check a training-data pipeline runs before committing a corpus snapshot
+to an expensive job (the Deequ/Great-Expectations capability re-expressed
+Spark-first; the reference has no profiling surface — this extends its
+catalog/constraint checks, _model.py-adjacent, to data-plane content).
+
+Both operators are single-pass: every metric/rule compiles to one
+aggregate expression over ONE full-table aggregation (map-side combined,
+no per-column scans), and the long-format output is an explode of the
+1-row aggregate — so cost at 100 TB is one scan regardless of how many
+columns/rules are profiled. Exact n_distinct uses Spark's multi-distinct
+Expand (one logical pass, ~#distinct-cols shuffle width); pass
+``approx=True`` to swap in approx_count_distinct (HLL) when exact
+cardinalities aren't worth the shuffle — the oracle gates the exact
+default.
+
+Cross-engine exactness notes: metrics are counts/lengths/integral
+min-max only (no float-to-string casts, no collation-dependent string
+min/max); the pattern rule is SQL LIKE (identical semantics in Spark
+and DuckDB), never regex (engine dialects differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def table_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-column profile in input-schema order: row/null/distinct
+    counts for every column, value min/max for integral columns,
+    length min/max for string columns (NULL where not applicable).
+    One aggregation pass; output is #columns rows.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(columns) if columns is not None else [
+        f.name for f in df.schema.fields
+    ]
+    for c in cols:
+        if c not in fields:
+            raise ValueError(f"table_profile: unknown column {c!r}")
+    nd = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.countDistinct(c))
+    )
+    aggs: list[Column] = [F.count("*").alias("__n")]
+    for i, c in enumerate(cols):
+        dt = fields[c]
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        aggs.append(nd(F.col(c)).cast("long").alias(f"__d_{i}"))
+        if isinstance(dt, _INTEGRAL):
+            aggs.append(F.min(F.col(c)).cast("long").alias(f"__lo_{i}"))
+            aggs.append(F.max(F.col(c)).cast("long").alias(f"__hi_{i}"))
+        elif isinstance(dt, T.StringType):
+            aggs.append(
+                F.min(F.length(F.col(c))).cast("long").alias(f"__lo_{i}")
+            )
+            aggs.append(
+                F.max(F.length(F.col(c))).cast("long").alias(f"__hi_{i}")
+            )
+        else:
+            aggs.append(F.lit(None).cast("long").alias(f"__lo_{i}"))
+            aggs.append(F.lit(None).cast("long").alias(f"__hi_{i}"))
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(i).cast("int").alias("col_idx"),
+            F.lit(c).alias("column"),
+            F.lit(fields[c].simpleString()).alias("dtype"),
+            F.col("__n").cast("long").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{i}")).cast("long").alias("n_null"),
+            F.col(f"__d_{i}").alias("n_distinct"),
+            F.col(f"__lo_{i}").alias("min_v"),
+            F.col(f"__hi_{i}").alias("max_v"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_idx")
+    )
+
+
+def check_constraints(
+    df: DataFrame, rules: list[tuple]
+) -> DataFrame:
+    """Declarative constraint gate. ``rules`` is a list of tuples:
+
+    - ``(rule_id, "not_null", column)`` — NULLs are violations
+    - ``(rule_id, "unique", column)`` — violations = non-null rows
+      beyond the first per value (count(col) − countDistinct(col))
+    - ``(rule_id, "range", column, lo, hi)`` — non-null values outside
+      [lo, hi] (inclusive); NULLs are not range violations (pair with
+      not_null to forbid them)
+    - ``(rule_id, "like", column, pattern)`` — non-null values NOT
+      matching the SQL LIKE pattern
+
+    Output: one row per rule (rule_id, kind, column, n_violations,
+    passed), computed in a single aggregation pass.
+    """
+    aggs: list[Column] = []
+    metas: list[tuple[int, str, str]] = []
+    for k, rule in enumerate(rules):
+        rid, kind, col = int(rule[0]), str(rule[1]), str(rule[2])
+        c = F.col(col)
+        if kind == "not_null":
+            expr = F.sum(c.isNull().cast("long"))
+        elif kind == "unique":
+            expr = F.count(c) - F.countDistinct(c)
+        elif kind == "range":
+            lo, hi = rule[3], rule[4]
+            expr = F.sum(
+                (c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi)))).cast(
+                    "long"
+                )
+            )
+        elif kind == "like":
+            pat = str(rule[3]).replace("'", "''")
+            expr = F.sum(
+                F.expr(f"CAST((({col}) IS NOT NULL AND NOT ({col}) LIKE "
+                       f"'{pat}') AS LONG)")
+            )
+        else:
+            raise ValueError(f"check_constraints: unknown kind {kind!r}")
+        aggs.append(F.coalesce(expr, F.lit(0)).cast("long").alias(f"__v_{k}"))
+        metas.append((rid, kind, col))
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(rid).cast("int").alias("rule_id"),
+            F.lit(kind).alias("kind"),
+            F.lit(col).alias("column"),
+            F.col(f"__v_{k}").alias("n_violations"),
+            (F.col(f"__v_{k}") == 0).alias("passed"),
+        )
+        for k, (rid, kind, col) in enumerate(metas)
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy("rule_id")
+    )

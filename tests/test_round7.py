@@ -277,3 +277,57 @@ def test_cluster_quality_tight_vs_loose(spark):
     loose = got_idx.loc[10, "mean_edge_cos_u"]
     assert tight > loose >= 9000
     assert 99 not in set(got["component"])
+
+
+def test_table_profile_metrics(spark):
+    from bytehub_spark.operators import profile
+
+    pdf = pd.DataFrame({
+        "id": [1, 2, 2, None],
+        "name": ["aa", None, "bbbb", "c"],
+        "score": [1.5, 2.5, None, 4.0],
+    })
+    df = spark.createDataFrame(pdf).select(
+        F.col("id").cast("long"), "name", "score"
+    )
+    out = profile.table_profile(df).toPandas().set_index("column")
+    assert list(out.index) == ["id", "name", "score"]
+    assert (out["n_rows"] == 4).all()
+    assert out.loc["id", "n_null"] == 1
+    assert out.loc["id", "n_distinct"] == 2
+    assert out.loc["id", "min_v"] == 1 and out.loc["id", "max_v"] == 2
+    # string column profiles LENGTHS
+    assert out.loc["name", "min_v"] == 1 and out.loc["name", "max_v"] == 4
+    # double column: counts only, NULL min/max slots
+    assert pd.isna(out.loc["score", "min_v"])
+    assert out.loc["score", "n_distinct"] == 3
+    # approx mode keeps the same schema
+    ap = profile.table_profile(df, approx=True).toPandas()
+    assert list(ap.columns) == list(out.reset_index()[ap.columns].columns)
+    with pytest.raises(ValueError):
+        profile.table_profile(df, columns=["nope"])
+
+
+def test_check_constraints_rules(spark):
+    from bytehub_spark.operators import profile
+
+    pdf = pd.DataFrame({
+        "id": [1, 2, 2, 3],
+        "lang": ["en", "de", "x", None],
+        "n": [5, -1, 50, 200],
+    })
+    df = spark.createDataFrame(pdf)
+    out = profile.check_constraints(df, [
+        (0, "not_null", "lang"),
+        (1, "unique", "id"),
+        (2, "range", "n", 0, 100),
+        (3, "like", "lang", "__"),
+    ]).toPandas().set_index("rule_id")
+    assert out.loc[0, "n_violations"] == 1      # one NULL lang
+    assert out.loc[1, "n_violations"] == 1      # one duplicate id
+    assert out.loc[2, "n_violations"] == 2      # -1 and 200
+    assert out.loc[3, "n_violations"] == 1      # 'x' (NULL not counted)
+    assert not out["passed"].iloc[0:4].any() or True
+    assert (out["passed"] == (out["n_violations"] == 0)).all()
+    with pytest.raises(ValueError):
+        profile.check_constraints(df, [(0, "bogus", "id")])
