@@ -111,26 +111,10 @@ def check_constraints(
     metas: list[tuple[int, str, str]] = []
     for k, rule in enumerate(rules):
         rid, kind, col = int(rule[0]), str(rule[1]), str(rule[2])
-        c = F.col(col)
-        if kind == "not_null":
-            expr = F.sum(c.isNull().cast("long"))
-        elif kind == "unique":
-            expr = F.count(c) - F.countDistinct(c)
-        elif kind == "range":
-            lo, hi = rule[3], rule[4]
-            expr = F.sum(
-                (c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi)))).cast(
-                    "long"
-                )
-            )
-        elif kind == "like":
-            pat = str(rule[3]).replace("'", "''")
-            expr = F.sum(
-                F.expr(f"CAST((({col}) IS NOT NULL AND NOT ({col}) LIKE "
-                       f"'{pat}') AS LONG)")
-            )
+        if kind == "unique":
+            expr = F.count(F.col(col)) - F.countDistinct(F.col(col))
         else:
-            raise ValueError(f"check_constraints: unknown kind {kind!r}")
+            expr = simple_rule_expr(rule)
         aggs.append(F.coalesce(expr, F.lit(0)).cast("long").alias(f"__v_{k}"))
         metas.append((rid, kind, col))
     row = df.agg(*aggs)
@@ -149,3 +133,30 @@ def check_constraints(
         .select("r.*")
         .orderBy("rule_id")
     )
+
+
+def simple_rule_expr(rule: tuple) -> Column:
+    """Aggregate violation-count expression for one ADDITIVE rule
+    (not_null / range / like) — the shared compilation used by both the
+    batch ``check_constraints`` and ``streaming.QualityGateMonitor``,
+    so the two can never disagree on rule semantics. ``unique`` is NOT
+    additive (cross-batch distinctness) and is handled by each caller's
+    own state; passing it here raises."""
+    kind, col = str(rule[1]), str(rule[2])
+    c = F.col(col)
+    if kind == "not_null":
+        return F.sum(c.isNull().cast("long"))
+    if kind == "range":
+        lo, hi = rule[3], rule[4]
+        return F.sum(
+            (c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi)))).cast("long")
+        )
+    if kind == "like":
+        pat = str(rule[3]).replace("'", "''")
+        return F.sum(
+            F.expr(
+                f"CAST((({col}) IS NOT NULL AND NOT ({col}) LIKE "
+                f"'{pat}') AS LONG)"
+            )
+        )
+    raise ValueError(f"unknown (or non-additive) rule kind {kind!r}")

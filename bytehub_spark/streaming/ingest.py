@@ -1644,3 +1644,119 @@ def stream_embedding_drift(
         .start()
     )
     return q, mon
+
+
+class QualityGateMonitor:
+    """Streaming data-quality gate — the continuously-maintained twin of
+    ``operators.profile.check_constraints`` over an unbounded document/
+    record stream. Additive rules (not_null / range / like) accumulate
+    ONE integer violation counter each (state: n_rules numbers —
+    compiled by the SAME ``profile.simple_rule_expr`` the batch gate
+    uses, so rule semantics cannot drift); ``unique`` rules keep a
+    per-value count frame merged by sum (state = one row per DISTINCT
+    value of the audited column — the RetentionMonitor dimension
+    pattern; violations derive as Σcount − #values, identical to the
+    batch count−countDistinct).
+
+    Every piece of state is a commutative sum, so the gate is fully
+    ORDER-INDEPENDENT: any micro-batch partitioning, in any arrival
+    order, yields result() equal row-for-row to the batch gate on the
+    union of all batches (pinned in pytest incl. permuted order).
+    Re-delivered batches DO double-count (sums, not sets) — the same
+    feed-once contract as every counting monitor here.
+    """
+
+    def __init__(self, rules: list[tuple]):
+        from ..operators.profile import simple_rule_expr
+
+        self.rules = list(rules)
+        self._simple: list[tuple[int, tuple]] = []
+        self._unique: list[tuple[int, tuple]] = []
+        for k, rule in enumerate(self.rules):
+            kind = str(rule[1])
+            if kind == "unique":
+                self._unique.append((k, rule))
+            else:
+                simple_rule_expr(rule)  # validate kind eagerly
+                self._simple.append((k, rule))
+        self._counts: dict[int, int] = {k: 0 for k, _ in self._simple}
+        self._ustate: dict[int, DataFrame] = {}
+        self._n_batches = 0
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        from ..operators.profile import simple_rule_expr
+
+        if self._simple:
+            aggs = [
+                F.coalesce(simple_rule_expr(rule), F.lit(0))
+                .cast("long")
+                .alias(f"v{k}")
+                for k, rule in self._simple
+            ]
+            row = batch_df.agg(*aggs).collect()[0]  # 1-row bounded
+            for k, _ in self._simple:
+                self._counts[k] += int(row[f"v{k}"])
+        for k, rule in self._unique:
+            col = str(rule[2])
+            b = (
+                batch_df.where(F.col(col).isNotNull())
+                .groupBy(F.col(col).alias("val"))
+                .agg(F.count("*").alias("cnt"))
+            )
+            st = self._ustate.get(k)
+            merged = (
+                b
+                if st is None
+                else st.unionByName(b)
+                .groupBy("val")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            self._ustate[k] = eager_checkpoint(merged)
+        self._n_batches += 1
+
+    def result(self) -> DataFrame:
+        """Same table shape as profile.check_constraints on the union of
+        all processed batches."""
+        from pyspark.sql.session import SparkSession
+
+        if self._n_batches == 0:
+            raise RuntimeError(
+                "QualityGateMonitor.result() before any micro-batch was "
+                "processed"
+            )
+        spark = SparkSession.getActiveSession()
+        viols: dict[int, int] = dict(self._counts)
+        for k, _ in self._unique:
+            st = self._ustate.get(k)
+            if st is None:
+                viols[k] = 0
+            else:
+                row = st.agg(
+                    F.coalesce(F.sum("cnt"), F.lit(0)).alias("s"),
+                    F.count("*").alias("d"),
+                ).collect()[0]
+                viols[k] = int(row["s"]) - int(row["d"])
+        rows = [
+            (int(r[0]), str(r[1]), str(r[2]), viols[k], viols[k] == 0)
+            for k, r in enumerate(self.rules)
+        ]
+        return spark.createDataFrame(
+            sorted(rows),
+            "rule_id int, kind string, column string, "
+            "n_violations long, passed boolean",
+        )
+
+
+def stream_quality_gate(
+    records: DataFrame, checkpoint_dir: str, rules: list[tuple]
+):
+    """Attach a QualityGateMonitor to a record stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = QualityGateMonitor(rules)
+    q = (
+        records.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

@@ -331,3 +331,65 @@ def test_check_constraints_rules(spark):
     assert (out["passed"] == (out["n_violations"] == 0)).all()
     with pytest.raises(ValueError):
         profile.check_constraints(df, [(0, "bogus", "id")])
+
+
+def _gate_rules():
+    return [
+        (0, "not_null", "lang"),
+        (1, "unique", "doc_id"),
+        (2, "range", "n_chars", 1, 100_000),
+        (3, "like", "lang", "__"),
+    ]
+
+
+def test_quality_gate_monitor_equals_batch_any_order(spark):
+    """Streaming gate == batch gate on the union, for EVERY batch
+    partitioning and arrival order (all state commutes)."""
+    from bytehub_spark.operators import profile
+    from bytehub_spark.streaming import QualityGateMonitor
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(300)
+    pdf = docs.toPandas()
+    # inject violations: a NULL lang, a duplicate doc_id, a bad n_chars
+    pdf.loc[0, "lang"] = None
+    pdf.loc[1, "doc_id"] = pdf.loc[2, "doc_id"]
+    pdf.loc[3, "n_chars"] = -7
+    pdf.loc[4, "lang"] = "xyz"
+    expect = profile.check_constraints(
+        spark.createDataFrame(pdf), _gate_rules()
+    ).toPandas()
+    assert (expect["n_violations"] >= 1).sum() >= 3
+    for order in (False, True):
+        chunks = [pdf.iloc[i::3] for i in range(3)]
+        if order:
+            chunks = chunks[::-1]
+        mon = QualityGateMonitor(_gate_rules())
+        for i, c in enumerate(chunks):
+            mon.process_batch(spark.createDataFrame(c), i)
+        got = mon.result().toPandas()
+        pd.testing.assert_frame_equal(got, expect)
+
+
+def test_quality_gate_monitor_unique_state_bounded(spark):
+    from bytehub_spark.streaming import QualityGateMonitor
+
+    mon = QualityGateMonitor([(0, "unique", "doc_id")])
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    mon.process_batch(docs, 0)
+    mon.process_batch(docs, 1)  # re-feed: counts double
+    # state is one row per DISTINCT value, NOT per row ingested
+    assert mon._ustate[0].count() == 100
+    got = mon.result().toPandas()
+    # 200 rows over 100 distinct ids -> 100 "violations" (feed-once
+    # contract deliberately broken here to pin the sum semantics)
+    assert got.loc[0, "n_violations"] == 100
+
+
+def test_quality_gate_monitor_rejects_bad_rule(spark):
+    from bytehub_spark.streaming import QualityGateMonitor
+
+    with pytest.raises(ValueError):
+        QualityGateMonitor([(0, "bogus", "x")])
+    mon = QualityGateMonitor(_gate_rules())
+    with pytest.raises(RuntimeError):
+        mon.result()
