@@ -1760,3 +1760,66 @@ def stream_quality_gate(
         .start()
     )
     return q, mon
+
+
+class HistogramMonitor:
+    """Streaming fixed-width value histogram per event type — the
+    continuously-maintained twin of ``events_ops.value_histogram`` (the
+    ts_histogram query): state is the (event_type, bucket, n) frame,
+    bounded at |types|·(n_buckets+2) rows forever (width_bucket's two
+    overflow buckets included). Counts are ADDITIVE and commutative, so
+    the histogram is fully order-independent and equals the batch op on
+    the union of all batches row-for-row (pinned in pytest incl.
+    permuted batch order). Re-delivery double-counts (feed-once, like
+    every counting monitor). This is the bounded-state quantile
+    substrate: any percentile is bracketed to one bucket width from
+    result() without ever buffering raw values.
+    """
+
+    def __init__(
+        self, lo: float = 0.0, hi: float = 100.0, n_buckets: int = 10
+    ):
+        self.lo, self.hi, self.n_buckets = float(lo), float(hi), int(n_buckets)
+        self.state: DataFrame | None = None
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        from ..operators.events_ops import value_histogram
+
+        b = value_histogram(batch_df, self.lo, self.hi, self.n_buckets)
+        st = (
+            b
+            if self.state is None
+            else self.state.unionByName(b)
+            .groupBy("event_type", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+        self.state = eager_checkpoint(st)
+
+    def result(self) -> DataFrame:
+        """Equal to events_ops.value_histogram over the union of all
+        batches (same column order and sort)."""
+        if self.state is None:
+            raise RuntimeError(
+                "HistogramMonitor.result() before any micro-batch was "
+                "processed"
+            )
+        return self.state.orderBy("event_type", "bucket")
+
+
+def stream_histogram(
+    events: DataFrame,
+    checkpoint_dir: str,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_buckets: int = 10,
+):
+    """Attach a HistogramMonitor to an event stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = HistogramMonitor(lo, hi, n_buckets)
+    q = (
+        events.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

@@ -393,3 +393,24 @@ def test_quality_gate_monitor_rejects_bad_rule(spark):
     mon = QualityGateMonitor(_gate_rules())
     with pytest.raises(RuntimeError):
         mon.result()
+
+
+def test_histogram_monitor_equals_batch_any_order(spark):
+    from bytehub_spark.operators import events_ops
+    from bytehub_spark.streaming import HistogramMonitor
+
+    ev = load_table(spark, SF, "events")
+    pdf = ev.toPandas()
+    expect = events_ops.value_histogram(ev).toPandas()
+    for order in (False, True):
+        chunks = [pdf.iloc[i::4] for i in range(4)]
+        if order:
+            chunks = chunks[::-1]
+        mon = HistogramMonitor()
+        for i, c in enumerate(chunks):
+            mon.process_batch(spark.createDataFrame(c), i)
+        got = mon.result().toPandas()
+        pd.testing.assert_frame_equal(got, expect)
+    # state bound: |types| x (n_buckets + overflow buckets) worst case
+    n_types = pdf["event_type"].nunique()
+    assert mon.state.count() <= n_types * 12
