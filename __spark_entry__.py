@@ -84,13 +84,14 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 _GATE_FIRST = [
     # Round-7 rotation (VERDICT r06 item 1): head = new + changed +
     # permanent + ALL 22 r02-stale queries + the 20 stalest r03 greens
-    # in registry order (6 + 4 + 3 + 22 + 15 = 50). Staleness is now an
+    # in registry order (8 + 4 + 3 + 22 + 13 = 50). Staleness is now an
     # enforced invariant: tests/test_round7.py::test_gate_staleness_bound
     # asserts no registered query's last driver-green round is older
     # than 4 rounds behind the latest CORRECTNESS file.
     # --- (a) new in round 7 (never driver-gated; swept at 3 scales) ---
     "ts_forecast_eval", "emb_lsh_plan", "dedup_band_recall",
     "emb_cluster_quality", "cur_table_profile", "cur_quality_gate",
+    "cur_schema_diff", "cur_profile_drift",
     # --- (b) changed this round: imbalance_ppm divide-first fix
     # (band_balance + lsh_balance Spark AND oracle), rfm sampled-empty
     # exact fallback, holt-winters oracle refactored to tail= form ---
@@ -111,8 +112,8 @@ _GATE_FIRST = [
     "cur_pack_greedy", "dedup_containment", "dedup_rate_by_source",
     "dedup_simhash", "dedup_incremental_lsh", "doc_bpe_pairs",
     "ts_seasonal_anomaly", "ts_ohlc_bars", "ts_gap_report",
-    "ts_first_touch", "ts_level_shifts", "ts_user_profiles",
-    "cur_corpus_pipeline", "emb_label_outliers", "emb_pca_project",
+    "ts_first_touch", "ts_level_shifts", "emb_label_outliers",
+    "emb_pca_project",
     # (emb_pq_topk, emb_ivf_pq_topk, dedup_lsh_novelty, mm_chunk_audio
     # and emb_ivf_topk deferred to r08 to hold the 50 — lag stays <= 4)
 ]
@@ -1506,6 +1507,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (4, "not_null", "source"),
             ],
         ),
+        # schema-evolution check (round 7): snapshot B drops `source`,
+        # narrows n_chars to int, adds `extra` — the pre-append guard.
+        # Driver-side only (no scan); constant-table oracle pins the
+        # expected verdict rows.
+        "cur_schema_diff": lambda spark, sf: (
+            lambda docs: profile.schema_diff(
+                docs,
+                docs.drop("source")
+                .withColumn("n_chars", F.col("n_chars").cast("int"))
+                .withColumn("extra", F.lit(1).cast("long")),
+            )
+        )(load_table(spark, sf, "documents")),
+        # snapshot-over-snapshot profile drift (round 7): B drops every
+        # doc_id%5==0 row and NULLs lang on doc_id%7==0 — per-column
+        # row/null-rate(ppm)/distinct deltas + integral min/max shifts;
+        # two single-pass profiles + a columns-sized join. Exact oracle.
+        "cur_profile_drift": lambda spark, sf: (
+            lambda docs: profile.profile_drift(
+                docs,
+                docs.where(F.col("doc_id") % 5 != 0).withColumn(
+                    "lang",
+                    F.when(F.col("doc_id") % 7 != 0, F.col("lang")),
+                ),
+            )
+        )(load_table(spark, sf, "documents")),
         # embedding-health monitor (norm mass + adjacent-pair cosine
         # profile, floor-quantized integer sums) — exact oracle
         "emb_health": _q(similarity.embedding_health, "embeddings"),
@@ -6365,6 +6391,63 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, 'like', 'lang', v3, v3 = 0 FROM a
             UNION ALL SELECT 4, 'not_null', 'source', v4, v4 = 0 FROM a
             ORDER BY rule_id
+        """,
+        # constant-table replay of the schema-diff verdict on the
+        # registered mutation (drop source, narrow n_chars, add extra)
+        "cur_schema_diff": """
+            SELECT * FROM (VALUES
+                (0, 'doc_id', 'same', 'bigint', 'bigint'),
+                (1, 'text', 'same', 'string', 'string'),
+                (2, 'lang', 'same', 'string', 'string'),
+                (3, 'source', 'dropped', 'string', NULL),
+                (4, 'n_chars', 'type_changed', 'bigint', 'int'),
+                (5, 'extra', 'added', NULL, 'bigint')
+            ) AS t(col_idx, "column", status, dtype_a, dtype_b)
+            ORDER BY col_idx
+        """,
+        # two per-column profile CTEs (snapshot B = drop doc_id%5==0,
+        # NULL lang on doc_id%7==0) joined on column — ppm null-rate
+        # uses the same BIGINT div as the Spark side
+        "cur_profile_drift": """
+            WITH snapb AS (
+                SELECT doc_id, text,
+                       CASE WHEN doc_id % 7 <> 0 THEN lang END AS lang,
+                       source, n_chars
+                FROM documents WHERE doc_id % 5 <> 0
+            ),
+            pa AS (
+                SELECT 0 AS col_idx, 'doc_id' AS column, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(doc_id) AS BIGINT) AS n_null, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct, CAST(min(doc_id) AS BIGINT) AS min_v, CAST(max(doc_id) AS BIGINT) AS max_v FROM documents
+                UNION ALL
+                SELECT 1 AS col_idx, 'text' AS column, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(text) AS BIGINT) AS n_null, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct, CAST(min(length(text)) AS BIGINT) AS min_v, CAST(max(length(text)) AS BIGINT) AS max_v FROM documents
+                UNION ALL
+                SELECT 2 AS col_idx, 'lang' AS column, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(lang) AS BIGINT) AS n_null, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct, CAST(min(length(lang)) AS BIGINT) AS min_v, CAST(max(length(lang)) AS BIGINT) AS max_v FROM documents
+                UNION ALL
+                SELECT 3 AS col_idx, 'source' AS column, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(source) AS BIGINT) AS n_null, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct, CAST(min(length(source)) AS BIGINT) AS min_v, CAST(max(length(source)) AS BIGINT) AS max_v FROM documents
+                UNION ALL
+                SELECT 4 AS col_idx, 'n_chars' AS column, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(n_chars) AS BIGINT) AS n_null, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct, CAST(min(n_chars) AS BIGINT) AS min_v, CAST(max(n_chars) AS BIGINT) AS max_v FROM documents
+            ),
+            pb AS (
+                SELECT 0 AS col_idx, 'doc_id' AS column, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(doc_id) AS BIGINT) AS n_null, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct, CAST(min(doc_id) AS BIGINT) AS min_v, CAST(max(doc_id) AS BIGINT) AS max_v FROM snapb
+                UNION ALL
+                SELECT 1 AS col_idx, 'text' AS column, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(text) AS BIGINT) AS n_null, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct, CAST(min(length(text)) AS BIGINT) AS min_v, CAST(max(length(text)) AS BIGINT) AS max_v FROM snapb
+                UNION ALL
+                SELECT 2 AS col_idx, 'lang' AS column, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(lang) AS BIGINT) AS n_null, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct, CAST(min(length(lang)) AS BIGINT) AS min_v, CAST(max(length(lang)) AS BIGINT) AS max_v FROM snapb
+                UNION ALL
+                SELECT 3 AS col_idx, 'source' AS column, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(source) AS BIGINT) AS n_null, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct, CAST(min(length(source)) AS BIGINT) AS min_v, CAST(max(length(source)) AS BIGINT) AS max_v FROM snapb
+                UNION ALL
+                SELECT 4 AS col_idx, 'n_chars' AS column, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(n_chars) AS BIGINT) AS n_null, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct, CAST(min(n_chars) AS BIGINT) AS min_v, CAST(max(n_chars) AS BIGINT) AS max_v FROM snapb
+            )
+            SELECT pa.col_idx, pa."column",
+                   CAST(pb.n_rows - pa.n_rows AS BIGINT) AS rows_delta,
+                   CAST(pb.n_null * 1000000 // greatest(pb.n_rows, 1)
+                      - pa.n_null * 1000000 // greatest(pa.n_rows, 1)
+                      AS BIGINT) AS null_rate_delta_ppm,
+                   CAST(pb.n_distinct - pa.n_distinct AS BIGINT)
+                       AS distinct_delta,
+                   pb.min_v - pa.min_v AS min_shift,
+                   pb.max_v - pa.max_v AS max_shift
+            FROM pa JOIN pb USING ("column")
+            ORDER BY pa.col_idx
         """,
         "cur_interleave": """
             WITH r AS (

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     # single-pass data-quality family: per-column profile + rule gate
     "cur_table_profile",
     "cur_quality_gate",
+    "cur_profile_drift",
 ]
 
 

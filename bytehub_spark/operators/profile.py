@@ -160,3 +160,105 @@ def simple_rule_expr(rule: tuple) -> Column:
             )
         )
     raise ValueError(f"unknown (or non-additive) rule kind {kind!r}")
+
+
+def schema_diff(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
+    """Schema-evolution check between two snapshots (driver-side only —
+    no data scan): one row per column name in either schema, with its
+    status (``same`` / ``added`` / ``dropped`` / ``type_changed``) and
+    both dtypes (NULL on the missing side). The pre-append guard a
+    pipeline runs before unioning a new day's data into a table — the
+    data-plane extension of the catalog's save-time schema guard
+    (storage.py append validation).
+
+    Output is built with createDataFrame from the two schemas (a
+    bounded, columns-sized frame) so it composes with the rest of the
+    gate family; order = first-seen column order (A's order, then
+    B-only columns).
+    """
+    from pyspark.sql.session import SparkSession
+
+    spark = df_a.sparkSession or SparkSession.getActiveSession()
+    a = {f.name: f.dataType.simpleString() for f in df_a.schema.fields}
+    b = {f.name: f.dataType.simpleString() for f in df_b.schema.fields}
+    order = list(a) + [c for c in b if c not in a]
+    rows = []
+    for i, c in enumerate(order):
+        ta, tb = a.get(c), b.get(c)
+        if ta is None:
+            status = "added"
+        elif tb is None:
+            status = "dropped"
+        elif ta != tb:
+            status = "type_changed"
+        else:
+            status = "same"
+        rows.append((i, c, status, ta, tb))
+    return spark.createDataFrame(
+        rows,
+        "col_idx int, column string, status string, "
+        "dtype_a string, dtype_b string",
+    )
+
+
+def profile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Snapshot-over-snapshot profile drift — the daily corpus-health
+    diff: joins ``table_profile`` of two snapshots on column (columns
+    present in BOTH, A's schema order) and emits the per-column deltas
+    a pipeline alerts on: row-count delta, null-RATE delta in ppm
+    (rate, not count — snapshots differ in size), distinct-count
+    delta, and min/max shifts. Two single-pass profiles + a
+    columns-sized join; everything integer (ppm rates via BIGINT div),
+    exactly replayed by the DuckDB oracle.
+    """
+    if columns is None:
+        cols_b = {f.name for f in df_b.schema.fields}
+        columns = [
+            f.name for f in df_a.schema.fields if f.name in cols_b
+        ]
+    pa_ = table_profile(df_a, columns, approx).select(
+        "col_idx", "column",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_null").alias("n_null_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+        F.col("min_v").alias("min_a"),
+        F.col("max_v").alias("max_a"),
+    )
+    pb = table_profile(df_b, columns, approx).select(
+        "column",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_null").alias("n_null_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+        F.col("min_v").alias("min_b"),
+        F.col("max_v").alias("max_b"),
+    )
+    null_rate = (
+        "n_null_{s} * 1000000 div greatest(n_rows_{s}, CAST(1 AS BIGINT))"
+    )
+    return (
+        pa_.join(pb, "column")
+        .select(
+            "col_idx",
+            "column",
+            (F.col("n_rows_b") - F.col("n_rows_a"))
+            .cast("long")
+            .alias("rows_delta"),
+            (
+                F.expr(null_rate.format(s="b"))
+                - F.expr(null_rate.format(s="a"))
+            )
+            .cast("long")
+            .alias("null_rate_delta_ppm"),
+            (F.col("n_distinct_b") - F.col("n_distinct_a"))
+            .cast("long")
+            .alias("distinct_delta"),
+            (F.col("min_b") - F.col("min_a")).cast("long").alias("min_shift"),
+            (F.col("max_b") - F.col("max_a")).cast("long").alias("max_shift"),
+        )
+        .orderBy("col_idx")
+    )

@@ -414,3 +414,44 @@ def test_histogram_monitor_equals_batch_any_order(spark):
     # state bound: |types| x (n_buckets + overflow buckets) worst case
     n_types = pdf["event_type"].nunique()
     assert mon.state.count() <= n_types * 12
+
+
+def test_schema_diff_statuses(spark):
+    from bytehub_spark.operators import profile
+
+    a = spark.createDataFrame([(1, "x", 2.0)], "id long, name string, v double")
+    b = (
+        a.drop("v")
+        .withColumn("id", F.col("id").cast("int"))
+        .withColumn("fresh", F.lit("y"))
+    )
+    out = profile.schema_diff(a, b).toPandas().set_index("column")
+    assert out.loc["id", "status"] == "type_changed"
+    assert out.loc["id", "dtype_a"] == "bigint" and out.loc["id", "dtype_b"] == "int"
+    assert out.loc["name", "status"] == "same"
+    assert out.loc["v", "status"] == "dropped" and pd.isna(out.loc["v", "dtype_b"])
+    assert out.loc["fresh", "status"] == "added" and pd.isna(out.loc["fresh", "dtype_a"])
+    # identical schemas: all same
+    same = profile.schema_diff(a, a).toPandas()
+    assert (same["status"] == "same").all()
+
+
+def test_profile_drift_deltas(spark):
+    from bytehub_spark.operators import profile
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3, 4], "tag": ["a", "b", "c", "d"]})
+    )
+    # B: drop one row, null one tag -> null RATE delta = 1/3 in ppm
+    b = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "tag": ["a", None, "c"]})
+    )
+    out = profile.profile_drift(a, b).toPandas().set_index("column")
+    assert out.loc["id", "rows_delta"] == -1
+    assert out.loc["id", "distinct_delta"] == -1
+    assert out.loc["id", "max_shift"] == 3 - 4
+    assert out.loc["tag", "null_rate_delta_ppm"] == 1_000_000 // 3
+    # column present only in one side is excluded by default
+    c = b.withColumn("extra", F.lit(1))
+    out2 = profile.profile_drift(a, c).toPandas()
+    assert "extra" not in set(out2["column"])
