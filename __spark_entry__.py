@@ -83,7 +83,7 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 # at sf0.001, sf0.01, and sf0.1).
 _GATE_FIRST = [
     # Round-7 rotation (VERDICT r06 item 1): head = new + changed +
-    # permanent + ALL 22 r02-stale queries + the 20 stalest r03 greens
+    # permanent + ALL 22 r02-stale queries + the 13 stalest r03 greens
     # in registry order (8 + 4 + 3 + 22 + 13 = 50). Staleness is now an
     # enforced invariant: tests/test_round7.py::test_gate_staleness_bound
     # asserts no registered query's last driver-green round is older
@@ -108,7 +108,7 @@ _GATE_FIRST = [
     "emb_label_affinity", "dedup_canonical", "mm_featurize_bytes",
     "mm_frame_counts", "mm_metadata_stats", "emb_cosine_topk",
     "emb_batch_topk",
-    # --- (e) stalest r03 greens, registry order (20 fill the 50) ---
+    # --- (e) stalest r03 greens, registry order (13 fill the 50) ---
     "cur_pack_greedy", "dedup_containment", "dedup_rate_by_source",
     "dedup_simhash", "dedup_incremental_lsh", "doc_bpe_pairs",
     "ts_seasonal_anomaly", "ts_ohlc_bars", "ts_gap_report",
@@ -2336,7 +2336,9 @@ def _lsh_oracles() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_buckets,
                CAST(max(c) AS BIGINT) AS max_bucket_rows,
                CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
-               CAST((max(c) * 1000000 // sum(c)) * count(*) AS BIGINT)
+               CAST((max(c) * 1000000 // sum(c)) * count(*)
+                    + ((max(c) * 1000000 % sum(c)) * count(*)) // sum(c)
+                    AS BIGINT)
                    AS imbalance_ppm
         FROM occ GROUP BY bands, band ORDER BY bands, band
     """
@@ -5344,7 +5346,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_buckets,
                    CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
                    CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
-                   CAST((MAX(c) * 1000000 // SUM(c)) * COUNT(*) AS BIGINT)
+                   CAST((MAX(c) * 1000000 // SUM(c)) * COUNT(*)
+                    + ((MAX(c) * 1000000 % SUM(c)) * COUNT(*)) // SUM(c)
+                    AS BIGINT)
                        AS imbalance_ppm
             FROM pb GROUP BY band ORDER BY band
         """,
@@ -5363,7 +5367,9 @@ def oracle_sql() -> dict[str, str]:
                        CAST(COUNT(*) AS BIGINT) AS n_buckets,
                        CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
                        CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
-                       CAST((MAX(c) * 1000000 // SUM(c)) * COUNT(*) AS BIGINT)
+                       CAST((MAX(c) * 1000000 // SUM(c)) * COUNT(*)
+                    + ((MAX(c) * 1000000 % SUM(c)) * COUNT(*)) // SUM(c)
+                    AS BIGINT)
                            AS imbalance_ppm
                 FROM pb GROUP BY band
             )
@@ -5377,7 +5383,9 @@ def oracle_sql() -> dict[str, str]:
                        CAST(COUNT(*) AS BIGINT) AS n_buckets,
                        CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
                        CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
-                       CAST((MAX(c) * 1000000 // SUM(c)) * COUNT(*) AS BIGINT)
+                       CAST((MAX(c) * 1000000 // SUM(c)) * COUNT(*)
+                    + ((MAX(c) * 1000000 % SUM(c)) * COUNT(*)) // SUM(c)
+                    AS BIGINT)
                            AS imbalance_ppm
                 FROM pb GROUP BY band
             )
@@ -5391,7 +5399,9 @@ def oracle_sql() -> dict[str, str]:
                        CAST(COUNT(*) AS BIGINT) AS n_buckets,
                        CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
                        CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
-                       CAST((MAX(c) * 1000000 // SUM(c)) * COUNT(*) AS BIGINT)
+                       CAST((MAX(c) * 1000000 // SUM(c)) * COUNT(*)
+                    + ((MAX(c) * 1000000 % SUM(c)) * COUNT(*)) // SUM(c)
+                    AS BIGINT)
                            AS imbalance_ppm
                 FROM pb GROUP BY band
             )

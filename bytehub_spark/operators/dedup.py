@@ -605,13 +605,16 @@ def minhash_band_balance(
     One signature computation (scratch-persisted) feeds every shape; each
     shape costs one slim bucket pass + a two-level aggregation. All
     arithmetic is integer and replayed exactly by the DuckDB oracle.
-    ``imbalance_ppm`` (max bucket over mean bucket) divides BEFORE
-    multiplying by ``n_buckets`` — ``(max_bucket_rows * 1e6 div n_rows)
-    * n_buckets`` — so the intermediate stays under BIGINT until
-    ``n_rows`` ≈ 9.2e12 per band (the pre-fix form overflowed around a
-    few million rows on a skewed band, silently in Spark's non-ANSI
-    mode); the truncation-first form under-reports by < n_buckets ppm,
-    irrelevant at alert thresholds.
+    ``imbalance_ppm`` (max bucket over mean bucket) is the EXACT
+    floor(max·n_buckets·1e6 / n_rows) computed via the two-term
+    identity ``(q·nb) + (r·nb) div n`` with ``q, r = divmod(max·1e6,
+    n_rows)`` — exact because q·nb is integral, and BIGINT-safe to
+    n_rows ≈ 9.2e12 per band for the first term and n_rows·n_buckets
+    ≈ 9.2e18 for the correction (vs the naive max·nb·1e6 form that
+    wrapped around a few million rows, silently in Spark's non-ANSI
+    mode; a truncate-first-only form read 0 ppm on singleton-heavy
+    bands where the mean bucket is ~1 — exactly the skew regime the
+    monitor exists for).
     Mirrors the near-dup sizing advice in the reference's dedup test
     suite only abstractly — the reference has no banding monitor; this is
     the scale tool its fixed-shape design lacks.
@@ -644,7 +647,7 @@ def minhash_band_balance(
                 "n_buckets",
                 "max_bucket_rows",
                 "cand_pairs",
-                F.expr("(max_bucket_rows * 1000000 div n_rows) * n_buckets")
+                F.expr("(max_bucket_rows * 1000000 div n_rows) * n_buckets + ((max_bucket_rows * 1000000 % n_rows) * n_buckets) div n_rows")
                 .cast("long")
                 .alias("imbalance_ppm"),
             )

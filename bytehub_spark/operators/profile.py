@@ -152,13 +152,12 @@ def simple_rule_expr(rule: tuple) -> Column:
             (c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi)))).cast("long")
         )
     if kind == "like":
-        pat = str(rule[3]).replace("'", "''")
-        return F.sum(
-            F.expr(
-                f"CAST((({col}) IS NOT NULL AND NOT ({col}) LIKE "
-                f"'{pat}') AS LONG)"
-            )
-        )
+        # Column API, not f-string SQL: handles any column name the
+        # other rule kinds handle, and the pattern is data, never
+        # spliced into SQL (code-review r07; verified identical
+        # semantics incl. quote and backslash patterns)
+        pat = str(rule[3])
+        return F.sum((c.isNotNull() & ~c.like(pat)).cast("long"))
     raise ValueError(f"unknown (or non-additive) rule kind {kind!r}")
 
 

@@ -695,10 +695,10 @@ def lsh_bucket_balance(
     One bucket pass (the same integer SRP signatures as the operators it
     monitors — what you measure is literally what they join on) and a
     two-level aggregation; everything integer, replayed exactly by the
-    DuckDB oracle. ``imbalance_ppm`` divides before multiplying
-    (``(max_bucket_rows * 1e6 div n_rows) * n_buckets``) to stay under
-    BIGINT up to ~9.2e12 rows/band; truncation-first under-reports by
-    < n_buckets ppm.
+    DuckDB oracle. ``imbalance_ppm`` is the EXACT
+    floor(max·n_buckets·1e6 / n_rows) via the two-term divide-first
+    identity (q·nb + (r·nb) div n) — BIGINT-safe to ~9.2e12 rows/band
+    (first term) and n_rows·n_buckets ≈ 9.2e18 (correction term).
     """
     return _lsh_bucket_stats(
         embeddings, n_planes, bands, id_col, vec_col
@@ -733,7 +733,7 @@ def _lsh_bucket_stats(
         .withColumn(
             "imbalance_ppm",
             F.expr(
-                "(max_bucket_rows * 1000000 div n_rows) * n_buckets"
+                "(max_bucket_rows * 1000000 div n_rows) * n_buckets + ((max_bucket_rows * 1000000 % n_rows) * n_buckets) div n_rows"
             ).cast("long"),
         )
     )
@@ -1393,22 +1393,45 @@ def graph_clusters(
     Every vector appears in the output; non-clustered vectors are
     their own singleton component (component = own id).
     """
-    knn = knn_graph(embeddings, k, n_planes, bands, id_col, vec_col)
-    fwd = knn.where(F.col("cos_u") >= min_cos_u).select(
-        id_col, "neighbor_id"
-    )
-    rev = fwd.select(
-        F.col("neighbor_id").alias(id_col), F.col(id_col).alias("neighbor_id")
-    )
-    mutual = (
-        fwd.join(rev, [id_col, "neighbor_id"])
-        .where(F.col(id_col) < F.col("neighbor_id"))
-        .select(F.col(id_col).alias("doc_a"), F.col("neighbor_id").alias("doc_b"))
-    )
+    mutual = _mutual_knn_edges(
+        embeddings, k, min_cos_u, n_planes, bands, id_col, vec_col
+    ).select("doc_a", "doc_b")
     from .dedup import connected_components
 
     verts = embeddings.select(F.col(id_col))
     return connected_components(mutual, vertices=verts, id_col=id_col)
+
+
+def _mutual_knn_edges(
+    embeddings: DataFrame,
+    k: int,
+    min_cos_u: int,
+    n_planes: int,
+    bands: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(doc_a, doc_b, cos_u) mutual-kNN edges with doc_a < doc_b — the
+    single definition of mutuality (threshold placement, reciprocity
+    join, tie rule) shared by graph_clusters and cluster_quality so the
+    two can never drift (code-review r07)."""
+    knn = knn_graph(embeddings, k, n_planes, bands, id_col, vec_col)
+    fwd = knn.where(F.col("cos_u") >= min_cos_u).select(
+        id_col, "neighbor_id", "cos_u"
+    )
+    rev = fwd.select(
+        F.col("neighbor_id").alias(id_col),
+        F.col(id_col).alias("neighbor_id"),
+    )
+    return (
+        fwd.join(rev, [id_col, "neighbor_id"])
+        .where(F.col(id_col) < F.col("neighbor_id"))
+        .select(
+            F.col(id_col).alias("doc_a"),
+            F.col("neighbor_id").alias("doc_b"),
+            "cos_u",
+        )
+    )
 
 
 def quantize_int8_audit(
@@ -1670,21 +1693,9 @@ def cluster_quality(
     from ..plans.scratch import scratch_persist
     from .dedup import connected_components
 
-    knn = knn_graph(embeddings, k, n_planes, bands, id_col, vec_col)
-    fwd = knn.where(F.col("cos_u") >= min_cos_u).select(
-        id_col, "neighbor_id", "cos_u"
-    )
-    rev = fwd.select(
-        F.col("neighbor_id").alias(id_col),
-        F.col(id_col).alias("neighbor_id"),
-    )
     mutual = scratch_persist(
-        fwd.join(rev, [id_col, "neighbor_id"])
-        .where(F.col(id_col) < F.col("neighbor_id"))
-        .select(
-            F.col(id_col).alias("doc_a"),
-            F.col("neighbor_id").alias("doc_b"),
-            "cos_u",
+        _mutual_knn_edges(
+            embeddings, k, min_cos_u, n_planes, bands, id_col, vec_col
         ),
         StorageLevel.MEMORY_AND_DISK,
     )

@@ -1468,12 +1468,21 @@ class BloomFilterMonitor:
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         from ..operators.dedup import bloom_build_words
 
-        n_docs = batch_df.count()
-        # same tokenization + eligibility as shingle_sets: split on " ",
+        # one job for both counters (code-review r07); same
+        # tokenization + eligibility as shingle_sets: split on " ",
         # docs with < n words emit no shingles and can't be probed
-        n_short = batch_df.where(
-            F.size(F.split(F.col(self.text_col), " ")) < self.n
-        ).count()
+        counts = batch_df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.size(F.split(F.col(self.text_col), " ")) < self.n
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("short"),
+        ).collect()[0]
+        n_docs, n_short = int(counts["n"]), int(counts["short"])
         n_covered = 0
         if self.state is not None and n_docs:
             # eligible docs whose every shingle fully probes the
@@ -1686,6 +1695,14 @@ class QualityGateMonitor:
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         from ..operators.profile import simple_rule_expr
 
+        # one scan of the source per batch: the simple-rule agg plus
+        # each unique rule's groupBy are separate jobs, so persist the
+        # micro-batch for the duration when more than one pass reads it
+        # (code-review r07)
+        n_passes = bool(self._simple) + len(self._unique)
+        persisted = n_passes > 1
+        if persisted:
+            batch_df = batch_df.persist()
         if self._simple:
             aggs = [
                 F.coalesce(simple_rule_expr(rule), F.lit(0))
@@ -1712,6 +1729,8 @@ class QualityGateMonitor:
                 .agg(F.sum("cnt").alias("cnt"))
             )
             self._ustate[k] = eager_checkpoint(merged)
+        if persisted:
+            batch_df.unpersist()
         self._n_batches += 1
 
     def result(self) -> DataFrame:

@@ -8,8 +8,8 @@ oracles and tests/test_round7.py fixtures).
   coarser's — the structural reason minhash_band_recall's recall column
   is monotone non-decreasing in band count.
 - Exact duplicates are captured at EVERY shape (identical signatures).
-- imbalance_ppm divide-first form: BIGINT-safe and under-reports the
-  exact ratio by strictly less than n_buckets ppm.
+- imbalance_ppm two-term divide-first form: BIGINT-safe AND exactly
+  equal to floor(max·n_buckets·1e6 / n_rows).
 - forecast_eval winner law: the CASE verdict equals the argmin of the
   two MAEs with walkovers for missing sides, replayed on the pure
   Holt-Winters / seasonal-naive integer recurrences.
@@ -108,12 +108,16 @@ def test_imbalance_divide_first_bound(bucket_sizes):
     n_rows = sum(bucket_sizes)
     n_buckets = len(bucket_sizes)
     mx = max(bucket_sizes)
-    new = (mx * 1_000_000 // n_rows) * n_buckets
+    q, r = divmod(mx * 1_000_000, n_rows)
+    got = q * n_buckets + (r * n_buckets) // n_rows
     exact = mx * n_buckets * 1_000_000 // n_rows  # unbounded python ints
-    assert 0 <= exact - new < n_buckets
-    # BIGINT safety of every intermediate in the divide-first form
+    # the two-term identity is EXACT (code-review r07: a truncate-only
+    # form read 0 ppm on singleton-heavy bands — the whole signal)
+    assert got == exact
+    # BIGINT safety of every intermediate in the two-term form
     assert mx * 1_000_000 < 2**63
-    assert new < 2**63
+    assert r * n_buckets < 2**63
+    assert got < 2**63
 
 
 # ------------------------------------------------- forecaster winner law

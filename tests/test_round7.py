@@ -1,9 +1,8 @@
 """Round-7 contracts: ADVICE r06 fixes + the forecaster eval rollup.
 
-- ``minhash_band_balance`` / ``lsh_balance``'s ``imbalance_ppm``
-  divides BEFORE multiplying by n_buckets (BIGINT-safe to ~9.2e12
-  rows/band; the pre-fix form wrapped silently around a few million
-  rows on a skewed band while the DuckDB oracle raised).
+- ``minhash_band_balance`` / ``lsh_balance``'s ``imbalance_ppm`` is
+  the exact two-term divide-first form: BIGINT-safe where the naive
+  product wrapped, and never truncated to 0 on singleton-heavy bands.
 - ``rfm_segments`` in explicit sampled mode falls back to exact
   breakpoints (with a warning) when the LCG sample selects zero users,
   instead of NULL-propagating into every score.
@@ -31,11 +30,11 @@ def _docs(spark, rows):
 
 
 def test_band_balance_imbalance_divides_first(spark):
-    # A band with one hot bucket: the old max*n_buckets*1e6 form would
-    # overflow when max_bucket_rows * n_buckets > ~9.2e12 / 1e6. Can't
-    # build 9e6 rows in a unit test, so pin the FORMULA on a small
-    # frame: imbalance_ppm == (max * 1e6 div n_rows) * n_buckets, which
-    # under-reports the exact ratio by < n_buckets ppm.
+    # The old max*n_buckets*1e6 form overflowed around a few million
+    # rows on a skewed band. Can't build 9e6 rows in a unit test, so
+    # pin the FORMULA on a small frame: imbalance_ppm equals the exact
+    # floor(max * n_buckets * 1e6 / n_rows) (two-term divide-first
+    # identity — code-review r07).
     rows = [(i, "a b c d e f g h") for i in range(6)]
     rows += [(i, f"w{i} x{i} y{i} z{i} q{i} r{i} s{i} t{i}") for i in range(6, 10)]
     out = dedup.minhash_band_balance(
@@ -43,8 +42,9 @@ def test_band_balance_imbalance_divides_first(spark):
     ).toPandas()
     for _, r in out.iterrows():
         expect = (
-            int(r.max_bucket_rows) * 1_000_000 // int(r.n_rows)
-        ) * int(r.n_buckets)
+            int(r.max_bucket_rows) * int(r.n_buckets) * 1_000_000
+            // int(r.n_rows)
+        )
         assert int(r.imbalance_ppm) == expect
 
 
@@ -54,8 +54,9 @@ def test_lsh_balance_same_formula(spark):
     assert len(out) > 0
     for _, r in out.iterrows():
         expect = (
-            int(r.max_bucket_rows) * 1_000_000 // int(r.n_rows)
-        ) * int(r.n_buckets)
+            int(r.max_bucket_rows) * int(r.n_buckets) * 1_000_000
+            // int(r.n_rows)
+        )
         assert int(r.imbalance_ppm) == expect
 
 
