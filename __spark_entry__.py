@@ -83,8 +83,8 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 # at sf0.001, sf0.01, and sf0.1).
 _GATE_FIRST = [
     # Round-7 rotation (VERDICT r06 item 1): head = new + changed +
-    # permanent + ALL 22 r02-stale queries + the 13 stalest r03 greens
-    # in registry order (8 + 4 + 3 + 22 + 13 = 50). Staleness is now an
+    # permanent + ALL 22 r02-stale queries + the 12 stalest r03 greens
+    # in registry order (9 + 4 + 3 + 22 + 12 = 50). Staleness is now an
     # enforced invariant: tests/test_round7.py::test_gate_staleness_bound
     # asserts no registered query's last driver-green round is older
     # than 4 rounds behind the latest CORRECTNESS file.
@@ -92,6 +92,7 @@ _GATE_FIRST = [
     "ts_forecast_eval", "emb_lsh_plan", "dedup_band_recall",
     "emb_cluster_quality", "cur_table_profile", "cur_quality_gate",
     "cur_schema_diff", "cur_profile_drift",
+    "cur_ri_gate",
     # --- (b) changed this round: imbalance_ppm divide-first fix
     # (band_balance + lsh_balance Spark AND oracle), rfm sampled-empty
     # exact fallback, holt-winters oracle refactored to tail= form ---
@@ -108,12 +109,11 @@ _GATE_FIRST = [
     "emb_label_affinity", "dedup_canonical", "mm_featurize_bytes",
     "mm_frame_counts", "mm_metadata_stats", "emb_cosine_topk",
     "emb_batch_topk",
-    # --- (e) stalest r03 greens, registry order (13 fill the 50) ---
+    # --- (e) stalest r03 greens, registry order (12 fill the 50) ---
     "cur_pack_greedy", "dedup_containment", "dedup_rate_by_source",
     "dedup_simhash", "dedup_incremental_lsh", "doc_bpe_pairs",
     "ts_seasonal_anomaly", "ts_ohlc_bars", "ts_gap_report",
     "ts_first_touch", "ts_level_shifts", "emb_label_outliers",
-    "emb_pca_project",
     # (emb_pq_topk, emb_ivf_pq_topk, dedup_lsh_novelty, mm_chunk_audio
     # and emb_ivf_topk deferred to r08 to hold the 50 — lag stays <= 4)
 ]
@@ -1532,6 +1532,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             )
         )(load_table(spark, sf, "documents")),
+        # cross-table FK gate (round 7): orders.o_custkey -> customer,
+        # lineitem.l_orderkey -> orders (clean TPC-H FKs) plus a
+        # deliberately-broken third check (orders keys vs the even-key
+        # half of customer) so orphans > 0 exists at every sf. Exact
+        # oracle (anti-join counts).
+        "cur_ri_gate": lambda spark, sf: profile.referential_integrity([
+            (0, load_table(spark, sf, "orders"), "o_custkey",
+             load_table(spark, sf, "customer"), "c_custkey"),
+            (1, load_table(spark, sf, "lineitem"), "l_orderkey",
+             load_table(spark, sf, "orders"), "o_orderkey"),
+            (2, load_table(spark, sf, "orders"), "o_custkey",
+             load_table(spark, sf, "customer").where(
+                 F.col("c_custkey") % 2 == 0
+             ), "c_custkey"),
+        ]),
         # embedding-health monitor (norm mass + adjacent-pair cosine
         # profile, floor-quantized integer sums) — exact oracle
         "emb_health": _q(similarity.embedding_health, "embeddings"),
@@ -6458,6 +6473,42 @@ def oracle_sql() -> dict[str, str]:
                    pb.max_v - pa.max_v AS max_shift
             FROM pa JOIN pb USING ("column")
             ORDER BY pa.col_idx
+        """,
+        # anti-join FK counts replayed per check
+        "cur_ri_gate": """
+            WITH c0 AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_child,
+                       CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL
+                           THEN 1 END), 0) AS BIGINT) AS n_orphans
+                FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey
+                    FROM customer) c ON c.c_custkey = o.o_custkey
+                WHERE o.o_custkey IS NOT NULL
+            ),
+            c1 AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_child,
+                       CAST(coalesce(sum(CASE WHEN p.o_orderkey IS NULL
+                           THEN 1 END), 0) AS BIGINT) AS n_orphans
+                FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey
+                    FROM orders) p ON p.o_orderkey = l.l_orderkey
+                WHERE l.l_orderkey IS NOT NULL
+            ),
+            c2 AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_child,
+                       CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL
+                           THEN 1 END), 0) AS BIGINT) AS n_orphans
+                FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey
+                    FROM customer WHERE c_custkey % 2 = 0) c
+                  ON c.c_custkey = o.o_custkey
+                WHERE o.o_custkey IS NOT NULL
+            )
+            SELECT 0 AS check_id, 'o_custkey' AS child_col,
+                   'c_custkey' AS parent_col, n_child, n_orphans,
+                   n_orphans = 0 AS passed FROM c0
+            UNION ALL SELECT 1, 'l_orderkey', 'o_orderkey', n_child,
+                   n_orphans, n_orphans = 0 FROM c1
+            UNION ALL SELECT 2, 'o_custkey', 'c_custkey', n_child,
+                   n_orphans, n_orphans = 0 FROM c2
+            ORDER BY check_id
         """,
         "cur_interleave": """
             WITH r AS (

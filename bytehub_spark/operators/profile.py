@@ -261,3 +261,44 @@ def profile_drift(
         )
         .orderBy("col_idx")
     )
+
+
+def referential_integrity(
+    checks: list[tuple],
+) -> DataFrame:
+    """Cross-table foreign-key gate — the constraint the single-table
+    ``check_constraints`` can't express: for each check
+    ``(check_id, child_df, child_col, parent_df, parent_col)``, count
+    child rows (NULLs excluded — pair with a not_null rule to forbid
+    them) whose key has no match in the parent. Violations come from a
+    LEFT ANTI join against the DISTINCT parent keys — at scale the
+    parent key set is usually dimension-sized and broadcastable, and
+    the anti join is the same shape the engine's GC anti-join
+    (core.py J4) already runs at corpus size.
+
+    Output: one row per check (check_id, child_col, parent_col,
+    n_child, n_orphans, passed), ordered by check_id.
+    """
+    from pyspark.sql.session import SparkSession
+
+    rows = []
+    spark = None
+    for chk in checks:
+        cid, child, ccol, parent, pcol = (
+            int(chk[0]), chk[1], str(chk[2]), chk[3], str(chk[4])
+        )
+        spark = spark or child.sparkSession or SparkSession.getActiveSession()
+        keyed = child.where(F.col(ccol).isNotNull()).select(
+            F.col(ccol).alias("__k")
+        )
+        pk = parent.select(F.col(pcol).alias("__k")).distinct()
+        n_child = keyed.count()
+        n_orphans = keyed.join(pk, "__k", "left_anti").count()
+        rows.append(
+            (cid, ccol, pcol, n_child, n_orphans, n_orphans == 0)
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "check_id int, child_col string, parent_col string, "
+        "n_child long, n_orphans long, passed boolean",
+    )

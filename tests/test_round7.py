@@ -456,3 +456,24 @@ def test_profile_drift_deltas(spark):
     c = b.withColumn("extra", F.lit(1))
     out2 = profile.profile_drift(a, c).toPandas()
     assert "extra" not in set(out2["column"])
+
+
+def test_referential_integrity_counts(spark):
+    from bytehub_spark.operators import profile
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 9), (4, None)], "id long, fk long"
+    )
+    out = profile.referential_integrity([
+        (0, child, "fk", parent, "k"),
+    ]).toPandas()
+    r = out.iloc[0]
+    assert r.n_child == 3        # NULL fk excluded
+    assert r.n_orphans == 1      # fk=9 has no parent
+    assert not r.passed
+    # clean check passes
+    ok = profile.referential_integrity([
+        (0, child.where(F.col("fk") < 3), "fk", parent, "k"),
+    ]).toPandas()
+    assert ok.iloc[0].passed and ok.iloc[0].n_orphans == 0
