@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "cur_table_profile",
     "cur_quality_gate",
     "cur_profile_drift",
+    "cur_ri_gate",
 ]
 
 
