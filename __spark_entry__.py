@@ -83,8 +83,8 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 # at sf0.001, sf0.01, and sf0.1).
 _GATE_FIRST = [
     # Round-7 rotation (VERDICT r06 item 1): head = new + changed +
-    # permanent + ALL 22 r02-stale queries + the 12 stalest r03 greens
-    # in registry order (9 + 4 + 3 + 22 + 12 = 50). Staleness is now an
+    # permanent + ALL 22 r02-stale queries + the 11 stalest r03 greens
+    # in registry order (10 + 4 + 3 + 22 + 11 = 50). Staleness is now an
     # enforced invariant: tests/test_round7.py::test_gate_staleness_bound
     # asserts no registered query's last driver-green round is older
     # than 4 rounds behind the latest CORRECTNESS file.
@@ -92,7 +92,7 @@ _GATE_FIRST = [
     "ts_forecast_eval", "emb_lsh_plan", "dedup_band_recall",
     "emb_cluster_quality", "cur_table_profile", "cur_quality_gate",
     "cur_schema_diff", "cur_profile_drift",
-    "cur_ri_gate",
+    "cur_ri_gate", "join_band_values",
     # --- (b) changed this round: imbalance_ppm divide-first fix
     # (band_balance + lsh_balance Spark AND oracle), rfm sampled-empty
     # exact fallback, holt-winters oracle refactored to tail= form ---
@@ -109,11 +109,11 @@ _GATE_FIRST = [
     "emb_label_affinity", "dedup_canonical", "mm_featurize_bytes",
     "mm_frame_counts", "mm_metadata_stats", "emb_cosine_topk",
     "emb_batch_topk",
-    # --- (e) stalest r03 greens, registry order (12 fill the 50) ---
+    # --- (e) stalest r03 greens, registry order (11 fill the 50) ---
     "cur_pack_greedy", "dedup_containment", "dedup_rate_by_source",
     "dedup_simhash", "dedup_incremental_lsh", "doc_bpe_pairs",
     "ts_seasonal_anomaly", "ts_ohlc_bars", "ts_gap_report",
-    "ts_first_touch", "ts_level_shifts", "emb_label_outliers",
+    "ts_first_touch", "ts_level_shifts",
     # (emb_pq_topk, emb_ivf_pq_topk, dedup_lsh_novelty, mm_chunk_audio
     # and emb_ivf_topk deferred to r08 to hold the 50 — lag stays <= 4)
 ]
@@ -604,6 +604,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ts_partition_derive": _q(events_ops.partition_derivation, "events"),
         "ts_json_extract": _q(events_ops.json_extract_props, "events"),
+        # numeric eps-band self-join (round 7): same event_type,
+        # |floor(value*1e6) delta| <= 5000 — the bucketized range-join
+        # pattern (3-way fan-out equi-join, never a BNLJ); per-type pair
+        # counts + abs-diff stats. Oracle replays the SAME bucket
+        # fan-out (a naive pair join would be per-type-quadratic).
+        "join_band_values": lambda spark, sf: (
+            lambda j: (
+                j.where(F.col("event_id_a") < F.col("event_id_b"))
+                .groupBy("event_type")
+                .agg(
+                    F.count("*").alias("n_pairs"),
+                    F.sum(F.abs(F.col("v_u_a") - F.col("v_u_b")))
+                    .cast("long")
+                    .alias("sum_absdiff_u"),
+                    F.max(F.abs(F.col("v_u_a") - F.col("v_u_b")))
+                    .cast("long")
+                    .alias("max_absdiff_u"),
+                )
+                .orderBy("event_type")
+            )
+        )(
+            (lambda ev: asof.band_join(
+                ev, ev, ["event_type"], "value", 5000,
+                ["event_id"], ["event_id"],
+            ))(load_table(spark, sf, "events"))
+        ),
         "ts_asof_join": _q(events_ops.purchases_with_last_click, "events"),
         "ts_rollup": _q(events_ops.rollup_counts, "events"),
         "ts_moving_avg": _q(events_ops.moving_avg_per_user, "events"),
@@ -6509,6 +6535,37 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'o_custkey', 'c_custkey', n_child,
                    n_orphans, n_orphans = 0 FROM c2
             ORDER BY check_id
+        """,
+        # the same 3-fan-out bucket equi-join the Spark op plans (a
+        # naive per-type pair join is quadratic); exact integer filter
+        "join_band_values": """
+            WITH q AS (
+                SELECT event_type, event_id,
+                       CAST(floor(CAST(value AS DOUBLE) * 1000000)
+                           AS BIGINT) AS v_u
+                FROM events
+            ),
+            l AS (
+                SELECT event_type, event_id, v_u,
+                       CAST(floor(v_u / 5000.0) AS BIGINT) + d AS bucket
+                FROM q, (SELECT unnest([-1, 0, 1]) AS d)
+            ),
+            r AS (
+                SELECT event_type, event_id, v_u,
+                       CAST(floor(v_u / 5000.0) AS BIGINT) AS bucket
+                FROM q
+            )
+            SELECT l.event_type,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(abs(l.v_u - r.v_u)) AS BIGINT)
+                       AS sum_absdiff_u,
+                   CAST(max(abs(l.v_u - r.v_u)) AS BIGINT)
+                       AS max_absdiff_u
+            FROM l JOIN r ON l.event_type = r.event_type
+                AND l.bucket = r.bucket
+                AND l.event_id < r.event_id
+            WHERE abs(l.v_u - r.v_u) <= 5000
+            GROUP BY l.event_type ORDER BY l.event_type
         """,
         "cur_interleave": """
             WITH r AS (

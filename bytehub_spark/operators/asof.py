@@ -168,3 +168,72 @@ def asof_join_nearest(
         F.col("__chosen.__t").alias(f"{time_col}{suffix}"),
         *[F.col(f"__chosen.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    eps_u: int,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """Numeric ε-band join — the range-join pattern Spark would
+    otherwise plan as a BroadcastNestedLoopJoin (the classic scale
+    killer): all (left, right) pairs sharing ``keys`` whose µ-quantized
+    values (floor(value·1e6), BIGINT) differ by at most ``eps_u``.
+
+    Plan: both sides bucket by floor(v_u / eps_u); the LEFT side fans
+    out to buckets {b−1, b, b+1} (3 slim rows per input row), the join
+    is a pure EQUI-join on (keys…, bucket), and the exact |Δ| ≤ eps_u
+    filter runs post-join. A qualifying pair's right bucket is always
+    within one of the left bucket, and the left row meets it at exactly
+    ONE of its three fan-out buckets — so no pair is missed and none is
+    duplicated (no distinct needed). Floor division (not Spark's
+    truncating ``div``) keeps bucket adjacency correct for negative
+    values. At 100 TB this is one shuffle per side on (keys, bucket);
+    skew follows value density, monitored the same way the LSH bucket
+    monitors watch their join keys.
+
+    ``left_cols`` / ``right_cols`` select the output payload (suffixed
+    ``_a`` / ``_b``); the quantized values ride along as ``v_u_a`` /
+    ``v_u_b``. Quantization to integer µ-units before comparing keeps
+    the band predicate engine-exact (no float subtraction at the
+    boundary).
+    """
+    eps_u = int(eps_u)
+    if eps_u <= 0:
+        raise ValueError("band_join: eps_u must be positive")
+    ks = list(keys)
+
+    def prep(df: DataFrame, cols: Sequence[str], suffix: str) -> DataFrame:
+        v_u = F.expr(
+            f"CAST(floor(CAST({value_col} AS DOUBLE) * 1000000) AS BIGINT)"
+        )
+        out = df.select(
+            *ks,
+            v_u.alias(f"v_u{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in cols],
+        )
+        return out.withColumn(
+            "__bucket",
+            F.floor(F.col(f"v_u{suffix}") / F.lit(eps_u)).cast("long"),
+        )
+
+    l = prep(left, left_cols, "_a").withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.col("__bucket") - 1, F.col("__bucket"), F.col("__bucket") + 1
+            )
+        ),
+    )
+    r = prep(right, right_cols, "_b")
+    return (
+        l.join(r, [*ks, "__bucket"])
+        .where(
+            F.abs(F.col("v_u_a") - F.col("v_u_b")) <= F.lit(eps_u)
+        )
+        .drop("__bucket")
+    )

@@ -477,3 +477,44 @@ def test_referential_integrity_counts(spark):
         (0, child.where(F.col("fk") < 3), "fk", parent, "k"),
     ]).toPandas()
     assert ok.iloc[0].passed and ok.iloc[0].n_orphans == 0
+
+
+def test_band_join_exact_vs_naive(spark):
+    """Bucketized band join == the naive quadratic filter (no missed
+    pairs at bucket boundaries, no duplicates from the 3-way fan-out),
+    including negative values where truncating division would break
+    bucket adjacency."""
+    from bytehub_spark.operators import asof
+
+    import itertools
+    rows = [
+        (i, "t", v)
+        for i, v in enumerate(
+            [-0.0101, -0.01, -0.0049, -0.001, 0.0, 0.0049, 0.005,
+             0.0051, 0.01, 1.0, 1.0049, 1.0051]
+        )
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    j = (
+        asof.band_join(df, df, ["event_type"], "value", 5000,
+                       ["event_id"], ["event_id"])
+        .where(F.col("event_id_a") < F.col("event_id_b"))
+        .select("event_id_a", "event_id_b")
+        .toPandas()
+    )
+    got = set(map(tuple, j.values.tolist()))
+    vu = {i: int(np_floor(v * 1_000_000)) for i, _, v in rows}
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vu), 2)
+        if abs(vu[a] - vu[b]) <= 5000
+    }
+    assert got == expect
+    # sanity: boundary pair at exactly eps included, eps+1 excluded
+    assert (4, 6) in got       # 0.0 vs 0.005 -> 5000 included
+    assert (4, 7) not in got   # 0.0 vs 0.0051 -> 5100 excluded
+
+
+def np_floor(x):
+    import math
+    return math.floor(x)
