@@ -1980,6 +1980,7 @@ def minhash_band_recall(
     min_j_ppm: int = 400_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """The RECALL side of the band-shape decision —
     ``minhash_band_balance``'s companion: per candidate band count, the
@@ -1999,11 +2000,19 @@ def minhash_band_recall(
     (scratch-persisted) feeds every shape; each shape adds a slim
     bucket self-join + a distinct + one broadcast-joined rollup over
     the (truth-sized, not corpus-sized) pair frame. All integer,
-    replayed exactly by the DuckDB oracle.
+    replayed exactly by the DuckDB oracle (at the default
+    ``max_doc_freq=None``). On duplicate-heavy / narrow-vocabulary
+    shards the truth join's Σdf² explodes on stopword-like shingles —
+    pass ``max_doc_freq`` (the same df-cut knob as
+    ``ngram_jaccard_pairs``, truth j becomes a slight underestimate)
+    or shrink the shard; measured: a 20k-doc shard of the 500k
+    low-diversity corpus needs the df-cut to finish at all.
     """
     from ..plans.scratch import scratch_persist
 
-    pair_src = _shingle_pair_source(documents, n, text_col, id_col, None)
+    pair_src = _shingle_pair_source(
+        documents, n, text_col, id_col, max_doc_freq
+    )
     truth = scratch_persist(
         _pair_counts(pair_src, id_col)
         .select(
