@@ -114,8 +114,11 @@ _GATE_FIRST = [
     "dedup_simhash", "dedup_incremental_lsh", "doc_bpe_pairs",
     "ts_seasonal_anomaly", "ts_ohlc_bars", "ts_gap_report",
     "ts_first_touch", "ts_level_shifts",
-    # (emb_pq_topk, emb_ivf_pq_topk, dedup_lsh_novelty, mm_chunk_audio
-    # and emb_ivf_topk deferred to r08 to hold the 50 — lag stays <= 4)
+    # (deferred to r08 to hold the 50, lag stays <= 4: emb_pq_topk,
+    # emb_ivf_pq_topk, dedup_lsh_novelty, mm_chunk_audio, emb_ivf_topk,
+    # ts_user_profiles, cur_corpus_pipeline, emb_label_outliers,
+    # emb_pca_project — 30 r03 greens total remain outside this head;
+    # recompute from CORRECTNESS_r*.json, never from these comments)
 ]
 
 

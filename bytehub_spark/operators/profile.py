@@ -270,35 +270,53 @@ def referential_integrity(
     ``check_constraints`` can't express: for each check
     ``(check_id, child_df, child_col, parent_df, parent_col)``, count
     child rows (NULLs excluded — pair with a not_null rule to forbid
-    them) whose key has no match in the parent. Violations come from a
-    LEFT ANTI join against the DISTINCT parent keys — at scale the
-    parent key set is usually dimension-sized and broadcastable, and
-    the anti join is the same shape the engine's GC anti-join
-    (core.py J4) already runs at corpus size.
+    them) whose key has no match in the parent. One LAZY aggregation
+    per check — a left join against the DISTINCT parent keys computes
+    n_child and n_orphans in a single pass over the child (the same
+    shape as the DuckDB oracle), and the checks union into one plan so
+    the plan-fingerprint gate sees the real joins (code-review r07:
+    the first version ran two eager jobs per check and returned a
+    driver-built LocalRelation the plan audit couldn't see into). At
+    scale the distinct parent key set is dimension-sized and
+    broadcastable; the join is the same anti-join shape the engine's
+    GC (core.py J4) runs at corpus size.
 
     Output: one row per check (check_id, child_col, parent_col,
     n_child, n_orphans, passed), ordered by check_id.
     """
-    from pyspark.sql.session import SparkSession
-
-    rows = []
-    spark = None
+    out: DataFrame | None = None
     for chk in checks:
         cid, child, ccol, parent, pcol = (
             int(chk[0]), chk[1], str(chk[2]), chk[3], str(chk[4])
         )
-        spark = spark or child.sparkSession or SparkSession.getActiveSession()
         keyed = child.where(F.col(ccol).isNotNull()).select(
             F.col(ccol).alias("__k")
         )
-        pk = parent.select(F.col(pcol).alias("__k")).distinct()
-        n_child = keyed.count()
-        n_orphans = keyed.join(pk, "__k", "left_anti").count()
-        rows.append(
-            (cid, ccol, pcol, n_child, n_orphans, n_orphans == 0)
+        pk = (
+            parent.select(F.col(pcol).alias("__k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
         )
-    return spark.createDataFrame(
-        sorted(rows),
-        "check_id int, child_col string, parent_col string, "
-        "n_child long, n_orphans long, passed boolean",
-    )
+        agg = (
+            keyed.join(pk, "__k", "left")
+            .agg(
+                F.count("*").cast("long").alias("n_child"),
+                F.coalesce(
+                    F.sum(F.col("__hit").isNull().cast("long")), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(cid).cast("int").alias("check_id"),
+                F.lit(ccol).alias("child_col"),
+                F.lit(pcol).alias("parent_col"),
+                "n_child",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("passed"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    if out is None:
+        raise ValueError("referential_integrity: empty checks list")
+    return out.orderBy("check_id")

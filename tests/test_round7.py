@@ -503,6 +503,9 @@ def test_band_join_exact_vs_naive(spark):
         .toPandas()
     )
     got = set(map(tuple, j.values.tolist()))
+    # multiplicity: the 3-way fan-out must emit each pair exactly ONCE
+    # (a set comparison alone would hide duplicates — code-review r07)
+    assert len(j) == len(got)
     vu = {i: int(np_floor(v * 1_000_000)) for i, _, v in rows}
     expect = {
         (a, b)
@@ -518,3 +521,10 @@ def test_band_join_exact_vs_naive(spark):
 def np_floor(x):
     import math
     return math.floor(x)
+
+
+def test_referential_integrity_empty_checks_raises(spark):
+    from bytehub_spark.operators import profile
+
+    with pytest.raises(ValueError):
+        profile.referential_integrity([])
