@@ -83,8 +83,8 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 # at sf0.001, sf0.01, and sf0.1).
 _GATE_FIRST = [
     # Round-7 rotation (VERDICT r06 item 1): head = new + changed +
-    # permanent + ALL 22 r02-stale queries + the 11 stalest r03 greens
-    # in registry order (10 + 4 + 3 + 22 + 11 = 50). Staleness is now an
+    # permanent + ALL 22 r02-stale queries + the 10 stalest r03 greens
+    # in registry order (11 + 4 + 3 + 22 + 10 = 50). Staleness is now an
     # enforced invariant: tests/test_round7.py::test_gate_staleness_bound
     # asserts no registered query's last driver-green round is older
     # than 4 rounds behind the latest CORRECTNESS file.
@@ -92,7 +92,7 @@ _GATE_FIRST = [
     "ts_forecast_eval", "emb_lsh_plan", "dedup_band_recall",
     "emb_cluster_quality", "cur_table_profile", "cur_quality_gate",
     "cur_schema_diff", "cur_profile_drift",
-    "cur_ri_gate", "join_band_values",
+    "cur_ri_gate", "join_band_values", "ts_histogram_quantile",
     # --- (b) changed this round: imbalance_ppm divide-first fix
     # (band_balance + lsh_balance Spark AND oracle), rfm sampled-empty
     # exact fallback, holt-winters oracle refactored to tail= form ---
@@ -109,15 +109,16 @@ _GATE_FIRST = [
     "emb_label_affinity", "dedup_canonical", "mm_featurize_bytes",
     "mm_frame_counts", "mm_metadata_stats", "emb_cosine_topk",
     "emb_batch_topk",
-    # --- (e) stalest r03 greens, registry order (11 fill the 50) ---
+    # --- (e) stalest r03 greens, registry order (10 fill the 50) ---
     "cur_pack_greedy", "dedup_containment", "dedup_rate_by_source",
     "dedup_simhash", "dedup_incremental_lsh", "doc_bpe_pairs",
     "ts_seasonal_anomaly", "ts_ohlc_bars", "ts_gap_report",
-    "ts_first_touch", "ts_level_shifts",
+    "ts_first_touch",
     # (deferred to r08 to hold the 50, lag stays <= 4: emb_pq_topk,
     # emb_ivf_pq_topk, dedup_lsh_novelty, mm_chunk_audio, emb_ivf_topk,
     # ts_user_profiles, cur_corpus_pipeline, emb_label_outliers,
-    # emb_pca_project — 30 r03 greens total remain outside this head;
+    # emb_pca_project, ts_level_shifts — 31 r03 greens total remain
+    # outside this head;
     # recompute from CORRECTNESS_r*.json, never from these comments)
 ]
 
@@ -673,6 +674,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start"),
         "ts_histogram": _q(events_ops.value_histogram, "events"),
+        # quantile BRACKETS from the bounded-state histogram (round 7):
+        # per (type, q) the smallest bucket whose cumsum reaches
+        # ceil(q*total), with its value bounds — one bucket width of
+        # certainty from |types|*(buckets+2) state rows; the query form
+        # of HistogramMonitor's claim. Exact oracle.
+        "ts_histogram_quantile": _q(
+            events_ops.histogram_quantile_brackets, "events"
+        ),
         # --- analytical joins/aggregations (SURVEY §2.3-§2.4) ---
         "tpch_q1": _q(tpch.q1_pricing_summary, "lineitem"),
         "tpch_q3": _q(tpch.q3_shipping_priority, "customer", "orders", "lineitem"),
@@ -2912,6 +2921,44 @@ def oracle_sql() -> dict[str, str]:
                         END AS INTEGER) AS bucket,
                    count(*) AS n
             FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket
+        """,
+        # cumulative walk over the same clamped-bucket arithmetic;
+        # integer ceil threshold, identical double bounds expression
+        "ts_histogram_quantile": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST(CASE WHEN value < 0.0 THEN 0
+                                 WHEN value >= 100.0 THEN 11
+                                 ELSE CAST(floor((value - 0.0)
+                                     / ((100.0 - 0.0) / 10)) AS INTEGER) + 1
+                            END AS INTEGER) AS bucket,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type, bucket
+            ),
+            c AS (
+                SELECT event_type, bucket,
+                       sum(n) OVER (PARTITION BY event_type
+                                    ORDER BY bucket) AS cum,
+                       sum(n) OVER (PARTITION BY event_type) AS total
+                FROM h
+            ),
+            p AS (
+                SELECT event_type, q.q_ppm,
+                       CAST(min(bucket) AS INTEGER) AS bucket
+                FROM c, (SELECT unnest([500000, 950000, 990000])
+                         AS q_ppm) q
+                WHERE cum >= (q.q_ppm * total + 999999) // 1000000
+                GROUP BY event_type, q.q_ppm
+            )
+            SELECT event_type, CAST(q_ppm AS BIGINT) AS q_ppm, bucket,
+                   CASE WHEN bucket BETWEEN 1 AND 10
+                        THEN 0.0 + (bucket - 1) * ((100.0 - 0.0) / 10)
+                   END AS lo_v,
+                   CASE WHEN bucket BETWEEN 1 AND 10
+                        THEN 0.0 + bucket * ((100.0 - 0.0) / 10)
+                   END AS hi_v
+            FROM p ORDER BY event_type, q_ppm
         """,
         "ts_rollup": """
             SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,

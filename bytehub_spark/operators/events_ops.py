@@ -756,6 +756,17 @@ def value_histogram(events: DataFrame, lo: float = 0.0, hi: float = 100.0,
                     n_buckets: int = 10) -> DataFrame:
     """Fixed-width value histogram per event type (width_bucket — one
     shuffle, integer counts, exact cross-engine)."""
+    return _value_histogram_unsorted(events, lo, hi, n_buckets).orderBy(
+        "event_type", "bucket"
+    )
+
+
+def _value_histogram_unsorted(
+    events: DataFrame, lo: float, hi: float, n_buckets: int
+) -> DataFrame:
+    """value_histogram without the output sort — the composable core
+    (histogram_quantile_brackets builds windows on top and must not
+    embed a mid-plan global sort; same lesson as _lsh_bucket_stats)."""
     return (
         events.select(
             "event_type",
@@ -763,7 +774,6 @@ def value_histogram(events: DataFrame, lo: float = 0.0, hi: float = 100.0,
         )
         .groupBy("event_type", "bucket")
         .agg(F.count("*").alias("n"))
-        .orderBy("event_type", "bucket")
     )
 
 
@@ -2054,3 +2064,69 @@ def forecast_eval(
         )
         .orderBy("event_type")
     )
+
+
+def histogram_quantile_brackets(
+    events: DataFrame,
+    q_ppms: tuple[int, ...] = (500_000, 950_000, 990_000),
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Quantile BRACKETS from the fixed-width histogram — the query
+    form of HistogramMonitor's bounded-state claim: for each
+    (event_type, q) the smallest histogram bucket whose cumulative
+    count reaches ceil(q·total), plus that bucket's value bounds. The
+    true q-quantile provably lies in [lo_v, hi_v) — one bucket width of
+    certainty from |types|·(n_buckets+2) rows of state, never a
+    value-buffering percentile. This is how a 100 TB pipeline reads
+    "p95 is between 40 and 50" from a monitor table instead of paying
+    a sort-based exact percentile (value_quantiles is the exact twin,
+    ts_rfm_bp_audit the est-vs-exact audit pattern).
+
+    All selection arithmetic is integer (cum·1 vs the ceil threshold
+    (q·total + 999999) div 1e6); bucket bounds are the identical
+    lo + k·(hi−lo)/n double expression in both engines. width_bucket's
+    overflow buckets (0 = below lo, n+1 = above hi) participate in the
+    cumulative walk with NULL bounds on their open side. NULL values
+    never enter (width_bucket(NULL) rows are excluded). Shape: the
+    data-sized work is value_histogram's one map-side-combined rollup;
+    everything after runs on |types|·(n_buckets+2) rows.
+    """
+    h = _value_histogram_unsorted(events, lo, hi, n_buckets).where(
+        F.col("bucket").isNotNull()
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy("event_type"))
+    )
+    qs = F.explode(
+        F.array(*[F.lit(int(q)).cast("long") for q in q_ppms])
+    ).alias("q_ppm")
+    width = (hi - lo) / n_buckets
+    picked = (
+        cum.select("event_type", "bucket", "cum", "total", qs)
+        .where(
+            F.col("cum")
+            >= F.expr("(q_ppm * total + 999999) div 1000000")
+        )
+        .groupBy("event_type", "q_ppm")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return picked.select(
+        "event_type",
+        "q_ppm",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.when(
+            (F.col("bucket") >= 1) & (F.col("bucket") <= n_buckets),
+            F.lit(lo) + (F.col("bucket") - 1) * F.lit(width),
+        ).alias("lo_v"),
+        F.when(
+            (F.col("bucket") >= 1) & (F.col("bucket") <= n_buckets),
+            F.lit(lo) + F.col("bucket") * F.lit(width),
+        ).alias("hi_v"),
+    ).orderBy("event_type", "q_ppm")

@@ -528,3 +528,33 @@ def test_referential_integrity_empty_checks_raises(spark):
 
     with pytest.raises(ValueError):
         profile.referential_integrity([])
+
+
+def test_histogram_quantile_brackets_contain_truth(spark):
+    """The bracketed bucket must CONTAIN the exact percentile (the
+    monitor's one-bucket-width guarantee), for every type and q."""
+    from bytehub_spark.operators import events_ops
+
+    ev = load_table(spark, SF, "events")
+    br = events_ops.histogram_quantile_brackets(ev).toPandas()
+    exact = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("500000"),
+            F.expr("percentile(value, 0.95)").alias("950000"),
+            F.expr("percentile(value, 0.99)").alias("990000"),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    for _, r in br.iterrows():
+        true_q = exact.loc[r.event_type, str(r.q_ppm)]
+        if pd.notna(r.lo_v):
+            # interior bucket: truth inside [lo_v, hi_v] (percentile's
+            # linear interpolation can land exactly on a bucket edge)
+            assert r.lo_v <= true_q <= r.hi_v, (r.event_type, r.q_ppm)
+        elif r.bucket == 11:
+            assert true_q >= 100.0
+        else:
+            assert true_q < 0.0
