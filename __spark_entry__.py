@@ -1901,13 +1901,16 @@ def _cosine_bucket_ctes(n_planes: int, bands: int, src: str = "embeddings") -> s
             FROM proj GROUP BY vec_id, p // {n_planes}
         )"""
 
-def _graph_cc_ctes() -> str:
+def _graph_cc_ctes(src: str = "embeddings", prelude: str = "") -> str:
     """Shared WITH chain for the mutual-kNN cluster oracles
     (emb_graph_clusters, emb_cluster_quality): SRP buckets -> candidate
     pairs -> integer-GEMM cosine -> top-5 fwd -> mutual edges ->
-    recursive min-label connected components, ending at ``comp``."""
+    recursive min-label connected components, ending at ``comp``.
+    ``src`` names the vectors relation (a ``prelude`` CTE may define
+    it — the twin-injection hook that keeps the cluster_quality gate
+    row non-vacuous at every sf; VERDICT r07)."""
     return f"""
-            WITH {_cosine_bucket_ctes(8, 6)},
+            WITH {prelude}{_cosine_bucket_ctes(8, 6, src)},
             norms AS (SELECT vec_id, SUM(q * q) AS nq FROM dims
                       GROUP BY vec_id),
             cand AS (
@@ -6595,16 +6598,20 @@ def oracle_sql() -> dict[str, str]:
                            AS BIGINT) AS v_u
                 FROM events
             ),
-            l AS (
+            -- exact BIGINT floor division (// truncates toward zero;
+            -- remainder correction for negatives) — mirrors band_join,
+            -- exact for |v_u| > 2^53 where floor(v_u/5000.0) is not
+            b AS (
                 SELECT event_type, event_id, v_u,
-                       CAST(floor(v_u / 5000.0) AS BIGINT) + d AS bucket
-                FROM q, (SELECT unnest([-1, 0, 1]) AS d)
-            ),
-            r AS (
-                SELECT event_type, event_id, v_u,
-                       CAST(floor(v_u / 5000.0) AS BIGINT) AS bucket
+                       CAST((v_u // 5000) - (CASE WHEN v_u % 5000 < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bucket
                 FROM q
-            )
+            ),
+            l AS (
+                SELECT event_type, event_id, v_u, bucket + d AS bucket
+                FROM b, (SELECT unnest([-1, 0, 1]) AS d)
+            ),
+            r AS (SELECT * FROM b)
             SELECT l.event_type,
                    CAST(count(*) AS BIGINT) AS n_pairs,
                    CAST(sum(abs(l.v_u - r.v_u)) AS BIGINT)

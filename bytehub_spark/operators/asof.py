@@ -190,8 +190,11 @@ def band_join(
     filter runs post-join. A qualifying pair's right bucket is always
     within one of the left bucket, and the left row meets it at exactly
     ONE of its three fan-out buckets — so no pair is missed and none is
-    duplicated (no distinct needed). Floor division (not Spark's
-    truncating ``div``) keeps bucket adjacency correct for negative
+    duplicated (no distinct needed). Buckets are EXACT BIGINT floor
+    division (``div`` plus a remainder correction for negatives — never
+    a DOUBLE divide, whose rounding could shift a bucket by 1 for
+    |v_u| > 2^53 and silently drop qualifying pairs; ADVICE r07). Floor
+    (not truncation) keeps bucket adjacency correct for negative
     values. At 100 TB this is one shuffle per side on (keys, bucket);
     skew follows value density, monitored the same way the LSH bucket
     monitors watch their join keys.
@@ -216,9 +219,16 @@ def band_join(
             v_u.alias(f"v_u{suffix}"),
             *[F.col(c).alias(f"{c}{suffix}") for c in cols],
         )
+        # exact integer floor division: BIGINT `div` truncates toward
+        # zero; subtract 1 when the remainder is negative (eps_u > 0).
+        # Pure BIGINT arithmetic — exact for the full value domain.
+        v = f"v_u{suffix}"
         return out.withColumn(
             "__bucket",
-            F.floor(F.col(f"v_u{suffix}") / F.lit(eps_u)).cast("long"),
+            F.expr(
+                f"CAST(({v} div {eps_u}) - (CASE WHEN {v} % {eps_u} < 0 "
+                f"THEN 1 ELSE 0 END) AS BIGINT)"
+            ),
         )
 
     l = prep(left, left_cols, "_a").withColumn(

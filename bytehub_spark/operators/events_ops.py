@@ -2077,9 +2077,12 @@ def histogram_quantile_brackets(
     form of HistogramMonitor's bounded-state claim: for each
     (event_type, q) the smallest histogram bucket whose cumulative
     count reaches ceil(q·total), plus that bucket's value bounds. The
-    true q-quantile provably lies in [lo_v, hi_v) — one bucket width of
-    certainty from |types|·(n_buckets+2) rows of state, never a
-    value-buffering percentile. This is how a 100 TB pipeline reads
+    ceil(q·total)-th order statistic — the q-quantile in
+    percentile_disc semantics — provably lies in [lo_v, hi_v) (an
+    INTERPOLATING percentile can fall outside the bucket on sparse
+    data; ADVICE r07): one bucket width of certainty from
+    |types|·(n_buckets+2) rows of state, never a value-buffering
+    percentile. This is how a 100 TB pipeline reads
     "p95 is between 40 and 50" from a monitor table instead of paying
     a sort-based exact percentile (value_quantiles is the exact twin,
     ts_rfm_bp_audit the est-vs-exact audit pattern).

@@ -107,6 +107,11 @@ def check_constraints(
     Output: one row per rule (rule_id, kind, column, n_violations,
     passed), computed in a single aggregation pass.
     """
+    if not rules:
+        # zero aggregates would reach df.agg() / F.array() with no
+        # elements and die with an obscure engine error (ADVICE r07);
+        # match referential_integrity([])'s explicit contract
+        raise ValueError("check_constraints: rules must be non-empty")
     aggs: list[Column] = []
     metas: list[tuple[int, str, str]] = []
     for k, rule in enumerate(rules):

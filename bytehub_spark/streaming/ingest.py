@@ -1441,9 +1441,11 @@ class BloomFilterMonitor:
     shingles and cannot be probed) were ALREADY fully covered by the
     pre-batch filter (every shingle probes all-k-bits set) — the
     in-stream "maybe exact/near dup of something already ingested"
-    counter. Shingle-less docs are reported separately as
-    ``n_short_docs``, never silently folded into either bucket (ADVICE
-    r06). Unlike the filter itself this IS arrival-order-dependent (the
+    counter. Shingle-less docs — fewer than ``n`` words OR NULL text
+    (split(NULL) would otherwise count in neither bucket; ADVICE r07) —
+    are reported separately as ``n_short_docs``, never silently folded
+    into either bucket (ADVICE r06), so n_docs = n_short_docs +
+    eligible always holds. Unlike the filter itself this IS arrival-order-dependent (the
     first copy passes, the second is flagged), the same ordered-arrival
     contract FunnelMonitor documents; treat it as telemetry, not as the
     dedup verdict.
@@ -1476,7 +1478,11 @@ class BloomFilterMonitor:
             F.coalesce(
                 F.sum(
                     (
-                        F.size(F.split(F.col(self.text_col), " ")) < self.n
+                        F.col(self.text_col).isNull()
+                        | (
+                            F.size(F.split(F.col(self.text_col), " "))
+                            < self.n
+                        )
                     ).cast("long")
                 ),
                 F.lit(0),
@@ -1802,9 +1808,14 @@ class HistogramMonitor:
         self.state: DataFrame | None = None
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
-        from ..operators.events_ops import value_histogram
+        # sort-free core: the public op's orderBy would embed a
+        # per-batch MID-PLAN global sort that the union+groupBy merge
+        # discards (ADVICE r07); ordering happens once, in result()
+        from ..operators.events_ops import _value_histogram_unsorted
 
-        b = value_histogram(batch_df, self.lo, self.hi, self.n_buckets)
+        b = _value_histogram_unsorted(
+            batch_df, self.lo, self.hi, self.n_buckets
+        )
         st = (
             b
             if self.state is None
