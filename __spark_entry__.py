@@ -1675,10 +1675,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cluster-tightness audit (round 7): per multi-member mutual-kNN
         # component its size, edge count, mean edge cosine (µ-div) —
         # the auto-collapse vs review-queue split; exact oracle over the
-        # shared recursive-CC chain
+        # shared recursive-CC chain. The gate input UNIONS deterministic
+        # twin vectors (vec_id % 13 == 0 copied to vec_id + 1e7, same
+        # embedding -> cos_u exactly 10000, a guaranteed mutual edge) so
+        # the comparison is NEVER over 0 rows at any sf — the testdata
+        # alone forms no mutual components at cos_u>=9000/k=5, which
+        # made the r07 gate row vacuous (VERDICT r07; same pattern as
+        # cur_ri_gate's deliberately-broken FK).
         "emb_cluster_quality": lambda spark, sf: similarity.cluster_quality(
-            load_table(spark, sf, "embeddings"), k=5, min_cos_u=9_000,
-            n_planes=8, bands=6
+            (lambda emb: emb.select("vec_id", "embedding").unionByName(
+                emb.where(F.col("vec_id") % 13 == 0).select(
+                    (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+                    "embedding",
+                )
+            ))(load_table(spark, sf, "embeddings")),
+            k=5, min_cos_u=9_000, n_planes=8, bands=6,
         ),
         # per-dim int8 scalar-quantization audit: affine code fit,
         # codes used, nano-unit reconstruction error — exact oracle
@@ -6953,12 +6964,20 @@ def oracle_sql() -> dict[str, str]:
         # cluster-tightness audit over the same mutual-kNN chain: per
         # multi-member component its size, mutual-edge count and mean
         # edge cosine (integer div; edge cos re-read from the symmetric
-        # scored frame) — mirrors similarity.cluster_quality exactly
+        # scored frame) — mirrors similarity.cluster_quality exactly.
+        # emb_inj replays the gate wrapper's deterministic twin
+        # injection (vec_id % 13 == 0 -> vec_id + 1e7, same embedding)
+        # so the comparison is non-vacuous at every sf (VERDICT r07)
         "emb_cluster_quality": f"""
-{_graph_cc_ctes()},
+{_graph_cc_ctes(src="emb_inj", prelude='''emb_inj AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 13 = 0
+            ), ''')},
             compall AS (
                 SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component
-                FROM (SELECT DISTINCT vec_id FROM embeddings) e
+                FROM (SELECT DISTINCT vec_id FROM emb_inj) e
                 LEFT JOIN comp c ON e.vec_id = c.vec_id
             ),
             members AS (
