@@ -1756,6 +1756,54 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mae_winner verdict. Oracle composes the two existing replays
         # (the HW recursive CTE via _holt_winters_oracle(tail=...)).
         "ts_forecast_eval": _q(events_ops.forecast_eval, "events"),
+        # --- round 8 ---
+        # ε-band join decision table (range-join twin of emb_lsh_plan):
+        # per candidate band width the EXACT equi-join candidate volume,
+        # hot-bucket imbalance (two-term divmod identity), and the
+        # widest-ε-within-budget recommendation — the pre-join skew
+        # guard for band_join. Exact oracle replays the bucket counts +
+        # RANGE window neighbor sums.
+        "join_band_plan": lambda spark, sf: asof.band_plan(
+            load_table(spark, sf, "events"), ["event_type"], "value",
+            (100_000, 1_000_000, 5_000_000), 10_000_000,
+        ),
+        # join-key skew profiler: top-5 heaviest keys with share_ppm +
+        # the salt factor capping each at 64 rows/task, over BOTH a
+        # high-cardinality key (user_id) and a low-cardinality one
+        # (event_type) — the "should I salt this join" prepass. Top-k
+        # via TakeOrdered (never a global sort); scalars on a 1-row
+        # broadcast.
+        "join_skew_profile": lambda spark, sf: (
+            lambda ev: skew.key_skew_profile(ev, "user_id", 64, 5)
+            .unionByName(skew.key_skew_profile(ev, "event_type", 64, 5))
+            .orderBy("key_col", F.col("n_rows").desc(), "key")
+        )(load_table(spark, sf, "events")),
+        # exact-dup cluster-size profile with token savings of
+        # collapsing to the canonical member. The testdata corpus has
+        # NO exact dups (the profile would be the single all-zero
+        # size-1 row — the vacuous-gate hazard), so the gate wrapper
+        # injects deterministic copies: doc_id % 37 == 0 duplicated
+        # once (+1e7), % 111 == 0 duplicated twice (+2e7) — sizes
+        # 1/2/3 with nonzero dup_tokens at every sf.
+        "dedup_savings_profile": lambda spark, sf: dedup.savings_profile(
+            (lambda d: d.select("doc_id", "text")
+             .unionByName(
+                 d.where(F.col("doc_id") % 37 == 0).select(
+                     (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                     "text",
+                 )
+             )
+             .unionByName(
+                 d.where(F.col("doc_id") % 111 == 0).select(
+                     (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+                     "text",
+                 )
+             ))(load_table(spark, sf, "documents"))
+        ),
+        # dataset-card rollup: (source, lang) -> (source) -> total in
+        # ONE Expand+agg pass; rolled-up keys print '<all>'; exact ppm
+        # mean. The per-release corpus summary table.
+        "cur_dataset_card": _q(curation.dataset_card, "documents"),
     }
 
 
@@ -7247,4 +7295,171 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ts_holt_winters": _holt_winters_oracle(),
         "ts_forecast_eval": _forecast_eval_oracle(),
+        # --- round 8 ---
+        # ε-band decision table: exact BIGINT floor-div buckets (// +
+        # negative-remainder correction, mirroring band_join), RANGE
+        # window neighbor sums, two-term divmod imbalance, widest-fit
+        # recommendation
+        "join_band_plan": """
+            WITH q AS (
+                SELECT event_type,
+                       CAST(floor(CAST(value AS DOUBLE) * 1000000)
+                           AS BIGINT) AS v_u
+                FROM events
+            ),
+            eps AS (SELECT CAST(unnest([100000, 1000000, 5000000])
+                        AS BIGINT) AS eps_u),
+            cnt AS (
+                SELECT eps_u, event_type,
+                       (v_u // eps_u) - (CASE WHEN v_u % eps_u < 0
+                           THEN 1 ELSE 0 END) AS bucket,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM q, eps GROUP BY 1, 2, 3
+            ),
+            nb AS (
+                SELECT eps_u, c,
+                       SUM(c) OVER (PARTITION BY eps_u, event_type
+                           ORDER BY bucket RANGE BETWEEN 1 PRECEDING
+                           AND 1 FOLLOWING) AS nbsum
+                FROM cnt
+            ),
+            st AS (
+                SELECT eps_u, CAST(sum(c) AS BIGINT) AS n_rows,
+                       CAST(count(*) AS BIGINT) AS n_buckets,
+                       CAST(max(c) AS BIGINT) AS max_bucket_rows,
+                       CAST(sum(c * nbsum) AS BIGINT) AS cand_pairs
+                FROM nb GROUP BY eps_u
+            ),
+            v AS (
+                SELECT *,
+                       CAST((max_bucket_rows * 1000000 // n_rows)
+                            * n_buckets
+                            + ((max_bucket_rows * 1000000 % n_rows)
+                               * n_buckets) // n_rows AS BIGINT)
+                           AS imbalance_ppm,
+                       cand_pairs <= 10000000 AS within_budget
+                FROM st
+            ),
+            b AS (SELECT max(CASE WHEN within_budget THEN eps_u END)
+                      AS best FROM v)
+            SELECT eps_u, n_rows, n_buckets, max_bucket_rows, cand_pairs,
+                   imbalance_ppm, within_budget,
+                   coalesce(eps_u = b.best, FALSE) AS recommended
+            FROM v, b ORDER BY eps_u
+        """,
+        # two key profiles (user_id, event_type) unioned; top-5 by
+        # (count desc, key asc); exact integer share/salt/skew math
+        "join_skew_profile": """
+            WITH p AS (
+                SELECT * FROM (
+                    WITH counts AS (
+                        SELECT CAST(user_id AS VARCHAR) AS key,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+                    ),
+                    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows_total,
+                                   CAST(count(*) AS BIGINT) AS n_keys,
+                                   CAST(max(n) AS BIGINT) AS max_key_rows
+                            FROM counts)
+                    SELECT 'user_id' AS key_col, key, n AS n_rows,
+                           CAST(n * 1000000 // n_rows_total AS BIGINT)
+                               AS share_ppm,
+                           CAST((n + 63) // 64 AS BIGINT) AS salt_factor,
+                           n_rows_total, n_keys, max_key_rows,
+                           CAST((max_key_rows * 1000000 // n_rows_total)
+                                * n_keys
+                                + ((max_key_rows * 1000000 % n_rows_total)
+                                   * n_keys) // n_rows_total AS BIGINT)
+                               AS skew_ppm
+                    FROM counts, tot ORDER BY n DESC, key ASC LIMIT 5
+                )
+                UNION ALL
+                SELECT * FROM (
+                    WITH counts AS (
+                        SELECT CAST(event_type AS VARCHAR) AS key,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM events WHERE event_type IS NOT NULL GROUP BY 1
+                    ),
+                    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows_total,
+                                   CAST(count(*) AS BIGINT) AS n_keys,
+                                   CAST(max(n) AS BIGINT) AS max_key_rows
+                            FROM counts)
+                    SELECT 'event_type' AS key_col, key, n AS n_rows,
+                           CAST(n * 1000000 // n_rows_total AS BIGINT)
+                               AS share_ppm,
+                           CAST((n + 63) // 64 AS BIGINT) AS salt_factor,
+                           n_rows_total, n_keys, max_key_rows,
+                           CAST((max_key_rows * 1000000 // n_rows_total)
+                                * n_keys
+                                + ((max_key_rows * 1000000 % n_rows_total)
+                                   * n_keys) // n_rows_total AS BIGINT)
+                               AS skew_ppm
+                    FROM counts, tot ORDER BY n DESC, key ASC LIMIT 5
+                )
+            )
+            SELECT * FROM p ORDER BY key_col, n_rows DESC, key
+        """,
+        # exact-dup savings profile over the twin-injected corpus
+        # (%37 -> one copy at +1e7, %111 -> a second at +2e7); min_by
+        # picks the canonical member's own token count
+        "dedup_savings_profile": """
+            WITH inj AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text FROM documents
+                WHERE doc_id % 37 = 0
+                UNION ALL
+                SELECT doc_id + 20000000 AS doc_id, text FROM documents
+                WHERE doc_id % 111 = 0
+            ),
+            per_doc AS (
+                SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                           'g'))) AS fp,
+                       doc_id,
+                       CAST(CASE WHEN text IS NULL THEN 0
+                            ELSE len(string_split(text, ' ')) END
+                           AS BIGINT) AS tok
+                FROM inj
+            ),
+            g AS (
+                SELECT fp, CAST(count(*) AS BIGINT) AS sz,
+                       CAST(sum(tok) AS BIGINT) AS tok_sum,
+                       CAST(min_by(tok, doc_id) AS BIGINT) AS keep_tok
+                FROM per_doc GROUP BY fp
+            )
+            SELECT sz AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(sz) AS BIGINT) AS n_docs,
+                   CAST(sum(sz) - count(*) AS BIGINT) AS n_dup_docs,
+                   CAST(sum(tok_sum - keep_tok) AS BIGINT) AS dup_tokens
+            FROM g GROUP BY sz ORDER BY cluster_size
+        """,
+        # ROLLUP dataset card; grouping() labels, '<all>' placeholders,
+        # exact ppm mean
+        "cur_dataset_card": """
+            WITH base AS (
+                SELECT source, lang,
+                       CAST(CASE WHEN text IS NULL THEN 0
+                            ELSE len(string_split(text, ' ')) END
+                           AS BIGINT) AS tok,
+                       n_chars
+                FROM documents
+            ),
+            agg AS (
+                SELECT CAST(GROUPING(source) AS INT) AS gs,
+                       CAST(GROUPING(lang) AS INT) AS gl,
+                       source, lang,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(tok) AS BIGINT) AS n_tokens,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                FROM base GROUP BY ROLLUP(source, lang)
+            )
+            SELECT CAST(gs + gl AS INT) AS level,
+                   CASE WHEN gs = 1 THEN '<all>' ELSE source END AS source,
+                   CASE WHEN gl = 1 THEN '<all>' ELSE lang END AS lang,
+                   n_docs, n_tokens, sum_chars,
+                   CAST(n_tokens * 1000000 // n_docs AS BIGINT)
+                       AS avg_tokens_ppm
+            FROM agg ORDER BY level, source, lang
+        """,
     }

@@ -247,3 +247,141 @@ def band_join(
         )
         .drop("__bucket")
     )
+
+
+def _band_quantized(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Slim (keys…, v_u) projection with the SAME µ-quantization
+    expression band_join uses — the shared base so the planner prices
+    exactly the join that would run."""
+    v_u = F.expr(
+        f"CAST(floor(CAST({value_col} AS DOUBLE) * 1000000) AS BIGINT)"
+    )
+    return df.select(*keys, v_u.alias("v_u"))
+
+
+def _band_bucket_counts(
+    base: DataFrame, keys: Sequence[str], eps_u: int
+) -> DataFrame:
+    """Per (eps_u, keys…, bucket) row counts — band_plan's one data-sized
+    pass per candidate ε, and BandPlanMonitor's additive state frame.
+    Bucketing is the identical exact-BIGINT floor division band_join
+    performs (div + negative-remainder correction, never a DOUBLE
+    divide)."""
+    eps_u = int(eps_u)
+    b = F.expr(
+        f"CAST((v_u div {eps_u}) - (CASE WHEN v_u % {eps_u} < 0 "
+        f"THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+    return (
+        base.withColumn("bucket", b)
+        .groupBy(
+            F.lit(eps_u).cast("long").alias("eps_u"), *keys, "bucket"
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def band_stats_from_counts(
+    counts: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Assemble the per-ε decision row from a (eps_u, keys…, bucket, c)
+    counts frame — SHARED by the batch ``band_plan`` and the streaming
+    ``BandPlanMonitor`` so the two can never disagree (the
+    drift_from_sums pattern). Sort-free core: ordering happens only in
+    the public ops.
+
+    ``cand_pairs`` is the EXACT equi-join output row count of the self
+    band join at that ε (each left row fans out to buckets {b−1,b,b+1}
+    and meets every right row there, so the volume is
+    Σ_b c_b·(c_{b−1}+c_b+c_{b+1}) — self-pairs and both orders
+    included, because that is what the cluster pays before any filter).
+    The neighbor sum is a keys-partitioned RANGE window over the slim
+    bucket-counts frame (gaps in the bucket sequence contribute
+    nothing), never a scan of the data. ``imbalance_ppm`` =
+    max_bucket/mean_bucket in ppm via the exact two-term divmod
+    identity (BIGINT-safe in the hot-bucket regime; round-7 lesson)."""
+    w = (
+        Window.partitionBy("eps_u", *keys)
+        .orderBy("bucket")
+        .rangeBetween(-1, 1)
+    )
+    nb = counts.withColumn("__nb", F.sum("c").over(w))
+    return (
+        nb.groupBy("eps_u")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("c").cast("long").alias("max_bucket_rows"),
+            F.sum(F.col("c") * F.col("__nb")).cast("long").alias(
+                "cand_pairs"
+            ),
+        )
+        .withColumn(
+            "imbalance_ppm",
+            F.expr(
+                "(max_bucket_rows * 1000000 div n_rows) * n_buckets"
+                " + ((max_bucket_rows * 1000000 % n_rows) * n_buckets)"
+                " div n_rows"
+            ).cast("long"),
+        )
+    )
+
+
+def band_plan(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    eps_options: Sequence[int] = (1_000, 5_000, 20_000),
+    budget_pairs: int = 20_000_000,
+) -> DataFrame:
+    """ε-band join decision table — the range-join twin of
+    ``similarity.lsh_plane_plan`` / ``dedup.minhash_band_balance``: per
+    candidate band width ε (µ-units) the bucket occupancy, the EXACT
+    candidate-pair volume the self band join would produce, and the
+    hot-bucket imbalance — priced from one slim pass per ε BEFORE
+    committing the quadratic join. ``recommended`` = the WIDEST ε whose
+    candidate volume fits ``budget_pairs`` (the loosest band
+    affordable; width is the quality knob, volume the cost).
+    When nothing fits, every ``recommended`` is false — shrink ε or
+    pre-aggregate values.
+
+    Scale shape: the µ-quantized (keys, v_u) projection is
+    scratch-persisted and scanned once per candidate ε; each pass is a
+    map-side-combined count shuffled on (keys, bucket) — linear in the
+    data, never quadratic. Skew follows value density: a hot ε-band
+    shows up here as max_bucket_rows/imbalance_ppm before it becomes a
+    straggler task (the same pre-join discipline the LSH planners
+    encode, which is how a 100 TB range join avoids both the BNLJ and
+    the hot-bucket stall)."""
+    from pyspark import StorageLevel
+
+    from ..plans.scratch import scratch_persist
+
+    if not eps_options:
+        raise ValueError("band_plan: eps_options must be non-empty")
+    base = scratch_persist(
+        _band_quantized(df, keys, value_col), StorageLevel.MEMORY_AND_DISK
+    )
+    out = None
+    for e in eps_options:
+        s = band_stats_from_counts(
+            _band_bucket_counts(base, keys, int(e)), keys
+        )
+        out = s if out is None else out.unionByName(s)
+    out = out.withColumn(
+        "within_budget", F.col("cand_pairs") <= F.lit(int(budget_pairs))
+    )
+    best = out.agg(
+        F.max(F.when(F.col("within_budget"), F.col("eps_u"))).alias("_best")
+    )
+    return (
+        out.crossJoin(F.broadcast(best))
+        .withColumn(
+            "recommended",
+            F.coalesce(F.col("eps_u") == F.col("_best"), F.lit(False)),
+        )
+        .drop("_best")
+        .orderBy("eps_u")
+    )

@@ -926,3 +926,51 @@ def budget_allocation(
         .withColumn("upsampled", F.col("rate_ppm") > 1_000_000)
         .orderBy(group_col)
     )
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """Dataset-card rollup — the per-source / per-(source, lang) corpus
+    summary a training run publishes alongside the data: doc counts,
+    whitespace-token and character totals, and exact mean tokens/doc in
+    ppm, at three grains in ONE pass (ROLLUP: (source, lang) →
+    (source) → grand total). ``level`` is 0/1/2 for those grains;
+    rolled-up group keys print as '<all>' so a genuinely-NULL source
+    can never collide with a rollup row.
+
+    Plan shape: Spark plans a rollup as a single Expand + one
+    map-side-combined aggregation — one scan at 100 TB regardless of
+    grain count, the same single-pass discipline as table_profile."""
+    tok = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        token_count_col()
+    )
+    agg = (
+        documents.select(
+            "source", "lang", tok.cast("long").alias("__tok"), "n_chars"
+        )
+        .rollup("source", "lang")
+        .agg(
+            F.grouping("source").cast("int").alias("__gs"),
+            F.grouping("lang").cast("int").alias("__gl"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__tok").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    return (
+        agg.select(
+            (F.col("__gs") + F.col("__gl")).cast("int").alias("level"),
+            F.when(F.col("__gs") == 1, F.lit("<all>"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+            F.when(F.col("__gl") == 1, F.lit("<all>"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "sum_chars",
+            F.expr("n_tokens * 1000000 div n_docs").cast("long").alias(
+                "avg_tokens_ppm"
+            ),
+        )
+        .orderBy("level", "source", "lang")
+    )

@@ -2060,3 +2060,47 @@ def minhash_band_recall(
         )
         out = stats if out is None else out.unionByName(stats)
     return out.orderBy("bands", "j_bucket")
+
+
+def savings_profile(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dup cluster-size profile with the TOKEN savings of
+    collapsing each cluster to its canonical (min-id) member — the
+    "what does dedup buy us" dashboard: one row per cluster size with
+    how many clusters/docs sit there and how many whitespace tokens
+    the non-canonical copies hold. Uses the SAME normalized-text
+    fingerprint as ``exact_dedup``/``dup_rate_by_group``, so the
+    numbers compose with the rest of the exact-dedup family.
+
+    Copies share normalized text but not necessarily raw text, so
+    token counts are per-document (the canonical's own count comes via
+    min_by, never an assume-equal shortcut). Plan: one fingerprint
+    aggregation (map-side combined) then a cluster-sized rollup —
+    linear, one shuffle, same cost class as exact_dedup at 100 TB.
+    """
+    tok = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.col(text_col), " "))
+    )
+    per_doc = documents.select(
+        F.md5(normalized(text_col)).alias("__fp"),
+        F.col(id_col).alias("__id"),
+        tok.cast("long").alias("__tok"),
+    )
+    groups = per_doc.groupBy("__fp").agg(
+        F.count("*").cast("long").alias("__sz"),
+        F.sum("__tok").cast("long").alias("__tok_sum"),
+        F.expr("min_by(__tok, __id)").cast("long").alias("__keep_tok"),
+    )
+    return (
+        groups.groupBy(F.col("__sz").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("__sz").cast("long").alias("n_docs"),
+            (F.sum("__sz") - F.count("*")).cast("long").alias("n_dup_docs"),
+            F.sum(F.col("__tok_sum") - F.col("__keep_tok"))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -62,3 +62,67 @@ def salted_agg(
         *[_MERGE[fn](out).alias(out) for out, (col, fn) in aggs.items()]
     )
     return stage2
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    target_rows_per_task: int = 100_000,
+    top_n: int = 5,
+) -> DataFrame:
+    """Join-key skew profiler — the "should I salt this join" prepass:
+    the ``top_n`` heaviest values of ``key_col`` with their row counts,
+    corpus share, and the salt factor that would cap each key's
+    partition at ``target_rows_per_task`` rows, plus table-level skew
+    stats. Run it on the join key BEFORE a big shuffle join; a
+    salt_factor > 1 on the head keys is the signal to route that join
+    through ``salted_agg``-style two-stage plans or AQE skew handling.
+
+    NULL keys are excluded (they never match an equi-join anyway).
+    Plan shape: ONE map-side-combined groupBy on the key; the top-n is
+    a per-partition TakeOrdered merge of ``top_n`` rows (never a global
+    sort); table scalars ride in on a 1-row broadcast. All arithmetic
+    integer — share_ppm is exact BIGINT div, skew_ppm (max/mean in ppm)
+    the exact two-term divmod identity, salt_factor a ceil-div.
+    """
+    if top_n <= 0 or target_rows_per_task <= 0:
+        raise ValueError(
+            "key_skew_profile: top_n and target_rows_per_task must be "
+            "positive"
+        )
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("n_rows_total"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_rows"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(
+        int(top_n)
+    )
+    t = int(target_rows_per_task)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(key_col).alias("key_col"),
+            "key",
+            F.col("n").alias("n_rows"),
+            F.expr("n * 1000000 div n_rows_total").cast("long").alias(
+                "share_ppm"
+            ),
+            F.expr(f"(n + {t} - 1) div {t}").cast("long").alias(
+                "salt_factor"
+            ),
+            "n_rows_total",
+            "n_keys",
+            "max_key_rows",
+            F.expr(
+                "(max_key_rows * 1000000 div n_rows_total) * n_keys"
+                " + ((max_key_rows * 1000000 % n_rows_total) * n_keys)"
+                " div n_rows_total"
+            ).cast("long").alias("skew_ppm"),
+        )
+    )

@@ -1853,3 +1853,111 @@ def stream_histogram(
         .start()
     )
     return q, mon
+
+
+class BandPlanMonitor:
+    """Streaming ε-band join cost estimator — the continuously-
+    maintained twin of ``asof.band_plan``: state is the per
+    (eps_u, keys…, bucket) count frame for every candidate ε, merged
+    additively per micro-batch (commutative counts → fully
+    ORDER-INDEPENDENT; re-delivery double-counts — feed-once, like
+    every counting monitor). ``result()`` assembles the decision table
+    through the SHARED ``asof.band_stats_from_counts`` (batch and
+    stream cannot drift) and equals the batch ``band_plan`` on the
+    union of all batches row-for-row.
+
+    State bound: Σ_ε n_buckets(ε) rows per key group — set by the
+    VALUE DOMAIN and the ε grid, not by stream length (a [0,100]
+    domain at ε=1000 µ is ≤ ~100k buckets·|key groups| worst case,
+    and real value mass is far sparser). This is the pre-join skew
+    radar a long-running 100 TB range-join pipeline reads instead of
+    re-profiling the corpus per run.
+    """
+
+    def __init__(
+        self,
+        keys: list[str],
+        value_col: str = "value",
+        eps_options: tuple[int, ...] = (1_000, 5_000, 20_000),
+        budget_pairs: int = 20_000_000,
+    ):
+        if not eps_options:
+            raise ValueError(
+                "BandPlanMonitor: eps_options must be non-empty"
+            )
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.eps_options = tuple(int(e) for e in eps_options)
+        self.budget_pairs = int(budget_pairs)
+        self.state: DataFrame | None = None
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        from ..operators.asof import _band_bucket_counts, _band_quantized
+
+        base = _band_quantized(batch_df, self.keys, self.value_col)
+        # persist the slim batch once; each ε pass re-reads it
+        base = base.persist()
+        b = None
+        for e in self.eps_options:
+            c = _band_bucket_counts(base, self.keys, e)
+            b = c if b is None else b.unionByName(c)
+        st = (
+            b
+            if self.state is None
+            else self.state.unionByName(b)
+            .groupBy("eps_u", *self.keys, "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+        self.state = eager_checkpoint(st)
+        base.unpersist()
+
+    def result(self) -> DataFrame:
+        """The band_plan decision table over everything ingested —
+        identical to ``asof.band_plan`` on the union of all batches."""
+        if self.state is None:
+            raise RuntimeError(
+                "BandPlanMonitor.result() before any micro-batch was "
+                "processed"
+            )
+        from ..operators.asof import band_stats_from_counts
+
+        out = band_stats_from_counts(self.state, self.keys).withColumn(
+            "within_budget",
+            F.col("cand_pairs") <= F.lit(self.budget_pairs),
+        )
+        best = out.agg(
+            F.max(
+                F.when(F.col("within_budget"), F.col("eps_u"))
+            ).alias("_best")
+        )
+        return (
+            out.crossJoin(F.broadcast(best))
+            .withColumn(
+                "recommended",
+                F.coalesce(
+                    F.col("eps_u") == F.col("_best"), F.lit(False)
+                ),
+            )
+            .drop("_best")
+            .orderBy("eps_u")
+        )
+
+
+def stream_band_plan(
+    events: DataFrame,
+    checkpoint_dir: str,
+    keys: list[str],
+    value_col: str = "value",
+    eps_options: tuple[int, ...] = (1_000, 5_000, 20_000),
+    budget_pairs: int = 20_000_000,
+):
+    """Attach a BandPlanMonitor to an event stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = BandPlanMonitor(keys, value_col, eps_options, budget_pairs)
+    q = (
+        events.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

@@ -80,6 +80,13 @@ cartesian (its backtest-cutoff scalar attach): snapshot totals
 cartesian=28, arrow_eval=27, py_eval=0, global_sort=0, global_window=4
 (unchanged by mm_blob_dedup, the 188th — all flags clean: one JVM-side
 sha2 projection + one digest-keyed aggregate).
+Round-8 additions (211 queries total): join_band_plan and
+join_skew_profile each add one reviewed cartesian (the 1-row
+broadcast verdict/scalar attach — band_plan's best-ε row,
+key_skew_profile's table-totals row; snapshot cartesian=35).
+join_skew_profile's top-5 is a TakeOrderedAndProject (no global_sort);
+dedup_savings_profile and cur_dataset_card (Expand+single agg) are
+clean on every flag.
 NOTE the three classic flags deliberately stay STRING-based
 (plans.inspect.string_fingerprint): the rendered tree includes subquery
 plans and every pandas-UDF node variant; a JSON-class version measured
