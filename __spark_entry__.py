@@ -7300,10 +7300,12 @@ def oracle_sql() -> dict[str, str]:
         # recommendation
         "join_band_plan": """
             WITH q AS (
-                SELECT event_type,
-                       CAST(floor(CAST(value AS DOUBLE) * 1000000)
-                           AS BIGINT) AS v_u
-                FROM events
+                SELECT event_type, v_u FROM (
+                    SELECT event_type,
+                           CAST(floor(CAST(value AS DOUBLE) * 1000000)
+                               AS BIGINT) AS v_u
+                    FROM events
+                ) WHERE v_u IS NOT NULL
             ),
             eps AS (SELECT CAST(unnest([100000, 1000000, 5000000])
                         AS BIGINT) AS eps_u),
@@ -7456,8 +7458,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN gs = 1 THEN '<all>' ELSE source END AS source,
                    CASE WHEN gl = 1 THEN '<all>' ELSE lang END AS lang,
                    n_docs, n_tokens, sum_chars,
-                   CAST(n_tokens * 1000000 // n_docs AS BIGINT)
-                       AS avg_tokens_ppm
-            FROM agg ORDER BY level, source, lang
+                   CAST((n_tokens // n_docs) * 1000000
+                        + ((n_tokens % n_docs) * 1000000) // n_docs
+                       AS BIGINT) AS avg_tokens_ppm
+            FROM agg
+            ORDER BY level, source NULLS LAST, lang NULLS LAST
         """,
     }

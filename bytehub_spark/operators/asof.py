@@ -254,11 +254,17 @@ def _band_quantized(
 ) -> DataFrame:
     """Slim (keys…, v_u) projection with the SAME µ-quantization
     expression band_join uses — the shared base so the planner prices
-    exactly the join that would run."""
+    exactly the join that would run. NULL values are excluded here for
+    the same reason key_skew_profile drops NULL keys: band_join's
+    equi-join on (keys, bucket) can never match a NULL bucket, so a
+    NULL-value row contributes zero candidate pairs — counting it
+    would overstate the documented 'EXACT equi-join output row count'
+    (ADVICE r08; engine-consistent with the oracle, so only this
+    shared exclusion keeps plan == replay)."""
     v_u = F.expr(
         f"CAST(floor(CAST({value_col} AS DOUBLE) * 1000000) AS BIGINT)"
     )
-    return df.select(*keys, v_u.alias("v_u"))
+    return df.select(*keys, v_u.alias("v_u")).where(F.col("v_u").isNotNull())
 
 
 def _band_bucket_counts(

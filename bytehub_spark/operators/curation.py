@@ -968,9 +968,23 @@ def dataset_card(documents: DataFrame) -> DataFrame:
             "n_docs",
             "n_tokens",
             "sum_chars",
-            F.expr("n_tokens * 1000000 div n_docs").cast("long").alias(
-                "avg_tokens_ppm"
-            ),
+            # two-term divmod identity (repo convention since r07's
+            # imbalance_ppm lesson): n_tokens*1e6 overflows BIGINT past
+            # ~9.2e12 tokens — the grand-total row of a 100 TB corpus
+            # plausibly exceeds that, and Spark wraps silently where
+            # DuckDB errors, so the engines would also diverge.
+            F.expr(
+                "(n_tokens div n_docs) * 1000000"
+                " + ((n_tokens % n_docs) * 1000000) div n_docs"
+            ).cast("long").alias("avg_tokens_ppm"),
         )
-        .orderBy("level", "source", "lang")
+        # NULL group keys order NULLS FIRST in Spark but NULLS LAST in
+        # DuckDB — pin asc_nulls_last on both sides so a genuinely-NULL
+        # source/lang (distinct from '<all>' by design) cannot flip the
+        # gate's row order.
+        .orderBy(
+            "level",
+            F.col("source").asc_nulls_last(),
+            F.col("lang").asc_nulls_last(),
+        )
     )

@@ -1,0 +1,181 @@
+"""Round-9 contracts — the ADVICE r08 closures, each pinned cross-engine
+on a crafted frame that CONTAINS the hostile case (the testdata has no
+NULL values/keys, so the driver gate is structurally blind to these;
+the r07 lesson about engine-consistent bugs applies to engine-consistent
+*NULL handling* too).
+
+- ``asof.band_plan`` excludes NULL values: band_join's equi-join on
+  (keys, bucket) can never match a NULL bucket, so a NULL-value row
+  contributes zero candidate pairs — ``cand_pairs`` must equal the
+  literal fan-out equi-join volume on a frame WITH NULLs, and the
+  DuckDB oracle must agree row-for-row.
+- ``curation.dataset_card``'s ``avg_tokens_ppm`` uses the two-term
+  divmod identity (exact where n_tokens*1e6 overflows BIGINT), and its
+  ordering pins NULLs last on both engines so genuinely-NULL group
+  keys (distinct from '<all>' rollup placeholders) cannot flip the
+  gate's row order.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bytehub_spark.operators import asof, curation
+
+
+def _oracle_on(frames: dict[str, pd.DataFrame], sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(name, pdf)
+    try:
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def _entry_oracle(key: str) -> str:
+    import __spark_entry__ as E
+
+    return E.oracle_sql()[key]
+
+
+# ------------------------------------------------ band_plan NULL values
+
+
+def _null_events(spark):
+    rows = [
+        ("a", -0.011), ("a", None), ("a", 0.0), ("a", 0.001),
+        ("a", 0.0049), ("b", None), ("b", None), ("b", 5.0),
+        ("b", 5.0001), ("b", 5.02),
+    ]
+    return spark.createDataFrame(rows, "event_type string, value double")
+
+
+def test_band_plan_null_values_match_join_replay(spark):
+    """ADVICE r08 (medium): NULL values must not count toward n_rows /
+    n_buckets / cand_pairs. The replay KEEPS the NULL rows and lets the
+    equi-join drop them naturally — plan and replay must agree."""
+    df = _null_events(spark)
+    eps = 5_000
+    plan = asof.band_plan(df, ["event_type"], "value", (eps,), 10**9)
+    row = plan.toPandas().iloc[0]
+
+    # literal fan-out equi-join volume, NULL rows left IN the inputs:
+    # the join on (keys, bucket) drops them exactly like band_join does
+    v_u = F.expr("CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)")
+    q = df.select("event_type", v_u.alias("v_u")).withColumn(
+        "bucket",
+        F.expr(
+            f"CAST((v_u div {eps}) - (CASE WHEN v_u % {eps} < 0 "
+            f"THEN 1 ELSE 0 END) AS BIGINT)"
+        ),
+    )
+    l = q.withColumn(
+        "bucket",
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ),
+    )
+    replay = l.join(
+        q.withColumnRenamed("v_u", "v_u_b"), ["event_type", "bucket"]
+    ).count()
+    assert int(row.cand_pairs) == replay
+    assert int(row.n_rows) == 7  # 10 rows, 3 NULL values
+    # and the actual band_join emits no NULL-valued pairs
+    bj = asof.band_join(
+        df, df, ["event_type"], "value", eps, ["value"], ["value"]
+    ).toPandas()
+    assert bj["v_u_a"].notna().all() and bj["v_u_b"].notna().all()
+
+
+def test_join_band_plan_oracle_agrees_on_nulls(spark):
+    """The gate's own SQL, replayed on a NULL-bearing events frame, must
+    match the Spark op value-for-value (the driver-gate compare, made
+    non-vacuous for NULLs)."""
+    df = _null_events(spark)
+    got = (
+        asof.band_plan(
+            df, ["event_type"], "value",
+            (100_000, 1_000_000, 5_000_000), 10_000_000,
+        )
+        .toPandas()
+        .sort_values("eps_u")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle_on({"events": df.toPandas()}, _entry_oracle("join_band_plan"))
+        .sort_values("eps_u")
+        .reset_index(drop=True)
+    )
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), f"column {c} diverges"
+
+
+# ------------------------------------------------ dataset_card hardening
+
+
+def test_dataset_card_ppm_two_term_identity_beyond_2_53(spark):
+    """ADVICE r08 (low): n_tokens * 1e6 overflows BIGINT past ~9.2e12
+    tokens (plausible for a 100 TB grand-total row); the two-term
+    divmod identity stays exact. Pin the expression dataset_card uses
+    against unbounded-int Python on hostile magnitudes."""
+    # exactness domain: quotient (= avg tokens/doc) must itself stay
+    # under ~9.2e12 — always true for real corpora; it's the TOTAL
+    # (n_tokens) that plausibly crosses 9.2e12 at 100 TB, which is
+    # exactly where multiply-first breaks and the identity doesn't.
+    cases = [
+        (2**60 + 7, 1_000_000), (2**53 + 1, 10_007), (9_300_000_000_000, 11),
+        (9_223_372_036_854, 1), (1, 3), (0, 5), (41, 41),
+    ]
+    df = spark.createDataFrame(cases, "n_tokens long, n_docs long")
+    got = df.select(
+        "n_tokens",
+        "n_docs",
+        F.expr(
+            "(n_tokens div n_docs) * 1000000"
+            " + ((n_tokens % n_docs) * 1000000) div n_docs"
+        ).cast("long").alias("ppm"),
+    ).toPandas()
+    for _, r in got.iterrows():
+        t, d = int(r.n_tokens), int(r.n_docs)
+        exact = (t // d) * 1_000_000 + ((t % d) * 1_000_000) // d
+        assert int(r.ppm) == exact, (t, d)
+        # the naive multiply-first form really is wrong up here
+        if t * 1_000_000 >= 2**63:
+            naive_wrapped = ((t * 1_000_000) % 2**64)
+            if naive_wrapped >= 2**63:
+                naive_wrapped -= 2**64
+            assert naive_wrapped // d != exact
+
+
+def test_dataset_card_null_keys_order_nulls_last_cross_engine(spark):
+    """ADVICE r08 (low): a genuinely-NULL source/lang renders as NULL
+    (not '<all>'), sorts NULLS LAST on BOTH engines, and carries the
+    exact ppm mean — full cross-engine row-for-row agreement on a
+    NULL-bearing documents frame."""
+    rows = [
+        (1, "web", "en", "a b c", 5),
+        (2, "web", None, "a b", 3),
+        (3, None, "en", "x", 1),
+        (4, "api", "de", None, 0),
+        (5, None, None, "p q r s", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, n_chars long"
+    )
+    got = curation.dataset_card(df).toPandas().reset_index(drop=True)
+    want = _oracle_on(
+        {"documents": df.toPandas()}, _entry_oracle("cur_dataset_card")
+    ).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert list(got[c].fillna("∅")) == list(want[c].fillna("∅")), (
+            f"column {c} diverges"
+        )
+    # NULL keys are real NULLs, placed after every non-NULL source at
+    # their level, and never collide with the '<all>' placeholders
+    lvl1 = got[got.level == 1]
+    assert lvl1["source"].iloc[-1] is None or pd.isna(lvl1["source"].iloc[-1])
+    assert (got[got.level == 2]["source"] == "<all>").all()
+    assert got[got.level == 0]["source"].isna().sum() == 2  # (None,en),(None,None)
