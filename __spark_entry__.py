@@ -110,13 +110,15 @@ _GATE_FIRST = [
     "ts_mad_outliers", "ts_heavy_hitters", "emb_hard_negatives",
     "doc_langid_confusion", "doc_bigram_xent", "ts_value_drift",
     "emb_ivf_pq_append",
-    # --- (d) r04-cohort prepayment, registry order (12 fill the 50;
-    # the remaining 30 r04 queries are lag-5 == the bound at r09 and
+    # --- (d) new in round 9 (never driver-gated; swept at 3 scales) ---
+    "cur_pipeline_card",
+    # --- (e) r04-cohort prepayment, registry order (11 fill the 50;
+    # the remaining 31 r04 queries are lag-5 == the bound at r09 and
     # MUST head the r10 rotation) ---
     "ts_dedup_latest", "mm_tile_plan", "ts_weekly_growth",
     "doc_sentence_stats", "cur_split_leakage", "doc_line_dedup",
     "doc_ngram_novelty", "ts_lateness_audit", "ts_event_pmi",
-    "ts_asof_nearest", "dedup_simhash_pairs", "emb_matryoshka_recall",
+    "ts_asof_nearest", "dedup_simhash_pairs",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
@@ -1802,6 +1804,47 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ONE Expand+agg pass; rolled-up keys print '<all>'; exact ppm
         # mean. The per-release corpus summary table.
         "cur_dataset_card": _q(curation.dataset_card, "documents"),
+        # --- round 9 ---
+        # the full curation chain (gate -> exact dedup -> banded-MinHash
+        # near-dedup -> decontaminate -> pack) as ONE oracle-gated
+        # query: per-stage in/out/dropped counts. Every stage is made
+        # non-vacuous at every sf by deterministic injections: %29 docs
+        # get a ' qq'-suffixed near-dup copy (+1e7, survives exact
+        # dedup, dropped by LSH), %37 an exact copy (+2e7, dropped at
+        # stage 1), %53 a NULL-text row (+3e7, dropped at the gate);
+        # the benchmark is the %101 sample of the corpus itself, so its
+        # surviving members are contaminated by construction.
+        "cur_pipeline_card": lambda spark, sf: (
+            lambda d: curation.pipeline_card(
+                d.unionByName(
+                    d.where(F.col("doc_id") % 29 == 0).select(
+                        (F.col("doc_id") + F.lit(10_000_000)).alias(
+                            "doc_id"
+                        ),
+                        F.concat(F.col("text"), F.lit(" qq")).alias(
+                            "text"
+                        ),
+                    )
+                )
+                .unionByName(
+                    d.where(F.col("doc_id") % 37 == 0).select(
+                        (F.col("doc_id") + F.lit(20_000_000)).alias(
+                            "doc_id"
+                        ),
+                        "text",
+                    )
+                )
+                .unionByName(
+                    d.where(F.col("doc_id") % 53 == 0).select(
+                        (F.col("doc_id") + F.lit(30_000_000)).alias(
+                            "doc_id"
+                        ),
+                        F.lit(None).cast("string").alias("text"),
+                    )
+                ),
+                d.where(F.col("doc_id") % 101 == 0),
+            )
+        )(load_table(spark, sf, "documents").select("doc_id", "text")),
     }
 
 
@@ -1813,6 +1856,52 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 from bytehub_spark.operators import hashing as _H
+
+
+def _minhash_band_ctes(src: str, bands: int, n_hashes: int = 64) -> str:
+    """Generic-shape variant of ``_minhash_ctes`` reading an arbitrary
+    (doc_id, text) CTE: shingles→(h1,h2)→signatures→band buckets at
+    (n=3, ``n_hashes``, ``bands``, r = n_hashes/bands). The band hash is
+    the same per-step Horner fold ``dedup._band_fold`` computes (acc =
+    (acc·K + h_i) mod p each step — operands positive, so the SQL ``%``
+    equals Spark's pmod). ``_minhash_ctes`` stays byte-identical for the
+    established b=32/r=2 oracles; this one serves the pipeline card's
+    b=16/r=4 shape."""
+    r = n_hashes // bands
+    mins = [f"min(CASE WHEN j % {r} = {i} THEN h END)" for i in range(r)]
+    fold = mins[0]
+    for m in mins[1:]:
+        fold = f"(({fold}) * {_H.BAND_K} + {m}) % {_H.MINHASH_PRIME}"
+    return f"""
+        w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM {src}
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(0, len(ws) - 2),
+                i -> array_to_string(ws[i + 1 : i + 3], ' ')))) AS shingle
+            FROM w
+        ),
+        dh AS (
+            SELECT shingle,
+                   {_H.shingle_h1_sql('shingle')} AS h1,
+                   {_H.shingle_h2_sql('shingle')} AS h2
+            FROM (SELECT DISTINCT shingle FROM sh)
+        ),
+        shh AS (
+            SELECT s.doc_id, d.h1, d.h2 FROM sh s JOIN dh d USING (shingle)
+        ),
+        sig AS MATERIALIZED (
+            SELECT doc_id, j, min((h1 + j * h2) % {_H.MINHASH_PRIME}) AS h
+            FROM shh, (SELECT unnest(generate_series(0, {n_hashes - 1}))
+                       AS j)
+            GROUP BY doc_id, j
+        ),
+        bands AS (
+            SELECT doc_id, j // {r} AS band, {fold} AS bh
+            FROM sig GROUP BY doc_id, j // {r}
+        )"""
 
 
 def _minhash_ctes(doc_filter: str = "") -> str:
@@ -7463,5 +7552,114 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS avg_tokens_ppm
             FROM agg
             ORDER BY level, source NULLS LAST, lang NULLS LAST
+        """,
+        # --- round 9: the five-stage curation pipeline, replayed end to
+        # end — injections, gate, exact dedup, b=16/r=4 MinHash LSH
+        # (est_jaccard >= 0.5 <=> signature agreement >= 32), 4-gram
+        # decontamination vs the %101 benchmark, ceil token packing.
+        "cur_pipeline_card": f"""
+            WITH corpus AS MATERIALIZED (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text || ' qq' FROM documents
+                WHERE doc_id % 29 = 0
+                UNION ALL
+                SELECT doc_id + 20000000, text FROM documents
+                WHERE doc_id % 37 = 0
+                UNION ALL
+                SELECT doc_id + 30000000, CAST(NULL AS VARCHAR)
+                FROM documents WHERE doc_id % 53 = 0
+            ),
+            s0 AS MATERIALIZED (SELECT doc_id, text FROM corpus WHERE text IS NOT NULL),
+            fp AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                           'g'))) AS f
+                FROM s0
+            ),
+            keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+            s1 AS MATERIALIZED (SELECT s0.* FROM s0 JOIN keep1 USING (doc_id)),
+            {_minhash_band_ctes('s1', bands=16)},
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bh = b.bh
+                 AND a.doc_id < b.doc_id
+            ),
+            -- agreement via a 3-key (doc, j, h) equi-join: a SUM(CASE)
+            -- over sig-x-sig on j alone lets the optimizer build the
+            -- 64-fold j cross product first (1.9e9 rows at sf0.1,
+            -- spilled >78 GB before dying); matching h in the join
+            -- keeps every intermediate at cand-x-64 rows. Pairs with
+            -- zero agreeing hashes drop out, which is fine — only
+            -- agree >= 32 matters.
+            ca AS (
+                SELECT c.doc_a, c.doc_b, sa.j, sa.h
+                FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+            ),
+            agr AS (
+                SELECT ca.doc_a, ca.doc_b, count(*) AS agree
+                FROM ca JOIN sig sb
+                  ON sb.doc_id = ca.doc_b AND sb.j = ca.j AND sb.h = ca.h
+                GROUP BY ca.doc_a, ca.doc_b
+            ),
+            drop2 AS (
+                SELECT DISTINCT doc_b AS doc_id FROM agr WHERE agree >= 32
+            ),
+            s2 AS MATERIALIZED (
+                SELECT * FROM s1
+                WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+            ),
+            s2w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s2),
+            s2sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, len(ws) - 3),
+                    i -> array_to_string(ws[i + 1 : i + 4], ' ')))) AS shingle
+                FROM s2w WHERE len(ws) >= 4
+            ),
+            bw AS (
+                SELECT string_split(text, ' ') AS ws FROM documents
+                WHERE doc_id % 101 = 0
+            ),
+            bsh AS (
+                SELECT DISTINCT unnest(list_distinct(list_transform(
+                    range(0, len(ws) - 3),
+                    i -> array_to_string(ws[i + 1 : i + 4], ' ')))) AS shingle
+                FROM bw WHERE len(ws) >= 4
+            ),
+            contam AS (
+                SELECT DISTINCT doc_id FROM s2sh
+                WHERE shingle IN (SELECT shingle FROM bsh)
+            ),
+            s3 AS MATERIALIZED (
+                SELECT * FROM s2
+                WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+            ),
+            n AS (
+                SELECT (SELECT count(*) FROM corpus) AS nc,
+                       (SELECT count(*) FROM s0) AS n0,
+                       (SELECT count(*) FROM s1) AS n1,
+                       (SELECT count(*) FROM s2) AS n2,
+                       (SELECT count(*) FROM s3) AS n3,
+                       (SELECT COALESCE(
+                            SUM(len(string_split(text, ' '))), 0)
+                        FROM s3) AS tok
+            )
+            SELECT CAST(stage AS INTEGER) AS stage, name,
+                   CAST(n_in AS BIGINT) AS n_in,
+                   CAST(n_out AS BIGINT) AS n_out,
+                   CAST(n_in - n_out_for_drop AS BIGINT) AS n_dropped
+            FROM (
+                SELECT 0 AS stage, 'gate' AS name, nc AS n_in, n0 AS n_out,
+                       n0 AS n_out_for_drop FROM n
+                UNION ALL
+                SELECT 1, 'exact_dedup', n0, n1, n1 FROM n
+                UNION ALL
+                SELECT 2, 'lsh_neardedup', n1, n2, n2 FROM n
+                UNION ALL
+                SELECT 3, 'decontaminate', n2, n3, n3 FROM n
+                UNION ALL
+                SELECT 4, 'pack', n3, (tok + {2048 - 1}) // 2048, n3 FROM n
+            ) ORDER BY stage
         """,
     }

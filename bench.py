@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "join_skew_profile",
     "dedup_savings_profile",
     "cur_dataset_card",
+    # the five-stage curation chain as one query (gate -> exact dedup ->
+    # LSH near-dedup -> decontaminate -> pack), benched at birth
+    "cur_pipeline_card",
 ]
 
 

@@ -988,3 +988,121 @@ def dataset_card(documents: DataFrame) -> DataFrame:
             F.col("lang").asc_nulls_last(),
         )
     )
+
+
+def pipeline_card(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    min_agree: int = 32,
+    shingle_n: int = 4,
+    max_tokens: int = 2048,
+) -> DataFrame:
+    """End-to-end curation-pipeline card: runs the full training-data
+    chain — row-contract gate → exact dedup → banded-MinHash near-dedup
+    → benchmark decontamination → sequence packing — and emits one row
+    per stage with its in/out/dropped doc counts (``n_out`` for the
+    pack stage is the number of ``max_tokens`` chunks the survivors
+    concat-pack into, = ceil(Σ tokens / max_tokens), the exact
+    ``pack_sequences`` chunk count).
+
+    This is the composition contract the individual operators are built
+    for, registered as ONE oracle-gated query so a regression in any
+    stage's *interaction* (e.g. near-dedup seeing docs exact-dedup
+    should have removed) surfaces even when each op is green alone.
+
+    Stage chaining is by slim id frames (anti/semi joins) — text is
+    scanned where a stage needs it, never re-materialized between
+    stages; the signature table inside the LSH stage is
+    scratch-persisted by ``minhash_lsh_pairs``'s own discipline (here
+    the pair source is rebuilt from the stage-1 survivors). The fixed
+    default shape (bands=16, r=4) is the 500k-doc-validated one —
+    ``dedup.minhash_band_balance`` is the planner that picks it when
+    the corpus changes (scripts/scale_pipeline500k.py runs the planned
+    variant end-to-end).
+
+    Scale shape: five sequential stages, each a linear pass or an
+    id-keyed shuffle; the only super-linear hazard is the LSH bucket
+    self-join, which the (b, r) shape bounds — exactly what the
+    balance prepass prices. Counts are collected as five scalars; the
+    result is a 5-row literal frame.
+    """
+    from pyspark import StorageLevel
+
+    from ..plans.scratch import scratch_persist
+    from . import dedup
+
+    if n_hashes % bands != 0:
+        raise ValueError("pipeline_card: bands must divide n_hashes")
+    spark = documents.sparkSession
+    r = n_hashes // bands
+
+    n_corpus = documents.count()
+
+    # 1. gate: the row-level contract (text present) — the cheap filter
+    # that keeps every later stage from paying for unusable rows
+    s0 = scratch_persist(
+        documents.where(F.col("text").isNotNull()),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    n0 = s0.count()
+
+    # 2. exact dedup: keep the min-id member of each normalized-text
+    # fingerprint group
+    keep1 = (
+        s0.select("doc_id", F.md5(dedup.normalized()).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = scratch_persist(
+        s0.join(keep1, "doc_id", "left_semi"), StorageLevel.MEMORY_AND_DISK
+    )
+    n1 = s1.count()
+
+    # 3. near-dedup: banded MinHash candidates; a doc is dropped when it
+    # is the HIGHER id of a pair agreeing on >= min_agree/n_hashes of
+    # the signature (est_jaccard >= min_agree/n_hashes)
+    pairs = dedup.minhash_lsh_pairs(s1, n_hashes, bands)
+    drop2 = (
+        pairs.where(
+            F.col("est_jaccard") * F.lit(float(n_hashes))
+            >= F.lit(float(min_agree))
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = scratch_persist(
+        s1.join(drop2, "doc_id", "left_anti"), StorageLevel.MEMORY_AND_DISK
+    )
+    n2 = s2.count()
+
+    # 4. decontaminate: drop survivors sharing any word shingle_n-gram
+    # with the benchmark corpus (broadcast semi-join under AQE)
+    contaminated = dedup.decontaminate(s2, benchmark, shingle_n).select(
+        "doc_id"
+    )
+    s3 = scratch_persist(
+        s2.join(contaminated, "doc_id", "left_anti"),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    n3 = s3.count()
+
+    # 5. pack: concat-then-chunk — chunk count is exactly
+    # ceil(total_tokens / max_tokens) (pack_sequences' bin count)
+    tot = s3.agg(
+        F.sum(token_count_col().cast("long")).alias("t")
+    ).collect()[0]["t"] or 0
+    n_chunks = (int(tot) + max_tokens - 1) // max_tokens
+
+    rows = [
+        (0, "gate", n_corpus, n0, n_corpus - n0),
+        (1, "exact_dedup", n0, n1, n0 - n1),
+        (2, "lsh_neardedup", n1, n2, n1 - n2),
+        (3, "decontaminate", n2, n3, n2 - n3),
+        (4, "pack", n3, n_chunks, 0),
+    ]
+    return spark.createDataFrame(
+        rows, "stage int, name string, n_in long, n_out long, n_dropped long"
+    ).orderBy("stage")

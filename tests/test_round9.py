@@ -179,3 +179,57 @@ def test_dataset_card_null_keys_order_nulls_last_cross_engine(spark):
     assert lvl1["source"].iloc[-1] is None or pd.isna(lvl1["source"].iloc[-1])
     assert (got[got.level == 2]["source"] == "<all>").all()
     assert got[got.level == 0]["source"].isna().sum() == 2  # (None,en),(None,None)
+
+
+# ------------------------------------------------ pipeline_card
+
+
+def _card_corpus(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    rows = [
+        (1, base),                    # keeper; contaminated at stage 3
+        (2, base),                    # exact dup of 1 -> stage 1 drop
+        (3, base + " tail"),          # near dup of 1 -> stage 2 drop
+        (4, None),                    # NULL text -> gate drop
+        (5, "z1 z2 z3 z4 z5 z6 z7 z8"),  # clean survivor
+    ]
+    bench = [(100, "q0 w1 w2 w3 w4 q9")]  # shares 4-gram "w1 w2 w3 w4"
+    return (
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        spark.createDataFrame(bench, "doc_id long, text string"),
+    )
+
+
+def test_pipeline_card_hand_computed_stages(spark):
+    """Each stage drops exactly the planted doc: NULL text at the gate,
+    the exact copy at dedup, the near copy at LSH (J = 14/15 over
+    3-gram shingles), the benchmark-overlapping keeper at
+    decontamination; the clean 8-token survivor packs into 1 chunk."""
+    docs, bench = _card_corpus(spark)
+    out = curation.pipeline_card(docs, bench).toPandas()
+    assert list(out["name"]) == [
+        "gate", "exact_dedup", "lsh_neardedup", "decontaminate", "pack",
+    ]
+    assert list(out["n_in"]) == [5, 4, 3, 2, 1]
+    assert list(out["n_out"]) == [4, 3, 2, 1, 1]
+    assert list(out["n_dropped"]) == [1, 1, 1, 1, 0]
+    # stages chain: each stage's n_out is the next stage's n_in
+    assert list(out["n_out"])[:-1] == list(out["n_in"])[1:]
+
+
+def test_pipeline_card_pack_count_is_pack_sequences_bins(spark):
+    """The card's pack n_out equals pack_sequences' actual bin count on
+    the same survivors (the ceil(Σ tokens / max_tokens) contract)."""
+    docs, bench = _card_corpus(spark)
+    card = curation.pipeline_card(docs, bench, max_tokens=5).toPandas()
+    # survivors after the chain: doc 5 only (8 tokens, 5-token bins)
+    survivors = docs.where(F.col("doc_id") == 5)
+    packed = curation.pack_sequences(survivors, 5).toPandas()
+    n_bins = int(packed["end_bin"].max()) + 1
+    assert int(card.loc[card.stage == 4, "n_out"].iloc[0]) == n_bins == 2
+
+
+def test_pipeline_card_rejects_bad_shape(spark):
+    docs, bench = _card_corpus(spark)
+    with pytest.raises(ValueError):
+        curation.pipeline_card(docs, bench, n_hashes=64, bands=7)
