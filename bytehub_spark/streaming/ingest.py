@@ -1872,6 +1872,18 @@ class BandPlanMonitor:
     and real value mass is far sparser). This is the pre-join skew
     radar a long-running 100 TB range-join pipeline reads instead of
     re-profiling the corpus per run.
+
+    Sizing caveat (measured, 10M-event run in
+    scripts/scale_band_join10m.py): the bound is only useful when the
+    ε grid is NO FINER than the value resolution. Over near-continuous
+    values (sub-µ jitter) at ε_u=10, occupied buckets ≈ distinct
+    values — state reached 12.77M rows (≈ stream length) and merge
+    throughput dropped to ~39k ev/s, vs 357k ev/s for the |types|²
+    TransitionMonitor. Pick the grid from the quantization actually
+    stored (for 2-decimal values nothing below ε_u=10_000 adds
+    information), or pre-round the value column; band_plan's batch
+    decision table is the cheap way to discover the native resolution
+    first (n_buckets stops growing as ε shrinks past it).
     """
 
     def __init__(
