@@ -999,25 +999,31 @@ def pipeline_card(
     shingle_n: int = 4,
     max_tokens: int = 2048,
 ) -> DataFrame:
-    """End-to-end curation-pipeline card: runs the full training-data
-    chain — row-contract gate → exact dedup → banded-MinHash near-dedup
-    → benchmark decontamination → sequence packing — and emits one row
-    per stage with its in/out/dropped doc counts (``n_out`` for the
-    pack stage is the number of ``max_tokens`` chunks the survivors
-    concat-pack into, = ceil(Σ tokens / max_tokens), the exact
-    ``pack_sequences`` chunk count).
+    """End-to-end curation-pipeline card: the full training-data chain —
+    row-contract gate → exact dedup → banded-MinHash near-dedup →
+    benchmark decontamination → sequence packing — as ONE lazy plan
+    emitting a row per stage with its in/out/dropped doc counts
+    (``n_out`` for the pack stage is the number of ``max_tokens``
+    chunks the survivors concat-pack into, = ceil(Σ tokens /
+    max_tokens), the exact ``pack_sequences`` bin count).
 
     This is the composition contract the individual operators are built
-    for, registered as ONE oracle-gated query so a regression in any
+    for, registered as one oracle-gated query so a regression in any
     stage's *interaction* (e.g. near-dedup seeing docs exact-dedup
     should have removed) surfaces even when each op is green alone.
 
-    Stage chaining is by slim id frames (anti/semi joins) — text is
-    scanned where a stage needs it, never re-materialized between
-    stages; the signature table inside the LSH stage is
-    scratch-persisted by ``minhash_lsh_pairs``'s own discipline (here
-    the pair source is rebuilt from the stage-1 survivors). The fixed
-    default shape (bands=16, r=4) is the 500k-doc-validated one —
+    Plan shape: NO driver-side collect — each stage count is a 1-row
+    aggregate attached by broadcast cross join (the reviewed tiny-frame
+    cartesian pattern), so the whole five-stage execution is one
+    inspectable plan (the plan gate fingerprints the real stages, not a
+    literal result frame) and one job. Stage chaining is by slim id
+    frames (anti/semi joins); each survivor frame is scratch-persisted,
+    so the two aggregates that read it (its own n_out and the next
+    stage's n_in) share one computation. The near-dup threshold
+    compares an INTEGER agreement count (round(est·n_hashes) recovers
+    it exactly; comparing est_jaccard·n_hashes raw flips at
+    exactly-threshold agreement for non-power-of-two n_hashes). The
+    fixed default shape (bands=16, r=4) is the 500k-doc-validated one —
     ``dedup.minhash_band_balance`` is the planner that picks it when
     the corpus changes (scripts/scale_pipeline500k.py runs the planned
     variant end-to-end).
@@ -1025,8 +1031,7 @@ def pipeline_card(
     Scale shape: five sequential stages, each a linear pass or an
     id-keyed shuffle; the only super-linear hazard is the LSH bucket
     self-join, which the (b, r) shape bounds — exactly what the
-    balance prepass prices. Counts are collected as five scalars; the
-    result is a 5-row literal frame.
+    balance prepass prices.
     """
     from pyspark import StorageLevel
 
@@ -1035,18 +1040,13 @@ def pipeline_card(
 
     if n_hashes % bands != 0:
         raise ValueError("pipeline_card: bands must divide n_hashes")
-    spark = documents.sparkSession
-    r = n_hashes // bands
 
-    n_corpus = documents.count()
+    def persist(df: DataFrame) -> DataFrame:
+        return scratch_persist(df, StorageLevel.MEMORY_AND_DISK)
 
     # 1. gate: the row-level contract (text present) — the cheap filter
     # that keeps every later stage from paying for unusable rows
-    s0 = scratch_persist(
-        documents.where(F.col("text").isNotNull()),
-        StorageLevel.MEMORY_AND_DISK,
-    )
-    n0 = s0.count()
+    s0 = persist(documents.where(F.col("text").isNotNull()))
 
     # 2. exact dedup: keep the min-id member of each normalized-text
     # fingerprint group
@@ -1056,53 +1056,73 @@ def pipeline_card(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s1 = scratch_persist(
-        s0.join(keep1, "doc_id", "left_semi"), StorageLevel.MEMORY_AND_DISK
-    )
-    n1 = s1.count()
+    s1 = persist(s0.join(keep1, "doc_id", "left_semi"))
 
     # 3. near-dedup: banded MinHash candidates; a doc is dropped when it
-    # is the HIGHER id of a pair agreeing on >= min_agree/n_hashes of
-    # the signature (est_jaccard >= min_agree/n_hashes)
+    # is the HIGHER id of a pair agreeing on >= min_agree of the
+    # n_hashes signature positions
     pairs = dedup.minhash_lsh_pairs(s1, n_hashes, bands)
+    agree = F.round(F.col("est_jaccard") * F.lit(n_hashes)).cast("int")
     drop2 = (
-        pairs.where(
-            F.col("est_jaccard") * F.lit(float(n_hashes))
-            >= F.lit(float(min_agree))
-        )
+        pairs.where(agree >= F.lit(int(min_agree)))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s2 = scratch_persist(
-        s1.join(drop2, "doc_id", "left_anti"), StorageLevel.MEMORY_AND_DISK
-    )
-    n2 = s2.count()
+    s2 = persist(s1.join(drop2, "doc_id", "left_anti"))
 
     # 4. decontaminate: drop survivors sharing any word shingle_n-gram
     # with the benchmark corpus (broadcast semi-join under AQE)
     contaminated = dedup.decontaminate(s2, benchmark, shingle_n).select(
         "doc_id"
     )
-    s3 = scratch_persist(
-        s2.join(contaminated, "doc_id", "left_anti"),
-        StorageLevel.MEMORY_AND_DISK,
+    s3 = persist(s2.join(contaminated, "doc_id", "left_anti"))
+
+    # one 1-row frame with every count (+ the survivor token total for
+    # the pack bin arithmetic), assembled by broadcast cross joins
+    counts = (
+        documents.agg(F.count("*").cast("long").alias("nc"))
+        .crossJoin(
+            F.broadcast(s0.agg(F.count("*").cast("long").alias("n0")))
+        )
+        .crossJoin(
+            F.broadcast(s1.agg(F.count("*").cast("long").alias("n1")))
+        )
+        .crossJoin(
+            F.broadcast(s2.agg(F.count("*").cast("long").alias("n2")))
+        )
+        .crossJoin(
+            F.broadcast(
+                s3.agg(
+                    F.count("*").cast("long").alias("n3"),
+                    F.coalesce(
+                        F.sum(token_count_col().cast("long")), F.lit(0)
+                    ).alias("tok"),
+                )
+            )
+        )
     )
-    n3 = s3.count()
-
-    # 5. pack: concat-then-chunk — chunk count is exactly
-    # ceil(total_tokens / max_tokens) (pack_sequences' bin count)
-    tot = s3.agg(
-        F.sum(token_count_col().cast("long")).alias("t")
-    ).collect()[0]["t"] or 0
-    n_chunks = (int(tot) + max_tokens - 1) // max_tokens
-
-    rows = [
-        (0, "gate", n_corpus, n0, n_corpus - n0),
-        (1, "exact_dedup", n0, n1, n0 - n1),
-        (2, "lsh_neardedup", n1, n2, n1 - n2),
-        (3, "decontaminate", n2, n3, n2 - n3),
-        (4, "pack", n3, n_chunks, 0),
-    ]
-    return spark.createDataFrame(
-        rows, "stage int, name string, n_in long, n_out long, n_dropped long"
-    ).orderBy("stage")
+    out = None
+    for stage, name, c_in, c_out in (
+        (0, "gate", "nc", "n0"),
+        (1, "exact_dedup", "n0", "n1"),
+        (2, "lsh_neardedup", "n1", "n2"),
+        (3, "decontaminate", "n2", "n3"),
+    ):
+        row = counts.select(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("name"),
+            F.col(c_in).alias("n_in"),
+            F.col(c_out).alias("n_out"),
+            (F.col(c_in) - F.col(c_out)).cast("long").alias("n_dropped"),
+        )
+        out = row if out is None else out.unionByName(row)
+    pack = counts.select(
+        F.lit(4).cast("int").alias("stage"),
+        F.lit("pack").alias("name"),
+        F.col("n3").alias("n_in"),
+        F.expr(f"(tok + {int(max_tokens) - 1}) div {int(max_tokens)}")
+        .cast("long")
+        .alias("n_out"),
+        F.lit(0).cast("long").alias("n_dropped"),
+    )
+    return out.unionByName(pack).orderBy("stage")

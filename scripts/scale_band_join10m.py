@@ -61,7 +61,15 @@ t0 = time.time()
 plan = asof.band_plan(ev, ["event_type"], "value", EPS_GRID, BUDGET).toPandas()
 t_plan = time.time() - t0
 print(plan.to_string(), flush=True)
-rec = int(plan.loc[plan.recommended, "eps_u"].iloc[0])
+recommended = plan.loc[plan.recommended, "eps_u"]
+if recommended.empty:
+    raise SystemExit(
+        f"no eps in {EPS_GRID} fits budget {BUDGET:,} "
+        f"(smallest candidate volume {int(plan.cand_pairs.min()):,}) — "
+        "shrink the grid or raise the budget; that verdict IS the "
+        "planner working"
+    )
+rec = int(recommended.iloc[0])
 print(f"plan: {len(EPS_GRID)} eps over 10M rows in {t_plan:.1f}s; "
       f"recommended eps_u={rec}", flush=True)
 

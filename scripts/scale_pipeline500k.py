@@ -90,6 +90,13 @@ per_shape = (
     plan.groupby("bands")["cand_pairs"].sum().sort_index()
 )
 fitting = [int(b) for b, c in per_shape.items() if c <= PAIR_BUDGET]
+if not fitting:
+    raise SystemExit(
+        f"no band shape in {sorted(dict(per_shape))} fits pair budget "
+        f"{PAIR_BUDGET:,} (volumes {dict(per_shape)}) — add a sharper "
+        "shape (fewer bands, more rows/band) or raise the budget; "
+        "that verdict IS the planner working"
+    )
 bands = max(fitting)  # most bands = loosest threshold that still fits
 t_plan = time.time() - t0
 t0 = time.time()
