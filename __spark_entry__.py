@@ -112,13 +112,16 @@ _GATE_FIRST = [
     "emb_ivf_pq_append",
     # --- (d) new in round 9 (never driver-gated; swept at 3 scales) ---
     "cur_pipeline_card",
-    # --- (e) r04-cohort prepayment, registry order (11 fill the 50;
-    # the remaining 31 r04 queries are lag-5 == the bound at r09 and
-    # MUST head the r10 rotation) ---
+    # --- (e) changed in round 9: token-scale ppm ratios moved to
+    # DECIMAL(38,0)/HUGEINT (token totals cross the BIGINT*1e6 bound
+    # at 100 TB; values identical at every sf — property-pinned) ---
+    "dedup_token_inflation", "dedup_span_coverage", "cur_budget_alloc",
+    # --- (f) r04-cohort prepayment, registry order (8 fill the 50;
+    # with dedup_token_inflation gated above, 33 r04 queries remain at
+    # lag 5 == the bound and MUST head the r10 rotation) ---
     "ts_dedup_latest", "mm_tile_plan", "ts_weekly_growth",
     "doc_sentence_stats", "cur_split_leakage", "doc_line_dedup",
-    "doc_ngram_novelty", "ts_lateness_audit", "ts_event_pmi",
-    "ts_asof_nearest", "dedup_simhash_pairs",
+    "doc_ngram_novelty", "ts_lateness_audit",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
@@ -5825,8 +5828,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
                    CAST(dup_tokens AS BIGINT) AS dup_tokens,
-                   CAST(dup_tokens * 1000000 // greatest(n_tokens, 1)
-                       AS BIGINT) AS inflation_ppm
+                   CAST((dup_tokens::HUGEINT * 1000000)
+                        // greatest(n_tokens, 1) AS BIGINT)
+                       AS inflation_ppm
             FROM ps ORDER BY source
         """,
         # LCG order key replayed verbatim; per-shard ROW_NUMBER = the
@@ -6906,17 +6910,18 @@ def oracle_sql() -> dict[str, str]:
             ),
             alloc AS (
                 SELECT av.source, avail_tokens, weight_ppm,
-                       CAST(CAST(1000000 AS BIGINT) * weight_ppm
-                            // 1000000 AS BIGINT) AS target_tokens
+                       CAST(CAST(1 AS BIGINT) * weight_ppm
+                            + (CAST(0 AS BIGINT) * weight_ppm)
+                              // 1000000 AS BIGINT) AS target_tokens
                 FROM av JOIN wt ON av.source = wt.source
             )
             SELECT source, avail_tokens, weight_ppm, target_tokens,
-                   CAST(target_tokens * 1000000 // avail_tokens
-                       AS BIGINT) AS rate_ppm,
+                   CAST((target_tokens::HUGEINT * 1000000)
+                        // avail_tokens AS BIGINT) AS rate_ppm,
                    CAST((target_tokens + avail_tokens - 1) // avail_tokens
                        AS INTEGER) AS epochs,
-                   CAST(target_tokens * 1000000 // avail_tokens AS BIGINT)
-                       > 1000000 AS upsampled
+                   CAST((target_tokens::HUGEINT * 1000000)
+                        // avail_tokens AS BIGINT) > 1000000 AS upsampled
             FROM alloc ORDER BY source
         """,
         # SRP bucket CTEs (shared helper) + symmetric candidate self-join
@@ -6989,8 +6994,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.source, t.total_tokens,
                    CAST(coalesce(c.covered_tokens, 0) AS BIGINT)
                        AS covered_tokens,
-                   CAST((coalesce(c.covered_tokens, 0) * 1000000)
-                        // t.total_tokens AS BIGINT) AS coverage_ppm
+                   CAST((coalesce(c.covered_tokens, 0)::HUGEINT
+                         * 1000000) // t.total_tokens AS BIGINT)
+                       AS coverage_ppm
             FROM tot t LEFT JOIN cov c ON t.source = c.source
             ORDER BY t.source
         """,

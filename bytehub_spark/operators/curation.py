@@ -910,12 +910,27 @@ def budget_allocation(
             group_col,
             "avail_tokens",
             "weight_ppm",
-            F.expr(f"CAST({b} AS BIGINT) * weight_ppm div 1000000").alias(
-                "target_tokens"
-            ),
+            # two-term identity: budget * weight_ppm overflows BIGINT at
+            # budget >= 9.2e12 tokens (a 100 TB budget IS ~2e13); here
+            # the remainder term is bounded (r < 1e6, w <= 1e6), so no
+            # DECIMAL needed — exact: q*w + floor(r*w/1e6), q,r =
+            # divmod(budget, 1e6)
+            F.expr(
+                f"CAST({b // 1_000_000} AS BIGINT) * weight_ppm"
+                f" + (CAST({b % 1_000_000} AS BIGINT) * weight_ppm)"
+                " div 1000000"
+            ).alias("target_tokens"),
         )
         .withColumn(
-            "rate_ppm", F.expr("target_tokens * 1000000 div avail_tokens")
+            # DECIMAL(38,0): target/avail are token totals — past the
+            # BIGINT*1e6 bound at 100 TB, and the divmod remainder is
+            # also token-scaled (see dedup inflation_ppm). Exact in
+            # both engines (DuckDB: HUGEINT).
+            "rate_ppm",
+            F.expr(
+                "CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000000"
+                " div avail_tokens AS BIGINT)"
+            ),
         )
         .withColumn(
             "epochs",

@@ -1677,9 +1677,15 @@ def token_dup_inflation(
             "n_tokens",
             "n_dup_docs",
             "dup_tokens",
-            F.expr("dup_tokens * 1000000 div greatest(n_tokens, 1)")
-            .cast("long")
-            .alias("inflation_ppm"),
+            # DECIMAL(38,0) numerator: dup_tokens is a corpus-token
+            # total — ~2e13 at 100 TB, past the 9.2e12 BIGINT*1e6
+            # bound (the r08 avg_tokens_ppm lesson); and the two-term
+            # divmod identity can't help when the REMAINDER is also
+            # token-scaled. Exact in both engines (DuckDB: HUGEINT).
+            F.expr(
+                "CAST(CAST(dup_tokens AS DECIMAL(38,0)) * 1000000"
+                " div greatest(n_tokens, 1) AS BIGINT)"
+            ).alias("inflation_ppm"),
         )
         .orderBy(group_col)
     )
@@ -1965,8 +1971,13 @@ def dup_span_coverage(
             ),
         )
         .withColumn(
+            # DECIMAL(38,0): token totals cross the BIGINT*1e6 bound at
+            # 100 TB (see inflation_ppm); exact in both engines
             "coverage_ppm",
-            F.expr("(covered_tokens * 1000000) div total_tokens"),
+            F.expr(
+                "CAST(CAST(covered_tokens AS DECIMAL(38,0)) * 1000000"
+                " div total_tokens AS BIGINT)"
+            ),
         )
         .orderBy(group_col)
     )

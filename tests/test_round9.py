@@ -258,3 +258,40 @@ def test_avro_seam_probe_and_loud_error(spark):
         write_avro(df, "/tmp/avro_seam_probe")
         back = read_avro(spark, "/tmp/avro_seam_probe", columns=["doc_id"])
         assert sorted(r.doc_id for r in back.collect()) == [0, 1, 2]
+
+
+# --------------------------------------- token-scale ppm ratio audit
+
+
+def test_token_scale_ppm_decimal_exact_cross_engine(spark):
+    """Proactive r09 audit closure: ppm ratios whose NUMERATOR is a
+    corpus-token total (inflation_ppm, coverage_ppm, rate_ppm) cross
+    the BIGINT*1e6 bound at 100 TB (~2e13 tokens), and the two-term
+    divmod identity cannot help because the REMAINDER is also
+    token-scaled. The DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) form is
+    exact — pinned here against unbounded-int Python at hostile
+    magnitudes on both engines."""
+    cases = [
+        (19_999_999_999_999, 3_333_333_333_333),   # 2e13 over 3.3e12
+        (2**61, 2**61 + 1),                        # just-below ratio
+        (9_223_372_036_855, 9_223_372_036_854),    # straddles 2^63/1e6
+        (1, 20_000_000_000_000), (0, 5), (7, 7),
+    ]
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = df.select(
+        "num",
+        "den",
+        F.expr(
+            "CAST(CAST(num AS DECIMAL(38,0)) * 1000000 div den AS BIGINT)"
+        ).alias("ppm"),
+    ).toPandas()
+    import duckdb
+
+    for _, r in got.iterrows():
+        n, d = int(r.num), int(r.den)
+        exact = n * 1_000_000 // d
+        assert int(r.ppm) == exact, (n, d)
+        (dd,) = duckdb.sql(
+            f"SELECT CAST(({n}::HUGEINT * 1000000) // {d} AS BIGINT)"
+        ).fetchone()
+        assert int(dd) == exact, (n, d)
