@@ -295,3 +295,34 @@ def test_token_scale_ppm_decimal_exact_cross_engine(spark):
             f"SELECT CAST(({n}::HUGEINT * 1000000) // {d} AS BIGINT)"
         ).fetchone()
         assert int(dd) == exact, (n, d)
+
+
+def test_band_balance_null_and_short_text_cross_engine(spark):
+    """NULL-text and sub-shingle docs must be excluded IDENTICALLY by
+    the Spark op (size(split(NULL)) -> NULL -> filtered) and the gate's
+    DuckDB SQL (len(string_split(NULL)) -> NULL -> filtered) — the
+    engine-consistent-NULL class the driver gate can't probe because
+    the testdata has no NULL texts. Row-for-row on a hostile frame."""
+    from bytehub_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e f"), (2, None), (3, "xy"), (4, "a b"),
+        (5, "a b c d e f"), (6, "p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        dedup.minhash_band_balance(df)
+        .toPandas()
+        .sort_values(["bands", "band"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle_on({"documents": df.toPandas()}, _entry_oracle("dedup_band_balance"))
+        .sort_values(["bands", "band"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), f"column {c} diverges"
+    # the two NULL/short docs are excluded: every shape counts 4 docs
+    assert (got.groupby("bands")["n_rows"].max() <= 4 * got["bands"].max()).all()
