@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     # the five-stage curation chain as one query (gate -> exact dedup ->
     # LSH near-dedup -> decontaminate -> pack), benched at birth
     "cur_pipeline_card",
+    # r09 DECIMAL-division changes: benched so the exact-ratio form has
+    # a recorded cost (both are single-agg shapes)
+    "dedup_token_inflation",
+    "cur_budget_alloc",
 ]
 
 
