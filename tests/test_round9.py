@@ -326,3 +326,41 @@ def test_band_balance_null_and_short_text_cross_engine(spark):
         assert list(got[c]) == list(want[c]), f"column {c} diverges"
     # the two NULL/short docs are excluded: every shape counts 4 docs
     assert (got.groupby("bands")["n_rows"].max() <= 4 * got["bands"].max()).all()
+
+
+def test_join_skew_profile_null_keys_cross_engine(spark):
+    """key_skew_profile excludes NULL keys (they never match an
+    equi-join); the gate's own SQL must agree row-for-row on a frame
+    WITH NULL user_ids and NULL event_types — the same
+    engine-consistent-NULL class as band_plan, pinned for the skew
+    profiler (testdata has no NULL keys, so the driver gate is blind
+    here)."""
+    from bytehub_spark.operators import skew
+
+    rows = [
+        (1, "click"), (1, "click"), (1, None), (2, "view"),
+        (None, "click"), (None, None), (3, "view"), (1, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = (
+        skew.key_skew_profile(df, "user_id", 64, 5)
+        .unionByName(skew.key_skew_profile(df, "event_type", 64, 5))
+        .orderBy("key_col", F.col("n_rows").desc(), "key")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    # keep user_id integral through pandas (toPandas turns a nullable
+    # long into float64, and the oracle's CAST AS VARCHAR would render
+    # '2.0' — a registration artifact, not an engine difference)
+    pdf = df.toPandas()
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    want = _oracle_on(
+        {"events": pdf}, _entry_oracle("join_skew_profile")
+    ).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), f"column {c} diverges"
+    # NULL keys excluded from totals on both sides: user_id profile
+    # counts 6 rows (8 minus 2 NULL users)
+    u = got[got.key_col == "user_id"]
+    assert int(u["n_rows_total"].iloc[0]) == 6
