@@ -114,14 +114,17 @@ _GATE_FIRST = [
     "cur_pipeline_card",
     # --- (e) changed in round 9: token-scale ppm ratios moved to
     # DECIMAL(38,0)/HUGEINT (token totals cross the BIGINT*1e6 bound
-    # at 100 TB; values identical at every sf — property-pinned) ---
+    # at 100 TB; values identical at every sf — property-pinned), and
+    # band_join prunes NULL values at source (join_band_values rides
+    # through it; values unchanged, verified exact at 3 scales) ---
     "dedup_token_inflation", "dedup_span_coverage", "cur_budget_alloc",
-    # --- (f) r04-cohort prepayment, registry order (8 fill the 50;
-    # with dedup_token_inflation gated above, 33 r04 queries remain at
+    "join_band_values",
+    # --- (f) r04-cohort prepayment, registry order (7 fill the 50;
+    # with dedup_token_inflation gated above, 34 r04 queries remain at
     # lag 5 == the bound and MUST head the r10 rotation) ---
     "ts_dedup_latest", "mm_tile_plan", "ts_weekly_growth",
     "doc_sentence_stats", "cur_split_leakage", "doc_line_dedup",
-    "doc_ngram_novelty", "ts_lateness_audit",
+    "doc_ngram_novelty",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 

@@ -222,7 +222,12 @@ def band_join(
         # exact integer floor division: BIGINT `div` truncates toward
         # zero; subtract 1 when the remainder is negative (eps_u > 0).
         # Pure BIGINT arithmetic — exact for the full value domain.
+        # NULL values are pruned HERE, not left for the equi-join to
+        # drop: a NULL bucket can never match, but an unpruned left row
+        # still pays the 3x bucket fan-out first (and band_plan's
+        # cand_pairs contract counts non-NULL rows only — r09 ADVICE).
         v = f"v_u{suffix}"
+        out = out.where(F.col(v).isNotNull())
         return out.withColumn(
             "__bucket",
             F.expr(
