@@ -82,49 +82,43 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
 # scales via scripts/check_oracle.py (round-4 sweeps: 178/178 ALL MATCH
 # at sf0.001, sf0.01, and sf0.1).
 _GATE_FIRST = [
-    # Round-9 rotation (VERDICT r08 item 1; round 8 skipped its rotation,
-    # so TWO cohorts came due at once — the r03 cohort (31) + the 4
-    # never-gated r08 queries were joined by the r04 cohort (42) the
-    # moment CORRECTNESS_r09 lands: 77 due > 50 slots. The staleness
-    # bound is therefore registry-derived (ceil(n_registered/50) = one
-    # full rotation cycle; see tests/test_round7.py::
-    # test_gate_staleness_bound), and this head takes the 35 strictly
-    # oldest + permanents + a 12-query prepayment of the r04 cohort so
-    # the debt amortizes back under the bound by r11.
-    # --- (a) never driver-gated (added in round 8; judge-verified
-    # exact at sf0.01 + sf0.1, but the driver gate is the record) ---
-    "join_band_plan", "join_skew_profile", "dedup_savings_profile",
-    "cur_dataset_card",
+    # Round-10 rotation. The 34 r04-cohort queries sat at lag 5 == the
+    # registry-derived bound (max(4, ceil(212/50)) = 5) after the r09
+    # gate, so they head this rotation (cohort recomputed from
+    # CORRECTNESS_r*.json latest-green rounds, NOT from comments — it
+    # matches NEXT.md's pinned r09 list). Remaining slots: permanents,
+    # r10 new/changed queries, then r05-cohort prepays (that cohort —
+    # 39 queries — comes due at r11; every prepay here shrinks it).
+    # --- (a) ALL 34 r04-stale queries (latest green row == r04),
+    # registry order ---
+    "ts_lateness_audit", "ts_event_pmi", "ts_asof_nearest",
+    "dedup_simhash_pairs", "emb_matryoshka_recall", "mm_modality_mix",
+    "ts_basket_pmi", "ts_debounce", "emb_margin_pairs",
+    "dedup_kmv_overlap", "dedup_kmv_distinct", "cur_domain_reweight",
+    "cur_epoch_shuffle", "doc_textrank", "ts_funnel_steps",
+    "ts_attribution_linear", "ts_zorder_keys", "ts_snapshot_diff",
+    "doc_bpe_train", "doc_hash_embed", "ts_active_users",
+    "doc_url_domains", "doc_quality_pct", "doc_length_profile",
+    "doc_oov_rate", "doc_code_detect", "doc_bpe_encode",
+    "doc_quality_classifier", "mm_phash_pairs", "dedup_semantic",
+    "dedup_lsh_eval", "cur_interleave", "emb_health",
+    "doc_url_blocklist",
     # --- (b) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (c) ALL 31 r03-stale queries, registry order (the cohort
-    # VERDICT r07 item 1 ordered into the r08 head) ---
-    "ts_level_shifts", "ts_user_profiles", "cur_corpus_pipeline",
-    "emb_label_outliers", "emb_pca_project", "emb_pq_topk",
-    "emb_ivf_pq_topk", "dedup_lsh_novelty", "mm_chunk_audio",
-    "emb_ivf_topk", "link_fuzzy_docs", "ts_decay_score",
-    "ts_sketch_accuracy", "doc_bigram_lm", "cur_sample_k_per_group",
-    "dedup_source_overlap", "emb_stored_ivf_pq", "emb_pq_novelty",
-    "doc_domain_affinity", "cur_quality_rebalance", "ts_top_paths",
-    "ts_quality_audit", "ts_churn_labels", "ts_rollup_incremental",
-    "ts_mad_outliers", "ts_heavy_hitters", "emb_hard_negatives",
-    "doc_langid_confusion", "doc_bigram_xent", "ts_value_drift",
-    "emb_ivf_pq_append",
-    # --- (d) new in round 9 (never driver-gated; swept at 3 scales) ---
-    "cur_pipeline_card",
-    # --- (e) changed in round 9: token-scale ppm ratios moved to
-    # DECIMAL(38,0)/HUGEINT (token totals cross the BIGINT*1e6 bound
-    # at 100 TB; values identical at every sf — property-pinned), and
-    # band_join prunes NULL values at source (join_band_values rides
-    # through it; values unchanged, verified exact at 3 scales) ---
-    "dedup_token_inflation", "dedup_span_coverage", "cur_budget_alloc",
-    "join_band_values",
-    # --- (f) r04-cohort prepayment, registry order (7 fill the 50;
-    # with dedup_token_inflation gated above, 34 r04 queries remain at
-    # lag 5 == the bound and MUST head the r10 rotation) ---
-    "ts_dedup_latest", "mm_tile_plan", "ts_weekly_growth",
-    "doc_sentence_stats", "cur_split_leakage", "doc_line_dedup",
-    "doc_ngram_novelty",
+    # --- (c) changed in round 10 (ADVICE r09: pipeline_card counts
+    # scratch-persisted so the five union branches stop re-scanning the
+    # input ~5x; budget_alloc oracle divmod literals now derived from
+    # the shared budget constant) ---
+    "cur_pipeline_card", "cur_budget_alloc",
+    # --- (d) new in round 10 ---
+    # (filled as queries land this round)
+    # --- (e) r05-cohort prepayment, registry order (fills to 50; the
+    # 39-query r05 cohort is due at r11 — each name here drops out of
+    # that head) ---
+    "ts_time_travel", "ts_seed_lookup", "ts_last_per_key",
+    "ts_time_bounds", "ts_topk_per_key", "ts_range_scan",
+    "ts_partition_derive", "ts_json_extract", "ts_rollup",
+    "ts_moving_avg", "ts_zscore_outliers",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
