@@ -39,6 +39,15 @@ from bytehub_spark.sources import zorder as zorder_src
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# Single source of truth for cur_budget_alloc's token budget: the
+# queries() entry passes it to curation.budget_allocation and the
+# oracle SQL derives its exact-BIGINT divmod literals from it via
+# _BUDGET_Q/_BUDGET_R (ADVICE r10: inlining budget=1e6's divmod as
+# bare 1/0 literals silently coupled the oracle to this value — change
+# the budget and the engines desynced with no guard).
+BUDGET_ALLOC_TOKENS = 1_000_000
+_BUDGET_Q, _BUDGET_R = divmod(BUDGET_ALLOC_TOKENS, 1_000_000)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-user hourly LOCF resample (the as-of/forward-fill
@@ -1617,7 +1626,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token-budget allocator on DoReMi weights: per-domain target
         # tokens / sampling rate / epochs under a fixed budget — exact
         "cur_budget_alloc": lambda spark, sf: curation.budget_allocation(
-            load_table(spark, sf, "documents"), budget_tokens=1_000_000
+            load_table(spark, sf, "documents"),
+            budget_tokens=BUDGET_ALLOC_TOKENS,
         ),
         # LSH-bucketed approximate k-NN graph: every vector's top-5
         # bucket-mates by integer-quantized cosine — exact oracle
@@ -6845,8 +6855,13 @@ def oracle_sql() -> dict[str, str]:
             FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         # reweight CTE chain (same as cur_domain_reweight) + per-domain
-        # token rollup + BIGINT allocation arithmetic
-        "cur_budget_alloc": """
+        # token rollup + BIGINT allocation arithmetic. The target_tokens
+        # divmod literals are generated from BUDGET_ALLOC_TOKENS (the
+        # same constant the queries() entry passes), so both engines
+        # derive from one value — target = q*w + (r*w) div 1e6 with
+        # (q, r) = divmod(budget, 1e6) stays exact in BIGINT because
+        # r*w < 1e6*1e6.
+        "cur_budget_alloc": f"""
             WITH toks AS (
                 SELECT source, string_split(text, ' ') AS ws FROM documents
             ),
@@ -6907,8 +6922,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             alloc AS (
                 SELECT av.source, avail_tokens, weight_ppm,
-                       CAST(CAST(1 AS BIGINT) * weight_ppm
-                            + (CAST(0 AS BIGINT) * weight_ppm)
+                       CAST(CAST({_BUDGET_Q} AS BIGINT) * weight_ppm
+                            + (CAST({_BUDGET_R} AS BIGINT) * weight_ppm)
                               // 1000000 AS BIGINT) AS target_tokens
                 FROM av JOIN wt ON av.source = wt.source
             )

@@ -1093,7 +1093,12 @@ def pipeline_card(
     s3 = persist(s2.join(contaminated, "doc_id", "left_anti"))
 
     # one 1-row frame with every count (+ the survivor token total for
-    # the pack bin arithmetic), assembled by broadcast cross joins
+    # the pack bin arithmetic), assembled by broadcast cross joins.
+    # The frame is scratch-persisted below: Spark does NOT CSE across
+    # union branches, so the five stage rows would otherwise each
+    # re-evaluate this subtree — in particular re-scanning the
+    # UN-persisted `documents` input ~5x just for `nc` (ADVICE r10).
+    # Persisting the 1-row result makes every branch a cache read.
     counts = (
         documents.agg(F.count("*").cast("long").alias("nc"))
         .crossJoin(
@@ -1116,6 +1121,7 @@ def pipeline_card(
             )
         )
     )
+    counts = persist(counts)
     out = None
     for stage, name, c_in, c_out in (
         (0, "gate", "nc", "n0"),

@@ -47,18 +47,48 @@ def avro_available(spark: SparkSession) -> bool:
             "avro", jvm.org.apache.spark.sql.internal.SQLConf.get()
         )
         return True
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 — message-matched below
+        # Only the resolver's own "no such data source" failure means
+        # the jar is absent. Any OTHER exception (py4j transport error,
+        # a future Spark moving DataSource/SQLConf internals) is a
+        # BROKEN PROBE, not a missing module — warn loudly so it can't
+        # masquerade as "install the jar" (ADVICE r10).
+        msg = str(exc)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg:
+            return False
+        import warnings
+
+        warnings.warn(
+            "avro_available() probe itself failed (NOT the missing-jar "
+            f"path): {type(exc).__name__}: {msg[:300]} — treating Avro "
+            "as unavailable, but the probe needs fixing for this Spark "
+            "build.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return False
+
+
+def _scala_binary_version(spark: SparkSession) -> str:
+    """Scala binary version of the running JVM ("2.12"/"2.13"), so the
+    remedy message names the right spark-avro artifact (ADVICE r10: a
+    hardcoded _2.13 is wrong guidance on 2.12 builds)."""
+    try:
+        full = spark._jvm.scala.util.Properties.versionNumberString()
+        return ".".join(str(full).split(".")[:2])
+    except Exception:
+        return "<scala-binary-version>"
 
 
 def _require(spark: SparkSession) -> None:
     if not avro_available(spark):
+        sbv = _scala_binary_version(spark)
         raise RuntimeError(
             "Avro support requires the external spark-avro module "
-            "(org.apache.spark:spark-avro_2.13). Start the session with "
-            "spark.jars.packages=org.apache.spark:spark-avro_2.13:<spark "
-            "version>, or convert the data to parquet/ORC upstream. "
-            "Refusing to guess a fallback format."
+            f"(org.apache.spark:spark-avro_{sbv}). Start the session "
+            f"with spark.jars.packages=org.apache.spark:spark-avro_{sbv}"
+            f":{spark.version}, or convert the data to parquet/ORC "
+            "upstream. Refusing to guess a fallback format."
         )
 
 
