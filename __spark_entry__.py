@@ -119,15 +119,15 @@ _GATE_FIRST = [
     # input ~5x; budget_alloc oracle divmod literals now derived from
     # the shared budget constant) ---
     "cur_pipeline_card", "cur_budget_alloc",
-    # --- (d) new in round 10 ---
-    # (filled as queries land this round)
+    # --- (d) new in round 10 (each swept vs its oracle at 3 scales;
+    # the driver gate is the record) ---
+    "ts_scd2_history", "ts_intervals_merge", "cur_ccnet_bucket",
+    "dedup_prefix_filter", "join_salted_agg", "doc_kn_bigram",
     # --- (e) r05-cohort prepayment, registry order (fills to 50; the
     # 39-query r05 cohort is due at r11 — each name here drops out of
     # that head) ---
     "ts_time_travel", "ts_seed_lookup", "ts_last_per_key",
-    "ts_time_bounds", "ts_topk_per_key", "ts_range_scan",
-    "ts_partition_derive", "ts_json_extract", "ts_rollup",
-    "ts_moving_avg", "ts_zscore_outliers",
+    "ts_time_bounds", "ts_topk_per_key",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
@@ -782,6 +782,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM-pipeline: dedup ---
         "dedup_exact": _q(dedup.exact_dedup, "documents"),
         "dedup_ngram_jaccard": _q(dedup.ngram_jaccard_pairs, "documents"),
+        # prefix-filtered EXACT Jaccard join (SSJoin/PPJoin): candidates
+        # only from rarest-first shingle prefixes + length filter, then
+        # exact verify; oracle is the brute-force inverted-index join —
+        # the gate proves the prefix lemma loses nothing
+        "dedup_prefix_filter": lambda spark, sf: dedup.prefix_filter_pairs(
+            load_table(spark, sf, "documents"), threshold_ppm=500_000
+        ),
         # asymmetric containment |A∩B|/min(|A|,|B|): short-doc-inside-
         # long-doc detection, same inverted-index plan — exact oracle
         "dedup_containment": _q(dedup.containment_pairs, "documents"),
@@ -1028,6 +1035,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-length information weights (log2 via bin() string length —
         # no transcendentals) — exact oracle
         "doc_bigram_lm": _q(text.bigram_lm_score, "documents"),
+        # interpolated Kneser-Ney bigram table (D=3/4, exact rational
+        # x4 arithmetic, DECIMAL(38,0)/HUGEINT products), top-20 by
+        # smoothed probability — exact oracle
+        "doc_kn_bigram": _q(text.kn_bigram_top, "documents"),
         # deterministic k-per-group reservoir (hash-order top-k, window
         # group-limit pruned) — exact oracle
         "cur_sample_k_per_group": _q(curation.sample_k_per_group, "documents"),
@@ -1619,6 +1630,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-order Markov transition matrix over per-user streams:
         # lead() per user + (prev,next) counts + conditional ppm — exact
         "ts_event_transitions": _q(events_ops.event_transitions, "events"),
+        # SCD2 history build: per-user event_type runs -> half-open
+        # validity intervals (lag change-flag + running sum + lead),
+        # all windows user-partitioned — exact oracle
+        "ts_scd2_history": _q(events_ops.scd2_history, "events"),
+        # gaps-and-islands interval coalescing: [ts, ts+value min)
+        # ranges merged per user via running-max-of-end — exact oracle
+        "ts_intervals_merge": _q(events_ops.intervals_merge, "events"),
         # RFM quintile segmentation: per-user recency/frequency/monetary
         # (µ-unit BIGINT sums), exact percentile breakpoints (broadcast
         # scalar), 1-5 scores, segment rollup — exact oracle
@@ -1788,6 +1806,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(skew.key_skew_profile(ev, "event_type", 64, 5))
             .orderBy("key_col", F.col("n_rows").desc(), "key")
         )(load_table(spark, sf, "events")),
+        # the EXECUTION half of key_skew_profile: events->customer join
+        # run salted (per-row-id salt on the fact, dim exploded xS,
+        # sort-merge pinned) — the oracle is the PLAIN join, so the
+        # gate proves salted == unsalted
+        "join_salted_agg": lambda spark, sf: skew.salted_join_agg(
+            load_table(spark, sf, "events"),
+            load_table(spark, sf, "customer"),
+            "user_id", "c_custkey", "c_mktsegment", "value", "event_id",
+        ),
         # exact-dup cluster-size profile with token savings of
         # collapsing to the canonical member. The testdata corpus has
         # NO exact dups (the profile would be the single all-zero
@@ -1814,6 +1841,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ONE Expand+agg pass; rolled-up keys print '<all>'; exact ppm
         # mean. The per-release corpus summary table.
         "cur_dataset_card": _q(curation.dataset_card, "documents"),
+        # CCNet-style head/middle/tail perplexity terciles per source:
+        # per-doc integer-µbit bigram xent + row_number tercile split,
+        # rolled up to (source, bucket) — exact oracle
+        "cur_ccnet_bucket": _q(curation.ccnet_bucket, "documents"),
         # --- round 9 ---
         # the full curation chain (gate -> exact dedup -> banded-MinHash
         # near-dedup -> decontaminate -> pack) as ONE oracle-gated
@@ -4568,6 +4599,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
             ORDER BY doc_a, doc_b
         """,
+        # brute-force exact Jaccard — deliberately NOT prefix-filtered:
+        # the oracle states the SEMANTICS (all pairs with J >= tau);
+        # matching it proves the Spark side's prefix pruning is lossless
+        "dedup_prefix_filter": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE len(string_split(text, ' ')) >= 3
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, len(ws) - 2),
+                    i -> array_to_string(ws[i + 1 : i + 3], ' ')))) AS shingle
+                FROM w
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter,
+                   CAST(sa.n_sh + sb.n_sh - i AS BIGINT) AS union_sz,
+                   CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1000000 >= 500000 * (sa.n_sh + sb.n_sh - i)
+            ORDER BY doc_a, doc_b
+        """,
         "dedup_ngram_jaccard": """
             WITH w AS (
                 SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -4750,6 +4810,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS exact_users,
                    true AS sketch_ok
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # one bigram count table; c1/nf1/nb2/nbtot all derived from it;
+        # HUGEINT mirrors Spark's DECIMAL(38,0) for the backoff products
+        "doc_kn_bigram": """
+            WITH toks AS (
+                SELECT string_split(text, ' ') AS ws FROM documents
+                WHERE len(string_split(text, ' ')) >= 2
+            ),
+            db AS (
+                SELECT unnest(list_transform(
+                           range(0, len(ws) - 1),
+                           i -> struct_pack(w1 := ws[i + 1],
+                                            w2 := ws[i + 2]))) AS p
+                FROM toks
+            ),
+            bi AS (
+                SELECT p.w1 AS w1, p.w2 AS w2,
+                       CAST(COUNT(*) AS BIGINT) AS c12
+                FROM db GROUP BY 1, 2
+            ),
+            l AS (
+                SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                       CAST(COUNT(*) AS BIGINT) AS nf1
+                FROM bi GROUP BY w1
+            ),
+            r AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb2
+                  FROM bi GROUP BY w2),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbtot FROM bi)
+            SELECT w1 || ' ' || w2 AS bigram, c12, c1, nf1, nb2,
+                   CAST(CAST(greatest(4 * c12 - 3, 0) AS HUGEINT)
+                            * 1000000000 // (4 * CAST(c1 AS HUGEINT))
+                        + CAST(3 AS HUGEINT) * nf1 * nb2 * 1000000000
+                            // (4 * CAST(c1 AS HUGEINT) * nbtot)
+                    AS BIGINT) AS score_ppb
+            FROM bi JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+            ORDER BY score_ppb DESC, bigram LIMIT 20
         """,
         "doc_bigram_lm": """
             WITH toks AS (
@@ -6818,6 +6914,74 @@ def oracle_sql() -> dict[str, str]:
         # quantile_cont == Spark percentile (linear interpolation over
         # exact integers — the value_quantiles identity); µ-unit BIGINT
         # monetary so the order-sensitive double sum never appears
+        # run detection (null-safe lag + running sum), run rollup, lead
+        # for valid_to — the same double-window shape as the Spark side
+        "ts_scd2_history": """
+            WITH r AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(event_type) OVER w
+                                 IS NOT DISTINCT FROM event_type
+                            THEN 0 ELSE 1 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            v AS (
+                SELECT *, SUM(chg) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS version
+                FROM r
+            ),
+            g AS (
+                SELECT user_id, CAST(version AS BIGINT) AS version,
+                       MIN(event_type) AS event_type,
+                       MIN(ts) AS valid_from,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM v GROUP BY user_id, version
+            )
+            SELECT user_id, version, event_type, valid_from,
+                   lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY version) AS valid_to,
+                   n_events
+            FROM g ORDER BY user_id, version
+        """,
+        # running max of interval end over strictly-preceding rows ->
+        # new-island flag -> running sum -> island rollup
+        "ts_intervals_merge": """
+            WITH iv AS (
+                SELECT user_id, event_id,
+                       epoch_us(ts) AS start_us,
+                       epoch_us(ts)
+                           + CAST(floor(value * 60000000.0) AS BIGINT)
+                           AS end_us
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            f AS (
+                SELECT *, CASE WHEN max(end_us) OVER wp IS NULL
+                               OR start_us > max(end_us) OVER wp
+                               THEN 1 ELSE 0 END AS new_i
+                FROM iv
+                WINDOW wp AS (
+                    PARTITION BY user_id
+                    ORDER BY start_us, end_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            i AS (
+                SELECT *, SUM(new_i) OVER (
+                    PARTITION BY user_id
+                    ORDER BY start_us, end_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS island
+                FROM f
+            )
+            SELECT user_id, CAST(island AS BIGINT) AS island,
+                   make_timestamp(MIN(start_us)) AS start_ts,
+                   make_timestamp(MAX(end_us)) AS end_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                   CAST((MAX(end_us) - MIN(start_us)) // 1000000
+                       AS BIGINT) AS span_s
+            FROM i GROUP BY user_id, island
+            ORDER BY user_id, island
+        """,
         "ts_rfm_segments": """
             WITH pu AS (
                 SELECT user_id,
@@ -7454,6 +7618,15 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(eps_u = b.best, FALSE) AS recommended
             FROM v, b ORDER BY eps_u
         """,
+        # the PLAIN (unsalted) join — matching it is the proof that the
+        # Spark side's salt replication changes nothing
+        "join_salted_agg": """
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(SUM(CAST(floor(CAST(value AS DOUBLE)
+                       * 1000000) AS BIGINT)), 0) AS BIGINT) AS value_u
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
         # two key profiles (user_id, event_type) unioned; top-5 by
         # (count desc, key asc); exact integer share/salt/skew math
         "join_skew_profile": """
@@ -7543,6 +7716,69 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ROLLUP dataset card; grouping() labels, '<all>' placeholders,
         # exact ppm mean
+        # per-doc piecewise-linear-log2 bigram xent (same CTE recipe as
+        # cur_budget_alloc, grouped by doc), row_number terciles, rollup
+        "cur_ccnet_bucket": """
+            WITH toks AS (
+                SELECT doc_id, source, string_split(text, ' ') AS ws
+                FROM documents
+            ),
+            db AS (
+                SELECT doc_id, source, unnest(list_transform(
+                           range(0, len(ws) - 1),
+                           i -> ws[i + 1] || ' ' || ws[i + 2])) AS bigram
+                FROM toks WHERE len(ws) >= 2
+            ),
+            uni AS (
+                SELECT w1, COUNT(*) AS c1 FROM (
+                    SELECT unnest(ws) AS w1 FROM toks
+                ) GROUP BY w1
+            ),
+            bi AS (SELECT bigram, COUNT(*) AS c2 FROM db GROUP BY bigram),
+            j AS (
+                SELECT db.doc_id, db.source,
+                       (length(bin(c1)) - 1)
+                           + (CAST(c1 AS DOUBLE) - power(2.0, CAST(length(bin(c1)) - 1 AS DOUBLE)))
+                             / power(2.0, CAST(length(bin(c1)) - 1 AS DOUBLE)) AS l1,
+                       (length(bin(c2)) - 1)
+                           + (CAST(c2 AS DOUBLE) - power(2.0, CAST(length(bin(c2)) - 1 AS DOUBLE)))
+                             / power(2.0, CAST(length(bin(c2)) - 1 AS DOUBLE)) AS l2
+                FROM db
+                JOIN bi USING (bigram)
+                JOIN uni ON uni.w1 = string_split(db.bigram, ' ')[1]
+            ),
+            pd AS (
+                SELECT source, doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                       CAST(SUM(CAST(floor((l1 - l2) * 1e9) AS BIGINT))
+                           AS BIGINT) AS q
+                FROM j GROUP BY source, doc_id
+            ),
+            x AS (
+                SELECT source, doc_id,
+                       CAST(q // n_bigrams // 1000 AS BIGINT) AS xent_ubits
+                FROM pd
+            ),
+            rk AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY source ORDER BY xent_ubits, doc_id
+                       ) AS r,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM x
+            ),
+            bk AS (
+                SELECT source,
+                       CASE WHEN r * 3 <= n THEN 'head'
+                            WHEN r * 3 <= n * 2 THEN 'middle'
+                            ELSE 'tail' END AS bucket,
+                       xent_ubits
+                FROM rk
+            )
+            SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(xent_ubits) AS lo_ubits,
+                   MAX(xent_ubits) AS hi_ubits
+            FROM bk GROUP BY source, bucket ORDER BY source, bucket
+        """,
         "cur_dataset_card": """
             WITH base AS (
                 SELECT source, lang,

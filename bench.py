@@ -111,6 +111,16 @@ BENCH_QUERIES = [
     # a recorded cost (both are single-agg shapes)
     "dedup_token_inflation",
     "cur_budget_alloc",
+    # r10 additions, benched at birth: SCD2 + interval coalescing
+    # (window families), CCNet terciles (LM joins + per-group rank),
+    # prefix-filtered exact Jaccard (the candidate-pruning headline),
+    # salted fact-dim join, Kneser-Ney bigram table
+    "ts_scd2_history",
+    "ts_intervals_merge",
+    "cur_ccnet_bucket",
+    "dedup_prefix_filter",
+    "join_salted_agg",
+    "doc_kn_bigram",
 ]
 
 

@@ -1147,3 +1147,87 @@ def pipeline_card(
         F.lit(0).cast("long").alias("n_dropped"),
     )
     return out.unionByName(pack).orderBy("stage")
+
+
+def ccnet_bucket(documents: DataFrame, group_col: str = "source") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019,
+    arXiv:1911.00359, collapsed to its deterministic core): score every
+    doc by its cross-entropy under the corpus bigram LM, then split each
+    domain into head / middle / tail TERCILES of that score — the
+    standard "keep the head, inspect the middle, drop the tail" triage
+    a web-scale corpus goes through before training. Emits the rollup a
+    curation dashboard reads: (group, bucket, n_docs, lo/hi xent µbits).
+
+    Engine-exact recipe: per-doc mean xent in integer µbits (the
+    piecewise-linear log2 + nano-bit floor sum shared with
+    domain_reweight_by_loss, divided doc-side: _q div n_bigrams div
+    1000); tercile assignment by per-group row_number r over
+    (xent, doc_id) — bucket = head iff 3r <= n, middle iff 3r <= 2n,
+    else tail — pure integer comparisons, no ntile tie ambiguity.
+    Docs with < 2 tokens have no bigrams and are excluded (they carry
+    no LM evidence; route them through doc_quality_rules instead).
+
+    Scale: the two LM count tables are map-side-combined aggregates;
+    the per-doc score is one bigram-keyed join + doc-keyed rollup; the
+    rank window partitions by group (never global). At 100 TB the
+    window's per-group sort is the cost — CCNet itself shards this by
+    language for the same reason; group_col is that shard key.
+    """
+    from pyspark.sql import Window
+
+    from .text import plog2
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    doc_bi = (
+        documents.where(n >= 2)
+        .select(
+            "doc_id",
+            F.col(group_col).alias("grp"),
+            F.explode(bigrams).alias("bigram"),
+        )
+    )
+    uni = (
+        documents.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = doc_bi.groupBy("bigram").agg(F.count("*").alias("c2"))
+    joined = (
+        doc_bi.join(bi, "bigram")
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .join(uni, "w1")
+    )
+    term = F.floor((plog2(F.col("c1")) - plog2(F.col("c2"))) * F.lit(1e9))
+    per_doc = (
+        joined.groupBy("grp", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_bigrams"), F.sum(term).alias("_q"))
+        .withColumn(
+            "xent_ubits",
+            F.expr("_q div n_bigrams div 1000").cast("long"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("xent_ubits", "doc_id")
+    ranked = per_doc.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("grp"))
+    )
+    bucket = (
+        F.when(F.col("r") * 3 <= F.col("n"), F.lit("head"))
+        .when(F.col("r") * 3 <= F.col("n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy(F.col("grp").alias(group_col), "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("xent_ubits").alias("lo_ubits"),
+            F.max("xent_ubits").alias("hi_ubits"),
+        )
+        .orderBy(group_col, "bucket")
+    )

@@ -2115,3 +2115,98 @@ def savings_profile(
         )
         .orderBy("cluster_size")
     )
+
+
+def prefix_filter_pairs(
+    documents: DataFrame,
+    threshold_ppm: int = 500_000,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard-threshold similarity self-join via prefix filtering
+    (Chaudhuri/Ganti/Kaushik SSJoin, ICDE 2006; Xiao et al. PPJoin,
+    WWW 2008) — same output contract as ngram_jaccard_pairs, radically
+    smaller candidate set: order every doc's distinct shingles by a
+    global canonical order (document frequency asc, shingle asc —
+    rarest first) and join only on each doc's PREFIX of length
+    |d| − ceil(τ·|d|) + 1. The prefix lemma makes this LOSSLESS: if
+    J(a,b) ≥ τ, the globally-smallest common shingle must sit inside
+    BOTH prefixes (were it outside a's prefix, all of a∩b would fit in
+    a's suffix of size ceil(τ·|a|) − 1 < required overlap ceil(τ·|a|)).
+    So unlike the MinHash/LSH family there are NO false negatives, and
+    unlike the full inverted-index join the quadratic term is
+    Σ_prefix-shingle f² — prefixes hold the RARE shingles, exactly
+    where f is small, while the stopword-like high-f shingles that
+    dominate ngram_jaccard's Σ f² land in suffixes and never generate
+    a candidate. The length filter (τ·|a| ≤ |b| ≤ |a|/τ, integer ppm
+    form) prunes cross-size pairs inside the same join.
+
+    Thresholds are integer ppm end-to-end: prefix length uses
+    ceil(τ|d|) = (τ_ppm·|d| + 999999) div 1e6, and the final keep test
+    is i·1e6 ≥ τ_ppm·(|a|+|b|−i) — no float round-trip at the
+    boundary (the est_jaccard lesson from pipeline_card). The emitted
+    jaccard double is display-only, derived from the same integers.
+
+    Scale: candidate generation cost is sized BEFORE the verify join by
+    construction (prefix rows ≈ (1−τ)·shingle rows); verification cost
+    is Σ_cand |a| via two semi-structured joins keyed on (doc, shingle)
+    — linear in candidates · doc size, never all-pairs. The df-ordered
+    prefix needs one extra groupBy (shingle df counts) + one per-doc
+    window (partitioned by doc, never global).
+    """
+    if not (0 < int(threshold_ppm) <= 1_000_000):
+        raise ValueError("threshold_ppm must be in (0, 1e6]")
+    tau = int(threshold_ppm)
+    sh = _shingle_pair_source(documents, n, text_col, id_col, None)
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    wd = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    ranked = sh.join(dfc, "shingle").withColumn(
+        "__rk", F.row_number().over(wd)
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(f"({tau} * n_sh + 999999) div 1000000")
+        + F.lit(1)
+    )
+    prefix = ranked.where(F.col("__rk") <= prefix_len).select(
+        id_col, "n_sh", "shingle"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    ai, bi = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (ai < bi)
+            & (F.col("a.n_sh") * 1_000_000 >= F.lit(tau) * F.col("b.n_sh"))
+            & (F.col("b.n_sh") * 1_000_000 >= F.lit(tau) * F.col("a.n_sh")),
+        )
+        .select(
+            ai.alias("doc_a"),
+            F.col("a.n_sh").alias("na"),
+            bi.alias("doc_b"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("i"))
+    )
+    union_sz = F.col("na") + F.col("nb") - F.col("i")
+    return (
+        inter.where(F.col("i") * 1_000_000 >= F.lit(tau) * union_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").cast("long").alias("inter"),
+            union_sz.cast("long").alias("union_sz"),
+            (F.col("i").cast("double") / union_sz).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2133,3 +2133,127 @@ def histogram_quantile_brackets(
             F.lit(lo) + F.col("bucket") * F.lit(width),
         ).alias("hi_v"),
     ).orderBy("event_type", "q_ppm")
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    user's event_type stream into consecutive-run validity intervals
+    (user_id, version, event_type, valid_from, valid_to, n_events) —
+    the warehouse pattern that turns an append-only event log into a
+    point-in-time joinable dimension (valid_to IS NULL = the current
+    row; an as-of lookup is then ``valid_from <= t AND (t < valid_to
+    OR valid_to IS NULL)``, exactly what asof.band/asof joins consume).
+
+    Run detection is the classic gaps-and-islands double window, both
+    partitioned by user (no global window): lag() marks a change
+    (null-safe, so a NULL attribute run still collapses), a running sum
+    numbers the runs, and a per-user lead() over the grouped runs sets
+    valid_to = the next run's valid_from — half-open intervals that
+    tile the user's timeline with no overlap. Ordering is (ts,
+    event_id) so equal timestamps resolve deterministically in both
+    engines.
+
+    Scale: two per-user window passes + one (user, version) groupBy —
+    all hash-partitioned by user_id; state per task bounded by the
+    heaviest user's row count (the key_skew_profile prepass prices
+    that).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = (~prev.eqNullSafe(F.col("event_type"))).cast("int")
+    runs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__chg", F.coalesce(chg, F.lit(1)))
+        .withColumn(
+            "version",
+            F.sum("__chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    grouped = runs.groupBy("user_id", "version").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return (
+        grouped.withColumn("valid_to", F.lead("valid_from").over(wv))
+        .select(
+            "user_id",
+            F.col("version").cast("long").alias("version"),
+            "event_type",
+            "valid_from",
+            "valid_to",
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+def intervals_merge(events: DataFrame) -> DataFrame:
+    """Overlapping-interval coalescing (gaps-and-islands over ranges):
+    each event opens an activity interval [ts, ts + value minutes);
+    per user, transitively-overlapping intervals merge into islands
+    (user_id, island, start_ts, end_ts, n_intervals, span_s). This is
+    the range twin of sessionize (which gaps on POINT distance): shift
+    coverage windows, on-call rotations, and lease/hold ranges all
+    coalesce this way before any downstream overlap join.
+
+    Island detection: per-user running max of interval end over
+    PRECEDING rows (ordered by start, end, event_id); a row whose start
+    exceeds every earlier end opens a new island; a running sum of
+    those flags labels islands; one groupBy aggregates them. End
+    offsets are floor(value·6e7) µs — one IEEE double product +
+    explicit floor, bit-identical cross-engine (Spark's BIGINT cast
+    truncates where DuckDB's rounds, so the floor is spelled out).
+
+    Scale: both windows partition by user_id — no global window, no
+    sort beyond each user's slice; the groupBy rides the same hash
+    partitioning. Interval data arriving as (start, end) columns skips
+    the synthesis select and enters at the window step.
+    """
+    iv = events.where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * F.lit(6e7)).cast("long")
+        ).alias("end_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("start_us", "end_us", "event_id")
+    prev_max_end = F.max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "__new",
+        F.when(
+            prev_max_end.isNull() | (F.col("start_us") > prev_max_end),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "island")
+        .agg(
+            F.min("start_us").alias("__s"),
+            F.max("end_us").alias("__e"),
+            F.count("*").cast("long").alias("n_intervals"),
+        )
+        .select(
+            "user_id",
+            F.col("island").cast("long").alias("island"),
+            F.timestamp_micros(F.col("__s")).alias("start_ts"),
+            F.timestamp_micros(F.col("__e")).alias("end_ts"),
+            "n_intervals",
+            F.expr("(__e - __s) div 1000000").cast("long").alias("span_s"),
+        )
+        .orderBy("user_id", "island")
+    )
