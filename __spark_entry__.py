@@ -6919,9 +6919,10 @@ def oracle_sql() -> dict[str, str]:
         "ts_scd2_history": """
             WITH r AS (
                 SELECT user_id, ts, event_id, event_type,
-                       CASE WHEN lag(event_type) OVER w
-                                 IS NOT DISTINCT FROM event_type
-                            THEN 0 ELSE 1 END AS chg
+                       CASE WHEN lag(event_id) OVER w IS NULL THEN 1
+                            WHEN lag(event_type) OVER w
+                                 IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS chg
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
@@ -7777,7 +7778,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    MIN(xent_ubits) AS lo_ubits,
                    MAX(xent_ubits) AS hi_ubits
-            FROM bk GROUP BY source, bucket ORDER BY source, bucket
+            FROM bk GROUP BY source, bucket
+            ORDER BY source NULLS LAST, bucket
         """,
         "cur_dataset_card": """
             WITH base AS (

@@ -808,36 +808,14 @@ def domain_reweight_by_loss(
     domain-keyed rollup; the min/total normalizers are #domains-row
     broadcasts. Nothing driver-side.
     """
-    from .text import plog2
+    from .text import bigram_xent_terms
 
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    doc_bi = (
-        documents.where(n >= 2)
-        .select(F.col(group_col).alias("domain"), F.explode(bigrams).alias("bigram"))
-    )
-    uni = (
-        documents.select(F.explode(toks).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("c1"))
-    )
-    bi = doc_bi.groupBy("bigram").agg(F.count("*").alias("c2"))
-    joined = (
-        doc_bi.join(bi, "bigram")
-        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
-        .join(uni, "w1")
-    )
-    term = F.floor((plog2(F.col("c1")) - plog2(F.col("c2"))) * F.lit(1e9))
     per_dom = (
-        joined.groupBy("domain")
+        bigram_xent_terms(documents, {"domain": group_col})
+        .groupBy("domain")
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
-            F.sum(term).cast("long").alias("_q"),
+            F.sum("xent_nbits").cast("long").alias("_q"),
         )
         .withColumn(
             "mean_xent_ubits",
@@ -1175,47 +1153,26 @@ def ccnet_bucket(documents: DataFrame, group_col: str = "source") -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from .text import plog2
+    from .text import bigram_xent_terms
 
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    doc_bi = (
-        documents.where(n >= 2)
-        .select(
-            "doc_id",
-            F.col(group_col).alias("grp"),
-            F.explode(bigrams).alias("bigram"),
-        )
-    )
-    uni = (
-        documents.select(F.explode(toks).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("c1"))
-    )
-    bi = doc_bi.groupBy("bigram").agg(F.count("*").alias("c2"))
-    joined = (
-        doc_bi.join(bi, "bigram")
-        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
-        .join(uni, "w1")
-    )
-    term = F.floor((plog2(F.col("c1")) - plog2(F.col("c2"))) * F.lit(1e9))
     per_doc = (
-        joined.groupBy("grp", "doc_id")
-        .agg(F.count("*").cast("long").alias("n_bigrams"), F.sum(term).alias("_q"))
+        bigram_xent_terms(documents, {"doc_id": "doc_id", "grp": group_col})
+        .groupBy("grp", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("xent_nbits").alias("_q"),
+        )
         .withColumn(
             "xent_ubits",
             F.expr("_q div n_bigrams div 1000").cast("long"),
         )
     )
     w = Window.partitionBy("grp").orderBy("xent_ubits", "doc_id")
-    ranked = per_doc.withColumn("r", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy("grp"))
-    )
+    # r is LONG before the x3: row_number() is INT32 and a web-scale
+    # group crosses 2^31/3 docs — the tercile compare must not wrap
+    ranked = per_doc.withColumn(
+        "r", F.row_number().over(w).cast("long")
+    ).withColumn("n", F.count("*").over(Window.partitionBy("grp")))
     bucket = (
         F.when(F.col("r") * 3 <= F.col("n"), F.lit("head"))
         .when(F.col("r") * 3 <= F.col("n") * 2, F.lit("middle"))
@@ -1229,5 +1186,5 @@ def ccnet_bucket(documents: DataFrame, group_col: str = "source") -> DataFrame:
             F.min("xent_ubits").alias("lo_ubits"),
             F.max("xent_ubits").alias("hi_ubits"),
         )
-        .orderBy(group_col, "bucket")
+        .orderBy(F.asc_nulls_last(group_col), "bucket")
     )

@@ -2164,9 +2164,11 @@ def prefix_filter_pairs(
     ranked = sh.join(dfc, "shingle").withColumn(
         "__rk", F.row_number().over(wd)
     )
+    # BIGINT before the ppm product: n_sh is INT32 and tau*n_sh wraps
+    # past ~2148 distinct shingles (the repo-pinned CAST-first gotcha)
     prefix_len = (
         F.col("n_sh")
-        - F.expr(f"({tau} * n_sh + 999999) div 1000000")
+        - F.expr(f"(CAST({tau} AS BIGINT) * n_sh + 999999) div 1000000")
         + F.lit(1)
     )
     prefix = ranked.where(F.col("__rk") <= prefix_len).select(
@@ -2179,8 +2181,14 @@ def prefix_filter_pairs(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (ai < bi)
-            & (F.col("a.n_sh") * 1_000_000 >= F.lit(tau) * F.col("b.n_sh"))
-            & (F.col("b.n_sh") * 1_000_000 >= F.lit(tau) * F.col("a.n_sh")),
+            & (
+                F.col("a.n_sh").cast("long") * 1_000_000
+                >= F.lit(tau).cast("long") * F.col("b.n_sh")
+            )
+            & (
+                F.col("b.n_sh").cast("long") * 1_000_000
+                >= F.lit(tau).cast("long") * F.col("a.n_sh")
+            ),
         )
         .select(
             ai.alias("doc_a"),
@@ -2198,7 +2206,7 @@ def prefix_filter_pairs(
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("i"))
     )
-    union_sz = F.col("na") + F.col("nb") - F.col("i")
+    union_sz = F.col("na").cast("long") + F.col("nb") - F.col("i")
     return (
         inter.where(F.col("i") * 1_000_000 >= F.lit(tau) * union_sz)
         .select(

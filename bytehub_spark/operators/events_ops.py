@@ -2160,10 +2160,18 @@ def scd2_history(events: DataFrame) -> DataFrame:
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
-    chg = (~prev.eqNullSafe(F.col("event_type"))).cast("int")
+    # the first row of a user ALWAYS opens run 1 — detected via
+    # lag(event_id) (never NULL mid-partition), because a NULL-typed
+    # first row satisfies NULL <=> NULL and a bare null-safe compare
+    # would leave that user's versions starting at 0
+    first_row = F.lag("event_id").over(w).isNull()
+    chg = (
+        F.when(first_row | ~prev.eqNullSafe(F.col("event_type")), F.lit(1))
+        .otherwise(F.lit(0))
+    )
     runs = (
         events.select("user_id", "ts", "event_id", "event_type")
-        .withColumn("__chg", F.coalesce(chg, F.lit(1)))
+        .withColumn("__chg", chg)
         .withColumn(
             "version",
             F.sum("__chg").over(

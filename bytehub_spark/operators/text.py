@@ -790,17 +790,26 @@ def plog2(c: F.Column) -> F.Column:
     return (b - F.lit(1)).cast("double") + (c.cast("double") - half) / half
 
 
-def bigram_cross_entropy(documents: DataFrame) -> DataFrame:
-    """Per-document LM cross-entropy estimate under the corpus bigram
-    model: mean over the doc's bigrams of -plog2(c(w1 w2)/c(w1 *)) =
-    mean(plog2(c1) - plog2(c2)) bits — the fluency/perplexity signal
-    quality filters rank on, here in exact cross-engine arithmetic
-    (piecewise-linear log2, correctly-rounded division by the bigram
-    count; the per-doc mean divides an order-insensitive quantized sum).
+def bigram_xent_terms(
+    documents: DataFrame, carry: dict[str, str]
+) -> DataFrame:
+    """SHARED exactness kernel of the corpus-bigram-LM scores: per
+    exploded bigram, the floor-quantized nano-bit cross-entropy term
+    floor((plog2(c1) - plog2(c2)) * 1e9), where c1 = corpus count of
+    the bigram's first word and c2 = corpus count of the bigram — plus
+    the caller's carry columns (``carry`` maps output alias → source
+    column). Callers group the returned (carry..., bigram, xent_nbits)
+    frame to their own granularity: bigram_cross_entropy by doc,
+    curation.domain_reweight_by_loss by domain, curation.ccnet_bucket
+    by (group, doc).
 
-    Same two-count-table plan as bigram_lm_score (TF-IDF shape). The
-    per-bigram bit terms are floor-quantized to 1e-9 before the sum so
-    the aggregation order can't flip ulps.
+    This quantization recipe is a cross-engine ORACLE CONTRACT (every
+    oracle replays it via the shared plog2 CTE); keeping it in one
+    place is what keeps the three operators in sync with their gates.
+
+    The exploded bigram frame feeds both the bigram-count aggregate and
+    the verify join; Spark does not CSE across those branches, so it is
+    scratch-persisted here (one explode per run, all three callers).
     """
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
@@ -809,9 +818,13 @@ def bigram_cross_entropy(documents: DataFrame) -> DataFrame:
         F.slice(toks, 2, n - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    doc_bi = (
-        documents.where(n >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    from ..plans.scratch import scratch_persist
+
+    doc_bi = scratch_persist(
+        documents.where(n >= 2).select(
+            *[F.col(src).alias(dst) for dst, src in carry.items()],
+            F.explode(bigrams).alias("bigram"),
+        )
     )
     uni = (
         documents.select(F.explode(toks).alias("w1"))
@@ -825,9 +838,31 @@ def bigram_cross_entropy(documents: DataFrame) -> DataFrame:
         .join(uni, "w1")
     )
     term = F.floor((plog2(F.col("c1")) - plog2(F.col("c2"))) * F.lit(1e9))
+    return joined.select(
+        *carry.keys(), "bigram", term.alias("xent_nbits")
+    )
+
+
+def bigram_cross_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document LM cross-entropy estimate under the corpus bigram
+    model: mean over the doc's bigrams of -plog2(c(w1 w2)/c(w1 *)) =
+    mean(plog2(c1) - plog2(c2)) bits — the fluency/perplexity signal
+    quality filters rank on, here in exact cross-engine arithmetic
+    (piecewise-linear log2, correctly-rounded division by the bigram
+    count; the per-doc mean divides an order-insensitive quantized sum).
+
+    Same two-count-table plan as bigram_lm_score (TF-IDF shape). The
+    per-bigram bit terms are floor-quantized to 1e-9 before the sum so
+    the aggregation order can't flip ulps (bigram_xent_terms is the
+    shared kernel).
+    """
     return (
-        joined.groupBy("doc_id")
-        .agg(F.count("*").alias("n_bigrams"), F.sum(term).alias("_q"))
+        bigram_xent_terms(documents, {"doc_id": "doc_id"})
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("xent_nbits").alias("_q"),
+        )
         .select(
             "doc_id",
             "n_bigrams",

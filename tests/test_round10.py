@@ -58,6 +58,21 @@ def test_scd2_null_attribute_run_collapses(spark):
     assert pd.isna(u2.event_type.iloc[1])
 
 
+def test_scd2_null_leading_run_starts_at_version_one(spark):
+    # a user whose FIRST event has NULL event_type: lag() is NULL and
+    # NULL <=> NULL is true, so a bare null-safe change flag would
+    # number that run 0 — the first row of a user must always open
+    # run 1 (self-review r10 finding)
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 9, None),
+         (2, "2024-01-01 01:00:00", 9, "click")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = events_ops.scd2_history(ev).toPandas()
+    assert list(out.version) == [1, 2]
+    assert pd.isna(out.event_type.iloc[0])
+
+
 # ------------------------------------------------ intervals_merge
 
 
@@ -113,6 +128,20 @@ def test_ccnet_tercile_sizes_and_bounds(spark, sf001_documents):
                 g.loc["middle", "hi_ubits"] == g.loc["tail", "lo_ubits"]
 
 
+def test_ccnet_null_group_sorts_last(spark):
+    # NULLS LAST pin (the r09 dataset_card convention): a NULL source
+    # group must sort after every named source in BOTH engines
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat", "web"),
+         (1, "the dog sat on the rug", "web"),
+         (2, "a null source document here", None)],
+        "doc_id long, text string, source string",
+    )
+    out = curation.ccnet_bucket(docs).toPandas()
+    assert out.source.iloc[-1] is None or pd.isna(out.source.iloc[-1])
+    assert out.source.notna()[:-1].all()
+
+
 # ------------------------------------------------ prefix_filter_pairs
 
 
@@ -147,12 +176,35 @@ def test_prefix_filter_matches_bruteforce_implementation(spark):
 
 
 def test_prefix_filter_exact_threshold_boundary(spark):
-    """A pair at EXACTLY tau must be kept: two docs sharing half their
-    shingle union (i*1e6 == tau*union integer-compare, no float trip)."""
-    docs = _neardup_docs(spark)
-    out = dedup.prefix_filter_pairs(docs, threshold_ppm=500_000).toPandas()
-    for _, r in out.iterrows():
-        assert r.inter * 1_000_000 >= 500_000 * r.union_sz
+    """A pair at EXACTLY tau must be kept: 'a b c d e' vs 'a b c d f'
+    share 2 of 4 distinct 3-gram shingles — i*1e6 == tau*union at
+    tau=0.5, so >= keeps it and any float round-trip or >-flip drops
+    it; one ppm above tau it must vanish."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d f")], "doc_id long, text string"
+    )
+    at_tau = dedup.prefix_filter_pairs(docs, threshold_ppm=500_000).toPandas()
+    assert len(at_tau) == 1
+    assert (at_tau.inter[0], at_tau.union_sz[0]) == (2, 4)
+    assert at_tau.jaccard[0] == 0.5
+    above = dedup.prefix_filter_pairs(docs, threshold_ppm=500_001).toPandas()
+    assert len(above) == 0
+
+
+def test_prefix_filter_wide_doc_no_int32_wrap(spark):
+    """INT32-overflow regression (self-review r10 finding): n_sh*1e6
+    and tau*n_sh must go through BIGINT — two identical ~2500-shingle
+    docs sit past the 2^31/1e6 ≈ 2148 wrap point of the length filter,
+    where the unfixed predicate went negative and silently dropped the
+    pair (breaking the lossless contract exactly at web-doc size)."""
+    text = " ".join(f"w{i}" for i in range(2500))
+    docs = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    out = dedup.prefix_filter_pairs(docs, threshold_ppm=900_000).toPandas()
+    assert len(out) == 1
+    assert out.jaccard[0] == 1.0
+    assert out.union_sz[0] == 2498
 
 
 def test_prefix_filter_prunes_candidates(spark, sf001_documents):
