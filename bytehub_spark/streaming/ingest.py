@@ -1973,3 +1973,196 @@ def stream_band_plan(
         .start()
     )
     return q, mon
+
+
+class Scd2Monitor:
+    """Streaming SCD-type-2 dimension maintenance — the incremental twin
+    of events_ops.scd2_history (events_ops.py:2138): each micro-batch
+    extends every user's run history, closing versions whose successor
+    has arrived and carrying exactly one OPEN run per user. result()
+    equals the batch operator on the union of all batches, row for row
+    (pinned in tests/test_round10.py), under the event-time-ordered
+    arrival contract every history monitor here shares (FunnelMonitor's:
+    micro-batches arrive in event-time order; within-batch order is the
+    batch op's own (ts, event_id) sort).
+
+    Two pieces of state:
+    - ``open`` (user_id, version, event_type, valid_from, n_events):
+      each user's current run — ONE row per user, the only state the
+      stitch needs. A batch whose first run null-safe-matches the open
+      run's type MERGES into it (valid_from kept, counts summed, same
+      version); otherwise the open run closes with valid_to = the
+      batch's first valid_from.
+    - ``closed``: finished versions. This frame is the PRODUCT, not
+      bookkeeping — it grows exactly as fast as the history table it
+      maintains. A production deployment appends each batch's closures
+      to the dimension sink and keeps only ``open`` as state; holding
+      ``closed`` here keeps result() self-contained for the
+      stream==batch contract.
+
+    Every step is user-partitioned (two windows + three user-keyed
+    joins per batch); no global window, no driver loop. Version
+    arithmetic is BIGINT from birth.
+    """
+
+    def __init__(self):
+        self.closed: DataFrame | None = None
+        self.open: DataFrame | None = None
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        b = batch_df.select("user_id", "ts", "event_id", "event_type")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # the batch op's exact run recipe: first row of a user always
+        # opens a run; otherwise a null-safe type change does
+        first_row = F.lag("event_id").over(w).isNull()
+        prev = F.lag("event_type").over(w)
+        chg = (
+            F.when(
+                first_row | ~prev.eqNullSafe(F.col("event_type")), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        runs = (
+            b.withColumn("__chg", chg)
+            .withColumn(
+                "rv",
+                F.sum("__chg").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy("user_id", "rv")
+            .agg(
+                F.first("event_type").alias("event_type"),
+                F.min("ts").alias("valid_from"),
+                F.count("*").cast("long").alias("n_events"),
+            )
+        )
+        old_open_closed = None
+        untouched_open = None
+        if self.open is not None:
+            o = self.open.select(
+                "user_id",
+                F.col("version").alias("o_version"),
+                F.col("event_type").alias("o_type"),
+                F.col("valid_from").alias("o_from"),
+                F.col("n_events").alias("o_n"),
+            )
+            r1 = runs.where(F.col("rv") == 1).select(
+                "user_id",
+                F.col("event_type").alias("b_type"),
+                F.col("valid_from").alias("b_from"),
+            )
+            dec = r1.join(o, "user_id", "left").select(
+                "user_id",
+                F.col("o_version").isNotNull().alias("has_open"),
+                (
+                    F.col("o_version").isNotNull()
+                    & F.col("o_type").eqNullSafe(F.col("b_type"))
+                ).alias("merged"),
+                "o_version",
+                "o_type",
+                "o_from",
+                "o_n",
+                "b_from",
+            )
+            adj = runs.join(dec, "user_id").select(
+                "user_id",
+                (
+                    F.col("rv").cast("long")
+                    + F.when(~F.col("has_open"), F.lit(0))
+                    .when(F.col("merged"), F.col("o_version") - 1)
+                    .otherwise(F.col("o_version"))
+                ).cast("long").alias("version"),
+                "event_type",
+                F.when(
+                    F.col("merged") & (F.col("rv") == 1), F.col("o_from")
+                ).otherwise(F.col("valid_from")).alias("valid_from"),
+                (
+                    F.col("n_events")
+                    + F.when(
+                        F.col("merged") & (F.col("rv") == 1), F.col("o_n")
+                    ).otherwise(F.lit(0))
+                ).cast("long").alias("n_events"),
+            )
+            old_open_closed = dec.where(
+                F.col("has_open") & ~F.col("merged")
+            ).select(
+                "user_id",
+                F.col("o_version").cast("long").alias("version"),
+                F.col("o_type").alias("event_type"),
+                F.col("o_from").alias("valid_from"),
+                F.col("b_from").alias("valid_to"),
+                F.col("o_n").alias("n_events"),
+            )
+            untouched_open = self.open.join(
+                r1.select("user_id"), "user_id", "left_anti"
+            )
+        else:
+            adj = runs.select(
+                "user_id",
+                F.col("rv").cast("long").alias("version"),
+                "event_type",
+                "valid_from",
+                "n_events",
+            )
+        wv = Window.partitionBy("user_id").orderBy("version")
+        adj = adj.withColumn("__next_from", F.lead("valid_from").over(wv))
+        closed_in_batch = adj.where(F.col("__next_from").isNotNull()).select(
+            "user_id",
+            "version",
+            "event_type",
+            "valid_from",
+            F.col("__next_from").alias("valid_to"),
+            "n_events",
+        )
+        batch_open = adj.where(F.col("__next_from").isNull()).select(
+            "user_id", "version", "event_type", "valid_from", "n_events"
+        )
+        adds = (
+            closed_in_batch
+            if old_open_closed is None
+            else closed_in_batch.unionByName(old_open_closed)
+        )
+        self.closed = eager_checkpoint(
+            adds if self.closed is None else self.closed.unionByName(adds)
+        )
+        self.open = eager_checkpoint(
+            batch_open
+            if untouched_open is None
+            else batch_open.unionByName(untouched_open)
+        )
+
+    def result(self) -> DataFrame:
+        """Same table shape as events_ops.scd2_history: the closed
+        versions plus each user's open run with valid_to NULL."""
+        if self.open is None:
+            raise RuntimeError(
+                "Scd2Monitor.result() before any micro-batch was processed"
+            )
+        ts_type = self.open.schema["valid_from"].dataType
+        open_rows = self.open.select(
+            "user_id",
+            "version",
+            "event_type",
+            "valid_from",
+            F.lit(None).cast(ts_type).alias("valid_to"),
+            "n_events",
+        )
+        full = (
+            open_rows
+            if self.closed is None
+            else self.closed.unionByName(open_rows)
+        )
+        return full.orderBy("user_id", "version")
+
+
+def stream_scd2(events: DataFrame, checkpoint_dir: str):
+    """Attach an Scd2Monitor to an event stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = Scd2Monitor()
+    q = (
+        events.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

@@ -357,3 +357,99 @@ def test_kn_topk_ordering(spark):
 @pytest.fixture(scope="module")
 def sf001_documents(spark):
     return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+# ------------------------------------------------ Scd2Monitor (streaming)
+
+
+def test_stream_scd2_equals_batch(spark, tmp_path):
+    """Incremental SCD2 maintenance over event-time-ordered
+    micro-batches must equal the one-shot events_ops.scd2_history on
+    the union — versions, validity tiling, counts, open rows."""
+    import os
+    import time
+
+    from bytehub_spark import streaming as st
+    from bytehub_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    expect = events_ops.scd2_history(ev).toPandas().reset_index(drop=True)
+
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    src = str(tmp_path / "scd2_src")
+    os.makedirs(src)
+    bounds = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q, mon = st.stream_scd2(stream, str(tmp_path / "ckpt_scd2"))
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = mon.result().toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect)
+    # open state: exactly one row per user
+    n_users = ev.select("user_id").distinct().count()
+    assert mon.open.count() == n_users
+
+
+def _mon_batch(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp(t),
+                    "user_id": uid,
+                    "event_type": typ,
+                }
+                for eid, uid, t, typ in rows
+            ]
+        )
+    )
+
+
+def test_scd2_monitor_merges_run_split_across_batches(spark):
+    """A same-type run split across two micro-batches must stay ONE
+    version with summed n_events and the first batch's valid_from; a
+    type change in a later batch closes it with the correct valid_to."""
+    from bytehub_spark.streaming import Scd2Monitor
+
+    mon = Scd2Monitor()
+    mon.process_batch(_mon_batch(spark, [(1, 7, "2024-01-01 00:00:00", "a")]))
+    mon.process_batch(_mon_batch(spark, [(2, 7, "2024-01-01 01:00:00", "a")]))
+    mid = mon.result().toPandas()
+    assert len(mid) == 1
+    assert (mid.version[0], mid.n_events[0]) == (1, 2)
+    assert mid.valid_from[0] == pd.Timestamp("2024-01-01 00:00:00")
+    assert pd.isna(mid.valid_to[0])
+
+    mon.process_batch(_mon_batch(spark, [(3, 7, "2024-01-01 02:00:00", "b")]))
+    out = mon.result().toPandas()
+    assert list(out.version) == [1, 2]
+    assert list(out.event_type) == ["a", "b"]
+    assert out.valid_to[0] == pd.Timestamp("2024-01-01 02:00:00")
+    assert pd.isna(out.valid_to[1])
+    assert list(out.n_events) == [2, 1]
+
+
+def test_scd2_monitor_null_type_stitch(spark):
+    """NULL event_type runs stitch null-safely across batches (one
+    version), and a NULL-leading user still numbers from version 1."""
+    from bytehub_spark.streaming import Scd2Monitor
+
+    mon = Scd2Monitor()
+    mon.process_batch(_mon_batch(spark, [(1, 9, "2024-01-01 00:00:00", None)]))
+    mon.process_batch(_mon_batch(spark, [(2, 9, "2024-01-01 01:00:00", None)]))
+    out = mon.result().toPandas()
+    assert len(out) == 1
+    assert (out.version[0], out.n_events[0]) == (1, 2)
+    assert pd.isna(out.event_type[0])
