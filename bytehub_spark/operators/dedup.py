@@ -2148,12 +2148,23 @@ def prefix_filter_pairs(
     boundary (the est_jaccard lesson from pipeline_card). The emitted
     jaccard double is display-only, derived from the same integers.
 
+    PPJoin's POSITIONAL filter tightens the candidate join further
+    (also lossless — proof at the predicate): a match at prefix ranks
+    (rk_a, rk_b) bounds the whole overlap by 1 + min(na−rk_a, nb−rk_b),
+    which must reach o_min = ceil(τ(na+nb)/(1+τ)).
+
     Scale: candidate generation cost is sized BEFORE the verify join by
     construction (prefix rows ≈ (1−τ)·shingle rows); verification cost
     is Σ_cand |a| via two semi-structured joins keyed on (doc, shingle)
     — linear in candidates · doc size, never all-pairs. The df-ordered
     prefix needs one extra groupBy (shingle df counts) + one per-doc
-    window (partitioned by doc, never global).
+    window (partitioned by doc, never global). CROSSOVER HONESTY: at
+    small Σ f² (e.g. sf0.1's 5k docs) the extra stages make this ~5x
+    slower than ngram_jaccard_pairs' single inverted-index join — this
+    operator is for when the pre-join arithmetic says brute is
+    unaffordable (the 500k-doc table in scripts/scale_prefix500k.py:
+    227e9 brute tuples vs 3.2e9 at τ=0.9). Run the cheap Σ C(f,2)
+    aggregate first and pick the join the numbers pick.
     """
     if not (0 < int(threshold_ppm) <= 1_000_000):
         raise ValueError("threshold_ppm must be in (0, 1e6]")
@@ -2172,22 +2183,36 @@ def prefix_filter_pairs(
         + F.lit(1)
     )
     prefix = ranked.where(F.col("__rk") <= prefix_len).select(
-        id_col, "n_sh", "shingle"
+        id_col, "n_sh", "__rk", "shingle"
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     ai, bi = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    # PPJoin positional filter, LOSSLESS: for a qualifying pair's
+    # globally-smallest common shingle s*, every other common shingle
+    # ranks after s* in BOTH docs, so overlap <= 1 + min(na - rk_a,
+    # nb - rk_b); a pair with J >= tau needs overlap >=
+    # o_min = ceil(tau*(na+nb)/(1e6+tau)) (from o*1e6 >= tau*(na+nb-o)),
+    # and since s* generates one of the pair's match rows, keeping
+    # pairs where ANY row passes the bound keeps every true pair.
+    na_l = F.col("a.n_sh").cast("long")
+    nb_l = F.col("b.n_sh").cast("long")
+    o_min = F.expr(
+        f"(CAST({tau} AS BIGINT) * (a.n_sh + CAST(b.n_sh AS BIGINT))"
+        f" + {1_000_000 + tau - 1}) div {1_000_000 + tau}"
+    )
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (ai < bi)
+            & (na_l * 1_000_000 >= F.lit(tau).cast("long") * F.col("b.n_sh"))
+            & (nb_l * 1_000_000 >= F.lit(tau).cast("long") * F.col("a.n_sh"))
             & (
-                F.col("a.n_sh").cast("long") * 1_000_000
-                >= F.lit(tau).cast("long") * F.col("b.n_sh")
-            )
-            & (
-                F.col("b.n_sh").cast("long") * 1_000_000
-                >= F.lit(tau).cast("long") * F.col("a.n_sh")
+                F.lit(1)
+                + F.least(
+                    na_l - F.col("a.__rk"), nb_l - F.col("b.__rk")
+                )
+                >= o_min
             ),
         )
         .select(
