@@ -2135,6 +2135,44 @@ def histogram_quantile_brackets(
     ).orderBy("event_type", "q_ppm")
 
 
+def _user_runs(events: DataFrame) -> DataFrame:
+    """SHARED run-detection kernel of SCD2 (batch scd2_history and the
+    streaming Scd2Monitor both build on it — one definition keeps the
+    stream==batch contract structural): per (user_id, run) consecutive
+    same-event_type runs as (user_id, run, event_type, valid_from,
+    n_events), run numbered 1.. per user. The first row of a user
+    ALWAYS opens run 1 — detected via lag(event_id) (never NULL
+    mid-partition), because a NULL-typed first row satisfies
+    NULL <=> NULL and a bare null-safe compare would number that run
+    0; subsequent runs open on a null-safe type change. Ordering is
+    (ts, event_id) so equal timestamps resolve deterministically in
+    both engines. Both windows partition by user — never global.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    first_row = F.lag("event_id").over(w).isNull()
+    chg = (
+        F.when(first_row | ~prev.eqNullSafe(F.col("event_type")), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__chg", chg)
+        .withColumn(
+            "run",
+            F.sum("__chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "run")
+        .agg(
+            F.first("event_type").alias("event_type"),
+            F.min("ts").alias("valid_from"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
 def scd2_history(events: DataFrame) -> DataFrame:
     """Slowly-changing-dimension (type 2) history build: collapse each
     user's event_type stream into consecutive-run validity intervals
@@ -2156,34 +2194,10 @@ def scd2_history(events: DataFrame) -> DataFrame:
     Scale: two per-user window passes + one (user, version) groupBy —
     all hash-partitioned by user_id; state per task bounded by the
     heaviest user's row count (the key_skew_profile prepass prices
-    that).
+    that). Run detection lives in _user_runs, SHARED with the
+    streaming Scd2Monitor.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("event_type").over(w)
-    # the first row of a user ALWAYS opens run 1 — detected via
-    # lag(event_id) (never NULL mid-partition), because a NULL-typed
-    # first row satisfies NULL <=> NULL and a bare null-safe compare
-    # would leave that user's versions starting at 0
-    first_row = F.lag("event_id").over(w).isNull()
-    chg = (
-        F.when(first_row | ~prev.eqNullSafe(F.col("event_type")), F.lit(1))
-        .otherwise(F.lit(0))
-    )
-    runs = (
-        events.select("user_id", "ts", "event_id", "event_type")
-        .withColumn("__chg", chg)
-        .withColumn(
-            "version",
-            F.sum("__chg").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-    )
-    grouped = runs.groupBy("user_id", "version").agg(
-        F.first("event_type").alias("event_type"),
-        F.min("ts").alias("valid_from"),
-        F.count("*").cast("long").alias("n_events"),
-    )
+    grouped = _user_runs(events).withColumnRenamed("run", "version")
     wv = Window.partitionBy("user_id").orderBy("version")
     return (
         grouped.withColumn("valid_to", F.lead("valid_from").over(wv))

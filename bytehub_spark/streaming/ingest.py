@@ -2010,32 +2010,13 @@ class Scd2Monitor:
         self.open: DataFrame | None = None
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
-        b = batch_df.select("user_id", "ts", "event_id", "event_type")
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        # the batch op's exact run recipe: first row of a user always
-        # opens a run; otherwise a null-safe type change does
-        first_row = F.lag("event_id").over(w).isNull()
-        prev = F.lag("event_type").over(w)
-        chg = (
-            F.when(
-                first_row | ~prev.eqNullSafe(F.col("event_type")), F.lit(1)
-            ).otherwise(F.lit(0))
-        )
-        runs = (
-            b.withColumn("__chg", chg)
-            .withColumn(
-                "rv",
-                F.sum("__chg").over(
-                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                ),
-            )
-            .groupBy("user_id", "rv")
-            .agg(
-                F.first("event_type").alias("event_type"),
-                F.min("ts").alias("valid_from"),
-                F.count("*").cast("long").alias("n_events"),
-            )
-        )
+        from ..operators.events_ops import _user_runs
+
+        # the batch op's EXACT run recipe — one shared definition, so
+        # the stream==batch contract is structural, not coincidental
+        runs = _user_runs(
+            batch_df.select("user_id", "ts", "event_id", "event_type")
+        ).withColumnRenamed("run", "rv")
         old_open_closed = None
         untouched_open = None
         if self.open is not None:
@@ -2122,8 +2103,19 @@ class Scd2Monitor:
             if old_open_closed is None
             else closed_in_batch.unionByName(old_open_closed)
         )
-        self.closed = eager_checkpoint(
-            adds if self.closed is None else self.closed.unionByName(adds)
+        # checkpoint only the batch's ADDITIONS (output-sized), never
+        # the whole closed history: re-checkpointing the unbounded
+        # frame each batch is O(all closed rows) per batch — quadratic
+        # over the stream. A flat union of already-checkpointed leaves
+        # never recomputes; its plan grows one node per batch, which is
+        # the availableNow regime this monitor targets (a truly
+        # unbounded deployment sinks adds_ck per batch instead, per the
+        # class docstring).
+        adds_ck = eager_checkpoint(adds)
+        self.closed = (
+            adds_ck
+            if self.closed is None
+            else self.closed.unionByName(adds_ck)
         )
         self.open = eager_checkpoint(
             batch_open

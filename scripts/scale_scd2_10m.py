@@ -28,9 +28,9 @@ os.makedirs(src)
 t = pq_.read_table("/tmp/sf100_stream/events.parquet")
 rows_per = t.num_rows // 10
 for i in range(10):
-    pq_.write_table(
-        t.slice(i * rows_per, rows_per), f"{src}/part-{i:03d}.parquet"
-    )
+    # last slice takes the remainder so no tail event is dropped
+    sl = t.slice(i * rows_per) if i == 9 else t.slice(i * rows_per, rows_per)
+    pq_.write_table(sl, f"{src}/part-{i:03d}.parquet")
     time.sleep(0.05)  # distinct modTimes -> deterministic batch order
 n_total = t.num_rows
 del t
@@ -62,7 +62,10 @@ ev_stream = (
 )
 t0 = time.time()
 q, mon = st.stream_scd2(ev_stream, os.path.join(work, "ck"))
-q.awaitTermination(1800)
+finished = q.awaitTermination(1800)
+if not finished:
+    q.stop()
+    raise SystemExit("stream did not drain within 1800s — result would be partial/racy; rerun in a quieter window")
 res = mon.result().persist()
 n_res = res.count()
 dt = time.time() - t0
