@@ -123,11 +123,12 @@ _GATE_FIRST = [
     # the driver gate is the record) ---
     "ts_scd2_history", "ts_intervals_merge", "cur_ccnet_bucket",
     "dedup_prefix_filter", "join_salted_agg", "doc_kn_bigram",
+    "dedup_edit_pairs",
     # --- (e) r05-cohort prepayment, registry order (fills to 50; the
     # 39-query r05 cohort is due at r11 — each name here drops out of
     # that head) ---
     "ts_time_travel", "ts_seed_lookup", "ts_last_per_key",
-    "ts_time_bounds", "ts_topk_per_key",
+    "ts_time_bounds",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
@@ -788,6 +789,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the gate proves the prefix lemma loses nothing
         "dedup_prefix_filter": lambda spark, sf: dedup.prefix_filter_pairs(
             load_table(spark, sf, "documents"), threshold_ppm=500_000
+        ),
+        # character-level Levenshtein<=1 pairs over 30-char title
+        # prefixes (SymSpell deletion-neighborhood candidates + exact
+        # levenshtein verify; the oracle's brute all-pairs join doubles
+        # as a cross-engine check of the DP itself). The corpus has no
+        # guaranteed 1-edit titles, so the gate wrapper injects a
+        # one-char-substituted copy of every doc_id % 41 == 0 (+3e7):
+        # dist-1 pairs at every sf
+        "dedup_edit_pairs": lambda spark, sf: dedup.edit_distance_pairs(
+            (lambda d: d.select("doc_id", "text").unionByName(
+                d.where(
+                    (F.col("doc_id") % 41 == 0) & (F.length("text") >= 6)
+                ).select(
+                    (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
+                    F.expr(
+                        "concat(substring(text, 1, 4), 'z',"
+                        " substring(text, 6))"
+                    ).alias("text"),
+                )
+            ))(load_table(spark, sf, "documents")),
+            k=1,
         ),
         # asymmetric containment |A∩B|/min(|A|,|B|): short-doc-inside-
         # long-doc detection, same inverted-index plan — exact oracle
@@ -4597,6 +4619,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(i AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        # brute-force all-pairs Levenshtein — deliberately NOT
+        # neighborhood-filtered: the oracle states the semantics (every
+        # pair within distance 1); matching it proves the deletion-
+        # neighborhood candidate generation is lossless AND that both
+        # engines' levenshtein DPs agree on real data
+        "dedup_edit_pairs": """
+            WITH inj AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 30000000 AS doc_id,
+                       substring(text, 1, 4) || 'z' || substring(text, 6)
+                           AS text
+                FROM documents
+                WHERE doc_id % 41 = 0 AND length(text) >= 6
+            ),
+            s AS (
+                SELECT doc_id, lower(substring(text, 1, 30)) AS s
+                FROM inj WHERE length(substring(text, 1, 30)) > 0
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist,
+                   CAST(length(a.s) AS BIGINT) AS len_a,
+                   CAST(length(b.s) AS BIGINT) AS len_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE abs(length(a.s) - length(b.s)) <= 1
+              AND levenshtein(a.s, b.s) <= 1
             ORDER BY doc_a, doc_b
         """,
         # brute-force exact Jaccard — deliberately NOT prefix-filtered:

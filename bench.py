@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "dedup_prefix_filter",
     "join_salted_agg",
     "doc_kn_bigram",
+    "dedup_edit_pairs",
 ]
 
 

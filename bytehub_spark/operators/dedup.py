@@ -2243,3 +2243,86 @@ def prefix_filter_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def edit_distance_pairs(
+    documents: DataFrame,
+    k: int = 1,
+    prefix_chars: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level near-duplicate pairs by TRUE Levenshtein
+    distance ≤ ``k`` over each doc's lowercased ``prefix_chars``-char
+    prefix (the title/URL-granularity dedup modality the token-level
+    family can't see: a one-character edit in a 30-char title is
+    invisible to 3-gram shingles but is exactly what retitled reposts
+    look like). Emits (doc_a, doc_b, dist, len_a, len_b).
+
+    Candidate generation is the DELETION NEIGHBORHOOD (Mor & Fraenkel
+    1982; popularized as SymSpell): every string's variants under ≤ k
+    character deletions. LOSSLESS: if lev(a,b) ≤ k, each edit op can be
+    resolved by at most one deletion on each side (substitution →
+    delete the position from both; insert/delete → delete it from the
+    longer side), so D_k(a) ∩ D_k(b) ≠ ∅ and the equi-join on variants
+    finds the pair — pinned by a property sweep against brute-force DP
+    in tests/test_property_round10.py. False positives are removed by
+    an exact ``levenshtein()`` verify (built-in both engines — the
+    oracle's brute all-pairs join doubles as a cross-engine equality
+    check of the DP itself).
+
+    Scale: the blow-up is C(|s|, ≤k) variants per doc — 31 at k=1,
+    ~466 at k=2 for 30-char strings — against the all-pairs |D|²/2
+    the brute join pays; the verify cost is one integer DP per
+    candidate pair. The variant join is a plain equi-join (shuffle on
+    the variant string); hot variants (shared boilerplate prefixes)
+    are real duplicate islands, the same skew story as exact_dedup.
+    k > 2 explodes combinatorially — past that, switch to the q-gram
+    count filter or token-level MinHash.
+    """
+    if k not in (1, 2):
+        raise ValueError("k must be 1 or 2 (deletion-neighborhood blowup)")
+    s = F.lower(F.substring(F.col(text_col), 1, int(prefix_chars)))
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), s.alias("s")
+    ).where(F.length("s") > 0)
+    del1 = (
+        "transform(sequence(1, length({v})), i ->"
+        " concat(substring({v}, 1, i - 1),"
+        " substring({v}, i + 1, length({v}))))"
+    )
+    vexpr = f"array_union(array(s), {del1.format(v='s')})"
+    if k == 2:
+        vexpr = (
+            f"array_distinct(flatten(transform({vexpr}, s2 ->"
+            f" array_union(array(s2), {del1.format(v='s2')}))))"
+        )
+    variants = base.select(
+        "doc_id", "s", F.explode(F.expr(vexpr)).alias("v")
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.s").alias("sa"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.s").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.where(F.levenshtein("sa", "sb") <= F.lit(int(k)))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("sa", "sb").cast("long").alias("dist"),
+            F.length("sa").cast("long").alias("len_a"),
+            F.length("sb").cast("long").alias("len_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

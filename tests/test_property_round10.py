@@ -179,3 +179,44 @@ _events = st.lists(
 def test_scd2_stitch_equals_batch_for_any_time_ordered_split(events, cuts):
     cuts = {c for c in cuts if c < len(events)}
     assert _monitor_replay(events, cuts) == _batch_scd2(events)
+
+
+# ------------------------------------------------ deletion-neighborhood lemma
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _del_neighborhood(s, k):
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        frontier = {
+            v[:i] + v[i + 1:] for v in frontier for i in range(len(v))
+        }
+        out |= frontier
+    return out
+
+
+_short = st.text(alphabet="abc", min_size=0, max_size=8)
+
+
+@given(_short, _short, st.integers(min_value=1, max_value=2))
+@settings(max_examples=400, deadline=None)
+def test_deletion_neighborhood_candidates_are_lossless(a, b, k):
+    """The SymSpell lemma behind dedup.edit_distance_pairs: any pair
+    within Levenshtein distance k shares a <=k-deletions variant, so
+    the candidate equi-join cannot miss a qualifying pair (false
+    positives are fine — the exact verify removes them)."""
+    if _lev(a, b) <= k:
+        assert _del_neighborhood(a, k) & _del_neighborhood(b, k)

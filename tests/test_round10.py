@@ -453,3 +453,48 @@ def test_scd2_monitor_null_type_stitch(spark):
     assert len(out) == 1
     assert (out.version[0], out.n_events[0]) == (1, 2)
     assert pd.isna(out.event_type[0])
+
+
+# ------------------------------------------------ edit_distance_pairs
+
+
+def test_edit_pairs_k1_substitution_insertion_case(spark):
+    """dist-0 (case-only), dist-1 substitution, dist-1 deletion all
+    found at k=1; a dist-2 string excluded at k=1 but found at k=2."""
+    docs = spark.createDataFrame(
+        [(0, "Hello World Title"), (1, "hello world title"),
+         (2, "hello world titXe"), (3, "hello world titl"),
+         (4, "hello worXd tiXle"), (5, "a totally different string")],
+        "doc_id long, text string",
+    )
+    k1 = dedup.edit_distance_pairs(docs, k=1).toPandas()
+    got = {(r.doc_a, r.doc_b): r.dist for _, r in k1.iterrows()}
+    assert got[(0, 1)] == 0      # case-folded exact
+    assert got[(0, 2)] == 1      # substitution
+    assert got[(0, 3)] == 1      # deletion
+    assert (0, 4) not in got     # dist 2 invisible at k=1
+    assert not any(5 in p for p in got)
+    k2 = dedup.edit_distance_pairs(docs, k=2).toPandas()
+    got2 = {(r.doc_a, r.doc_b): r.dist for _, r in k2.iterrows()}
+    assert got2[(0, 4)] == 2
+    assert got2[(2, 3)] == 2     # substitution + deletion
+
+
+def test_edit_pairs_prefix_window_only(spark):
+    """Edits past prefix_chars are invisible — the op dedups TITLES,
+    not bodies."""
+    base = "x" * 30
+    docs = spark.createDataFrame(
+        [(0, base + " tail one"), (1, base + " completely other tail")],
+        "doc_id long, text string",
+    )
+    out = dedup.edit_distance_pairs(docs, k=1, prefix_chars=30).toPandas()
+    assert len(out) == 1 and out.dist[0] == 0
+
+
+def test_edit_pairs_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        dedup.edit_distance_pairs(
+            spark.createDataFrame([(0, "a")], "doc_id long, text string"),
+            k=3,
+        )
