@@ -48,6 +48,15 @@ SF_SMOKE = "/root/testdata/sf0.001"
 BUDGET_ALLOC_TOKENS = 1_000_000
 _BUDGET_Q, _BUDGET_R = divmod(BUDGET_ALLOC_TOKENS, 1_000_000)
 
+# dedup_edit_pairs injection, ONE definition for both engines (the
+# cur_budget_alloc lesson: literal-duplicated gate parameters desync
+# silently). ASCII prefix guard because Spark levenshtein counts
+# codepoints while DuckDB's counts bytes — equal only on ASCII.
+EDIT_INJ_MOD = 41
+EDIT_INJ_OFFSET = 30_000_000
+EDIT_INJ_MINLEN = 6
+EDIT_ASCII_RE = "^[ -~]*$"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-user hourly LOCF resample (the as-of/forward-fill
@@ -800,15 +809,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_pairs": lambda spark, sf: dedup.edit_distance_pairs(
             (lambda d: d.select("doc_id", "text").unionByName(
                 d.where(
-                    (F.col("doc_id") % 41 == 0) & (F.length("text") >= 6)
+                    (F.col("doc_id") % EDIT_INJ_MOD == 0)
+                    & (F.length("text") >= EDIT_INJ_MINLEN)
                 ).select(
-                    (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
+                    (F.col("doc_id") + F.lit(EDIT_INJ_OFFSET)).alias(
+                        "doc_id"
+                    ),
                     F.expr(
                         "concat(substring(text, 1, 4), 'z',"
                         " substring(text, 6))"
                     ).alias("text"),
                 )
-            ))(load_table(spark, sf, "documents")),
+            ))(
+                load_table(spark, sf, "documents").where(
+                    F.substring("text", 1, 30).rlike(EDIT_ASCII_RE)
+                )
+            ),
             k=1,
         ),
         # asymmetric containment |A∩B|/min(|A|,|B|): short-doc-inside-
@@ -4626,15 +4642,21 @@ def oracle_sql() -> dict[str, str]:
         # pair within distance 1); matching it proves the deletion-
         # neighborhood candidate generation is lossless AND that both
         # engines' levenshtein DPs agree on real data
-        "dedup_edit_pairs": """
-            WITH inj AS (
+        "dedup_edit_pairs": f"""
+            WITH ascii_docs AS (
                 SELECT doc_id, text FROM documents
+                WHERE regexp_matches(substring(text, 1, 30),
+                                     '{EDIT_ASCII_RE}')
+            ),
+            inj AS (
+                SELECT doc_id, text FROM ascii_docs
                 UNION ALL
-                SELECT doc_id + 30000000 AS doc_id,
+                SELECT doc_id + {EDIT_INJ_OFFSET} AS doc_id,
                        substring(text, 1, 4) || 'z' || substring(text, 6)
                            AS text
-                FROM documents
-                WHERE doc_id % 41 = 0 AND length(text) >= 6
+                FROM ascii_docs
+                WHERE doc_id % {EDIT_INJ_MOD} = 0
+                  AND length(text) >= {EDIT_INJ_MINLEN}
             ),
             s AS (
                 SELECT doc_id, lower(substring(text, 1, 30)) AS s

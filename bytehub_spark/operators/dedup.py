@@ -2267,9 +2267,13 @@ def edit_distance_pairs(
     longer side), so D_k(a) ∩ D_k(b) ≠ ∅ and the equi-join on variants
     finds the pair — pinned by a property sweep against brute-force DP
     in tests/test_property_round10.py. False positives are removed by
-    an exact ``levenshtein()`` verify (built-in both engines — the
-    oracle's brute all-pairs join doubles as a cross-engine equality
-    check of the DP itself).
+    an exact ``levenshtein()`` verify (built-in both engines — on
+    ASCII data the oracle's brute all-pairs join doubles as a
+    cross-engine equality check of the DP itself. The caveat is real:
+    Spark's levenshtein counts CODEPOINTS, DuckDB's counts BYTES —
+    measured: DuckDB levenshtein('cafe','café') = 2, Spark = 1 — so
+    the gate wrapper restricts the compared prefixes to ASCII, and a
+    multi-byte corpus should too, or accept Spark-only semantics).
 
     Scale: the blow-up is C(|s|, ≤k) variants per doc — 31 at k=1,
     ~466 at k=2 for 30-char strings — against the all-pairs |D|²/2
@@ -2282,8 +2286,10 @@ def edit_distance_pairs(
     """
     if k not in (1, 2):
         raise ValueError("k must be 1 or 2 (deletion-neighborhood blowup)")
+    from ..plans import ensure_parallelism
+
     s = F.lower(F.substring(F.col(text_col), 1, int(prefix_chars)))
-    base = documents.select(
+    base = ensure_parallelism(documents).select(
         F.col(id_col).alias("doc_id"), s.alias("s")
     ).where(F.length("s") > 0)
     del1 = (
@@ -2297,8 +2303,12 @@ def edit_distance_pairs(
             f"array_distinct(flatten(transform({vexpr}, s2 ->"
             f" array_union(array(s2), {del1.format(v='s2')}))))"
         )
-    variants = base.select(
-        "doc_id", "s", F.explode(F.expr(vexpr)).alias("v")
+    from ..plans.scratch import scratch_persist
+
+    # persisted: the self-join reads the variant table twice (once per
+    # side) and the 31x/466x explode must not re-execute per reference
+    variants = scratch_persist(
+        base.select("doc_id", "s", F.explode(F.expr(vexpr)).alias("v"))
     )
     a, b = variants.alias("a"), variants.alias("b")
     cand = (
@@ -2315,14 +2325,19 @@ def edit_distance_pairs(
         )
         .distinct()
     )
+    # project the DP once, filter on the column: Filter + Project are
+    # separate physical operators and Catalyst does not CSE across
+    # them, so where(lev)/select(lev) runs the O(p^2) DP twice per
+    # surviving pair — and on this operator's skew story most
+    # candidates DO survive
     return (
-        cand.where(F.levenshtein("sa", "sb") <= F.lit(int(k)))
-        .select(
+        cand.select(
             "doc_a",
             "doc_b",
             F.levenshtein("sa", "sb").cast("long").alias("dist"),
             F.length("sa").cast("long").alias("len_a"),
             F.length("sb").cast("long").alias("len_b"),
         )
+        .where(F.col("dist") <= F.lit(int(k)))
         .orderBy("doc_a", "doc_b")
     )

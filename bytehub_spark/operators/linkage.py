@@ -15,9 +15,14 @@ length bucket keeps a degenerate block — all docs one lang/source — from
 going quadratic; at 100 TB you would add more blocking keys the same
 way, each one multiplies selectivity).
 
-Levenshtein with unit costs is engine-portable (DuckDB `levenshtein`
-computes the same code-point-level distance), so candidate pair sets and
-distances are exactly SQL-oracle-able.
+Levenshtein with unit costs is SQL-oracle-able on ASCII data, but the
+portability is NARROWER than it looks: Spark's `levenshtein` counts
+CODEPOINTS while DuckDB's counts BYTES (measured on this harness:
+DuckDB levenshtein('cafe','café') = 2, Spark = 1 — the é is two UTF-8
+bytes). The testdata corpus is pure ASCII at every sf, where the two
+agree exactly; a multi-byte corpus needs either an ASCII-projected
+compare column or a DuckDB-side codepoint DP before the oracle
+comparison means anything.
 """
 
 from __future__ import annotations
