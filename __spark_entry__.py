@@ -52,10 +52,13 @@ _BUDGET_Q, _BUDGET_R = divmod(BUDGET_ALLOC_TOKENS, 1_000_000)
 # cur_budget_alloc lesson: literal-duplicated gate parameters desync
 # silently). ASCII prefix guard because Spark levenshtein counts
 # codepoints while DuckDB's counts bytes — equal only on ASCII.
+# Anchored \z, not $ (ADVICE r10): Java regex lets $ match before a
+# trailing '\n' while RE2 matches end-of-text only, so a prefix ending
+# in a newline passed the Spark filter but missed the oracle's.
 EDIT_INJ_MOD = 41
 EDIT_INJ_OFFSET = 30_000_000
 EDIT_INJ_MINLEN = 6
-EDIT_ASCII_RE = "^[ -~]*$"
+EDIT_ASCII_RE = "^[ -~]*\\z"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7028,6 +7031,7 @@ def oracle_sql() -> dict[str, str]:
                            AS end_us
                 FROM events
                 WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND value >= 0
             ),
             f AS (
                 SELECT *, CASE WHEN max(end_us) OVER wp IS NULL

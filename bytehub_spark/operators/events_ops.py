@@ -2236,7 +2236,15 @@ def intervals_merge(events: DataFrame) -> DataFrame:
     the synthesis select and enters at the window step.
     """
     iv = events.where(
-        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        # Nonnegative-duration contract (ADVICE r10): a negative value
+        # would yield end_us < start_us — a degenerate interval whose
+        # span_s division then diverges cross-engine (Spark div
+        # truncates toward zero, DuckDB // floors). Filtered, not
+        # clamped: a negative duration is malformed input, not a
+        # zero-length interval.
+        & (F.col("value") >= 0)
     ).select(
         "user_id",
         "event_id",

@@ -2012,6 +2012,14 @@ class Scd2Monitor:
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         from ..operators.events_ops import _user_runs
 
+        # Empty micro-batch: nothing to stitch — skip entirely (ADVICE
+        # r10: an empty FIRST batch used to set self.open to an empty
+        # checkpointed frame, silently bypassing the result() "no
+        # micro-batch yet" guard; later empty batches paid a needless
+        # localCheckpoint per batch).
+        if batch_df.isEmpty():
+            return
+
         # the batch op's EXACT run recipe — one shared definition, so
         # the stream==batch contract is structural, not coincidental
         runs = _user_runs(

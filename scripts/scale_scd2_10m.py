@@ -27,9 +27,25 @@ src = os.path.join(work, "ev_src")
 os.makedirs(src)
 t = pq_.read_table("/tmp/sf100_stream/events.parquet")
 rows_per = t.num_rows // 10
+prev_max_ts = None
 for i in range(10):
     # last slice takes the remainder so no tail event is dropped
     sl = t.slice(i * rows_per) if i == 9 else t.slice(i * rows_per, rows_per)
+    # Row-position slicing assumes the file is globally time-sorted —
+    # the monitor's event-time-ordered arrival contract (ADVICE r10:
+    # surface a generator regression here, not as a confusing
+    # stream!=batch mismatch downstream).
+    import pyarrow.compute as pc
+
+    lo = pc.min(sl.column("ts")).as_py()
+    hi = pc.max(sl.column("ts")).as_py()
+    if prev_max_ts is not None and lo < prev_max_ts:
+        raise SystemExit(
+            f"slice {i} min ts {lo} < slice {i - 1} max ts {prev_max_ts}"
+            " — events.parquet is not globally time-sorted; regenerate"
+            " the corpus or sort before slicing"
+        )
+    prev_max_ts = hi
     pq_.write_table(sl, f"{src}/part-{i:03d}.parquet")
     time.sleep(0.05)  # distinct modTimes -> deterministic batch order
 n_total = t.num_rows
