@@ -60,6 +60,25 @@ EDIT_INJ_OFFSET = 30_000_000
 EDIT_INJ_MINLEN = 6
 EDIT_ASCII_RE = "^[ -~]*\\z"
 
+# dedup_qgram_pairs injection (k=3 routing target: the corpus has no
+# guaranteed 3-edit titles below sf0.1, so the gate plants 3-char
+# substitutions at positions 5/12/19). Same one-definition rule.
+QGRAM_K = 3
+QGRAM_Q = 2
+_QGRAM_MINLEN_POP = QGRAM_Q * (QGRAM_K + 1)  # population contract
+QGRAM_INJ_MOD = 37
+QGRAM_INJ_OFFSET = 40_000_000
+QGRAM_INJ_MINLEN = 21  # last substituted position (19) + margin
+# position-5/12/19 triple substitution, one string per engine dialect
+QGRAM_INJ_SPARK = (
+    "concat(substring(text, 1, 4), 'z', substring(text, 6, 6), 'q',"
+    " substring(text, 13, 6), 'x', substring(text, 20))"
+)
+QGRAM_INJ_DUCK = (
+    "substring(text, 1, 4) || 'z' || substring(text, 6, 6) || 'q' ||"
+    " substring(text, 13, 6) || 'x' || substring(text, 20)"
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-user hourly LOCF resample (the as-of/forward-fill
@@ -91,6 +110,35 @@ def _lsh_novelty(documents: DataFrame) -> DataFrame:
         "text",
     )
     return dedup_lsh_batch(docs).orderBy("doc_id")
+
+
+def _incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental_lsh's exact semantics, with the corpus index
+    routed through its documented persisted form (build_lsh_index:
+    parquet partitioned on band, overwritten each run, read back before
+    the increment join). The round-trip — including the partition
+    column coming back retyped by directory inference — must be
+    invisible to results; the oracle is byte-identical to
+    dedup_incremental_lsh's."""
+    import os
+    import tempfile
+
+    from bytehub_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(), f"bytehub_lsh_index_{tag}"
+    )
+    (
+        dedup.build_lsh_index(docs.where(F.col("doc_id") % 10 != 0))
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+    return dedup.dedup_against_index(
+        docs.where(F.col("doc_id") % 10 == 0), spark.read.parquet(path)
+    )
 
 
 # The driver's correctness gate covers the FIRST 50 entries of queries().
@@ -830,6 +878,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             k=1,
         ),
+        # k=3 edit-distance pairs via Ed-Join df-rare q-gram prefixes +
+        # the Gravano count filter + exact levenshtein verify — the
+        # k>2 routing target edit_distance_pairs names. Oracle is the
+        # brute all-pairs join (proves the three-filter chain lossless
+        # on real data); injected 3-char-substituted copies make dist<=3
+        # pairs exist at every sf
+        "dedup_qgram_pairs": lambda spark, sf: dedup.qgram_edit_pairs(
+            (lambda d: d.select("doc_id", "text").unionByName(
+                d.where(
+                    (F.col("doc_id") % QGRAM_INJ_MOD == 0)
+                    & (F.length("text") >= QGRAM_INJ_MINLEN)
+                ).select(
+                    (F.col("doc_id") + F.lit(QGRAM_INJ_OFFSET)).alias(
+                        "doc_id"
+                    ),
+                    F.expr(QGRAM_INJ_SPARK).alias("text"),
+                )
+            ))(
+                load_table(spark, sf, "documents").where(
+                    F.substring("text", 1, 30).rlike(EDIT_ASCII_RE)
+                )
+            ),
+            k=QGRAM_K,
+            q=QGRAM_Q,
+        ),
         # asymmetric containment |A∩B|/min(|A|,|B|): short-doc-inside-
         # long-doc detection, same inverted-index plan — exact oracle
         "dedup_containment": _q(dedup.containment_pairs, "documents"),
@@ -865,6 +938,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 dedup.build_lsh_index(docs.where(F.col("doc_id") % 10 != 0)),
             )
         )(load_table(spark, sf, "documents")),
+        # the SAME daily-increment check, but the index is routed through
+        # its documented PERSISTED form (parquet partitioned on band:
+        # build_lsh_index's docstring) — overwrite + read-back inside the
+        # query, so the gate proves the write/read round-trip (partition
+        # column re-typing included) is invisible to results. The
+        # two-increment append contract is pinned in tests/test_round11.py.
+        "dedup_incremental_persisted": _incremental_persisted,
         # exact-substring near-dups via winnowed fingerprints (word-level
         # MOSS): pairs sharing >= 1 selected k-gram hash, i.e. an exact
         # 8-word run (guaranteed detection at >= 12 shared words). md5 +
@@ -2680,6 +2760,9 @@ def _lsh_oracles() -> dict[str, str]:
         "dedup_band_balance": band_balance,
         "dedup_band_recall": band_recall,
         "dedup_incremental_lsh": incremental,
+        # same semantics — the Spark side routes the index through its
+        # persisted parquet form, which must be invisible to results
+        "dedup_incremental_persisted": incremental,
         "dedup_lsh_novelty": novelty,
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(),
@@ -4672,6 +4755,42 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE abs(length(a.s) - length(b.s)) <= 1
               AND levenshtein(a.s, b.s) <= 1
+            ORDER BY doc_a, doc_b
+        """,
+        # brute all-pairs Levenshtein<=3 over the same injected
+        # population — deliberately NOT q-gram-filtered: matching it
+        # proves the Ed-Join prefix + count-filter chain lossless (the
+        # abs-length predicate is implied by dist<=k, pure oracle-cost
+        # pruning). Population: prefixes >= q*(k+1) chars, the
+        # operator's documented contract.
+        "dedup_qgram_pairs": f"""
+            WITH ascii_docs AS (
+                SELECT doc_id, text FROM documents
+                WHERE regexp_matches(substring(text, 1, 30),
+                                     '{EDIT_ASCII_RE}')
+            ),
+            inj AS (
+                SELECT doc_id, text FROM ascii_docs
+                UNION ALL
+                SELECT doc_id + {QGRAM_INJ_OFFSET} AS doc_id,
+                       {QGRAM_INJ_DUCK} AS text
+                FROM ascii_docs
+                WHERE doc_id % {QGRAM_INJ_MOD} = 0
+                  AND length(text) >= {QGRAM_INJ_MINLEN}
+            ),
+            s AS (
+                SELECT doc_id, lower(substring(text, 1, 30)) AS s
+                FROM inj
+                WHERE length(substring(text, 1, 30))
+                      >= {_QGRAM_MINLEN_POP}
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist,
+                   CAST(length(a.s) AS BIGINT) AS len_a,
+                   CAST(length(b.s) AS BIGINT) AS len_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE abs(length(a.s) - length(b.s)) <= {QGRAM_K}
+              AND levenshtein(a.s, b.s) <= {QGRAM_K}
             ORDER BY doc_a, doc_b
         """,
         # brute-force exact Jaccard — deliberately NOT prefix-filtered:

@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "join_salted_agg",
     "doc_kn_bigram",
     "dedup_edit_pairs",
+    # r11: k=3 edit-distance pairs (Ed-Join q-gram prefix + count
+    # filter + DP verify), benched at birth
+    "dedup_qgram_pairs",
 ]
 
 

@@ -2341,3 +2341,187 @@ def edit_distance_pairs(
         .where(F.col("dist") <= F.lit(int(k)))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def qgram_edit_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    q: int = 2,
+    prefix_chars: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level near-duplicate pairs by TRUE Levenshtein distance
+    ≤ ``k`` over lowercased ``prefix_chars``-char prefixes — the k > 2
+    routing target edit_distance_pairs documents (its SymSpell deletion
+    neighborhood blows up combinatorially past k = 2: C(30, 3) ≈ 4060
+    variants per doc at k = 3). Same output contract:
+    (doc_a, doc_b, dist, len_a, len_b).
+
+    Population contract: only prefixes of length ≥ q·(k+1) participate
+    (both sides). Short strings are exactly what the k ≤ 2
+    deletion-neighborhood operator covers.
+
+    Three LOSSLESS pruning stages, then one exact DP:
+
+    1. **Pigeonhole segment candidates** (PassJoin, Li/Deng/Feng/Wang
+       VLDB 2011 — the short-string edit join). Each string splits
+       into k+1 contiguous segments (first segments get ⌊l/(k+1)⌋
+       chars, the last l mod (k+1) get one extra). If dist(x, y) ≤ k,
+       the ≤ k edit ops touch ≤ k segments of x, so SOME segment
+       survives untouched and appears in y VERBATIM, shifted by at
+       most the ±k net insert/delete drift before it. The candidate
+       join therefore matches x's segment table against y's probe
+       substrings of the partner lengths l ∈ [m−k, m+k] at positions
+       within ±k of that segment's start under an l-length split —
+       ~(2k+1)²·(k+1) ≈ 200 slim probe rows/doc at k=3, keyed by
+       ~⌈l/(k+1)⌉-char substrings (SELECTIVE keys, unlike character
+       q-grams: a df-ordered Ed-Join prefix was measured
+       collision-bound on this corpus — 6.6M candidate tuples at 5k
+       docs because 30-char prefixes have a FLAT trigram df, rarest
+       element df ≈ 600).
+    2. **Q-gram count filter** (Gravano et al., VLDB 2001): gram
+       multisets made sets by occurrence index — element = (gram,
+       occ); one edit touches ≤ q grams, so the multiset intersection
+       (= matching (gram, occ) rows, Σ_g min(cnt_a, cnt_b)) must reach
+       max(|Qa|, |Qb|) − k·q. Surviving candidates only then pay the
+       DP. Applied as a filter, the bound needs no floor — below
+       q·(k+1) it goes nonpositive and prunes nothing, which is why
+       the POPULATION contract starts there.
+    3. Exact ``levenshtein()`` verify (built-in both engines; the
+       Spark-codepoints vs DuckDB-bytes caveat from edit_distance_pairs
+       applies — ASCII-guard multi-byte corpora).
+
+    The whole chain (segment split → ±k windows → count bound → DP) is
+    property-swept against brute-force all-pairs DP in
+    tests/test_property_round11.py (an off-by-one window or a
+    tightened count bound fails it); the registered gate's oracle is
+    the deliberately-brute all-pairs join, so the driver run proves
+    losslessness on real data every round.
+
+    Scale: index is k+1 rows/doc, probes ~200 rows/doc, both slim; the
+    equi-join shuffles on (segment_idx, partner_len, substring) — hot
+    keys are shared boilerplate prefixes, i.e. real duplicate islands
+    (the exact_dedup skew story). The occ window partitions by doc;
+    nothing global. Verify cost is one integer DP per candidate that
+    survives the count bound.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if q < 2:
+        raise ValueError("q must be >= 2 (q=1 grams carry no position)")
+    min_len = q * (k + 1)
+    k1 = k + 1
+    from ..plans import ensure_parallelism
+    from ..plans.scratch import scratch_persist
+
+    s = F.lower(F.substring(F.col(text_col), 1, int(prefix_chars)))
+    base = scratch_persist(
+        ensure_parallelism(documents)
+        .select(F.col(id_col).alias("doc_id"), s.alias("s"))
+        .where(F.length("s") >= min_len)
+        .withColumn("len", F.length("s").cast("int"))
+    )
+    # segment arithmetic under an l-length split: first k1 - (l % k1)
+    # segments have floor(l/k1) chars, the rest one extra
+    lam = f"(({{l}} div {k1}) + if({{i}} >= {k1} - ({{l}} % {k1}), 1, 0))"
+    sig = (
+        f"({{i}} * ({{l}} div {k1})"
+        f" + greatest(0, {{i}} - ({k1} - ({{l}} % {k1}))))"
+    )
+    seg_expr = (
+        f"transform(sequence(0, {k}), i -> struct(i AS i, "
+        f"substring(s, {sig.format(i='i', l='len')} + 1, "
+        f"{lam.format(i='i', l='len')}) AS sub))"
+    )
+    segs = base.select(
+        "doc_id", "len", F.explode(F.expr(seg_expr)).alias("sg")
+    ).select(
+        F.col("doc_id").alias("x_id"),
+        F.col("len").alias("l"),
+        F.col("sg.i").alias("i"),
+        F.col("sg.sub").alias("sub"),
+    )
+    # probe substrings of every partner length l in [m-k, m+k] (>= the
+    # population floor — shorter partners don't exist), at positions
+    # within +-k of segment i's start under the l-split; empty windows
+    # yield array() (Spark's sequence(a, b) DESCENDS when a > b)
+    lam_il = lam.format(i="i", l="l")
+    sig_il = sig.format(i="i", l="l")
+    probe_expr = (
+        f"flatten(transform(sequence(greatest(len - {k}, {min_len}),"
+        f" len + {k}), l -> "
+        f"flatten(transform(sequence(0, {k}), i -> "
+        f"if(greatest(0, {sig_il} - {k})"
+        f" <= least(len - {lam_il}, {sig_il} + {k}), "
+        f"transform(sequence(greatest(0, {sig_il} - {k}),"
+        f" least(len - {lam_il}, {sig_il} + {k})), p -> "
+        f"struct(i AS i, l AS l,"
+        f" substring(s, p + 1, {lam_il}) AS sub)), "
+        f"array())))))"
+    )
+    probes = base.select(
+        "doc_id", F.explode(F.expr(probe_expr)).alias("pr")
+    ).select(
+        F.col("doc_id").alias("y_id"),
+        F.col("pr.i").alias("i"),
+        F.col("pr.l").alias("l"),
+        F.col("pr.sub").alias("sub"),
+    )
+    cand = (
+        segs.join(probes, ["i", "l", "sub"])
+        .where(F.col("x_id") != F.col("y_id"))
+        .select(
+            F.least("x_id", "y_id").alias("doc_a"),
+            F.greatest("x_id", "y_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # (gram, occ) set elements for the count filter: matching rows ==
+    # multiset intersection Sum_g min(cnt_a, cnt_b)
+    pos_grams = base.select(
+        "doc_id",
+        (F.col("len") - q + 1).cast("long").alias("n"),
+        F.posexplode(
+            F.expr(f"transform(sequence(1, length(s) - {q} + 1),"
+                   f" i -> substring(s, i, {q}))")
+        ).alias("__p", "g"),
+    )
+    w_occ = Window.partitionBy("doc_id", "g").orderBy("__p")
+    grams = scratch_persist(
+        pos_grams.withColumn("occ", F.row_number().over(w_occ)).select(
+            "doc_id", "n", "g", "occ"
+        )
+    )
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "g", "occ"
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "g", "occ"
+    )
+    counted = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g", "occ"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("shared"))
+        .where(
+            F.col("shared") >= F.greatest("na", "nb") - F.lit(int(k * q))
+        )
+    )
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    # project the DP once, filter on the column (Filter + Project don't
+    # CSE — the edit_distance_pairs lesson)
+    return (
+        counted.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("sa", "sb").cast("long").alias("dist"),
+            F.length("sa").cast("long").alias("len_a"),
+            F.length("sb").cast("long").alias("len_b"),
+        )
+        .where(F.col("dist") <= F.lit(int(k)))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -83,3 +83,106 @@ def test_scd2_monitor_empty_first_batch_keeps_guard(spark):
     mon.process_batch(empty)
     after = mon.result().toPandas()
     pd.testing.assert_frame_equal(before, after)
+
+
+# ------------------------------------------------- qgram_edit_pairs
+
+
+def test_qgram_pairs_finds_k3_excludes_k4(spark):
+    """dist-3 pair found at k=3; dist-4 excluded; below-min-length
+    strings excluded by the population contract (len >= q*(k+1))."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),
+            (1, "thX quick bXown fox jumXs"),   # dist 3 from doc 0
+            (2, "XXX Xuick brown fox jumps"),   # dist 4 from doc 0
+            (3, "short"),                       # len 5 < 8: excluded
+            (4, "shorX"),                       # would be dist-1 pair w/ 3
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.qgram_edit_pairs(docs, k=3, q=2).toPandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+    assert (3, 4) not in pairs  # population contract, k<=2 op's job
+    row = out[(out.doc_a == 0) & (out.doc_b == 1)].iloc[0]
+    assert row.dist == 3 and row.len_a == 25 and row.len_b == 25
+
+
+def test_qgram_pairs_case_fold_and_prefix_truncation(spark):
+    """Comparison is on the lowercased 30-char prefix: case-only
+    variants are dist 0; edits past char 30 are invisible."""
+    docs = spark.createDataFrame(
+        [
+            (0, "A Common Document Title Here padded well past thirty"),
+            (1, "a common document title here PADDED DIFFERENTLY"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.qgram_edit_pairs(docs, k=3, q=2).toPandas()
+    assert len(out) == 1 and out.dist[0] == 0
+
+
+def test_qgram_pairs_param_validation(spark):
+    docs = spark.createDataFrame([(0, "abcdefgh")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.qgram_edit_pairs(docs, k=0)
+    with pytest.raises(ValueError):
+        dedup.qgram_edit_pairs(docs, q=1)
+
+
+# ------------------------------------- persisted LSH index round-trip
+
+
+def test_lsh_index_persisted_increments_equal_oneshot(spark, tmp_path):
+    """The append-only daily pattern end-to-end (build_lsh_index's
+    documented persisted form: parquet partitioned on band): write the
+    corpus index, check increment B against the STORED table, append
+    B's buckets, check increment C against the stored table — the C
+    result must EXACTLY equal the one-shot in-memory run against
+    build_lsh_index(A ∪ B)."""
+    from bytehub_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    part_a = docs.where(F.col("doc_id") % 4 <= 1)   # historical corpus
+    part_b = docs.where(F.col("doc_id") % 4 == 2)   # day-1 increment
+    part_c = docs.where(F.col("doc_id") % 4 == 3)   # day-2 increment
+    path = str(tmp_path / "lsh_index")
+
+    dedup.build_lsh_index(part_a).write.partitionBy("band").parquet(path)
+    stored = spark.read.parquet(path)
+    out_b = dedup.dedup_against_index(part_b, stored).toPandas()
+    ref_b = dedup.dedup_against_index(
+        part_b, dedup.build_lsh_index(part_a)
+    ).toPandas()
+    pd.testing.assert_frame_equal(out_b, ref_b)
+
+    # append day-1's buckets; day-2 sees A ∪ B without any corpus rescan
+    dedup.build_lsh_index(part_b).write.mode("append").partitionBy(
+        "band"
+    ).parquet(path)
+    stored2 = spark.read.parquet(path)
+    out_c = dedup.dedup_against_index(part_c, stored2).toPandas()
+    ref_c = dedup.dedup_against_index(
+        part_c, dedup.build_lsh_index(part_a.unionByName(part_b))
+    ).toPandas()
+    pd.testing.assert_frame_equal(out_c, ref_c)
+    assert (~out_c.is_novel).any()  # the check has teeth at this sf
+
+
+def test_lsh_index_band_partition_prunes(spark, tmp_path):
+    """A single-band lookup against the stored index must prune to that
+    band's directory (PartitionFilters in the scan), not scan all 32."""
+    from bytehub_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "lsh_index")
+    dedup.build_lsh_index(docs).write.partitionBy("band").parquet(path)
+    scan = spark.read.parquet(path).where(F.col("band") == 7)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(band" in plan.replace(
+        "#", ""
+    ) or "band) AND (band", (
+        "band filter did not reach the parquet partition pruning:\n" + plan
+    )
