@@ -151,44 +151,42 @@ def _incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scales via scripts/check_oracle.py (round-4 sweeps: 178/178 ALL MATCH
 # at sf0.001, sf0.01, and sf0.1).
 _GATE_FIRST = [
-    # Round-10 rotation. The 34 r04-cohort queries sat at lag 5 == the
-    # registry-derived bound (max(4, ceil(212/50)) = 5) after the r09
+    # Round-11 rotation. The 35 r05-cohort queries sat at lag 5 == the
+    # registry-derived bound (max(4, ceil(221/50)) = 5) after the r10
     # gate, so they head this rotation (cohort recomputed from
     # CORRECTNESS_r*.json latest-green rounds, NOT from comments — it
-    # matches NEXT.md's pinned r09 list). Remaining slots: permanents,
-    # r10 new/changed queries, then r05-cohort prepays (that cohort —
-    # 39 queries — comes due at r11; every prepay here shrinks it).
-    # --- (a) ALL 34 r04-stale queries (latest green row == r04),
+    # matches NEXT.md's pinned r10 list, including the un-prepaid
+    # ts_topk_per_key). Remaining slots: permanents, r11 new/changed,
+    # then r06-cohort prepays (that cohort — 43 queries — comes due at
+    # r12; every prepay here shrinks it to 36).
+    # --- (a) ALL 35 r05-stale queries (latest green row == r05),
     # registry order ---
-    "ts_lateness_audit", "ts_event_pmi", "ts_asof_nearest",
-    "dedup_simhash_pairs", "emb_matryoshka_recall", "mm_modality_mix",
-    "ts_basket_pmi", "ts_debounce", "emb_margin_pairs",
-    "dedup_kmv_overlap", "dedup_kmv_distinct", "cur_domain_reweight",
-    "cur_epoch_shuffle", "doc_textrank", "ts_funnel_steps",
-    "ts_attribution_linear", "ts_zorder_keys", "ts_snapshot_diff",
-    "doc_bpe_train", "doc_hash_embed", "ts_active_users",
-    "doc_url_domains", "doc_quality_pct", "doc_length_profile",
-    "doc_oov_rate", "doc_code_detect", "doc_bpe_encode",
-    "doc_quality_classifier", "mm_phash_pairs", "dedup_semantic",
-    "dedup_lsh_eval", "cur_interleave", "emb_health",
-    "doc_url_blocklist",
+    "ts_topk_per_key", "ts_range_scan", "ts_partition_derive",
+    "ts_json_extract", "ts_rollup", "ts_moving_avg",
+    "ts_zscore_outliers", "ts_funnel", "ts_salted_rollup",
+    "ts_interval_join", "ts_histogram", "tpch_q1", "tpch_q3",
+    "tpch_q5", "tpch_q6", "tpch_q4", "tpch_q10", "tpch_q12",
+    "tpch_q14", "tpch_q7", "tpch_q8", "tpch_q18", "tpch_q2",
+    "tpch_q9", "tpch_q13", "join_anti_inactive_customers",
+    "join_semi_big_spenders", "dedup_minhash_lsh", "mm_token_budget",
+    "mm_shard_manifest", "ts_event_transitions", "mm_blob_dedup",
+    "ts_forecast_snaive", "dedup_decontaminate_mask",
+    "dedup_bloom_decontaminate",
     # --- (b) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (c) changed in round 10 (ADVICE r09: pipeline_card counts
-    # scratch-persisted so the five union branches stop re-scanning the
-    # input ~5x; budget_alloc oracle divmod literals now derived from
-    # the shared budget constant) ---
-    "cur_pipeline_card", "cur_budget_alloc",
-    # --- (d) new in round 10 (each swept vs its oracle at 3 scales;
+    # --- (c) changed in round 11 (ADVICE r10: \z-anchored ASCII guard
+    # in the edit-pairs injection; nonnegative-duration filter in
+    # intervals_merge — both engines) ---
+    "dedup_edit_pairs", "ts_intervals_merge",
+    # --- (d) new in round 11 (each swept vs its oracle at 3 scales;
     # the driver gate is the record) ---
-    "ts_scd2_history", "ts_intervals_merge", "cur_ccnet_bucket",
-    "dedup_prefix_filter", "join_salted_agg", "doc_kn_bigram",
-    "dedup_edit_pairs",
-    # --- (e) r05-cohort prepayment, registry order (fills to 50; the
-    # 39-query r05 cohort is due at r11 — each name here drops out of
+    "dedup_qgram_pairs", "dedup_incremental_persisted",
+    "cur_funnel_flags",
+    # --- (e) r06-cohort prepayment, registry order (fills to 50; the
+    # 43-query r06 cohort is due at r12 — each name here drops out of
     # that head) ---
-    "ts_time_travel", "ts_seed_lookup", "ts_last_per_key",
-    "ts_time_bounds",
+    "ts_resample_locf", "ts_align_ffill", "ts_asof_join",
+    "ts_quantiles", "ts_sessionize", "tpch_q15", "tpch_q16",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
@@ -1976,6 +1974,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stage 1), %53 a NULL-text row (+3e7, dropped at the gate);
         # the benchmark is the %101 sample of the corpus itself, so its
         # surviving members are contaminated by construction.
+        # per-doc funnel flags (batch twin of CurationFunnelMonitor, the
+        # 15th monitor): gate -> exact-new (min-id fingerprint keeper)
+        # -> near-new (no MinHash band bucket claimed by a lower-id
+        # exact-new survivor). The monitor shares curation._funnel_flags,
+        # so this gate guards the streaming kernel too. Exact oracle
+        # (portable FNV buckets, the _minhash_ctes machinery).
+        "cur_funnel_flags": _q(curation.curation_funnel_flags, "documents"),
         "cur_pipeline_card": lambda spark, sf: (
             lambda d: curation.pipeline_card(
                 d.unionByName(
@@ -8003,6 +8008,47 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS avg_tokens_ppm
             FROM agg
             ORDER BY level, source NULLS LAST, lang NULLS LAST
+        """,
+        # --- round 11: the funnel monitor's batch twin — gate, min-id
+        # fingerprint keepers, first-claimant band buckets (b=32/r=2
+        # defaults, the shared _minhash_ctes chain filtered to the
+        # exact-dedup survivors).
+        "cur_funnel_flags": f"""
+            WITH gated AS (
+                SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+            ),
+            fpt AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                               'g'))) AS fp
+                FROM gated
+            ),
+            firsts AS (
+                SELECT fp, min(doc_id) AS keeper FROM fpt GROUP BY fp
+            ),
+            ex AS (
+                SELECT f.doc_id, (f.doc_id = fi.keeper) AS exact_new
+                FROM fpt f JOIN firsts fi USING (fp)
+            ),
+            {_minhash_ctes("doc_id IN (SELECT keeper FROM firsts)")},
+            claim AS (
+                SELECT band, bh, min(doc_id) AS claimant
+                FROM bands GROUP BY band, bh
+            ),
+            cand AS (
+                SELECT DISTINCT b.doc_id
+                FROM bands b JOIN claim c USING (band, bh)
+                WHERE c.claimant < b.doc_id
+            )
+            SELECT d.doc_id,
+                   (d.text IS NOT NULL) AS gated,
+                   COALESCE(e.exact_new, FALSE) AS exact_new,
+                   (COALESCE(e.exact_new, FALSE) AND c.doc_id IS NULL)
+                       AS near_new
+            FROM documents d
+            LEFT JOIN ex e USING (doc_id)
+            LEFT JOIN cand c USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # --- round 9: the five-stage curation pipeline, replayed end to
         # end — injections, gate, exact dedup, b=16/r=4 MinHash LSH

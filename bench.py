@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     # r11: k=3 edit-distance pairs (Ed-Join q-gram prefix + count
     # filter + DP verify), benched at birth
     "dedup_qgram_pairs",
+    # r11: funnel-monitor batch twin (gate -> exact-new -> near-new
+    # first-claimant buckets), benched at birth
+    "cur_funnel_flags",
 ]
 
 

@@ -1188,3 +1188,142 @@ def ccnet_bucket(documents: DataFrame, group_col: str = "source") -> DataFrame:
         )
         .orderBy(F.asc_nulls_last(group_col), "bucket")
     )
+
+
+def _funnel_flags(
+    documents: DataFrame,
+    prior_fps: DataFrame | None = None,
+    prior_buckets: DataFrame | None = None,
+    n_hashes: int = 64,
+    bands: int = 32,
+    ngram: int = 3,
+) -> DataFrame:
+    """Per-doc curation-funnel flags versus (prior state ∪ lower-id docs
+    in this frame) — the shared kernel behind ``curation_funnel_flags``
+    (prior state = None) and streaming.CurationFunnelMonitor (prior
+    state = the accumulated fingerprint / bucket tables), so the
+    stream==batch contract is structural, the Scd2Monitor/_user_runs
+    pattern.
+
+    Stages, strictly nested (pipeline_card's chain, flag form):
+    - ``gated``: the row contract (text present);
+    - ``exact_new``: gated AND first claimant of the normalized-text
+      md5 fingerprint — not in ``prior_fps`` and the min doc_id of its
+      fingerprint group within this frame (under the monitor's
+      id-ordered arrival contract, "first batch to see fp" == "min id
+      overall", which is what makes stream == batch);
+    - ``near_new``: exact_new AND no MinHash band bucket claimed by an
+      EARLIER exact_new survivor (in ``prior_buckets`` or a lower id
+      in this frame) — dedup_against_index collision semantics; docs
+      with < ngram words have no signature, hence no buckets, hence
+      are vacuously near_new (mirrors minhash_lsh_pairs' population).
+
+    The bucket index accumulates at the exact-dedup-survivor level,
+    exactly where pipeline_card feeds its near-dedup stage.
+
+    Scale: one fingerprint window partitioned by fp, one bucket window
+    partitioned by (band, bh), two semi/left joins against the prior
+    state — nothing global; state (distinct fps, distinct buckets) is
+    content-sized, never corpus-pass-sized.
+    """
+    from . import dedup
+
+    docs = documents.select("doc_id", "text")
+    gated = docs.where(F.col("text").isNotNull())
+    fps = gated.select(
+        "doc_id", "text", F.md5(dedup.normalized()).alias("__fp")
+    )
+    w_fp = Window.partitionBy("__fp").orderBy("doc_id")
+    fps = fps.withColumn(
+        "__first_here", F.row_number().over(w_fp) == 1
+    )
+    if prior_fps is not None:
+        pf = prior_fps.select(F.col("fp").alias("__fp")).distinct()
+        fps = fps.join(
+            pf.withColumn("__seen", F.lit(True)), "__fp", "left"
+        ).withColumn(
+            "exact_new",
+            F.col("__first_here") & F.col("__seen").isNull(),
+        )
+    else:
+        fps = fps.withColumn("exact_new", F.col("__first_here"))
+    from ..plans.scratch import scratch_persist
+
+    # read 3x below (survivor buckets, flags join, state additions)
+    fps = scratch_persist(
+        fps.select("doc_id", "text", "__fp", "exact_new")
+    )
+    survivors = fps.where(F.col("exact_new")).select("doc_id", "text")
+    buckets = dedup._band_buckets(
+        dedup.minhash_signatures(survivors, n_hashes, ngram), n_hashes,
+        bands, "doc_id",
+    )
+    w_b = Window.partitionBy("band", "bh")
+    buckets = buckets.withColumn(
+        "__min_here", F.min("doc_id").over(w_b)
+    )
+    if prior_buckets is not None:
+        pb = prior_buckets.select("band", "bh").distinct().withColumn(
+            "__claimed", F.lit(True)
+        )
+        buckets = buckets.join(pb, ["band", "bh"], "left")
+        collided = F.col("__claimed").isNotNull() | (
+            F.col("__min_here") < F.col("doc_id")
+        )
+        fresh_bucket = F.col("__claimed").isNull()
+    else:
+        collided = F.col("__min_here") < F.col("doc_id")
+        fresh_bucket = F.lit(True)
+    # read twice below (candidate flags + state additions)
+    buckets = scratch_persist(buckets.withColumn("__cand0", collided)
+                              .withColumn("__fresh", fresh_bucket))
+    cand = (
+        buckets.where(F.col("__cand0")).select("doc_id").distinct()
+        .withColumn("__cand", F.lit(True))
+    )
+    flags = (
+        fps.join(cand, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("exact_new"),
+            (F.col("exact_new") & F.col("__cand").isNull()).alias(
+                "near_new"
+            ),
+        )
+    )
+    out = (
+        docs.select("doc_id", F.col("text").isNotNull().alias("gated"))
+        .join(flags, "doc_id", "left")
+        .select(
+            "doc_id",
+            "gated",
+            F.coalesce("exact_new", F.lit(False)).alias("exact_new"),
+            F.coalesce("near_new", F.lit(False)).alias("near_new"),
+        )
+    )
+    # state additions (disjoint from prior state by construction):
+    # exact_new fps are one-per-group; fresh buckets exclude claimed
+    new_fps = fps.where(F.col("exact_new")).select(
+        F.col("__fp").alias("fp")
+    )
+    new_buckets = (
+        buckets.where(F.col("__fresh")).select("band", "bh").distinct()
+    )
+    return out, new_fps, new_buckets
+
+
+def curation_funnel_flags(
+    documents: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 32,
+    ngram: int = 3,
+) -> DataFrame:
+    """Batch curation-funnel flags: per-doc (gated, exact_new,
+    near_new) where "earlier" means lower doc_id — the one-shot twin of
+    streaming.CurationFunnelMonitor under its id-ordered arrival
+    contract (stream==batch pinned in tests/test_round11.py). See
+    ``_funnel_flags`` for stage semantics."""
+    flags, _, _ = _funnel_flags(
+        documents, None, None, n_hashes, bands, ngram
+    )
+    return flags.orderBy("doc_id")

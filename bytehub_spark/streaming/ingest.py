@@ -2166,3 +2166,114 @@ def stream_scd2(events: DataFrame, checkpoint_dir: str):
         .start()
     )
     return q, mon
+
+
+class CurationFunnelMonitor:
+    """Streaming curation-funnel monitor (15th) — per-micro-batch
+    gate / exact-dup / near-dup-candidate counts for a document stream,
+    the continuously-maintained form of the pipeline_card chain's first
+    three stages. Shares ``operators.curation._funnel_flags`` with the
+    batch op ``curation_funnel_flags`` (the Scd2Monitor/_user_runs
+    pattern), so stream == batch is structural: under the id-ordered
+    arrival contract (micro-batches arrive in doc_id order — the
+    document analog of the event-time-ordered contract every history
+    monitor here shares), ``result()`` grouped rows equal the batch
+    flags aggregated over the same batch boundaries EXACTLY.
+
+    State, both additions-only checkpointed then flat-unioned (the
+    Scd2Monitor quadratic-re-checkpoint lesson):
+    - ``fps``: one row per DISTINCT normalized-text fingerprint seen —
+      content-sized, the exact-dedup membership set;
+    - ``buckets``: one row per DISTINCT claimed MinHash (band, bh) —
+      the incremental LSH index of exact-new survivors,
+      dedup_against_index's stored-table shape.
+
+    Per-batch driver state is one 5-int tuple (the funnel row); the
+    kernel's scratch frames are released after the counts are collected
+    and the state additions checkpointed (safe inside foreachBatch —
+    batches execute serially; a session running OTHER scratch-persisting
+    operators concurrently with the stream should not, same caveat as
+    any release_scratch() caller).
+    """
+
+    def __init__(
+        self, n_hashes: int = 64, bands: int = 32, ngram: int = 3
+    ):
+        self.n_hashes = int(n_hashes)
+        self.bands = int(bands)
+        self.ngram = int(ngram)
+        self.fps: DataFrame | None = None
+        self.buckets: DataFrame | None = None
+        self.rows: list[tuple] = []
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        from ..operators.curation import _funnel_flags
+        from ..plans.scratch import release_scratch
+
+        if batch_df.isEmpty():
+            return
+        flags, new_fps, new_buckets = _funnel_flags(
+            batch_df,
+            self.fps,
+            self.buckets,
+            self.n_hashes,
+            self.bands,
+            self.ngram,
+        )
+        row = flags.agg(
+            F.count("*").alias("n_in"),
+            F.sum(F.col("gated").cast("long")).alias("n_gate"),
+            F.sum(F.col("exact_new").cast("long")).alias("n_exact_new"),
+            F.sum(F.col("near_new").cast("long")).alias("n_near_new"),
+        ).collect()[0]  # 1-row bounded
+        fck = eager_checkpoint(new_fps)
+        bck = eager_checkpoint(new_buckets)
+        self.fps = fck if self.fps is None else self.fps.unionByName(fck)
+        self.buckets = (
+            bck if self.buckets is None else self.buckets.unionByName(bck)
+        )
+        self.rows.append(
+            (
+                len(self.rows),
+                int(row["n_in"]),
+                int(row["n_gate"]),
+                int(row["n_exact_new"]),
+                int(row["n_near_new"]),
+            )
+        )
+        release_scratch()  # counts collected + additions checkpointed
+
+    def result(self) -> DataFrame:
+        """One funnel row per processed micro-batch."""
+        from pyspark.sql.session import SparkSession
+
+        if not self.rows:
+            raise RuntimeError(
+                "CurationFunnelMonitor.result() before any micro-batch "
+                "was processed"
+            )
+        spark = SparkSession.getActiveSession()
+        return spark.createDataFrame(
+            self.rows,
+            "batch long, n_in long, n_gate long, "
+            "n_exact_new long, n_near_new long",
+        )
+
+
+def stream_curation_funnel(
+    docs: DataFrame,
+    checkpoint_dir: str,
+    n_hashes: int = 64,
+    bands: int = 32,
+    ngram: int = 3,
+):
+    """Attach a CurationFunnelMonitor to a document stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = CurationFunnelMonitor(n_hashes, bands, ngram)
+    q = (
+        docs.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

@@ -186,3 +186,110 @@ def test_lsh_index_band_partition_prunes(spark, tmp_path):
     ) or "band) AND (band", (
         "band filter did not reach the parquet partition pruning:\n" + plan
     )
+
+
+# --------------------------------------------- curation funnel monitor
+
+
+def test_curation_funnel_flags_semantics(spark):
+    """Crafted corpus: gate drops NULL text; exact-dup keeps the min-id
+    member; near-dup candidacy is collision with an EARLIER exact-new
+    survivor's band bucket; short (<ngram-word) docs are vacuously
+    near_new."""
+    from bytehub_spark.operators import curation
+
+    long_a = "the quick brown fox jumps over the lazy dog again " * 3
+    docs = spark.createDataFrame(
+        [
+            (0, long_a),
+            (1, None),               # gated out
+            (2, long_a),             # exact dup of 0
+            (3, long_a + "tail"),    # near-dup of 0 (shares buckets)
+            (4, "tiny doc"),         # <3 words: no buckets
+            (5, "completely different content about spark and parquet"
+                " engines measured at scale with care"),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        curation.curation_funnel_flags(docs)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0].tolist() == [True, True, True]
+    assert out.loc[1].tolist() == [False, False, False]
+    assert out.loc[2].tolist() == [True, False, False]   # exact dup
+    g3 = out.loc[3]
+    assert g3.gated and g3.exact_new and not g3.near_new  # near cand
+    assert out.loc[4].tolist() == [True, True, True]      # vacuous
+    assert out.loc[5].tolist() == [True, True, True]
+
+
+def test_stream_curation_funnel_equals_batch(spark, tmp_path):
+    """Per-batch funnel counts from the monitor must equal the batch
+    flags aggregated over the same id-ordered batch boundaries — the
+    structural stream==batch contract (_funnel_flags is shared)."""
+    import os
+    import time
+
+    from bytehub_spark import streaming as st
+    from bytehub_spark.operators import curation
+    from bytehub_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pdf = docs.select("doc_id", "text").toPandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    src = str(tmp_path / "funnel_src")
+    os.makedirs(src)
+    bounds = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        spark.createDataFrame(chunk).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q, mon = st.stream_curation_funnel(stream, str(tmp_path / "ck_fn"))
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = mon.result().toPandas()
+
+    flags = curation.curation_funnel_flags(docs).toPandas()
+    flags["batch"] = 0
+    for i in range(3):
+        ids = pdf.iloc[bounds[i] : bounds[i + 1]].doc_id
+        flags.loc[flags.doc_id.isin(set(ids)), "batch"] = i
+    expect = (
+        flags.groupby("batch")
+        .agg(
+            n_in=("doc_id", "count"),
+            n_gate=("gated", "sum"),
+            n_exact_new=("exact_new", "sum"),
+            n_near_new=("near_new", "sum"),
+        )
+        .reset_index()
+    )
+    got2 = got.astype("int64").sort_values("batch").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got2, expect.astype("int64"), check_dtype=False
+    )
+    # the contract has teeth at this sf: some stage actually drops docs
+    assert got.n_near_new.sum() < got.n_in.sum()
+
+
+def test_curation_funnel_monitor_empty_batch_noop(spark):
+    from bytehub_spark.streaming import CurationFunnelMonitor
+
+    mon = CurationFunnelMonitor()
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    mon.process_batch(empty)
+    with pytest.raises(RuntimeError, match="before any micro-batch"):
+        mon.result()
