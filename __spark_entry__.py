@@ -126,9 +126,14 @@ def _incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bytehub_spark.operators import dedup
 
     docs = load_table(spark, sf_dir, "documents")
+    # pid-scoped path: a fixed shared path raced when two processes ran
+    # the query concurrently (one's overwrite deletes the directory
+    # under the other's lazy scan — code-review r11); per-process is
+    # unique enough, and same-process reruns still overwrite in place
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = os.path.join(
-        tempfile.gettempdir(), f"bytehub_lsh_index_{tag}"
+        tempfile.gettempdir(),
+        f"bytehub_lsh_index_{tag}_{os.getpid()}",
     )
     (
         dedup.build_lsh_index(docs.where(F.col("doc_id") % 10 != 0))

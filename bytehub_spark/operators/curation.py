@@ -1197,7 +1197,7 @@ def _funnel_flags(
     n_hashes: int = 64,
     bands: int = 32,
     ngram: int = 3,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Per-doc curation-funnel flags versus (prior state ∪ lower-id docs
     in this frame) — the shared kernel behind ``curation_funnel_flags``
     (prior state = None) and streaming.CurationFunnelMonitor (prior

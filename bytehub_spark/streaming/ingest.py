@@ -2211,6 +2211,11 @@ class CurationFunnelMonitor:
         from ..plans.scratch import release_scratch
 
         if batch_df.isEmpty():
+            # an empty micro-batch is a real (all-zero) funnel row:
+            # dropping it would shift later batch indices off the
+            # trigger sequence (unlike Scd2Monitor, where skipping is
+            # semantically neutral, result() here is per-batch)
+            self.rows.append((len(self.rows), 0, 0, 0, 0))
             return
         flags, new_fps, new_buckets = _funnel_flags(
             batch_df,

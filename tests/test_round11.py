@@ -181,11 +181,11 @@ def test_lsh_index_band_partition_prunes(spark, tmp_path):
     dedup.build_lsh_index(docs).write.partitionBy("band").parquet(path)
     scan = spark.read.parquet(path).where(F.col("band") == 7)
     plan = scan._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(band" in plan.replace(
-        "#", ""
-    ) or "band) AND (band", (
-        "band filter did not reach the parquet partition pruning:\n" + plan
-    )
+    stripped = plan.replace("#", "")
+    assert (
+        "PartitionFilters: [isnotnull(band" in stripped
+        or "band) AND (band" in stripped
+    ), "band filter did not reach the parquet partition pruning:\n" + plan
 
 
 # --------------------------------------------- curation funnel monitor
@@ -285,11 +285,19 @@ def test_stream_curation_funnel_equals_batch(spark, tmp_path):
     assert got.n_near_new.sum() < got.n_in.sum()
 
 
-def test_curation_funnel_monitor_empty_batch_noop(spark):
+def test_curation_funnel_monitor_empty_batch_is_zero_row(spark):
+    """An empty micro-batch is a REAL all-zero funnel row (dropping it
+    would shift later batch indices off the trigger sequence); only
+    zero batches raises."""
     from bytehub_spark.streaming import CurationFunnelMonitor
 
     mon = CurationFunnelMonitor()
-    empty = spark.createDataFrame([], "doc_id long, text string")
-    mon.process_batch(empty)
     with pytest.raises(RuntimeError, match="before any micro-batch"):
         mon.result()
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    mon.process_batch(empty)
+    mon.process_batch(
+        spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    )
+    out = mon.result().toPandas()
+    assert out.values.tolist() == [[0, 0, 0, 0, 0], [1, 1, 1, 1, 1]]
