@@ -79,6 +79,11 @@ QGRAM_INJ_DUCK = (
     " substring(text, 13, 6) || 'x' || substring(text, 20)"
 )
 
+# Sketch-family shapes, ONE definition for both engines (same rule).
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+HLL_M = 64
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-user hourly LOCF resample (the as-of/forward-fill
@@ -146,6 +151,70 @@ def _incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over events.user_id (depth 4 × width 256)
+    probed at the exact top-10 users: (user_id, true_cnt, est_cnt,
+    over_cnt). est ≥ true ALWAYS (CM one-sided error — every occurrence
+    increments every probed cell); over_cnt is other keys' collision
+    mass, 0 until the key space outgrows the 256-cell rows. The oracle
+    replays the engine-portable integer double-hash
+    (hashing.int_mix_sql) bit-exactly, so the gate compares full
+    sketch-derived values, not just shapes."""
+    from bytehub_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.where(F.col("user_id").isNotNull())
+    cms = sketches.cms_build(keyed, "user_id", CMS_DEPTH, CMS_WIDTH)
+    top = (
+        keyed.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+        .limit(10)  # TakeOrdered, not a global sort
+    )
+    probe = sketches.cms_probe(cms, top, "user_id", CMS_DEPTH, CMS_WIDTH)
+    return probe.select(
+        "user_id",
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).alias("over_cnt"),
+    ).orderBy("user_id")
+
+
+def _hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HyperLogLog distinct-user estimate (m = 64
+    registers) finished into exact-integer columns (occupied,
+    harmonic_scaled, est_distinct) next to the exact distinct count and
+    the absolute error — the KMV query's self-audit convention. At
+    sf ≤ 0.01 the raw harmonic estimator sits at its documented ≈ α·m
+    floor (n ≪ m — linear-counting territory, see hll_estimate); at
+    sf0.1 (1,500 users) it lands within its ~13% standard error. All
+    sketch arithmetic is exact-integer and engine-portable, so the gate
+    hash-compares register-derived values at every scale."""
+    from bytehub_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.where(F.col("user_id").isNotNull())
+    regs = sketches.hll_registers(ev, "user_id", "event_type", HLL_M)
+    est = sketches.hll_estimate(regs, HLL_M, ["event_type"])
+    exact = keyed.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "occupied",
+            "harmonic_scaled",
+            "est_distinct",
+            "exact_distinct",
+            F.abs(F.col("est_distinct") - F.col("exact_distinct")).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy(F.asc_nulls_last("event_type"))
+    )
+
+
 # The driver's correctness gate covers the FIRST 50 entries of queries().
 # Rotation policy (checked by tests/test_round4.py::
 # test_rotation_debt_fits_next_gate): every query with no driver-green
@@ -186,12 +255,13 @@ _GATE_FIRST = [
     # --- (d) new in round 11 (each swept vs its oracle at 3 scales;
     # the driver gate is the record) ---
     "dedup_qgram_pairs", "dedup_incremental_persisted",
-    "cur_funnel_flags",
+    "cur_funnel_flags", "ts_cms_user_topk", "ts_hll_users",
     # --- (e) r06-cohort prepayment, registry order (fills to 50; the
     # 43-query r06 cohort is due at r12 — each name here drops out of
-    # that head) ---
+    # that head; tpch_q15/q16 were un-prepaid to make room for the
+    # two sketch queries, the dedup_edit_pairs precedent) ---
     "ts_resample_locf", "ts_align_ffill", "ts_asof_join",
-    "ts_quantiles", "ts_sessionize", "tpch_q15", "tpch_q16",
+    "ts_quantiles", "ts_sessionize",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
@@ -1761,6 +1831,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gaps-and-islands interval coalescing: [ts, ts+value min)
         # ranges merged per user via running-max-of-end — exact oracle
         "ts_intervals_merge": _q(events_ops.intervals_merge, "events"),
+        # Count-Min sketch (depth 4 × width 256) probed at the exact
+        # top-10 users — bounded-state frequency estimation; est ≥ true
+        # one-sided. Engine-portable integer double-hash, exact oracle
+        "ts_cms_user_topk": _cms_user_topk,
+        # per-event-type HyperLogLog registers (m=64) + exact-integer
+        # harmonic estimate next to the exact distinct — exact oracle
+        "ts_hll_users": _hll_users,
         # RFM quintile segmentation: per-user recency/frequency/monetary
         # (µ-unit BIGINT sums), exact percentile breakpoints (broadcast
         # scalar), 1-5 scores, segment rollup — exact oracle
@@ -2028,6 +2105,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 from bytehub_spark.operators import hashing as _H
+from bytehub_spark.operators import sketches as _SK
 
 
 def _minhash_band_ctes(src: str, bands: int, n_hashes: int = 64) -> str:
@@ -7187,6 +7265,94 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS span_s
             FROM i GROUP BY user_id, island
             ORDER BY user_id, island
+        """,
+        # Count-Min replay: the engine-portable integer double-hash
+        # (hashing.int_mix_sql — valid verbatim in DuckDB), the same
+        # depth×width cells, the same top-10 tie-break (cnt DESC,
+        # user_id ASC). est ≥ true is structural in both engines.
+        "ts_cms_user_topk": f"""
+            WITH k AS (
+                SELECT user_id FROM events WHERE user_id IS NOT NULL
+            ),
+            hu AS (
+                SELECT DISTINCT user_id,
+                       {_H.int_h1_sql('user_id')} AS h1,
+                       {_H.int_h2_sql('user_id')} AS h2
+                FROM k
+            ),
+            cms AS (
+                SELECT js.j AS row,
+                       CAST((h1 + js.j * h2) % {_H.MINHASH_PRIME}
+                            % {CMS_WIDTH} AS INT) AS col,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM k JOIN hu USING (user_id)
+                CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS js(j)
+                GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+                FROM k GROUP BY 1
+                ORDER BY true_cnt DESC, user_id LIMIT 10
+            ),
+            probe AS (
+                SELECT t.user_id, t.true_cnt,
+                       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
+                FROM top t JOIN hu USING (user_id)
+                CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS js(j)
+                LEFT JOIN cms c ON c.row = js.j
+                    AND c.col = CAST((hu.h1 + js.j * hu.h2)
+                        % {_H.MINHASH_PRIME} % {CMS_WIDTH} AS INT)
+                GROUP BY 1, 2
+            )
+            SELECT user_id, true_cnt, est_cnt,
+                   est_cnt - true_cnt AS over_cnt
+            FROM probe ORDER BY user_id
+        """,
+        # HLL replay: bucket = h1 mod m, rho = trailing-zero rank of h2
+        # (generated integer CASE — hashing.rho_sql), max-merged
+        # registers, exact-integer harmonic estimate with rational
+        # alpha (709/1000) — all BIGINT, no floats anywhere.
+        "ts_hll_users": f"""
+            WITH k AS (
+                SELECT event_type, user_id FROM events
+                WHERE user_id IS NOT NULL
+            ),
+            h AS (
+                SELECT event_type,
+                       {_H.int_h1_sql('user_id')} AS h1,
+                       {_H.int_h2_sql('user_id')} AS h2
+                FROM k
+            ),
+            regs AS (
+                SELECT event_type, CAST(h1 % {HLL_M} AS INT) AS bucket,
+                       MAX({_H.rho_sql('h2')}) AS rho
+                FROM h GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS occupied,
+                       CAST(SUM({_H.pow2_31_minus_rho_sql('rho')})
+                           AS BIGINT) AS hs
+                FROM regs GROUP BY 1
+            ),
+            ex AS (
+                SELECT event_type,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                           AS exact_distinct
+                FROM k GROUP BY 1
+            )
+            SELECT a.event_type, occupied,
+                   hs + ({HLL_M} - occupied) * 2147483648
+                       AS harmonic_scaled,
+                   CAST({_SK.HLL_ALPHA_NUM * HLL_M * HLL_M * 2147483648}
+                        // ({_SK.HLL_ALPHA_DEN} * (hs + ({HLL_M} - occupied)
+                            * 2147483648)) AS BIGINT) AS est_distinct,
+                   exact_distinct,
+                   abs(CAST({_SK.HLL_ALPHA_NUM * HLL_M * HLL_M * 2147483648}
+                        // ({_SK.HLL_ALPHA_DEN} * (hs + ({HLL_M} - occupied)
+                            * 2147483648)) AS BIGINT)
+                       - exact_distinct) AS abs_err
+            FROM agg a JOIN ex USING (event_type)
+            ORDER BY event_type NULLS LAST
         """,
         "ts_rfm_segments": """
             WITH pu AS (

@@ -128,6 +128,10 @@ BENCH_QUERIES = [
     # r11: funnel-monitor batch twin (gate -> exact-new -> near-new
     # first-claimant buckets), benched at birth
     "cur_funnel_flags",
+    # r11: mergeable-sketch family (whole-stage-codegen integer hash —
+    # no Python in the hot path), benched at birth
+    "ts_cms_user_topk",
+    "ts_hll_users",
 ]
 
 

@@ -121,6 +121,77 @@ def shingle_h2_sql(col: str) -> str:
     )
 
 
+INTMIX_SEED2 = 1779033703  # SHA-256 IV word — public, arbitrary, fixed
+
+
+def int_mix(key: int, seed: int = 0) -> int:
+    """Portable integer mix mod 2^31-1 for INTEGER keys — the sketch
+    family's hash when the key is already a number (no code-point walk
+    needed). One affine round then two QUADRATIC rounds, the exact
+    plane_sign recipe (an affine-only mix preserves key differences —
+    the plane p/p+12 lesson): every intermediate < 2^62 + 2^61 < 2^63,
+    so plain BIGINT in BOTH engines, no wraparound semantics.
+    Mirrors ``int_mix_sql`` exactly (property-pinned in tests)."""
+    m = MINHASH_PRIME
+    h = (key % m + m + seed) % m
+    h = (h * PLANE_A + PLANE_C) % m
+    h = (h * h + PLANE_A * h + PLANE_C) % m
+    h = (h * h + PLANE_A * h + PLANE_C) % m
+    return h
+
+
+def int_mix_sql(col: str, seed: int = 0) -> str:
+    """SQL for ``int_mix`` valid VERBATIM in both Spark and DuckDB
+    (%, *, + only; the +m before the outer % makes negative keys land
+    on the same nonnegative residue in both engines' C-style %)."""
+    m = MINHASH_PRIME
+    h = f"((CAST({col} AS BIGINT) % {m} + {m} + {seed}) % {m})"
+    h = f"(({h} * {PLANE_A} + {PLANE_C}) % {m})"
+    h = f"(({h} * {h} + {PLANE_A} * {h} + {PLANE_C}) % {m})"
+    h = f"(({h} * {h} + {PLANE_A} * {h} + {PLANE_C}) % {m})"
+    return h
+
+
+def int_h1_h2(key: int) -> tuple[int, int]:
+    """The Kirsch-Mitzenmacher double-hash bases for an integer key:
+    h1 ∈ [0, p), h2 ∈ [1, p-1] (never 0, so h_j = h1 + j·h2 walks)."""
+    return (
+        int_mix(key, 0),
+        int_mix(key, INTMIX_SEED2) % (MINHASH_PRIME - 1) + 1,
+    )
+
+
+def int_h1_sql(col: str) -> str:
+    return int_mix_sql(col, 0)
+
+
+def int_h2_sql(col: str) -> str:
+    return f"({int_mix_sql(col, INTMIX_SEED2)} % {MINHASH_PRIME - 1} + 1)"
+
+
+def rho_sql(h2: str) -> str:
+    """Portable SQL for the Flajolet-Martin rank ρ = (trailing zeros of
+    ``h2``) + 1, for h2 ≥ 1: a generated 31-way CASE on the lowest set
+    bit ``h2 & -h2`` (integer-only — no log2, whose power-of-two
+    exactness is implementation-defined). Valid verbatim in both
+    engines (& is bitwise AND in Spark SQL and DuckDB)."""
+    whens = " ".join(f"WHEN {1 << t} THEN {t + 1}" for t in range(31))
+    return f"(CASE (({h2}) & -({h2})) {whens} END)"
+
+
+def rho_py(h2: int) -> int:
+    """Reference: trailing-zero rank of h2 ≥ 1."""
+    return (h2 & -h2).bit_length()
+
+
+def pow2_31_minus_rho_sql(rho: str) -> str:
+    """Portable SQL for 2^(31-ρ), ρ ∈ [1, 31] — the HLL harmonic-sum
+    term, exact-integer (generated CASE; no float pow, no shift
+    operator divergence)."""
+    whens = " ".join(f"WHEN {r} THEN {1 << (31 - r)}" for r in range(1, 32))
+    return f"(CASE ({rho}) {whens} END)"
+
+
 def band_fold_py(values) -> int:
     """Horner fold mod 2^31-1 — reference implementation."""
     acc = 0

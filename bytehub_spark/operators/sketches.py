@@ -1,0 +1,219 @@
+"""Mergeable fixed-size sketches: Count-Min and HyperLogLog registers.
+
+The KMV family (dedup.py) covers distinct-count and overlap estimation
+with a k-smallest sketch; this module adds the other two canonical
+mergeable sketches a 100 TB telemetry layer needs:
+
+- **Count-Min** (Cormode & Muthukrishnan, J. Algorithms 2005):
+  frequency estimation over an unbounded key domain with a FIXED
+  depth×width counter matrix. The 100 TB story is the aggregation
+  shape: the groupBy key is (row, col) with at most depth·width
+  distinct values, so the map-side partial aggregate bounds the shuffle
+  at depth·width rows PER PARTITION regardless of key cardinality —
+  unlike an exact per-key count, whose shuffle grows with distinct
+  keys. Counters are ADDITIVE (cms(A ∪ B) = cms(A) + cms(B), pinned in
+  tests), which is what makes the streaming monitor's state update a
+  bounded integer add and a multi-day rollup a sum of daily sketches.
+- **HyperLogLog registers** (Flajolet et al., AofA 2007; ρ taken on
+  trailing zeros as in the original Flajolet-Martin/PCSA — identical
+  geometric law): per-group distinct-count registers that merge by MAX.
+  The sketch is m integers per group no matter how many distinct keys
+  flow through — vs KMV's k hash VALUES, HLL registers are smaller per
+  unit of accuracy and the merge is an idempotent max (re-delivery
+  safe), which is why it is the sketch of choice for per-source /
+  per-day distinct-user rollups that later fold across partitions.
+
+Both are built on the engine-portable integer double-hash
+(hashing.int_h1_h2 / int_mix_sql): one affine + two quadratic rounds
+mod 2^31-1, every intermediate < 2^63 — plain BIGINT in Spark AND
+DuckDB, so the oracle replays sketches bit-identically and the driver
+gate hash-compares full register tables. No Python in the hot path:
+every expression is whole-stage-codegen SQL. String keys: pre-hash to
+an integer column first (the FNV path kmv_fingerprints uses) — the
+mixer here only needs SOME integer injection of the key domain.
+
+Reference parity note: the reference engine ships no sketch operators
+(SURVEY.md §2); this family extends the training-data-pipeline surface
+(exact counterparts: dedup.kmv_*, dedup.bloom_*).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import (
+    MINHASH_PRIME,
+    int_h1_sql,
+    int_h2_sql,
+    pow2_31_minus_rho_sql,
+    rho_sql,
+)
+
+# Rational alpha_m for the HLL harmonic estimator, m >= 64: 0.709 as
+# 709/1000 (integer-exact estimate arithmetic; the float constant is
+# 0.7213/(1+1.079/m) ~= 0.709 at m=64 — bias at that 4th digit is far
+# below the sketch's own ~1.04/sqrt(m) = 13% standard error).
+HLL_ALPHA_NUM = 709
+HLL_ALPHA_DEN = 1000
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch of an integer key column: occupied counter
+    cells as (row, col, cnt), row ∈ [0, depth), col ∈ [0, width).
+
+    Row j's hash is the Kirsch-Mitzenmacher walk (h1 + j·h2) mod p
+    mod width — pairwise-independent enough for the CM guarantee
+    (est ≤ true + e/width · N with prob ≥ 1 − e^−depth per row set).
+    NULL keys are excluded (both engines agree a NULL hashes nowhere).
+
+    Plan shape: explode depth rows per event (in-partition), then ONE
+    groupBy on (row, col) — partial aggregation caps the shuffle at
+    depth·width rows per map partition at ANY key cardinality; the
+    reduce side is ≤ depth·width rows total. Empty cells are implicit
+    zeros (the dense form is depth·width rows; emit occupied only).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("depth >= 1 and width >= 2 required")
+    p = MINHASH_PRIME
+    # project h1/h2 ONCE as columns, then explode the cheap per-j
+    # arithmetic: embedding the nested quadratic mixer inside the
+    # transform lambda duplicated it per struct and blew up the
+    # generated code (first 10M run: 281.7s; hashed-columns form the
+    # HLL twin already used: 16.4s for the same scan)
+    hashed = df.where(F.col(key_col).isNotNull()).select(
+        F.expr(int_h1_sql(key_col)).alias("__h1"),
+        F.expr(int_h2_sql(key_col)).alias("__h2"),
+    )
+    # __h1 + depth*__h2 < (1+depth)·2^31 — BIGINT-safe for any sane depth
+    cells = F.expr(
+        f"transform(sequence(0, {int(depth) - 1}), j -> "
+        f"struct(j AS row, "
+        f"CAST((__h1 + j * __h2) % {p} % {int(width)} AS INT) AS col))"
+    )
+    return (
+        hashed.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_probe(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query a Count-Min sketch for each row of ``keys``:
+    (key_col…, est_cnt) where est = min over rows j of the counter at
+    (j, h_j(key)) — 0 when a cell is empty (cell absent from the
+    occupied-only sketch). est_cnt ≥ the key's true count, always
+    (every occurrence incremented every probed cell); the overestimate
+    is other keys' collisions. ``depth``/``width`` must match the
+    build. Join is (row, col)-keyed against a ≤ depth·width-row sketch
+    — broadcast-sized by construction."""
+    p = MINHASH_PRIME
+    h1 = int_h1_sql(key_col)
+    h2 = int_h2_sql(key_col)
+    cells = F.expr(
+        f"transform(sequence(0, {int(depth) - 1}), j -> "
+        f"struct(j AS row, "
+        f"CAST((({h1}) + j * ({h2})) % {p} % {int(width)} AS INT) AS col))"
+    )
+    probes = keys.select(*keys.columns, F.explode(cells).alias("c")).select(
+        *keys.columns, F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row", "col"], "left")
+        .groupBy(*keys.columns)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_cnt"))
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_col: str | None = None,
+    m: int = 64,
+) -> DataFrame:
+    """HyperLogLog register table for an integer key column, per group:
+    occupied registers as (group?, bucket, rho) with bucket = h1 mod m
+    and rho = (trailing zeros of h2) + 1 ∈ [1, 31] — the
+    Flajolet-Martin rank on an independent 31-bit hash (P(rho ≥ r) =
+    2^−(r−1) up to the 2^31−2 modulus edge, negligible at these
+    widths). Registers hold max(rho); empty registers are implicit
+    (rho = 0). NULL keys excluded.
+
+    Merge law (pinned in tests): registers(A ∪ B) == per-bucket MAX of
+    registers(A), registers(B) — idempotent, so re-delivered rows and
+    re-merged shards never skew the estimate (unlike additive
+    counters). One groupBy on (group, bucket): ≤ m distinct buckets per
+    group — map-side combine caps the shuffle exactly like cms_build.
+    """
+    if m < 2 or (m & (m - 1)) != 0:
+        raise ValueError("m must be a power of two >= 2")
+    gcols = [group_col] if group_col else []
+    # hash once as columns, THEN the rho CASE on the plain column — the
+    # cms_build codegen lesson (embedding the mixer inside the 31-way
+    # CASE duplicates it per WHEN arm's &-operand)
+    hashed = df.where(F.col(key_col).isNotNull()).select(
+        *gcols,
+        F.expr(int_h1_sql(key_col)).alias("__h1"),
+        F.expr(int_h2_sql(key_col)).alias("__h2"),
+    )
+    return (
+        hashed.select(
+            *gcols,
+            F.expr(f"CAST(__h1 % {int(m)} AS INT)").alias("bucket"),
+            F.expr(rho_sql("__h2")).cast("int").alias("rho"),
+        )
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    m: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Finish an HLL register table into per-group integer estimates:
+    (group…, occupied, harmonic_scaled, est_distinct).
+
+    harmonic_scaled = Σ_buckets 2^(31−rho), empty buckets contributing
+    2^31 — i.e. 2^31 · Σ 2^−rho, the harmonic denominator held EXACTLY
+    in a BIGINT (≤ m·2^31 < 2^41 at m ≤ 512). est_distinct =
+    (709·m²·2^31) div (1000·harmonic_scaled) — the standard
+    alpha·m²/Σ2^−rho estimator in exact integer arithmetic
+    (HLL_ALPHA_NUM/DEN; numerator ≤ 709·512²·2^31 < 2^58). No
+    small-range linear-counting correction (ln is float — the
+    documented bias: when n ≪ m the harmonic denominator is dominated
+    by the m−n empty registers' 2^31 terms, so est floors at ≈ α·m
+    (~45 at m=64) regardless of how small n is. Below ~2.5m distincts
+    use the ``occupied`` column, which IS the linear-counting input
+    m·ln(m/(m−occupied)), driver-side)."""
+    g = list(group_cols or [])
+    agg = registers.groupBy(*g).agg(
+        F.count("*").cast("long").alias("occupied"),
+        F.sum(F.expr(pow2_31_minus_rho_sql("rho"))).cast("long").alias("__hs"),
+    )
+    two31 = 1 << 31
+    num = HLL_ALPHA_NUM * int(m) * int(m) * two31
+    return agg.select(
+        *g,
+        "occupied",
+        (
+            F.col("__hs") + (F.lit(int(m)) - F.col("occupied")) * F.lit(two31)
+        ).alias("harmonic_scaled"),
+        F.expr(
+            f"CAST({num} AS BIGINT) div "
+            f"({HLL_ALPHA_DEN} * (__hs + ({int(m)} - occupied) "
+            f"* CAST({two31} AS BIGINT)))"
+        ).cast("long").alias("est_distinct"),
+    )

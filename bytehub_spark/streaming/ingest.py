@@ -2282,3 +2282,155 @@ def stream_curation_funnel(
         .start()
     )
     return q, mon
+
+
+class CountMinMonitor:
+    """Streaming Count-Min frequency sketch (16th monitor) — a
+    continuously-maintained bounded-state frequency table for an
+    integer key stream, the sketch complement of stream_heavy_hitters
+    (which keeps EXACT windowed counts and therefore state proportional
+    to distinct keys; this keeps depth·width integers at ANY key
+    cardinality).
+
+    Shares ``operators.sketches.cms_build`` with the batch op (the
+    _user_runs / _funnel_flags pattern), so stream == batch is
+    STRUCTURAL AND EXACT: Count-Min counters are additive
+    (cms(A ∪ B) = cms(A) + cms(B) cell-by-cell — the merge law pinned
+    in tests), hence summing per-batch sketches over ANY batching of
+    the stream reproduces the one-shot sketch to the integer. No
+    arrival-order contract needed — addition commutes (unlike the
+    history monitors' event-time-ordered contracts).
+
+    State is the counter dict itself: ≤ depth·width ints on the driver
+    (bounded by construction — the whole point of the sketch), updated
+    from a ≤ depth·width-row collect per batch. result() returns the
+    merged occupied-cells table; probe it with
+    ``operators.sketches.cms_probe``.
+    """
+
+    def __init__(self, key_col: str = "user_id", depth: int = 4,
+                 width: int = 256):
+        self.key_col = key_col
+        self.depth = int(depth)
+        self.width = int(width)
+        self.cells: dict[tuple[int, int], int] = {}
+        self.n_batches = 0
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        from ..operators.sketches import cms_build
+
+        self.n_batches += 1
+        if batch_df.isEmpty():
+            return  # additive identity — skipping is semantically exact
+        for r in cms_build(
+            batch_df, self.key_col, self.depth, self.width
+        ).collect():  # bounded: <= depth*width rows
+            k = (r["row"], r["col"])
+            self.cells[k] = self.cells.get(k, 0) + int(r["cnt"])
+
+    def result(self) -> DataFrame:
+        """Occupied counter cells (row, col, cnt) of the merged sketch
+        — equals cms_build over the concatenated stream exactly."""
+        from pyspark.sql.session import SparkSession
+
+        if self.n_batches == 0:
+            raise RuntimeError(
+                "CountMinMonitor.result() before any micro-batch was "
+                "processed"
+            )
+        spark = SparkSession.getActiveSession()
+        rows = [
+            (int(r), int(c), int(n))
+            for (r, c), n in sorted(self.cells.items())
+        ]
+        return spark.createDataFrame(rows, "row int, col int, cnt long")
+
+
+def stream_cms(
+    events: DataFrame,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+):
+    """Attach a CountMinMonitor to an event stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = CountMinMonitor(key_col, depth, width)
+    q = (
+        events.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon
+
+
+class HllDistinctMonitor:
+    """Streaming HyperLogLog distinct-count monitor (17th) — m
+    registers of driver state, period. The merge is per-bucket MAX
+    (operators.sketches.hll_registers' pinned law), which is IDEMPOTENT
+    as well as commutative: re-delivered micro-batches, overlapping
+    backfills, and replayed checkpoints cannot skew the estimate —
+    the property the additive monitors (CountMinMonitor, the counter
+    family) structurally lack, and the reason HLL is the sketch of
+    choice for at-least-once pipelines. Pinned in tests by processing
+    the SAME batch twice and asserting state is unchanged.
+
+    Shares ``operators.sketches.hll_registers`` with the batch op
+    (ts_hll_users' kernel), so stream == batch is structural: after any
+    batching — including duplicated batches — result() equals the
+    one-shot register table over the distinct stream contents. Finish
+    with ``operators.sketches.hll_estimate``.
+    """
+
+    def __init__(self, key_col: str = "user_id", m: int = 64):
+        if m < 2 or (m & (m - 1)) != 0:
+            raise ValueError("m must be a power of two >= 2")
+        self.key_col = key_col
+        self.m = int(m)
+        self.regs: dict[int, int] = {}
+        self.n_batches = 0
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        from ..operators.sketches import hll_registers
+
+        self.n_batches += 1
+        if batch_df.isEmpty():
+            return  # max-merge identity
+        for r in hll_registers(
+            batch_df, self.key_col, None, self.m
+        ).collect():  # bounded: <= m rows
+            b = int(r["bucket"])
+            self.regs[b] = max(self.regs.get(b, 0), int(r["rho"]))
+
+    def result(self) -> DataFrame:
+        """Occupied registers (bucket, rho) of the merged sketch —
+        equals hll_registers over the concatenated stream exactly."""
+        from pyspark.sql.session import SparkSession
+
+        if self.n_batches == 0:
+            raise RuntimeError(
+                "HllDistinctMonitor.result() before any micro-batch was "
+                "processed"
+            )
+        spark = SparkSession.getActiveSession()
+        rows = [(int(b), int(r)) for b, r in sorted(self.regs.items())]
+        return spark.createDataFrame(rows, "bucket int, rho int")
+
+
+def stream_hll_distinct(
+    events: DataFrame,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    m: int = 64,
+):
+    """Attach an HllDistinctMonitor to an event stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = HllDistinctMonitor(key_col, m)
+    q = (
+        events.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon
