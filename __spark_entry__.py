@@ -140,6 +140,14 @@ def _incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"bytehub_lsh_index_{tag}_{os.getpid()}",
     )
+    # the directory outlives this call (the returned frame reads it
+    # lazily) but must not outlive the process — every gate/sweep
+    # process otherwise leaks one index copy into /tmp (code-review
+    # r11). atexit is idempotent-safe: same path per (sf, pid).
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     (
         dedup.build_lsh_index(docs.where(F.col("doc_id") % 10 != 0))
         .write.mode("overwrite")
@@ -194,7 +202,10 @@ def _hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     keyed = ev.where(F.col("user_id").isNotNull())
-    regs = sketches.hll_registers(ev, "user_id", "event_type", HLL_M)
+    # keyed on BOTH sides: hll_registers re-filters nulls internally,
+    # but passing the same frame makes the est/exact population
+    # identity explicit instead of a fact the reader must re-derive
+    regs = sketches.hll_registers(keyed, "user_id", "event_type", HLL_M)
     est = sketches.hll_estimate(regs, HLL_M, ["event_type"])
     exact = keyed.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("exact_distinct")

@@ -119,14 +119,19 @@ def cms_probe(
     build. Join is (row, col)-keyed against a ≤ depth·width-row sketch
     — broadcast-sized by construction."""
     p = MINHASH_PRIME
-    h1 = int_h1_sql(key_col)
-    h2 = int_h2_sql(key_col)
+    # hash once as columns before the explode (the cms_build codegen
+    # lesson) — probing a large keys frame is a legitimate use
+    hashed = keys.select(
+        *keys.columns,
+        F.expr(int_h1_sql(key_col)).alias("__h1"),
+        F.expr(int_h2_sql(key_col)).alias("__h2"),
+    )
     cells = F.expr(
         f"transform(sequence(0, {int(depth) - 1}), j -> "
         f"struct(j AS row, "
-        f"CAST((({h1}) + j * ({h2})) % {p} % {int(width)} AS INT) AS col))"
+        f"CAST((__h1 + j * __h2) % {p} % {int(width)} AS INT) AS col))"
     )
-    probes = keys.select(*keys.columns, F.explode(cells).alias("c")).select(
+    probes = hashed.select(*keys.columns, F.explode(cells).alias("c")).select(
         *keys.columns, F.col("c.row").alias("row"), F.col("c.col").alias("col")
     )
     return (
@@ -199,9 +204,14 @@ def hll_estimate(
     use the ``occupied`` column, which IS the linear-counting input
     m·ln(m/(m−occupied)), driver-side)."""
     g = list(group_cols or [])
+    # coalesce: an EMPTY register table (fresh monitor, all-empty
+    # batches) global-aggregates to one row with occupied=0 and a NULL
+    # sum — the defined answer is harmonic_scaled = m·2^31, est ≈ α·m
     agg = registers.groupBy(*g).agg(
         F.count("*").cast("long").alias("occupied"),
-        F.sum(F.expr(pow2_31_minus_rho_sql("rho"))).cast("long").alias("__hs"),
+        F.coalesce(
+            F.sum(F.expr(pow2_31_minus_rho_sql("rho"))), F.lit(0)
+        ).cast("long").alias("__hs"),
     )
     two31 = 1 << 31
     num = HLL_ALPHA_NUM * int(m) * int(m) * two31

@@ -2205,11 +2205,22 @@ class CurationFunnelMonitor:
         self.fps: DataFrame | None = None
         self.buckets: DataFrame | None = None
         self.rows: list[tuple] = []
+        self._last_epoch: int | None = None
 
-    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+    def process_batch(
+        self, batch_df: DataFrame, epoch_id: int | None = None
+    ) -> None:
         from ..operators.curation import _funnel_flags
         from ..plans.scratch import release_scratch
 
+        # checkpoint-replay guard (code-review r11): a re-delivered
+        # epoch would read as all-exact-dups — a spurious near-zero
+        # funnel row that ALSO shifts later batch indices. foreachBatch
+        # re-delivers under the SAME epoch_id, so equality is the test;
+        # direct callers (tests, backfill drivers) pass None = no dedup.
+        if epoch_id is not None and epoch_id == self._last_epoch:
+            return
+        self._last_epoch = epoch_id
         if batch_df.isEmpty():
             # an empty micro-batch is a real (all-zero) funnel row:
             # dropping it would shift later batch indices off the
@@ -2305,7 +2316,10 @@ class CountMinMonitor:
     (bounded by construction — the whole point of the sketch), updated
     from a ≤ depth·width-row collect per batch. result() returns the
     merged occupied-cells table; probe it with
-    ``operators.sketches.cms_probe``.
+    ``operators.sketches.cms_probe``. Additive counters DO double-count
+    a replayed epoch, so process_batch dedups on epoch_id (foreachBatch
+    re-delivers under the same id after a restart) — the guard HLL's
+    max-merge does not need.
     """
 
     def __init__(self, key_col: str = "user_id", depth: int = 4,
@@ -2315,10 +2329,19 @@ class CountMinMonitor:
         self.width = int(width)
         self.cells: dict[tuple[int, int], int] = {}
         self.n_batches = 0
+        self._last_epoch: int | None = None
 
-    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+    def process_batch(
+        self, batch_df: DataFrame, epoch_id: int | None = None
+    ) -> None:
         from ..operators.sketches import cms_build
 
+        # checkpoint-replay guard: additive counters double-count a
+        # re-delivered epoch (foreachBatch replays under the SAME
+        # epoch_id); None (direct callers) = no dedup
+        if epoch_id is not None and epoch_id == self._last_epoch:
+            return
+        self._last_epoch = epoch_id
         self.n_batches += 1
         if batch_df.isEmpty():
             return  # additive identity — skipping is semantically exact

@@ -223,3 +223,47 @@ def test_stream_hll_equals_batch_and_idempotent(spark, tmp_path):
         spark.createDataFrame(pdf.iloc[bounds[0]:bounds[1]])
     )
     assert mon.regs == before
+
+
+def test_epoch_replay_guard_cms_and_funnel(spark):
+    """foreachBatch re-delivers the LAST epoch under the SAME epoch_id
+    after a restart: CountMinMonitor must not double-count it, and
+    CurationFunnelMonitor must not append a spurious all-dup row
+    (which would also shift later batch indices). Direct calls with
+    epoch_id=None keep the no-dedup semantics tests rely on."""
+    from bytehub_spark.streaming import CountMinMonitor, CurationFunnelMonitor
+
+    ev = load_table(spark, SF, "events").limit(200)
+    mon = CountMinMonitor()
+    mon.process_batch(ev, epoch_id=0)
+    cells0 = dict(mon.cells)
+    mon.process_batch(ev, epoch_id=0)  # replay — must be a no-op
+    assert mon.cells == cells0
+    mon.process_batch(ev, epoch_id=1)  # new epoch — counts again
+    assert mon.cells == {k: 2 * v for k, v in cells0.items()}
+    # None = no dedup (direct-caller semantics)
+    mon2 = CountMinMonitor()
+    mon2.process_batch(ev)
+    mon2.process_batch(ev)
+    assert mon2.cells == {k: 2 * v for k, v in cells0.items()}
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    fmon = CurationFunnelMonitor()
+    fmon.process_batch(docs, epoch_id=7)
+    assert len(fmon.rows) == 1
+    fmon.process_batch(docs, epoch_id=7)  # replay — no spurious row
+    assert len(fmon.rows) == 1
+
+
+def test_hll_estimate_empty_registers_is_defined(spark):
+    """An empty register table (fresh monitor, all-empty batches) must
+    finish to the DEFINED empty-sketch values — harmonic_scaled =
+    m·2^31, est ≈ α·m — not a NULL row from the global aggregate."""
+    empty = spark.createDataFrame([], "bucket int, rho int")
+    row = S.hll_estimate(empty, m=64).collect()[0]
+    assert row["occupied"] == 0
+    assert row["harmonic_scaled"] == 64 * (1 << 31)
+    assert row["est_distinct"] == (
+        S.HLL_ALPHA_NUM * 64 * 64 * (1 << 31)
+        // (S.HLL_ALPHA_DEN * 64 * (1 << 31))
+    )
