@@ -13,8 +13,9 @@ repo (the corpora themselves live under /tmp and die with the host).
   +35d*c, re-keys event_id by +100k*c, rotates user_id by +17*c mod
   |users| so cohorts spread.
 
-The 500k-doc dedup corpus (/tmp/sf100_docs) predates this script
-(round 6); its recipe is recorded in NEXT.md's round-6 log.
+- docs500k: the 500k-doc dedup corpus (/tmp/sf100_docs) — originally a
+  round-6 /tmp one-off; reconstructed here in round 11 after a host
+  reset wiped it (100 copies of sf0.1 documents, ids offset 1e6/copy).
 """
 import sys
 
@@ -96,8 +97,41 @@ def gen_ev10m(out_dir: str = "/tmp/sf100_stream") -> None:
     print(f"ev10m: wrote {meta.num_rows} rows -> {out_dir}")
 
 
+def gen_docs500k(out_dir: str = "/tmp/sf100_docs") -> None:
+    """Reconstruction of the round-6 500k-doc dedup corpus (the
+    original /tmp generator predates this script and died with the
+    host): 100 copies of sf0.1 documents, doc_id offset by 1e6 per
+    copy, text/lang/source/n_chars verbatim — duplicate-heavy by
+    construction (every doc has 99 exact twins), which is what the
+    dedup-family datapoints are supposed to stress."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(f"{SF01}/documents.parquet")
+    ids = t.column("doc_id").to_numpy()
+    writer = None
+    for c in range(100):
+        tbl = pa.table({
+            "doc_id": pa.array(ids + c * 1_000_000, type=pa.int64()),
+            "text": t.column("text"),
+            "lang": t.column("lang"),
+            "source": t.column("source"),
+            "n_chars": t.column("n_chars"),
+        })
+        if writer is None:
+            writer = pq.ParquetWriter(
+                f"{out_dir}/documents.parquet", tbl.schema
+            )
+        writer.write_table(tbl, row_group_size=100_000)
+    writer.close()
+    meta = pq.read_metadata(f"{out_dir}/documents.parquet")
+    print(f"docs500k: wrote {meta.num_rows} rows -> {out_dir}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("docs500k", "all"):
+        gen_docs500k()
     if which in ("emb500k", "all"):
         gen_emb500k()
     if which in ("ev10m", "all"):
