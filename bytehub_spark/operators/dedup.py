@@ -2343,6 +2343,140 @@ def edit_distance_pairs(
     )
 
 
+def _passjoin_seg_probe_exprs(k: int, min_len: int) -> tuple[str, str]:
+    """The PassJoin segment/probe SQL expression pair over a frame with
+    columns (s, len) — ONE definition shared by qgram_edit_pairs (the
+    join) and qgram_plan (the pricer), so the priced volume is the
+    joined volume by construction."""
+    k1 = k + 1
+    lam = f"(({{l}} div {k1}) + if({{i}} >= {k1} - ({{l}} % {k1}), 1, 0))"
+    sig = (
+        f"({{i}} * ({{l}} div {k1})"
+        f" + greatest(0, {{i}} - ({k1} - ({{l}} % {k1}))))"
+    )
+    seg_expr = (
+        f"transform(sequence(0, {k}), i -> struct(i AS i, "
+        f"substring(s, {sig.format(i='i', l='len')} + 1, "
+        f"{lam.format(i='i', l='len')}) AS sub))"
+    )
+    lam_il = lam.format(i="i", l="l")
+    sig_il = sig.format(i="i", l="l")
+    probe_expr = (
+        f"flatten(transform(sequence(greatest(len - {k}, {min_len}),"
+        f" len + {k}), l -> "
+        f"flatten(transform(sequence(0, {k}), i -> "
+        f"if(greatest(0, {sig_il} - {k})"
+        f" <= least(len - {lam_il}, {sig_il} + {k}), "
+        f"transform(sequence(greatest(0, {sig_il} - {k}),"
+        f" least(len - {lam_il}, {sig_il} + {k})), p -> "
+        f"struct(i AS i, l AS l,"
+        f" substring(s, p + 1, {lam_il}) AS sub)), "
+        f"array())))))"
+    )
+    return seg_expr, probe_expr
+
+
+def qgram_plan(
+    documents: DataFrame,
+    k: int = 3,
+    q: int = 2,
+    prefix_chars: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT candidate-tuple volume of qgram_edit_pairs' segment join,
+    priced BEFORE any pair join — the band_plan methodology applied to
+    the PassJoin side. ONE row:
+
+    - ``n_docs`` / ``n_distinct_prefixes``: population after the
+      q·(k+1) floor, and its distinct 30-char-prefix count;
+    - ``max_island``: the largest identical-prefix island — the skew
+      knob (the segment join is quadratic PER ISLAND);
+    - ``island_pairs``: Σ C(island, 2) — the pair mass EXACT DEDUP
+      (on the prefix) would remove before this operator ever runs;
+    - ``brute_pairs``: n·(n−1)/2, the all-pairs baseline;
+    - ``seg_join_tuples``: the exact tuple count the (i, l, sub)
+      equi-join materializes, computed as Σ_key cnt_segs·cnt_probes
+      over per-DISTINCT-prefix weighted seg/probe tables — ~thousands
+      of rows regardless of corpus size. DECIMAL(38,0): the weighted
+      product sum crosses BIGINT near n ≈ 1e10.
+
+    Decision rule (the r11 500k lesson, learned the expensive way: the
+    reconstructed 100×-exact-copy corpus drove the unpriced join to a
+    30 GB single-task spill): when island_pairs ≈ seg_join_tuples — the
+    volume IS duplicate islands — run exact_dedup first and pay the
+    edit-distance DP only on canonical survivors; when seg_join_tuples
+    exceeds budget otherwise, shard or fall back to edit_distance_pairs
+    at k ≤ 2. The pricer is one pass over the corpus plus aggregates on
+    the distinct-prefix frame; plan == join volume is pinned in tests.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    min_len = q * (k + 1)
+    from ..plans import ensure_parallelism
+    from ..plans.scratch import scratch_persist
+
+    s = F.lower(F.substring(F.col(text_col), 1, int(prefix_chars)))
+    freq = scratch_persist(
+        ensure_parallelism(documents)
+        .select(F.col(id_col).alias("doc_id"), s.alias("s"))
+        .where(F.length("s") >= min_len)
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn("len", F.length("s").cast("int"))
+    )
+    seg_expr, probe_expr = _passjoin_seg_probe_exprs(int(k), min_len)
+    segs_w = (
+        freq.select("c", "len", F.explode(F.expr(seg_expr)).alias("sg"))
+        .groupBy(
+            F.col("sg.i").alias("i"),
+            F.col("len").alias("l"),
+            F.col("sg.sub").alias("sub"),
+        )
+        .agg(F.sum("c").alias("cs"))
+    )
+    # NOTE: freq lacks an `l` column for probes' transform over partner
+    # lengths — probe_expr reads len (the doc's own length); explode
+    # yields pr.l = the partner length, the join key
+    probes_w = (
+        freq.select("c", F.explode(F.expr(probe_expr)).alias("pr"))
+        .groupBy(
+            F.col("pr.i").alias("i"),
+            F.col("pr.l").alias("l"),
+            F.col("pr.sub").alias("sub"),
+        )
+        .agg(F.sum("c").alias("cp"))
+    )
+    volume = segs_w.join(probes_w, ["i", "l", "sub"]).agg(
+        F.coalesce(
+            F.sum(
+                F.col("cs").cast("decimal(38,0)")
+                * F.col("cp").cast("decimal(38,0)")
+            ),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("seg_join_tuples")
+    )
+    stats = freq.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_distinct_prefixes"),
+        F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_island"),
+        F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("island_pairs"),
+    )
+    return stats.join(volume).select(
+        "n_docs",
+        "n_distinct_prefixes",
+        "max_island",
+        "island_pairs",
+        F.expr(
+            "CAST(CAST(n_docs AS DECIMAL(38,0))"
+            " * (n_docs - 1) / 2 AS DECIMAL(38,0))"
+        ).alias("brute_pairs"),
+        "seg_join_tuples",
+    )
+
+
 def qgram_edit_pairs(
     documents: DataFrame,
     k: int = 3,
@@ -2411,7 +2545,6 @@ def qgram_edit_pairs(
     if q < 2:
         raise ValueError("q must be >= 2 (q=1 grams carry no position)")
     min_len = q * (k + 1)
-    k1 = k + 1
     from ..plans import ensure_parallelism
     from ..plans.scratch import scratch_persist
 
@@ -2423,17 +2556,10 @@ def qgram_edit_pairs(
         .withColumn("len", F.length("s").cast("int"))
     )
     # segment arithmetic under an l-length split: first k1 - (l % k1)
-    # segments have floor(l/k1) chars, the rest one extra
-    lam = f"(({{l}} div {k1}) + if({{i}} >= {k1} - ({{l}} % {k1}), 1, 0))"
-    sig = (
-        f"({{i}} * ({{l}} div {k1})"
-        f" + greatest(0, {{i}} - ({k1} - ({{l}} % {k1}))))"
-    )
-    seg_expr = (
-        f"transform(sequence(0, {k}), i -> struct(i AS i, "
-        f"substring(s, {sig.format(i='i', l='len')} + 1, "
-        f"{lam.format(i='i', l='len')}) AS sub))"
-    )
+    # segments have floor(l/k1) chars, the rest one extra — the
+    # expression pair is shared with qgram_plan (the pricer), so the
+    # priced volume IS this join's volume
+    seg_expr, probe_expr = _passjoin_seg_probe_exprs(int(k), min_len)
     segs = base.select(
         "doc_id", "len", F.explode(F.expr(seg_expr)).alias("sg")
     ).select(
@@ -2446,20 +2572,6 @@ def qgram_edit_pairs(
     # population floor — shorter partners don't exist), at positions
     # within +-k of segment i's start under the l-split; empty windows
     # yield array() (Spark's sequence(a, b) DESCENDS when a > b)
-    lam_il = lam.format(i="i", l="l")
-    sig_il = sig.format(i="i", l="l")
-    probe_expr = (
-        f"flatten(transform(sequence(greatest(len - {k}, {min_len}),"
-        f" len + {k}), l -> "
-        f"flatten(transform(sequence(0, {k}), i -> "
-        f"if(greatest(0, {sig_il} - {k})"
-        f" <= least(len - {lam_il}, {sig_il} + {k}), "
-        f"transform(sequence(greatest(0, {sig_il} - {k}),"
-        f" least(len - {lam_il}, {sig_il} + {k})), p -> "
-        f"struct(i AS i, l AS l,"
-        f" substring(s, p + 1, {lam_il}) AS sub)), "
-        f"array())))))"
-    )
     probes = base.select(
         "doc_id", F.explode(F.expr(probe_expr)).alias("pr")
     ).select(

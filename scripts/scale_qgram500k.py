@@ -1,17 +1,25 @@
 # Run with: SPARK_DRIVER_MEMORY=48g PYTHONPATH=/root/repo python scripts/scale_qgram500k.py
-# Corpus: /tmp/sf100_docs (the r06 recipe — 500k near-dup-heavy docs)
+# Corpus: python scripts/gen_scale_corpora.py docs500k  (/tmp/sf100_docs)
 """dedup_qgram_pairs 500k-doc datapoint (round 11): k=3 character
 Levenshtein pairs over 30-char lowercased prefixes via PassJoin
 pigeonhole segments + the Gravano count filter + exact DP verify.
 
-Also prices the candidate stages BEFORE the run (the band_plan
-methodology): brute all-pairs volume vs segment-join candidate pairs vs
-count-filter survivors — the decision-table evidence that the chain is
-what makes k=3 affordable at this scale.
+PRICE FIRST (dedup.qgram_plan — the band_plan methodology on the
+PassJoin side): the 500k corpus is 100 exact copies of every doc, so
+identical-prefix islands are ≥ 100-hot and the unpriced segment join
+is quadratic PER ISLAND — the first attempt spilled 30 GB into a
+single task before being killed. The pricer sees this from a
+distinct-prefix aggregate (seg_join_tuples ≈ island mass) WITHOUT
+running the join, and the decision rule routes through exact_dedup
+first: collapse the islands (100× shrink, one hash groupBy), pay the
+edit-distance DP only on canonical survivors, then map pairs back to
+island sizes if per-copy pairs are wanted (pure arithmetic —
+every member of island A is within dist d of every member of island B
+iff the canonicals are).
 
 Second datapoint: the persisted-LSH-index daily pattern at 500k
-(dedup_incremental_persisted's semantics at scale) — build the index on
-90% of the corpus, write it partitioned on band, check the 10%
+(dedup_incremental_persisted's semantics at scale) — build the index
+on 90% of the corpus, write it partitioned on band, check the 10%
 increment against the STORED table."""
 import time
 
@@ -36,29 +44,61 @@ docs = (
 n_docs = docs.count()
 print(f"corpus: {n_docs:,} docs")
 
-# ---- pricing prepass (cheap aggregates, no pair join) ----
-k = 3
-pop = docs.select(
-    "doc_id", F.lower(F.substring("text", 1, 30)).alias("s")
-).where(F.length("s") >= 2 * (k + 1))
-n_pop = pop.count()
-n_distinct = pop.select("s").distinct().count()
+# ---- pricing prepass: EXACT seg-join volume, no pair join ----
+s0, t0 = steal(), time.time()
+plan = dedup.qgram_plan(docs, k=3, q=2).collect()[0]
+t_plan = time.time() - t0
 print(
-    f"population {n_pop:,}; distinct prefixes {n_distinct:,};"
-    f" brute volume {n_pop * (n_pop - 1) // 2:,} pairs"
+    f"qgram_plan [{t_plan:.1f}s, steal {steal() - s0}]: "
+    f"{plan['n_docs']:,} docs, {plan['n_distinct_prefixes']:,} distinct "
+    f"prefixes, max_island {plan['max_island']:,}, island_pairs "
+    f"{int(plan['island_pairs']):,}, brute {int(plan['brute_pairs']):,}, "
+    f"seg_join_tuples {int(plan['seg_join_tuples']):,}"
 )
+release_scratch()
+
+BUDGET = 200_000_000
+if int(plan["seg_join_tuples"]) > BUDGET:
+    print(
+        f"-> over budget ({int(plan['seg_join_tuples']):,} > {BUDGET:,}):"
+        " routing through exact_dedup (the decision rule)"
+    )
+    s0, t0 = steal(), time.time()
+    groups = dedup.exact_dedup(docs)
+    canon = (
+        docs.join(
+            groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
+        )
+    ).persist()
+    n_canon = canon.count()
+    t_dedup = time.time() - t0
+    print(
+        f"exact_dedup: {n_docs:,} -> {n_canon:,} canonicals in"
+        f" {t_dedup:.1f}s (steal {steal() - s0})"
+    )
+    target = canon
+else:
+    target = docs
+    n_canon = n_docs
+
+# ---- re-price on the routed frame, then run ----
+s0, t0 = steal(), time.time()
+plan2 = dedup.qgram_plan(target, k=3, q=2).collect()[0]
+print(
+    f"re-priced: seg_join_tuples {int(plan2['seg_join_tuples']):,},"
+    f" max_island {plan2['max_island']:,} [{time.time() - t0:.1f}s]"
+)
+release_scratch()
 
 s0, t0 = steal(), time.time()
-out = dedup.qgram_edit_pairs(docs, k=3, q=2)
+out = dedup.qgram_edit_pairs(target, k=3, q=2)
 n_pairs = out.count()
 wall = time.time() - t0
 print(
-    f"qgram_edit_pairs k=3: {n_pairs:,} pairs in {wall:.1f}s"
-    f" (steal {steal() - s0})"
+    f"qgram_edit_pairs k=3 on {n_canon:,} canonicals: {n_pairs:,} pairs"
+    f" in {wall:.1f}s (steal {steal() - s0})"
 )
-dist_hist = (
-    out.groupBy("dist").count().orderBy("dist").collect()
-)
+dist_hist = out.groupBy("dist").count().orderBy("dist").collect()
 print("dist histogram:", [(r["dist"], r["count"]) for r in dist_hist])
 release_scratch()
 
@@ -85,3 +125,5 @@ print(
     f" STORED table in {t_check:.1f}s — {n_novel:,} novel"
     f" (steal {steal() - s0})"
 )
+shutil.rmtree(idx_path, ignore_errors=True)
+print("OK")

@@ -267,3 +267,54 @@ def test_hll_estimate_empty_registers_is_defined(spark):
         S.HLL_ALPHA_NUM * 64 * 64 * (1 << 31)
         // (S.HLL_ALPHA_DEN * 64 * (1 << 31))
     )
+
+
+def test_qgram_plan_equals_literal_join_volume(spark):
+    """qgram_plan's seg_join_tuples must equal the ACTUAL (i, l, sub)
+    equi-join cardinality (the pre-filter volume qgram_edit_pairs
+    materializes) — on the natural corpus AND on an island-heavy frame
+    (injected 40× exact copies, the regime that drove the unpriced
+    500k join to a 30 GB single-task spill). The shared
+    _passjoin_seg_probe_exprs makes priced == joined structural; this
+    pins it numerically."""
+    from bytehub_spark.operators.dedup import (
+        _passjoin_seg_probe_exprs,
+        qgram_plan,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    heavy = docs
+    for c in range(1, 41):
+        heavy = heavy.unionByName(
+            docs.where(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 10_000 * c).alias("doc_id"), "text"
+            )
+        )
+    k, q = 3, 2
+    min_len = q * (k + 1)
+    seg_expr, probe_expr = _passjoin_seg_probe_exprs(k, min_len)
+    for frame in (docs, heavy):
+        row = qgram_plan(frame, k=k, q=q).collect()[0]
+        s = F.lower(F.substring(F.col("text"), 1, 30))
+        base = (
+            frame.select("doc_id", s.alias("s"))
+            .where(F.length("s") >= min_len)
+            .withColumn("len", F.length("s").cast("int"))
+        )
+        segs = base.select(
+            F.col("len").alias("l"),
+            F.explode(F.expr(seg_expr)).alias("sg"),
+        ).select("l", F.col("sg.i").alias("i"), F.col("sg.sub").alias("sub"))
+        probes = base.select(
+            F.explode(F.expr(probe_expr)).alias("pr")
+        ).select(
+            F.col("pr.i").alias("i"),
+            F.col("pr.l").alias("l"),
+            F.col("pr.sub").alias("sub"),
+        )
+        literal = segs.join(probes, ["i", "l", "sub"]).count()
+        assert int(row["seg_join_tuples"]) == literal
+    # the heavy frame's volume is island-dominated — the routing signal
+    heavy_row = qgram_plan(heavy, k=k, q=q).collect()[0]
+    assert heavy_row["max_island"] >= 41
+    assert int(heavy_row["island_pairs"]) > 0
