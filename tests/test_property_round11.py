@@ -149,3 +149,41 @@ def test_qgram_sweep_has_teeth_count_bound():
     """Count bound tightened by +1 past Gravano's max(n)−k·q must drop
     a real pair on some corpus."""
     assert _find_counterexample({"bound_slack": 1})
+
+
+# --- round-11b: sketch-family portable-hash property sweep ------------
+# (Spark parity for the same SQL is pinned on hostile fixed keys in
+# tests/test_round11b.py::test_int_mix_three_way; here hypothesis
+# drives RANDOM 64-bit keys through Python ref vs DuckDB — the cheap
+# per-example engine.)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_int_mix_rho_duckdb_matches_python_ref(keys):
+    import duckdb
+
+    from bytehub_spark.operators import hashing as H
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"(CAST({k} AS BIGINT))" for k in keys)
+        + ") v(k)"
+    )
+    got = con.execute(
+        f"SELECT k, {H.int_h1_sql('k')}, {H.int_h2_sql('k')}, "
+        f"{H.rho_sql(H.int_h2_sql('k'))} FROM t ORDER BY k"
+    ).fetchall()
+    for k, h1, h2, rho in got:
+        eh1, eh2 = H.int_h1_h2(k)
+        assert (int(h1), int(h2)) == (eh1, eh2), k
+        assert int(rho) == H.rho_py(eh2), k
+        assert 1 <= int(rho) <= 31
