@@ -2382,7 +2382,6 @@ def qgram_plan(
     q: int = 2,
     prefix_chars: int = 30,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """EXACT candidate-tuple volume of qgram_edit_pairs' segment join,
     priced BEFORE any pair join — the band_plan methodology applied to
@@ -2403,15 +2402,27 @@ def qgram_plan(
 
     Decision rule (the r11 500k lesson, learned the expensive way: the
     reconstructed 100×-exact-copy corpus drove the unpriced join to a
-    30 GB single-task spill): when island_pairs ≈ seg_join_tuples — the
-    volume IS duplicate islands — run exact_dedup first and pay the
-    edit-distance DP only on canonical survivors; when seg_join_tuples
-    exceeds budget otherwise, shard or fall back to edit_distance_pairs
-    at k ≤ 2. The pricer is one pass over the corpus plus aggregates on
-    the distinct-prefix frame; plan == join volume is pinned in tests.
+    30 GB single-task spill): when island_pairs dominates
+    seg_join_tuples — the volume IS duplicate islands — collapse
+    identical-PREFIX islands first (keep one representative per
+    distinct lowercased prefix: island members are at raw-prefix
+    distance 0 BY DEFINITION, so dropped pairs reconstruct by pure
+    island arithmetic — rep_a within d of rep_b ⟺ every cross-island
+    member pair is; note full-text exact_dedup is NOT a valid stand-in
+    here, its normalized fingerprint can merge docs whose raw prefixes
+    differ). When the re-priced volume still exceeds budget — islands
+    are distinct docs behind shared boilerplate — shard, or fall back
+    to edit_distance_pairs at k ≤ 2. The pricer is one pass over the
+    corpus plus aggregates on the distinct-prefix frame; plan == join
+    volume is pinned in tests.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if q < 2:
+        raise ValueError(
+            "q must be >= 2 (mirror of qgram_edit_pairs — pricing a "
+            "configuration the join rejects would void the contract)"
+        )
     min_len = q * (k + 1)
     from ..plans import ensure_parallelism
     from ..plans.scratch import scratch_persist
@@ -2419,7 +2430,7 @@ def qgram_plan(
     s = F.lower(F.substring(F.col(text_col), 1, int(prefix_chars)))
     freq = scratch_persist(
         ensure_parallelism(documents)
-        .select(F.col(id_col).alias("doc_id"), s.alias("s"))
+        .select(s.alias("s"))
         .where(F.length("s") >= min_len)
         .groupBy("s")
         .agg(F.count("*").cast("long").alias("c"))
@@ -2460,7 +2471,18 @@ def qgram_plan(
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_distinct_prefixes"),
         F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_island"),
-        F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0))
+        # DECIMAL BEFORE the multiply: c*(c-1) in BIGINT wraps at
+        # islands >= ~3.04e9 — the very regime the DECIMAL contract
+        # claims to cover (the product is even, so /2 is exact)
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(c AS DECIMAL(38,0)) * (c - 1) / 2"
+                    " AS DECIMAL(38,0))"
+                )
+            ),
+            F.lit(0),
+        )
         .cast("decimal(38,0)")
         .alias("island_pairs"),
     )

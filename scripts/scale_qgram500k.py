@@ -9,13 +9,17 @@ PassJoin side): the 500k corpus is 100 exact copies of every doc, so
 identical-prefix islands are ≥ 100-hot and the unpriced segment join
 is quadratic PER ISLAND — the first attempt spilled 30 GB into a
 single task before being killed. The pricer sees this from a
-distinct-prefix aggregate (seg_join_tuples ≈ island mass) WITHOUT
-running the join, and the decision rule routes through exact_dedup
-first: collapse the islands (100× shrink, one hash groupBy), pay the
-edit-distance DP only on canonical survivors, then map pairs back to
-island sizes if per-copy pairs are wanted (pure arithmetic —
-every member of island A is within dist d of every member of island B
-iff the canonicals are).
+distinct-prefix aggregate WITHOUT running the join, and the decision
+rule collapses identical-PREFIX islands (one representative per
+distinct lowercased 30-char prefix — the EXACT key the operator
+measures on, so island members are at raw distance 0 by definition
+and dropped pairs reconstruct by island arithmetic: rep_a within d of
+rep_b ⟺ every cross-island member pair is; full-text exact_dedup
+would be WRONG here — its normalized fingerprint merges docs whose
+raw prefixes differ, silently dropping real pairs). If the re-priced
+volume is STILL over budget (distinct docs behind shared boilerplate
+prefixes — collapsing removes nothing), the script refuses to run the
+join and says so, instead of recreating the spill.
 
 Second datapoint: the persisted-LSH-index daily pattern at 500k
 (dedup_incremental_persisted's semantics at scale) — build the index
@@ -61,34 +65,51 @@ BUDGET = 200_000_000
 if int(plan["seg_join_tuples"]) > BUDGET:
     print(
         f"-> over budget ({int(plan['seg_join_tuples']):,} > {BUDGET:,}):"
-        " routing through exact_dedup (the decision rule)"
+        " collapsing identical-prefix islands (the decision rule;"
+        " prefix-level, NOT full-text exact_dedup — see module doc)"
     )
     s0, t0 = steal(), time.time()
-    groups = dedup.exact_dedup(docs)
+    # one representative per distinct lowercased 30-char prefix — the
+    # operator's own measurement key, so dropped pairs are distance-0
+    # island members reconstructible by arithmetic
+    from pyspark.sql import Window
+
+    pfx = F.lower(F.substring("text", 1, 30))
+    w = F.row_number().over(
+        Window.partitionBy("__pfx").orderBy("doc_id")
+    )
     canon = (
-        docs.join(
-            groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
-        )
+        docs.withColumn("__pfx", pfx)
+        .withColumn("__r", w)
+        .where(F.col("__r") == 1)
+        .select("doc_id", "text")
     ).persist()
     n_canon = canon.count()
     t_dedup = time.time() - t0
     print(
-        f"exact_dedup: {n_docs:,} -> {n_canon:,} canonicals in"
-        f" {t_dedup:.1f}s (steal {steal() - s0})"
+        f"prefix-island collapse: {n_docs:,} -> {n_canon:,}"
+        f" representatives in {t_dedup:.1f}s (steal {steal() - s0})"
     )
     target = canon
+    # ---- re-price the routed frame and HONOR the budget ----
+    s0, t0 = steal(), time.time()
+    plan2 = dedup.qgram_plan(target, k=3, q=2).collect()[0]
+    print(
+        f"re-priced: seg_join_tuples {int(plan2['seg_join_tuples']):,},"
+        f" max_island {plan2['max_island']:,} [{time.time() - t0:.1f}s]"
+    )
+    release_scratch()
+    if int(plan2["seg_join_tuples"]) > BUDGET:
+        raise SystemExit(
+            "re-priced volume still over budget — islands are DISTINCT"
+            " docs behind shared boilerplate prefixes; collapsing"
+            " cannot help. Shard the corpus or use"
+            " edit_distance_pairs at k <= 2 (refusing to recreate the"
+            " 30 GB spill)."
+        )
 else:
     target = docs
     n_canon = n_docs
-
-# ---- re-price on the routed frame, then run ----
-s0, t0 = steal(), time.time()
-plan2 = dedup.qgram_plan(target, k=3, q=2).collect()[0]
-print(
-    f"re-priced: seg_join_tuples {int(plan2['seg_join_tuples']):,},"
-    f" max_island {plan2['max_island']:,} [{time.time() - t0:.1f}s]"
-)
-release_scratch()
 
 s0, t0 = steal(), time.time()
 out = dedup.qgram_edit_pairs(target, k=3, q=2)

@@ -293,8 +293,9 @@ def test_qgram_plan_equals_literal_join_volume(spark):
     k, q = 3, 2
     min_len = q * (k + 1)
     seg_expr, probe_expr = _passjoin_seg_probe_exprs(k, min_len)
-    for frame in (docs, heavy):
-        row = qgram_plan(frame, k=k, q=q).collect()[0]
+    rows = {}
+    for name, frame in (("docs", docs), ("heavy", heavy)):
+        row = rows[name] = qgram_plan(frame, k=k, q=q).collect()[0]
         s = F.lower(F.substring(F.col("text"), 1, 30))
         base = (
             frame.select("doc_id", s.alias("s"))
@@ -315,6 +316,6 @@ def test_qgram_plan_equals_literal_join_volume(spark):
         literal = segs.join(probes, ["i", "l", "sub"]).count()
         assert int(row["seg_join_tuples"]) == literal
     # the heavy frame's volume is island-dominated — the routing signal
-    heavy_row = qgram_plan(heavy, k=k, q=q).collect()[0]
+    heavy_row = rows["heavy"]
     assert heavy_row["max_island"] >= 41
     assert int(heavy_row["island_pairs"]) > 0
