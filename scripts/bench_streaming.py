@@ -97,6 +97,18 @@ def main() -> None:
     mon.result().write.format("noop").mode("overwrite").save()
     finish("retention_monitor", t0, n_events)
 
+    # 5. bounded-driver-state sketch monitor (Count-Min — state is
+    # <= depth*width ints no matter the key cardinality; representative
+    # of the r11 sketch-monitor pair)
+    t0 = time.time()
+    q, cmon = st.stream_cms(
+        st.stream_events(spark, src_dir, max_files=2),
+        os.path.join(work, "ckpt_cms"),
+    )
+    q.awaitTermination(600)
+    cmon.result().write.format("noop").mode("overwrite").save()
+    finish("cms_monitor", t0, n_events)
+
     shutil.rmtree(work, ignore_errors=True)
     print(
         json.dumps(
