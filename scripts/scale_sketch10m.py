@@ -122,5 +122,31 @@ print(
     f"({len(got)} cells), {wall_st:.1f}s "
     f"({n_total / wall_st / 1000:.0f}k ev/s), steal {steal() - s0}"
 )
+
+# --- leg E: HllDistinctMonitor stream (idempotent max-merge) --------
+s0, t0 = steal(), time.time()
+stream2 = (
+    spark.readStream.schema(EV_SCHEMA)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(src)
+)
+q2, hmon = st.stream_hll_distinct(stream2, os.path.join(work, "ck_hll"))
+if not q2.awaitTermination(1800):
+    q2.stop()
+    raise SystemExit("hll stream did not drain in 30 min")
+wall_h = time.time() - t0
+want_regs = {
+    (r["bucket"], r["rho"])
+    for r in S.hll_registers(ev(), "user_id", m=64).collect()
+}
+got_regs = {(b, r) for b, r in hmon.regs.items()}
+assert got_regs == want_regs, (len(got_regs), len(want_regs))
+est = S.hll_estimate(hmon.result(), m=64).collect()[0]
+print(
+    f"HllDistinctMonitor 10M x10 batches: stream==batch EXACT "
+    f"({len(got_regs)} registers, est {int(est['est_distinct'])}), "
+    f"{wall_h:.1f}s ({n_total / wall_h / 1000:.0f}k ev/s), "
+    f"steal {steal() - s0}"
+)
 shutil.rmtree(work, ignore_errors=True)
 print("OK")
