@@ -79,6 +79,17 @@ QGRAM_INJ_DUCK = (
     " substring(text, 13, 6) || 'x' || substring(text, 20)"
 )
 
+# dedup_qgram_routed corpus: QGRAM_COPIES exact copies of every doc
+# (offset multiples of QGRAM_COPY_OFFSET) on top of the substitution
+# injection, so identical-prefix islands of size COPIES+1 exist at
+# every sf and the routed operator's island-collapse path triggers
+# deterministically: the copy multiplier scales the priced direct
+# volume by (COPIES+1)² while the collapsed (rep-level) volume is
+# unchanged, so budget = direct // (COPIES+1) sits strictly between
+# them. Same one-definition rule as the other injections.
+QGRAM_COPIES = 3
+QGRAM_COPY_OFFSET = 100_000_000
+
 # Sketch-family shapes, ONE definition for both engines (same rule).
 CMS_DEPTH = 4
 CMS_WIDTH = 256
@@ -226,6 +237,113 @@ def _hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_users_lc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_hll_users with the linear-counting-corrected estimator
+    (sketches.hll_estimate_corrected): below the 2.5·m switch the
+    estimate comes from the precomputed integer m·ln(m/(m−occupied))
+    table instead of sitting on the raw estimator's ≈ α·m floor. Both
+    branches are exercised across the sweep scales (LC at sf ≤ 0.01
+    where groups hold ~15 users, raw at sf0.1's ~1,400); the oracle
+    replays registers, both estimators, and the switch bit-exactly
+    (the LC table is integer literals shared by both engines)."""
+    from bytehub_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.where(F.col("user_id").isNotNull())
+    regs = sketches.hll_registers(keyed, "user_id", "event_type", HLL_M)
+    est = sketches.hll_estimate_corrected(regs, HLL_M, ["event_type"])
+    exact = keyed.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "occupied",
+            "est_raw",
+            "est_distinct",
+            "exact_distinct",
+            F.abs(F.col("est_distinct") - F.col("exact_distinct")).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy(F.asc_nulls_last("event_type"))
+    )
+
+
+def _hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra (sketches.hll_overlap) over two overlapping
+    event slices (event_id % 2 == 0 vs % 3 == 0 — every 6th event is
+    in both, so user overlap is guaranteed at every sf): union by
+    register max-merge, intersection by inclusion-exclusion, next to
+    the exact distinct counts (the KMV kmv_source_overlap convention).
+    ONE row; every column exact-integer and engine-replayed."""
+    from bytehub_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.where(F.col("user_id").isNotNull())
+    a = keyed.where(F.col("event_id") % 2 == 0)
+    b = keyed.where(F.col("event_id") % 3 == 0)
+    overlap = sketches.hll_overlap(a, b, "user_id", HLL_M)
+    da = a.select("user_id").distinct()
+    db = b.select("user_id").distinct()
+    ea = da.agg(F.count("*").cast("long").alias("exact_a"))
+    eb = db.agg(F.count("*").cast("long").alias("exact_b"))
+    ei = da.join(db, "user_id").agg(
+        F.count("*").cast("long").alias("exact_inter")
+    )
+    # 1-row scalar attaches (the declared cartesian pattern)
+    return overlap.crossJoin(ea).crossJoin(eb).crossJoin(ei)
+
+
+def _qgram_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.qgram_edit_pairs_routed end-to-end on a corpus built to
+    force the island-collapse route: the substitution injection (the
+    dedup_qgram_pairs corpus, so cross-island dist ≤ 3 pairs exist)
+    plus QGRAM_COPIES exact copies of every doc (identical-prefix
+    islands of size COPIES+1 everywhere). Copying every doc scales the
+    priced direct volume by exactly (COPIES+1)² while the rep-level
+    volume is unchanged, so budget = direct // (COPIES+1) lands
+    strictly between the two routes at any sf — the gate runs
+    price → collapse → re-price → join → expand every round, and the
+    oracle recomputes the expanded pair set independently (prefix-level
+    brute DP + island arithmetic in SQL). The chain-losslessness proof
+    stays with the sibling gate dedup_qgram_pairs (brute all-pairs
+    oracle); THIS gate proves the routing arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.substring("text", 1, 30).rlike(EDIT_ASCII_RE)
+    )
+    inj = docs.select("doc_id", "text").unionByName(
+        docs.where(
+            (F.col("doc_id") % QGRAM_INJ_MOD == 0)
+            & (F.length("text") >= QGRAM_INJ_MINLEN)
+        ).select(
+            (F.col("doc_id") + F.lit(QGRAM_INJ_OFFSET)).alias("doc_id"),
+            F.expr(QGRAM_INJ_SPARK).alias("text"),
+        )
+    )
+    corpus = inj
+    for i in range(1, QGRAM_COPIES + 1):
+        corpus = corpus.unionByName(
+            inj.select(
+                (F.col("doc_id") + F.lit(i * QGRAM_COPY_OFFSET)).alias(
+                    "doc_id"
+                ),
+                "text",
+            )
+        )
+    # price the PRE-copy frame (V): copying every doc c+1 times scales
+    # the direct volume to (c+1)²·V while the collapsed (rep-level)
+    # volume stays <= V, so (c+1)·V sits strictly between the routes —
+    # and the pricer scans a (c+1)× smaller frame than pricing the
+    # corpus would
+    plan = dedup.qgram_plan(inj, k=QGRAM_K, q=QGRAM_Q).collect()[0]
+    budget = int(plan["seg_join_tuples"]) * (QGRAM_COPIES + 1)
+    return dedup.qgram_edit_pairs_routed(
+        corpus, budget, k=QGRAM_K, q=QGRAM_Q
+    )
+
+
 # The driver's correctness gate covers the FIRST 50 entries of queries().
 # Rotation policy (checked by tests/test_round4.py::
 # test_rotation_debt_fits_next_gate): every query with no driver-green
@@ -236,43 +354,41 @@ def _hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scales via scripts/check_oracle.py (round-4 sweeps: 178/178 ALL MATCH
 # at sf0.001, sf0.01, and sf0.1).
 _GATE_FIRST = [
-    # Round-11 rotation. The 35 r05-cohort queries sat at lag 5 == the
-    # registry-derived bound (max(4, ceil(221/50)) = 5) after the r10
-    # gate, so they head this rotation (cohort recomputed from
-    # CORRECTNESS_r*.json latest-green rounds, NOT from comments — it
-    # matches NEXT.md's pinned r10 list, including the un-prepaid
-    # ts_topk_per_key). Remaining slots: permanents, r11 new/changed,
-    # then r06-cohort prepays (that cohort — 43 queries — comes due at
-    # r12; every prepay here shrinks it to 36).
-    # --- (a) ALL 35 r05-stale queries (latest green row == r05),
+    # Round-12 rotation. The 38 r06-cohort queries sat at lag 5 == the
+    # bound after the r11 gate, so they head this rotation (cohort
+    # recomputed from CORRECTNESS_r*.json latest-green rows, NOT from
+    # comments — it matches NEXT.md's pinned r11 list). Remaining
+    # slots: permanents, r12 new/changed, then r08-cohort prepays
+    # (that cohort — 46 queries — comes due at r13; every prepay here
+    # shrinks it).
+    # --- (a) ALL 38 r06-stale queries (latest green row == r06),
     # registry order ---
-    "ts_topk_per_key", "ts_range_scan", "ts_partition_derive",
-    "ts_json_extract", "ts_rollup", "ts_moving_avg",
-    "ts_zscore_outliers", "ts_funnel", "ts_salted_rollup",
-    "ts_interval_join", "ts_histogram", "tpch_q1", "tpch_q3",
-    "tpch_q5", "tpch_q6", "tpch_q4", "tpch_q10", "tpch_q12",
-    "tpch_q14", "tpch_q7", "tpch_q8", "tpch_q18", "tpch_q2",
-    "tpch_q9", "tpch_q13", "join_anti_inactive_customers",
-    "join_semi_big_spenders", "dedup_minhash_lsh", "mm_token_budget",
-    "mm_shard_manifest", "ts_event_transitions", "mm_blob_dedup",
-    "ts_forecast_snaive", "dedup_decontaminate_mask",
-    "dedup_bloom_decontaminate",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q22",
+    "doc_text_stats", "doc_token_counts", "doc_lang_id",
+    "doc_fingerprint", "doc_clean_text", "doc_repetition",
+    "doc_curation_pipeline", "doc_vocab_topk", "doc_tfidf_top_terms",
+    "doc_redact_pii", "dedup_decontaminate", "cur_split_summary",
+    "cur_mix_sources", "cur_pack_sequences", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh", "emb_snapshot_drift",
+    "emb_pca_spectrum", "dedup_clusters", "emb_lsh_topk",
+    "emb_lsh_multiprobe", "emb_ann_recall_eval", "dedup_two_stage",
+    "emb_margin_pairs_lsh", "dedup_kmv_overlap_est", "emb_knn_graph",
+    "emb_graph_clusters", "emb_quantize_int8", "dedup_bloom_words",
+    "ts_rfm_bp_audit", "ts_cadence_profile",
     # --- (b) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (c) changed in round 11 (ADVICE r10: \z-anchored ASCII guard
-    # in the edit-pairs injection; nonnegative-duration filter in
-    # intervals_merge — both engines) ---
-    "dedup_edit_pairs", "ts_intervals_merge",
-    # --- (d) new in round 11 (each swept vs its oracle at 3 scales;
+    # --- (c) changed in round 12 (ADVICE r11: cms_probe now excludes
+    # NULL keys, matching cms_build — the probe side of this gate) ---
+    "ts_cms_user_topk",
+    # --- (d) new in round 12 (each swept vs its oracle at 3 scales;
     # the driver gate is the record) ---
-    "dedup_qgram_pairs", "dedup_incremental_persisted",
-    "cur_funnel_flags", "ts_cms_user_topk", "ts_hll_users",
-    # --- (e) r06-cohort prepayment, registry order (fills to 50; the
-    # 43-query r06 cohort is due at r12 — each name here drops out of
-    # that head; tpch_q15/q16 were un-prepaid to make room for the
-    # two sketch queries, the dedup_edit_pairs precedent) ---
-    "ts_resample_locf", "ts_align_ffill", "ts_asof_join",
-    "ts_quantiles", "ts_sessionize",
+    "ts_hll_users_lc", "ts_hll_overlap", "dedup_qgram_routed",
+    # --- (e) r08-cohort prepayment, registry order (fills to 50; the
+    # 46-query r08 cohort is due at r13 — each name here drops out of
+    # that head) ---
+    "ts_histogram_quantile", "cur_pack_greedy", "dedup_containment",
+    "dedup_rate_by_source", "dedup_band_balance",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
@@ -1849,6 +1965,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-event-type HyperLogLog registers (m=64) + exact-integer
         # harmonic estimate next to the exact distinct — exact oracle
         "ts_hll_users": _hll_users,
+        # the linear-counting-corrected estimator (integer LC literal
+        # table + the standard 2.5·m switch) — usable across the whole
+        # cardinality range; both branches swept — exact oracle
+        "ts_hll_users_lc": _hll_users_lc,
+        # HLL set algebra: union by register max-merge, intersection by
+        # inclusion-exclusion, next to exact counts — exact oracle
+        "ts_hll_overlap": _hll_overlap,
+        # qgram_edit_pairs behind its executable pricer: price →
+        # island-collapse → re-price → join → expand, on a copy-heavy
+        # corpus that forces the collapse route — exact oracle
+        "dedup_qgram_routed": _qgram_routed,
         # RFM quintile segmentation: per-user recency/frequency/monetary
         # (µ-unit BIGINT sums), exact percentile breakpoints (broadcast
         # scalar), 1-5 scores, segment rollup — exact oracle
@@ -2117,6 +2244,46 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 from bytehub_spark.operators import hashing as _H
 from bytehub_spark.operators import sketches as _SK
+
+
+def _hll_cor_est_duck(regs: str) -> str:
+    """DuckDB 1-row (occupied, est) subquery: the linear-counting-
+    corrected HLL estimate over a register CTE named ``regs`` — the
+    exact-integer replay of sketches.hll_estimate_corrected (raw
+    harmonic estimate, then the 2.5·m switch into the shared LC
+    literal table). COALESCE handles the empty-register edge the same
+    way hll_estimate's does (a global aggregate over zero rows)."""
+    num = _SK.HLL_ALPHA_NUM * HLL_M * HLL_M * 2147483648
+    return f"""(
+        SELECT occupied,
+               CAST(CASE WHEN occupied < {HLL_M}
+                         AND est_raw * {_SK.HLL_LC_SWITCH_DEN}
+                             <= {_SK.HLL_LC_SWITCH_NUM * HLL_M}
+                    THEN {_SK.hll_lc_case_sql(HLL_M, 'occupied')}
+                    ELSE est_raw END AS BIGINT) AS est
+        FROM (
+            SELECT occupied,
+                   CAST({num} // ({_SK.HLL_ALPHA_DEN}
+                        * (hs + ({HLL_M} - occupied) * 2147483648))
+                        AS BIGINT) AS est_raw
+            FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) AS occupied,
+                       CAST(COALESCE(SUM(
+                           {_H.pow2_31_minus_rho_sql('rho')}), 0)
+                            AS BIGINT) AS hs
+                FROM {regs}
+            )
+        )
+    )"""
+
+
+# the dedup_qgram_routed corpus's copy block, generated from the same
+# QGRAM_COPIES/QGRAM_COPY_OFFSET the Spark wrapper loops over
+_QGRAM_COPY_UNION_DUCK = "\n                UNION ALL\n".join(
+    f"                SELECT doc_id + {i * QGRAM_COPY_OFFSET} AS doc_id,"
+    f" text FROM inj"
+    for i in range(1, QGRAM_COPIES + 1)
+)
 
 
 def _minhash_band_ctes(src: str, bands: int, n_hashes: int = 64) -> str:
@@ -7364,6 +7531,186 @@ def oracle_sql() -> dict[str, str]:
                        - exact_distinct) AS abs_err
             FROM agg a JOIN ex USING (event_type)
             ORDER BY event_type NULLS LAST
+        """,
+        # ts_hll_users + the LC switch: est_raw from the harmonic
+        # formula, est_distinct routed through the shared integer LC
+        # literal table (sketches.hll_lc_case_sql — ONE generated CASE
+        # interpolated into both engines) when occupied < m and
+        # est_raw <= 2.5·m.
+        "ts_hll_users_lc": f"""
+            WITH k AS (
+                SELECT event_type, user_id FROM events
+                WHERE user_id IS NOT NULL
+            ),
+            h AS (
+                SELECT event_type,
+                       {_H.int_h1_sql('user_id')} AS h1,
+                       {_H.int_h2_sql('user_id')} AS h2
+                FROM k
+            ),
+            regs AS (
+                SELECT event_type, CAST(h1 % {HLL_M} AS INT) AS bucket,
+                       MAX({_H.rho_sql('h2')}) AS rho
+                FROM h GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS occupied,
+                       CAST(SUM({_H.pow2_31_minus_rho_sql('rho')})
+                           AS BIGINT) AS hs
+                FROM regs GROUP BY 1
+            ),
+            est0 AS (
+                SELECT event_type, occupied,
+                       CAST({_SK.HLL_ALPHA_NUM * HLL_M * HLL_M * 2147483648}
+                            // ({_SK.HLL_ALPHA_DEN} * (hs
+                                + ({HLL_M} - occupied) * 2147483648))
+                            AS BIGINT) AS est_raw
+                FROM agg
+            ),
+            cor AS (
+                SELECT event_type, occupied, est_raw,
+                       CAST(CASE WHEN occupied < {HLL_M}
+                                 AND est_raw * {_SK.HLL_LC_SWITCH_DEN}
+                                     <= {_SK.HLL_LC_SWITCH_NUM * HLL_M}
+                            THEN {_SK.hll_lc_case_sql(HLL_M, 'occupied')}
+                            ELSE est_raw END AS BIGINT) AS est_distinct
+                FROM est0
+            ),
+            ex AS (
+                SELECT event_type,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                           AS exact_distinct
+                FROM k GROUP BY 1
+            )
+            SELECT c.event_type, occupied, est_raw, est_distinct,
+                   exact_distinct,
+                   abs(est_distinct - exact_distinct) AS abs_err
+            FROM cor c JOIN ex USING (event_type)
+            ORDER BY event_type NULLS LAST
+        """,
+        # HLL set algebra: per-split registers, union by per-bucket MAX
+        # (the idempotent merge law), corrected estimates, intersection
+        # by inclusion-exclusion — next to the exact-join audit columns.
+        "ts_hll_overlap": f"""
+            WITH k AS (
+                SELECT event_id, user_id FROM events
+                WHERE user_id IS NOT NULL
+            ),
+            side_a AS (SELECT user_id FROM k WHERE event_id % 2 = 0),
+            side_b AS (SELECT user_id FROM k WHERE event_id % 3 = 0),
+            ha AS (
+                SELECT {_H.int_h1_sql('user_id')} AS h1,
+                       {_H.int_h2_sql('user_id')} AS h2
+                FROM side_a
+            ),
+            hb AS (
+                SELECT {_H.int_h1_sql('user_id')} AS h1,
+                       {_H.int_h2_sql('user_id')} AS h2
+                FROM side_b
+            ),
+            ra AS (
+                SELECT CAST(h1 % {HLL_M} AS INT) AS bucket,
+                       MAX({_H.rho_sql('h2')}) AS rho
+                FROM ha GROUP BY 1
+            ),
+            rb AS (
+                SELECT CAST(h1 % {HLL_M} AS INT) AS bucket,
+                       MAX({_H.rho_sql('h2')}) AS rho
+                FROM hb GROUP BY 1
+            ),
+            ru AS (
+                SELECT bucket, MAX(rho) AS rho
+                FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+                GROUP BY 1
+            ),
+            ea AS {_hll_cor_est_duck('ra')},
+            eb AS {_hll_cor_est_duck('rb')},
+            eu AS {_hll_cor_est_duck('ru')},
+            ex AS (
+                SELECT
+                    (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                     FROM side_a) AS exact_a,
+                    (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                     FROM side_b) AS exact_b,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                        (SELECT DISTINCT user_id FROM side_a) x
+                        JOIN (SELECT DISTINCT user_id FROM side_b) y
+                        USING (user_id)) AS exact_inter
+            )
+            SELECT ea.occupied AS occupied_a, eb.occupied AS occupied_b,
+                   eu.occupied AS occupied_union,
+                   ea.est AS est_a, eb.est AS est_b,
+                   eu.est AS est_union,
+                   CAST(ea.est + eb.est - eu.est AS BIGINT) AS est_inter,
+                   exact_a, exact_b, exact_inter
+            FROM ea, eb, eu, ex
+        """,
+        # the routed qgram gate's expanded pair set, recomputed
+        # independently: brute DP over DISTINCT prefixes (the same
+        # all-pairs levenshtein the dedup_qgram_pairs oracle runs, on
+        # the collapsed population), then island arithmetic — dist-0
+        # pairs within identical-prefix islands, cross pairs expanded
+        # through membership. Chain losslessness is the sibling gate's
+        # proof; this one proves the routing/expansion arithmetic.
+        "dedup_qgram_routed": f"""
+            WITH ascii_docs AS (
+                SELECT doc_id, text FROM documents
+                WHERE regexp_matches(substring(text, 1, 30),
+                                     '{EDIT_ASCII_RE}')
+            ),
+            inj AS (
+                SELECT doc_id, text FROM ascii_docs
+                UNION ALL
+                SELECT doc_id + {QGRAM_INJ_OFFSET} AS doc_id,
+                       {QGRAM_INJ_DUCK} AS text
+                FROM ascii_docs
+                WHERE doc_id % {QGRAM_INJ_MOD} = 0
+                  AND length(text) >= {QGRAM_INJ_MINLEN}
+            ),
+            corpus AS (
+                SELECT doc_id, text FROM inj
+                UNION ALL
+{_QGRAM_COPY_UNION_DUCK}
+            ),
+            s AS (
+                SELECT doc_id, lower(substring(text, 1, 30)) AS s
+                FROM corpus
+                WHERE length(substring(text, 1, 30))
+                      >= {_QGRAM_MINLEN_POP}
+            ),
+            dp AS (SELECT DISTINCT s FROM s),
+            pp AS (
+                SELECT a.s AS sa, b.s AS sb,
+                       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist,
+                       CAST(length(a.s) AS BIGINT) AS la,
+                       CAST(length(b.s) AS BIGINT) AS lb
+                FROM dp a JOIN dp b ON a.s < b.s
+                WHERE abs(length(a.s) - length(b.s)) <= {QGRAM_K}
+                  AND levenshtein(a.s, b.s) <= {QGRAM_K}
+            ),
+            cross_p AS (
+                SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+                       greatest(ma.doc_id, mb.doc_id) AS doc_b,
+                       p.dist,
+                       CASE WHEN ma.doc_id < mb.doc_id
+                            THEN p.la ELSE p.lb END AS len_a,
+                       CASE WHEN ma.doc_id < mb.doc_id
+                            THEN p.lb ELSE p.la END AS len_b
+                FROM pp p
+                JOIN s ma ON ma.s = p.sa
+                JOIN s mb ON mb.s = p.sb
+            ),
+            island AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(0 AS BIGINT) AS dist,
+                       CAST(length(a.s) AS BIGINT) AS len_a,
+                       CAST(length(a.s) AS BIGINT) AS len_b
+                FROM s a JOIN s b ON a.s = b.s AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, dist, len_a, len_b FROM cross_p
+            UNION ALL
+            SELECT doc_a, doc_b, dist, len_a, len_b FROM island
+            ORDER BY doc_a, doc_b
         """,
         "ts_rfm_segments": """
             WITH pu AS (

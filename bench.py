@@ -132,6 +132,11 @@ BENCH_QUERIES = [
     # no Python in the hot path), benched at birth
     "ts_cms_user_topk",
     "ts_hll_users",
+    # r12: linear-counting-corrected estimator + HLL set algebra +
+    # the routed (priced) qgram edit join, benched at birth
+    "ts_hll_users_lc",
+    "ts_hll_overlap",
+    "dedup_qgram_routed",
 ]
 
 
@@ -156,9 +161,13 @@ def materialize(df) -> None:
 # (r09/r10 evidence: five manual runs were monotonic in steal,
 # 64.4s@2.3k -> 100.4s@55.4k — the field adjudicates the wall time, so
 # the artifact should carry its own clean attempt instead of needing a
-# judge re-run). ~1000 ticks/query-ish is the noise floor; 5000 across
-# a ~75-query window is unambiguous contention.
-STEAL_RETRY_THRESHOLD = 5_000
+# judge re-run). Lowered 5,000 -> 2,500 after the r11 driver window
+# measured steal 4,999 — ONE tick under the old trigger — and the
+# single contended attempt read as a phantom 1.17x regression on
+# byte-unchanged code (VERDICT r11 item 2). Clean windows run
+# ~1-2k ticks (r10: 2,018; r11 builder runs: <= 1,113), so 2,500
+# separates them from real contention with margin on both sides.
+STEAL_RETRY_THRESHOLD = 2_500
 
 
 def _run_once(spark, queries, sf_dir: str) -> dict:

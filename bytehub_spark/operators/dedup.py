@@ -2436,6 +2436,66 @@ def qgram_plan(
         .agg(F.count("*").cast("long").alias("c"))
         .withColumn("len", F.length("s").cast("int"))
     )
+    return _qgram_volume_from_freq(freq, int(k), min_len)
+
+
+def _qgram_volumes_both(freq: DataFrame, k: int, min_len: int) -> DataFrame:
+    """BOTH route volumes in one pass over a prepared distinct-prefix
+    frequency frame (s, c, len): (seg_join_tuples, collapsed_tuples),
+    where collapsed is the same aggregate with every island weight at
+    1 (one representative per prefix). The two sums share the exploded
+    segment/probe tables and the (i, l, sub) equi-join — pricing the
+    re-route costs one extra SUM column, not a second pricing job
+    (qgram_edit_pairs_routed's hot path)."""
+    seg_expr, probe_expr = _passjoin_seg_probe_exprs(int(k), min_len)
+    segs_w = (
+        freq.select("c", "len", F.explode(F.expr(seg_expr)).alias("sg"))
+        .groupBy(
+            F.col("sg.i").alias("i"),
+            F.col("len").alias("l"),
+            F.col("sg.sub").alias("sub"),
+        )
+        .agg(
+            F.sum("c").alias("cs"),
+            F.count("*").cast("long").alias("cs1"),
+        )
+    )
+    probes_w = (
+        freq.select("c", F.explode(F.expr(probe_expr)).alias("pr"))
+        .groupBy(
+            F.col("pr.i").alias("i"),
+            F.col("pr.l").alias("l"),
+            F.col("pr.sub").alias("sub"),
+        )
+        .agg(
+            F.sum("c").alias("cp"),
+            F.count("*").cast("long").alias("cp1"),
+        )
+    )
+    return segs_w.join(probes_w, ["i", "l", "sub"]).agg(
+        F.coalesce(
+            F.sum(
+                F.col("cs").cast("decimal(38,0)")
+                * F.col("cp").cast("decimal(38,0)")
+            ),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("seg_join_tuples"),
+        F.coalesce(
+            F.sum(
+                F.col("cs1").cast("decimal(38,0)")
+                * F.col("cp1").cast("decimal(38,0)")
+            ),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("collapsed_tuples"),
+    )
+
+
+def _qgram_volume_from_freq(freq: DataFrame, k: int, min_len: int) -> DataFrame:
+    """qgram_plan's pricing core over a prepared distinct-prefix
+    frequency frame (s, c, len) — factored out so qgram_plan and the
+    routed operator's pricer share one definition of 'the priced
+    volume' (the seg/probe SQL pair makes priced == joined volume
+    structural)."""
     seg_expr, probe_expr = _passjoin_seg_probe_exprs(int(k), min_len)
     segs_w = (
         freq.select("c", "len", F.explode(F.expr(seg_expr)).alias("sg"))
@@ -2659,3 +2719,212 @@ def qgram_edit_pairs(
         .where(F.col("dist") <= F.lit(int(k)))
         .orderBy("doc_a", "doc_b")
     )
+
+
+class QgramBudgetExceeded(ValueError):
+    """Raised by qgram_edit_pairs_routed when the segment join's priced
+    candidate volume exceeds the caller's budget on BOTH routes (direct
+    and island-collapsed). Carries both plan rows so the caller can
+    shard or fall back to edit_distance_pairs at k <= 2 without
+    re-pricing."""
+
+    def __init__(self, msg: str, plan_direct: dict, plan_collapsed: dict):
+        super().__init__(msg)
+        self.plan_direct = plan_direct
+        self.plan_collapsed = plan_collapsed
+
+
+def qgram_edit_pairs_routed(
+    documents: DataFrame,
+    budget: int,
+    k: int = 3,
+    q: int = 2,
+    prefix_chars: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """qgram_edit_pairs behind its own pricer: price -> route ->
+    re-price -> join, so the r11 failure mode (an unpriced PassJoin
+    segment join going quadratic per identical-prefix island -- one
+    task, 30 GB spill, killed at 35 min on the 100x-copy corpus) is
+    unreachable through the public API. Same output contract as the
+    direct operator, EXACTLY: (doc_a, doc_b, dist, len_a, len_b),
+    doc_a < doc_b, ordered.
+
+    Routing (the qgram_plan decision rule, executable):
+
+    1. Price the direct join (qgram_plan -- exact tuple volume from
+       per-distinct-prefix frequencies, never runs the join). Volume
+       <= budget: run qgram_edit_pairs directly.
+    2. Over budget: collapse identical-PREFIX islands -- one
+       representative per distinct lowercased prefix. Island members
+       are at raw-prefix distance 0 BY DEFINITION (the operator's own
+       measurement key), so every dropped pair reconstructs exactly:
+       within an island, all C(c, 2) pairs at dist 0; across islands,
+       rep_a within d of rep_b iff every member cross pair is, at the
+       same d. (Full-text exact_dedup is NOT a valid stand-in -- its
+       normalized fingerprint merges docs whose raw prefixes differ.)
+    3. Re-price the rep-level join and CHECK it against the budget
+       again -- boilerplate corpora (many DISTINCT prefixes sharing
+       segment text) collapse to nothing and would sail into the same
+       spill; those raise QgramBudgetExceeded carrying both plan rows
+       (shard, or fall back to edit_distance_pairs at k <= 2).
+    4. Join the reps, then expand: island-internal dist-0 pairs by an
+       equi-self-join on the prefix (linear in OUTPUT size -- the
+       pairs exist in the direct answer too), cross-island pairs by
+       joining the rep pairs back to membership on the prefix key
+       (two slim equi-joins, again output-sized).
+
+    The routed path == the direct join is pinned in pytest on natural
+    and copy-heavy frames; the registered gate's oracle recomputes the
+    expanded pair set independently in SQL every round. Pricing both
+    routes is ONE pass over the distinct-prefix frequency frame (the
+    collapsed volume is the same aggregate with every weight at 1, so
+    both sums share the exploded segment/probe tables) and one bounded
+    1-row collect; nothing else leaves the executors.
+    """
+    from ..plans import ensure_parallelism
+    from ..plans.scratch import scratch_persist
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if q < 2:
+        raise ValueError("q must be >= 2 (q=1 grams carry no position)")
+    min_len = q * (k + 1)
+    s = F.lower(F.substring(F.col(text_col), 1, int(prefix_chars)))
+    # ONE corpus scan feeds everything: membership (doc_id, s) is the
+    # collapse/expansion key, and both pricings aggregate off the
+    # distinct-prefix frequency frame derived from it (the collapsed
+    # re-price is the same frame with c = 1 — no rescan)
+    members = scratch_persist(
+        ensure_parallelism(documents)
+        .select(F.col(id_col).alias("doc_id"), s.alias("s"))
+        .where(F.length("s") >= min_len)
+    )
+    freq = scratch_persist(
+        members.groupBy("s")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn("len", F.length("s").cast("int"))
+    )
+    vols = _qgram_volumes_both(freq, int(k), min_len).collect()[0]
+    direct_tuples = int(vols["seg_join_tuples"])
+    collapsed_tuples = int(vols["collapsed_tuples"])
+    if direct_tuples <= int(budget):
+        return qgram_edit_pairs(
+            documents,
+            k=k,
+            q=q,
+            prefix_chars=prefix_chars,
+            text_col=text_col,
+            id_col=id_col,
+        )
+    if collapsed_tuples > int(budget):
+        # error path only: one tiny stats job over the (persisted)
+        # frequency frame to fill in the full plan rows for the caller
+        stats = freq.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_distinct_prefixes"),
+            F.coalesce(F.max("c"), F.lit(0)).cast("long").alias(
+                "max_island"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(CAST(c AS DECIMAL(38,0)) * (c - 1) / 2"
+                        " AS DECIMAL(38,0))"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("island_pairs"),
+        ).collect()[0]
+        n, ndp = int(stats["n_docs"]), int(stats["n_distinct_prefixes"])
+        plan_direct = {
+            "n_docs": n,
+            "n_distinct_prefixes": ndp,
+            "max_island": int(stats["max_island"]),
+            "island_pairs": stats["island_pairs"],
+            "brute_pairs": n * (n - 1) // 2,
+            "seg_join_tuples": direct_tuples,
+        }
+        plan_collapsed = {
+            "n_docs": ndp,
+            "n_distinct_prefixes": ndp,
+            "max_island": 1 if ndp else 0,
+            "island_pairs": 0,
+            "brute_pairs": ndp * (ndp - 1) // 2,
+            "seg_join_tuples": collapsed_tuples,
+        }
+        raise QgramBudgetExceeded(
+            "qgram segment join over budget on both routes: direct "
+            f"{direct_tuples} tuples, island-collapsed "
+            f"{collapsed_tuples} tuples vs budget "
+            f"{budget} (n_docs={n}, "
+            f"distinct_prefixes={ndp}, "
+            f"max_island={plan_direct['max_island']}) -- distinct docs "
+            "behind shared segment text: shard the corpus or fall back "
+            "to edit_distance_pairs at k <= 2",
+            plan_direct,
+            plan_collapsed,
+        )
+    # one representative per distinct prefix; the prefix string itself
+    # is the rep's text (lower/substring are idempotent on it)
+    reps = members.groupBy("s").agg(F.min("doc_id").alias("doc_id"))
+    rep_frame = reps.select("doc_id", F.col("s").alias(text_col))
+    rep_pairs = qgram_edit_pairs(
+        rep_frame,
+        k=k,
+        q=q,
+        prefix_chars=prefix_chars,
+        text_col=text_col,
+        id_col="doc_id",
+    )
+    # map rep ids back to their prefix keys (rep id -> s), then expand
+    # each rep pair to all member cross pairs at the same distance
+    rid = reps.select(F.col("doc_id").alias("rid"), "s")
+    keyed = (
+        rep_pairs.join(
+            rid.select(F.col("rid").alias("doc_a"), F.col("s").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            rid.select(F.col("rid").alias("doc_b"), F.col("s").alias("sb")),
+            "doc_b",
+        )
+        .select("sa", "sb", "dist", "len_a", "len_b")
+    )
+    ma = members.select(F.col("s").alias("sa"), F.col("doc_id").alias("ia"))
+    mb = members.select(F.col("s").alias("sb"), F.col("doc_id").alias("ib"))
+    a_first = F.col("ia") < F.col("ib")
+    cross = (
+        keyed.join(ma, "sa")
+        .join(mb, "sb")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "dist",
+            # lens follow the PREFIX, so they swap with the ids
+            F.when(a_first, F.col("len_a"))
+            .otherwise(F.col("len_b"))
+            .alias("len_a"),
+            F.when(a_first, F.col("len_b"))
+            .otherwise(F.col("len_a"))
+            .alias("len_b"),
+        )
+    )
+    island = (
+        members.alias("x")
+        .join(members.alias("y"), "s")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("dist"),
+            F.length("s").cast("long").alias("len_a"),
+            F.length("s").cast("long").alias("len_b"),
+        )
+    )
+    return cross.unionByName(island).orderBy("doc_a", "doc_b")

@@ -39,6 +39,8 @@ Reference parity note: the reference engine ships no sketch operators
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -117,11 +119,15 @@ def cms_probe(
     (every occurrence incremented every probed cell); the overestimate
     is other keys' collisions. ``depth``/``width`` must match the
     build. Join is (row, col)-keyed against a ≤ depth·width-row sketch
-    — broadcast-sized by construction."""
+    — broadcast-sized by construction. NULL keys are EXCLUDED from the
+    output, matching cms_build's exclusion (ADVICE r11: a NULL key's
+    hash expressions are NULL, the join never matches, and the row
+    would come back as est_cnt = 0 — silently violating the
+    est ≥ true contract for a key the sketch never counted)."""
     p = MINHASH_PRIME
     # hash once as columns before the explode (the cms_build codegen
     # lesson) — probing a large keys frame is a legitimate use
-    hashed = keys.select(
+    hashed = keys.where(F.col(key_col).isNotNull()).select(
         *keys.columns,
         F.expr(int_h1_sql(key_col)).alias("__h1"),
         F.expr(int_h2_sql(key_col)).alias("__h2"),
@@ -226,4 +232,129 @@ def hll_estimate(
             f"({HLL_ALPHA_DEN} * (__hs + ({int(m)} - occupied) "
             f"* CAST({two31} AS BIGINT)))"
         ).cast("long").alias("est_distinct"),
+    )
+
+
+def hll_lc_values(m: int) -> list[int]:
+    """Linear-counting estimates m·ln(m/(m−occ)) rounded to the nearest
+    integer, one per occupied count occ ∈ [0, m−1] (occ = m — a full
+    register file — has no LC estimate; callers switch to the raw
+    harmonic estimator there). ln is float, which is exactly why the
+    table exists: it is evaluated ONCE here (Python libm) and emitted
+    as integer LITERALS into both engines' SQL, so the estimators stay
+    bit-identical cross-engine without assuming two libms round alike.
+    m is sketch width — 64-4096 registers — so the table is tiny."""
+    if m < 2 or (m & (m - 1)) != 0:
+        raise ValueError("m must be a power of two >= 2")
+    if m > 4096:
+        raise ValueError("m > 4096: the LC CASE literal table is per-"
+                         "register — use a smaller sketch")
+    return [round(m * math.log(m / (m - occ))) for occ in range(m)]
+
+
+def hll_lc_case_sql(m: int, occ_col: str) -> str:
+    """Generated CASE mapping an occupied-register count to its
+    linear-counting estimate (hll_lc_values literals) — valid VERBATIM
+    in Spark SQL and DuckDB, the rho_sql convention. occ = m falls
+    through to NULL (callers guard with the raw-estimator switch)."""
+    whens = " ".join(
+        f"WHEN {occ} THEN {v}" for occ, v in enumerate(hll_lc_values(m))
+    )
+    return f"(CASE ({occ_col}) {whens} END)"
+
+
+# Standard HLL small-range switch (Flajolet et al. 2007 §4): the raw
+# harmonic estimator is used above 2.5·m expected distincts; below,
+# linear counting on the empty-register count is both lower-variance
+# and unbiased. 2.5m as exact integer halves: raw*2 <= 5*m.
+HLL_LC_SWITCH_NUM = 5
+HLL_LC_SWITCH_DEN = 2
+
+
+def hll_estimate_corrected(
+    registers: DataFrame,
+    m: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """hll_estimate with the standard small-range linear-counting
+    switch: (group…, occupied, est_raw, est_distinct) where est_raw is
+    the harmonic estimator and est_distinct = m·ln(m/(m−occupied))
+    (precomputed integer table, hll_lc_values) when est_raw ≤ 2.5·m
+    and empty registers exist, else est_raw. This removes the raw
+    estimator's documented ≈ α·m floor at n ≪ m (hll_estimate's
+    docstring): the corrected estimator is usable across the whole
+    range — est 0 at n = 0, ≈ n while registers are sparse, harmonic
+    once buckets saturate. Everything stays exact-integer and
+    engine-portable: the only float (ln) is evaluated once driver-side
+    into literals both engines share."""
+    g = list(group_cols or [])
+    base = hll_estimate(registers, m, g)
+    lc = F.expr(hll_lc_case_sql(int(m), "occupied")).cast("long")
+    use_lc = (F.col("occupied") < F.lit(int(m))) & (
+        F.col("est_distinct") * HLL_LC_SWITCH_DEN
+        <= F.lit(HLL_LC_SWITCH_NUM * int(m))
+    )
+    return base.select(
+        *g,
+        "occupied",
+        F.col("est_distinct").alias("est_raw"),
+        F.when(use_lc, lc).otherwise(F.col("est_distinct"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+def hll_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """HLL set algebra over two key streams: ONE row (occupied_a,
+    occupied_b, occupied_union, est_a, est_b, est_union, est_inter)
+    where est_union comes from the per-bucket MAX merge of the two
+    register files (the pinned idempotent merge law — union is FREE
+    for HLL, no rescan of either side) and est_inter = est_a + est_b −
+    est_union by inclusion-exclusion. The KMV twin
+    (dedup.kmv_source_overlap) estimates overlap from k smallest hash
+    values; this is the register-file form — m ints per side no matter
+    the cardinality, mergeable across shards/days without touching raw
+    data, which is what makes per-source overlap matrices tractable at
+    100 TB (sketch once per source, combine driver-side). Estimates
+    use the linear-counting-corrected estimator, so small splits don't
+    sit on the raw α·m floor. est_inter can go slightly negative on
+    near-disjoint inputs (difference of estimators) — it is an
+    estimate, reported as-is; exact-join audits belong next to it
+    (the gate query carries the exact columns)."""
+    ra = hll_registers(df_a, key_col, None, m)
+    rb = hll_registers(df_b, key_col, None, m)
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+    def _est(regs: DataFrame, tag: str) -> DataFrame:
+        return hll_estimate_corrected(regs, m).select(
+            F.col("occupied").alias(f"occupied_{tag}"),
+            F.col("est_distinct").alias(f"est_{tag}"),
+        )
+
+    # three 1-row frames; the cross joins are the declared 1-row
+    # scalar-attach pattern (PLANS.json cartesian=true class)
+    return (
+        _est(ra, "a")
+        .crossJoin(_est(rb, "b"))
+        .crossJoin(_est(ru, "union"))
+        .select(
+            "occupied_a",
+            "occupied_b",
+            "occupied_union",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long")
+            .alias("est_inter"),
+        )
     )

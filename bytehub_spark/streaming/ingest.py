@@ -2220,13 +2220,13 @@ class CurationFunnelMonitor:
         # direct callers (tests, backfill drivers) pass None = no dedup.
         if epoch_id is not None and epoch_id == self._last_epoch:
             return
-        self._last_epoch = epoch_id
         if batch_df.isEmpty():
             # an empty micro-batch is a real (all-zero) funnel row:
             # dropping it would shift later batch indices off the
             # trigger sequence (unlike Scd2Monitor, where skipping is
             # semantically neutral, result() here is per-batch)
             self.rows.append((len(self.rows), 0, 0, 0, 0))
+            self._last_epoch = epoch_id
             return
         flags, new_fps, new_buckets = _funnel_flags(
             batch_df,
@@ -2258,6 +2258,11 @@ class CurationFunnelMonitor:
             )
         )
         release_scratch()  # counts collected + additions checkpointed
+        # stamp the epoch only AFTER the batch is fully processed
+        # (ADVICE r11): stamping first meant a mid-batch failure left
+        # the epoch marked done, and the restart's re-delivery — the
+        # one case the guard exists for — was skipped, losing the row
+        self._last_epoch = epoch_id
 
     def result(self) -> DataFrame:
         """One funnel row per processed micro-batch."""
@@ -2341,15 +2346,22 @@ class CountMinMonitor:
         # epoch_id); None (direct callers) = no dedup
         if epoch_id is not None and epoch_id == self._last_epoch:
             return
-        self._last_epoch = epoch_id
-        self.n_batches += 1
         if batch_df.isEmpty():
+            self.n_batches += 1
+            self._last_epoch = epoch_id
             return  # additive identity — skipping is semantically exact
+        # collect() materializes the full cell list BEFORE any driver
+        # state mutates, so a failure here leaves cells untouched and
+        # the un-stamped epoch replays cleanly (ADVICE r11: stamping
+        # before the work meant a failed batch's re-delivery — the one
+        # case the guard exists for — was skipped, dropping its counts)
         for r in cms_build(
             batch_df, self.key_col, self.depth, self.width
         ).collect():  # bounded: <= depth*width rows
             k = (r["row"], r["col"])
             self.cells[k] = self.cells.get(k, 0) + int(r["cnt"])
+        self.n_batches += 1
+        self._last_epoch = epoch_id
 
     def result(self) -> DataFrame:
         """Occupied counter cells (row, col, cnt) of the merged sketch
