@@ -2460,6 +2460,9 @@ def _qgram_volumes_both(freq: DataFrame, k: int, min_len: int) -> DataFrame:
             F.count("*").cast("long").alias("cs1"),
         )
     )
+    # NOTE: freq lacks an `l` column for probes' transform over partner
+    # lengths — probe_expr reads len (the doc's own length); explode
+    # yields pr.l = the partner length, the join key
     probes_w = (
         freq.select("c", F.explode(F.expr(probe_expr)).alias("pr"))
         .groupBy(
@@ -2490,44 +2493,12 @@ def _qgram_volumes_both(freq: DataFrame, k: int, min_len: int) -> DataFrame:
     )
 
 
-def _qgram_volume_from_freq(freq: DataFrame, k: int, min_len: int) -> DataFrame:
-    """qgram_plan's pricing core over a prepared distinct-prefix
-    frequency frame (s, c, len) — factored out so qgram_plan and the
-    routed operator's pricer share one definition of 'the priced
-    volume' (the seg/probe SQL pair makes priced == joined volume
-    structural)."""
-    seg_expr, probe_expr = _passjoin_seg_probe_exprs(int(k), min_len)
-    segs_w = (
-        freq.select("c", "len", F.explode(F.expr(seg_expr)).alias("sg"))
-        .groupBy(
-            F.col("sg.i").alias("i"),
-            F.col("len").alias("l"),
-            F.col("sg.sub").alias("sub"),
-        )
-        .agg(F.sum("c").alias("cs"))
-    )
-    # NOTE: freq lacks an `l` column for probes' transform over partner
-    # lengths — probe_expr reads len (the doc's own length); explode
-    # yields pr.l = the partner length, the join key
-    probes_w = (
-        freq.select("c", F.explode(F.expr(probe_expr)).alias("pr"))
-        .groupBy(
-            F.col("pr.i").alias("i"),
-            F.col("pr.l").alias("l"),
-            F.col("pr.sub").alias("sub"),
-        )
-        .agg(F.sum("c").alias("cp"))
-    )
-    volume = segs_w.join(probes_w, ["i", "l", "sub"]).agg(
-        F.coalesce(
-            F.sum(
-                F.col("cs").cast("decimal(38,0)")
-                * F.col("cp").cast("decimal(38,0)")
-            ),
-            F.lit(0),
-        ).cast("decimal(38,0)").alias("seg_join_tuples")
-    )
-    stats = freq.agg(
+def _qgram_freq_stats(freq: DataFrame) -> DataFrame:
+    """ONE row of corpus-shape stats over a distinct-prefix frequency
+    frame (s, c, len): n_docs, n_distinct_prefixes, max_island,
+    island_pairs. Shared by qgram_plan and the routed operator's
+    refusal path — one definition of the island arithmetic."""
+    return freq.agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_distinct_prefixes"),
         F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_island"),
@@ -2546,7 +2517,19 @@ def _qgram_volume_from_freq(freq: DataFrame, k: int, min_len: int) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("island_pairs"),
     )
-    return stats.join(volume).select(
+
+
+def _qgram_volume_from_freq(freq: DataFrame, k: int, min_len: int) -> DataFrame:
+    """qgram_plan's full plan row over a prepared distinct-prefix
+    frequency frame (s, c, len). The priced volume itself comes from
+    _qgram_volumes_both — ONE definition of the pricing tables for the
+    plan, the routed operator, and any future caller (the seg/probe
+    SQL pair makes priced == joined volume structural); the unused
+    collapsed column costs one extra SUM, not a second job."""
+    volume = _qgram_volumes_both(freq, int(k), min_len).select(
+        "seg_join_tuples"
+    )
+    return _qgram_freq_stats(freq).join(volume).select(
         "n_docs",
         "n_distinct_prefixes",
         "max_island",
@@ -2812,6 +2795,11 @@ def qgram_edit_pairs_routed(
     direct_tuples = int(vols["seg_join_tuples"])
     collapsed_tuples = int(vols["collapsed_tuples"])
     if direct_tuples <= int(budget):
+        # release the pricing frames before delegating — the direct
+        # operator builds its own base frame, so keeping these cached
+        # would hold executor memory for nothing (review r12)
+        freq.unpersist()
+        members.unpersist()
         return qgram_edit_pairs(
             documents,
             k=k,
@@ -2821,26 +2809,11 @@ def qgram_edit_pairs_routed(
             id_col=id_col,
         )
     if collapsed_tuples > int(budget):
-        # error path only: one tiny stats job over the (persisted)
+        # refusal path only: one tiny stats job over the (persisted)
         # frequency frame to fill in the full plan rows for the caller
-        stats = freq.agg(
-            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_docs"),
-            F.count("*").cast("long").alias("n_distinct_prefixes"),
-            F.coalesce(F.max("c"), F.lit(0)).cast("long").alias(
-                "max_island"
-            ),
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "CAST(CAST(c AS DECIMAL(38,0)) * (c - 1) / 2"
-                        " AS DECIMAL(38,0))"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("decimal(38,0)")
-            .alias("island_pairs"),
-        ).collect()[0]
+        stats = _qgram_freq_stats(freq).collect()[0]
+        freq.unpersist()
+        members.unpersist()
         n, ndp = int(stats["n_docs"]), int(stats["n_distinct_prefixes"])
         plan_direct = {
             "n_docs": n,

@@ -16,6 +16,8 @@ repo (the corpora themselves live under /tmp and die with the host).
 - docs500k: the 500k-doc dedup corpus (/tmp/sf100_docs) — originally a
   round-6 /tmp one-off; reconstructed here in round 11 after a host
   reset wiped it (100 copies of sf0.1 documents, ids offset 1e6/copy).
+- docs10m: the same recipe at 20x (/tmp/sf100_docs10m, round 12) for
+  the monitor-scale datapoints; opt-in (~6 GB), not part of "all".
 """
 import sys
 
@@ -128,8 +130,45 @@ def gen_docs500k(out_dir: str = "/tmp/sf100_docs") -> None:
     print(f"docs500k: wrote {meta.num_rows} rows -> {out_dir}")
 
 
+def gen_docs10m(out_dir: str = "/tmp/sf100_docs10m") -> None:
+    """10M-doc corpus for the monitor-scale datapoints (round 12):
+    the docs500k recipe at 20x — 2,000 copies of sf0.1 documents,
+    doc_id offset by 1e6 per copy. Same duplicate-heavy shape (every
+    doc has 1,999 exact twins), so funnel cost tracks survivors, not
+    input — the property the 10M run is meant to prove holds."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(f"{SF01}/documents.parquet")
+    ids = t.column("doc_id").to_numpy()
+    writer = None
+    # 100 copies per row group (~510k rows) — per-copy groups would be
+    # 5k-row confetti
+    for block in range(20):
+        parts = []
+        for c in range(block * 100, (block + 1) * 100):
+            parts.append(pa.table({
+                "doc_id": pa.array(ids + c * 1_000_000, type=pa.int64()),
+                "text": t.column("text"),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "n_chars": t.column("n_chars"),
+            }))
+        tbl = pa.concat_tables(parts)
+        if writer is None:
+            writer = pq.ParquetWriter(
+                f"{out_dir}/documents.parquet", tbl.schema
+            )
+        writer.write_table(tbl, row_group_size=510_000)
+    writer.close()
+    meta = pq.read_metadata(f"{out_dir}/documents.parquet")
+    print(f"docs10m: wrote {meta.num_rows} rows -> {out_dir}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "docs10m":  # opt-in: ~6 GB on /tmp, not part of "all"
+        gen_docs10m()
     if which in ("docs500k", "all"):
         gen_docs500k()
     if which in ("emb500k", "all"):

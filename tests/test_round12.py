@@ -194,13 +194,23 @@ def test_hll_overlap_identical_inputs(spark):
 def test_hll_overlap_disjoint_and_partial(spark):
     """Union occupancy dominates both sides (max-merge); est_inter
     tracks the true intersection within sketch error on a planted
-    50%-overlap split."""
+    50%-overlap split, and on DISJOINT inputs it sits near 0 and is
+    reported AS-IS (possibly negative — difference of estimators, the
+    documented contract; a clamp to 0 would break this pin)."""
     a = spark.range(0, 600).selectExpr("id AS k")  # 0..599
     b = spark.range(300, 900).selectExpr("id AS k")  # 300..899, inter=300
     row = S.hll_overlap(a, b, "k", 64).collect()[0]
     assert row["occupied_union"] >= max(row["occupied_a"], row["occupied_b"])
     assert row["est_inter"] == row["est_a"] + row["est_b"] - row["est_union"]
     assert abs(row["est_inter"] - 300) <= 0.45 * 300  # 3 estimators stack
+
+    d = spark.range(10_000, 10_600).selectExpr("id AS k")  # disjoint from a
+    row = S.hll_overlap(a, d, "k", 64).collect()[0]
+    # true intersection 0: the estimate must be near zero relative to
+    # the side sizes, and exactly the inclusion-exclusion arithmetic
+    # (no clamping) — negative values are allowed by contract
+    assert row["est_inter"] == row["est_a"] + row["est_b"] - row["est_union"]
+    assert abs(row["est_inter"]) <= 0.25 * 600
 
 
 # -------------------------------------------------- ADVICE r11 fixes
