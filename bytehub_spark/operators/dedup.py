@@ -2795,18 +2795,20 @@ def qgram_edit_pairs_routed(
     direct_tuples = int(vols["seg_join_tuples"])
     collapsed_tuples = int(vols["collapsed_tuples"])
     if direct_tuples <= int(budget):
-        # release the pricing frames before delegating — the direct
-        # operator builds its own base frame, so keeping these cached
-        # would hold executor memory for nothing (review r12)
+        # run the direct join OVER the persisted members frame (the
+        # rep_frame trick: s is its own lowercased prefix, so the
+        # operator's lower/substring re-derivation is idempotent) —
+        # no second corpus scan; the dead freq frame is released
+        # (review r12: the first fix unpersisted members too and
+        # delegated on `documents`, paying a redundant full rescan)
         freq.unpersist()
-        members.unpersist()
         return qgram_edit_pairs(
-            documents,
+            members,
             k=k,
             q=q,
             prefix_chars=prefix_chars,
-            text_col=text_col,
-            id_col=id_col,
+            text_col="s",
+            id_col="doc_id",
         )
     if collapsed_tuples > int(budget):
         # refusal path only: one tiny stats job over the (persisted)
@@ -2843,6 +2845,11 @@ def qgram_edit_pairs_routed(
             plan_direct,
             plan_collapsed,
         )
+    # freq is dead once both route volumes are collected (the refusal
+    # path above takes its stats first) — release it here so the
+    # rep-join/expansion job doesn't carry an O(distinct prefixes)
+    # cached frame it never reads (review r12, second pass)
+    freq.unpersist()
     # one representative per distinct prefix; the prefix string itself
     # is the rep's text (lower/substring are idempotent on it)
     reps = members.groupBy("s").agg(F.min("doc_id").alias("doc_id"))

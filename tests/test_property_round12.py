@@ -67,6 +67,42 @@ def test_island_collapse_identity(data):
     assert _brute_pairs(strs, k) == _routed_reference(strs, k)
 
 
+def test_spark_routed_case_variant_islands(spark):
+    """The collapse key is the LOWERCASED prefix: docs whose raw
+    prefixes differ only by case belong to one island (dist 0 after
+    the operator's lowercasing) and must reconstruct exactly — the
+    regression the full-text-exact_dedup routing bug would have hidden
+    (normalized fingerprints vs the operator's own measurement key)."""
+    from bytehub_spark.operators import dedup
+
+    rows = [
+        (1, "The Quick Brown Fox Jumps Over It"),
+        (2, "the quick brown fox jumps over it"),  # case-variant twin
+        (3, "THE QUICK BROWN FOX JUMPS OVER IT"),
+        (4, "the quick brawn fox jumps over it"),  # 1 edit away
+        (5, "completely unrelated text body here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = sorted(
+        map(tuple, dedup.qgram_edit_pairs(docs, k=3, q=2).collect())
+    )
+    plan = dedup.qgram_plan(docs, k=3, q=2).collect()[0]
+    routed = sorted(
+        map(
+            tuple,
+            dedup.qgram_edit_pairs_routed(
+                docs, int(plan["seg_join_tuples"]) // 2, k=3, q=2
+            ).collect(),
+        )
+    )
+    assert routed == direct
+    pair_ids = {(a, b) for a, b, *_ in direct}
+    # the case island {1,2,3} is fully paired at dist 0, and doc 4
+    # cross-pairs with every island member
+    assert {(1, 2), (1, 3), (2, 3)} <= pair_ids
+    assert {(1, 4), (2, 4), (3, 4)} <= pair_ids
+
+
 def test_spark_routed_equals_direct_randomized(spark):
     """The Spark operator across both routes on seeded random corpora:
     collapse-forced output == direct output; refusals are honest."""
