@@ -2469,3 +2469,102 @@ def stream_hll_distinct(
         .start()
     )
     return q, mon
+
+
+class GroupedHllMonitor:
+    """Per-group HyperLogLog distinct monitor (18th) — the
+    per-source / per-day distinct-user rollup the HLL docstring names
+    as the sketch's canonical use: state is {group: m registers},
+    i.e. groups·m ints — bounded whenever the GROUP domain is bounded
+    (sources, days, event types; the key domain stays unbounded).
+    Merge is per-(group, bucket) MAX (hll_registers' pinned law), so
+    like HllDistinctMonitor it is IDEMPOTENT under re-delivered
+    micro-batches and overlapping backfills — no epoch guard needed.
+
+    Shares ``operators.sketches.hll_registers`` with the batch op
+    (ts_hll_users' grouped kernel), so stream == batch is structural:
+    result() equals the one-shot grouped register table over the
+    concatenated stream exactly; finish with
+    ``operators.sketches.hll_estimate_corrected`` (estimates()) for
+    per-group counts usable across the whole cardinality range. The
+    per-batch collect is ≤ batch_groups·m rows; the shuffle feeding it
+    is capped by map-side combine at the same domain.
+    """
+
+    def __init__(
+        self,
+        key_col: str = "user_id",
+        group_col: str = "event_type",
+        m: int = 64,
+    ):
+        if m < 2 or (m & (m - 1)) != 0:
+            raise ValueError("m must be a power of two >= 2")
+        self.key_col = key_col
+        self.group_col = group_col
+        self.m = int(m)
+        self.regs: dict[tuple, int] = {}  # (group, bucket) -> rho
+        self.n_batches = 0
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        from ..operators.sketches import hll_registers
+
+        self.n_batches += 1
+        if batch_df.isEmpty():
+            return  # max-merge identity
+        for r in hll_registers(
+            batch_df, self.key_col, self.group_col, self.m
+        ).collect():  # bounded: <= batch_groups * m rows
+            k = (r[self.group_col], int(r["bucket"]))
+            self.regs[k] = max(self.regs.get(k, 0), int(r["rho"]))
+
+    def result(self) -> DataFrame:
+        """Occupied registers (group, bucket, rho) of the merged
+        per-group sketches — equals hll_registers(stream, key, group)
+        over the concatenated stream exactly. The group column is
+        surfaced as STRING (NULL preserved) — compare a non-string
+        group column's batch twin after casting it."""
+        from pyspark.sql.session import SparkSession
+
+        if self.n_batches == 0:
+            raise RuntimeError(
+                "GroupedHllMonitor.result() before any micro-batch was "
+                "processed"
+            )
+        spark = SparkSession.getActiveSession()
+        rows = [
+            (g, int(b), int(r))
+            for (g, b), r in sorted(
+                self.regs.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
+            )
+        ]
+        return spark.createDataFrame(
+            rows, f"{self.group_col} string, bucket int, rho int"
+        )
+
+    def estimates(self) -> DataFrame:
+        """Per-group linear-counting-corrected distinct estimates:
+        (group, occupied, est_raw, est_distinct)."""
+        from ..operators.sketches import hll_estimate_corrected
+
+        return hll_estimate_corrected(
+            self.result(), self.m, [self.group_col]
+        )
+
+
+def stream_hll_by_group(
+    events: DataFrame,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    m: int = 64,
+):
+    """Attach a GroupedHllMonitor to an event stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = GroupedHllMonitor(key_col, group_col, m)
+    q = (
+        events.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

@@ -288,3 +288,62 @@ def test_funnel_monitor_failed_batch_replays(spark, monkeypatch):
     assert len(mon.rows) == 1
     mon.process_batch(docs, epoch_id=9)  # replay: no-op
     assert len(mon.rows) == 1
+
+
+# ------------------------------------------ GroupedHllMonitor (18th)
+
+
+def test_grouped_hll_monitor_stream_equals_batch(spark):
+    """Per-group registers over arbitrary micro-batches == the one-shot
+    grouped hll_registers (max-merge per (group, bucket) is structural
+    — shared kernel), and re-processing the SAME batch leaves state
+    unchanged (idempotence, the at-least-once claim)."""
+    from bytehub_spark.streaming import GroupedHllMonitor
+
+    ev = load_table(spark, SF, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    mon = GroupedHllMonitor()
+    # 3 uneven batches by event_id ranges (arrival order irrelevant)
+    for lo, hi in [(0, 300), (300, 1100), (1100, 10**9)]:
+        mon.process_batch(
+            ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        )
+    got = sorted(map(tuple, mon.result().collect()))
+    want = sorted(
+        map(
+            tuple,
+            S.hll_registers(ev, "user_id", "event_type", 64)
+            .select(
+                F.col("event_type").cast("string"), "bucket", "rho"
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # idempotence: same batch twice — state unchanged
+    before = dict(mon.regs)
+    mon.process_batch(ev.where(F.col("event_id") < 300))
+    assert mon.regs == before
+    # estimates() rides the corrected estimator (usable at ~15 users)
+    est = {
+        r["event_type"]: r["est_distinct"]
+        for r in mon.estimates().collect()
+    }
+    exact = {
+        r["event_type"]: r["x"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    for g, x in exact.items():
+        assert abs(est[g] - x) <= max(3, 0.2 * x), (g, est[g], x)
+
+
+def test_grouped_hll_monitor_guard(spark):
+    from bytehub_spark.streaming import GroupedHllMonitor
+
+    with pytest.raises(RuntimeError):
+        GroupedHllMonitor().result()
+    with pytest.raises(ValueError):
+        GroupedHllMonitor(m=48)
