@@ -92,15 +92,21 @@ def cms_build(
         F.expr(int_h1_sql(key_col)).alias("__h1"),
         F.expr(int_h2_sql(key_col)).alias("__h2"),
     )
+    # posexplode of a PLAIN int array, depth unrolled driver-side — the
+    # r12 refinement of the codegen lesson: the earlier
+    # transform(sequence(...), j -> struct(...)) built depth structs
+    # through a lambda per row and measured 6.8x slower on the same 5M
+    # rows (10.05s vs 1.48s); pos IS the sketch row index.
     # __h1 + depth*__h2 < (1+depth)·2^31 — BIGINT-safe for any sane depth
-    cells = F.expr(
-        f"transform(sequence(0, {int(depth) - 1}), j -> "
-        f"struct(j AS row, "
-        f"CAST((__h1 + j * __h2) % {p} % {int(width)} AS INT) AS col))"
+    arr = F.array(
+        *[
+            F.expr(f"CAST((__h1 + {j} * __h2) % {p} % {int(width)} AS INT)")
+            for j in range(int(depth))
+        ]
     )
     return (
-        hashed.select(F.explode(cells).alias("c"))
-        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        hashed.select(F.posexplode(arr).alias("row", "col"))
+        .groupBy("row", "col")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
 
@@ -132,13 +138,16 @@ def cms_probe(
         F.expr(int_h1_sql(key_col)).alias("__h1"),
         F.expr(int_h2_sql(key_col)).alias("__h2"),
     )
-    cells = F.expr(
-        f"transform(sequence(0, {int(depth) - 1}), j -> "
-        f"struct(j AS row, "
-        f"CAST((__h1 + j * __h2) % {p} % {int(width)} AS INT) AS col))"
+    # plain-int-array posexplode, the cms_build shape (6.8x vs the
+    # lambda-built struct explode on the same rows)
+    arr = F.array(
+        *[
+            F.expr(f"CAST((__h1 + {j} * __h2) % {p} % {int(width)} AS INT)")
+            for j in range(int(depth))
+        ]
     )
-    probes = hashed.select(*keys.columns, F.explode(cells).alias("c")).select(
-        *keys.columns, F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    probes = hashed.select(
+        *keys.columns, F.posexplode(arr).alias("row", "col")
     )
     return (
         probes.join(F.broadcast(cms), ["row", "col"], "left")

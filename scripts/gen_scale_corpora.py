@@ -99,6 +99,44 @@ def gen_ev10m(out_dir: str = "/tmp/sf100_stream") -> None:
     print(f"ev10m: wrote {meta.num_rows} rows -> {out_dir}")
 
 
+def gen_ev100m(out_dir: str = "/tmp/sf100_stream100m") -> None:
+    """100M events (round 12): the ev10m recipe at 10x — 1,000 copies
+    of sf0.1 events with the same id/ts/user shifting scheme. The
+    bounded-state monitor datapoints' 10x scale-up proof; opt-in
+    (~4 GB), not part of "all"."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(f"{SF01}/events.parquet")
+    n = t.num_rows
+    ev = t.column("event_id").to_numpy()
+    ts = t.column("ts").to_numpy()
+    uid = t.column("user_id").to_numpy()
+    et, props = t.column("event_type"), t.column("props")
+    val = t.column("value").to_numpy()
+    umax = int(uid.max()) + 1
+    shift = np.timedelta64(35, "D").astype("timedelta64[us]")
+    writer = None
+    for block in range(100):
+        parts = []
+        for c in range(block * 10, (block + 1) * 10):
+            parts.append(pa.table({
+                "event_id": pa.array(ev + c * n, type=pa.int64()),
+                "ts": pa.array(ts + c * shift),
+                "user_id": pa.array((uid + 17 * c) % umax, type=pa.int64()),
+                "event_type": et,
+                "value": pa.array(val, type=pa.float64()),
+                "props": props,
+            }))
+        tbl = pa.concat_tables(parts)
+        if writer is None:
+            writer = pq.ParquetWriter(f"{out_dir}/events.parquet", tbl.schema)
+        writer.write_table(tbl, row_group_size=500_000)
+    writer.close()
+    meta = pq.read_metadata(f"{out_dir}/events.parquet")
+    print(f"ev100m: wrote {meta.num_rows} rows -> {out_dir}")
+
+
 def gen_docs500k(out_dir: str = "/tmp/sf100_docs") -> None:
     """Reconstruction of the round-6 500k-doc dedup corpus (the
     original /tmp generator predates this script and died with the
@@ -169,6 +207,8 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which == "docs10m":  # opt-in: ~6 GB on /tmp, not part of "all"
         gen_docs10m()
+    if which == "ev100m":  # opt-in: ~4 GB on /tmp, not part of "all"
+        gen_ev100m()
     if which in ("docs500k", "all"):
         gen_docs500k()
     if which in ("emb500k", "all"):
