@@ -90,6 +90,20 @@ QGRAM_INJ_DUCK = (
 QGRAM_COPIES = 3
 QGRAM_COPY_OFFSET = 100_000_000
 
+# dedup_jaccard_routed corpus: every doc_id % JACR_INJ_MOD == 0 with
+# >= JACR_INJ_MINWORDS words gets a copy with the LAST WORD DROPPED
+# (offset JACR_INJ_OFFSET) — at m words and 3-gram shingles the pair's
+# jaccard is (m−3)/(m−2) >= JACR_TAU/1e6 for m >= 5, so high-sim pairs
+# exist at every sf. Budget = midpoint of the two priced route volumes
+# (jaccard_plan), so the router deterministically rejects the
+# inverted-index join and takes the prefix-filtered route — the gate
+# runs price → reject → re-price → route every round while the oracle
+# recomputes the pair set by brute SQL, route-independent.
+JACR_TAU = 600_000
+JACR_INJ_MOD = 29
+JACR_INJ_MINWORDS = 5
+JACR_INJ_OFFSET = 60_000_000
+
 # Sketch-family shapes, ONE definition for both engines (same rule).
 CMS_DEPTH = 4
 CMS_WIDTH = 256
@@ -342,6 +356,37 @@ def _qgram_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.qgram_edit_pairs_routed(
         corpus, budget, k=QGRAM_K, q=QGRAM_Q
     )
+
+
+def _jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.jaccard_pairs_routed end-to-end: the exact-Jaccard family
+    behind the pricer its crossover note specifies (VERDICT r12 #4).
+    Corpus = documents + a last-word-dropped copy of every
+    doc_id % JACR_INJ_MOD == 0 (guaranteed J = (m−3)/(m−2) ≥ τ pairs
+    at every sf). Budget = midpoint of the two priced route volumes,
+    so the router rejects the inverted-index join (Σ C(f,2) over ALL
+    shingles) and takes the prefix-filtered route (the same mass over
+    rarest-first prefixes — strictly smaller whenever stopword-like
+    shingles exist) deterministically. The output is route-independent
+    (both routes exact — the prefix lemma), so the brute-SQL oracle
+    pins values no matter which route won; routed == direct across
+    BOTH budget regimes stays pinned in pytest (test_round13)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    corpus = docs.unionByName(
+        docs.where(
+            (F.col("doc_id") % JACR_INJ_MOD == 0)
+            & (F.size(words) >= JACR_INJ_MINWORDS)
+        ).select(
+            (F.col("doc_id") + F.lit(JACR_INJ_OFFSET)).alias("doc_id"),
+            F.array_join(
+                F.slice(words, 1, F.size(words) - 1), " "
+            ).alias("text"),
+        )
+    )
+    plan = dedup.jaccard_plan(corpus, JACR_TAU).collect()[0]
+    budget = (int(plan["inverted_pairs"]) + int(plan["prefix_pairs"])) // 2
+    return dedup.jaccard_pairs_routed(corpus, budget, JACR_TAU)
 
 
 # The driver's correctness gate covers the FIRST 50 entries of queries().
@@ -1976,6 +2021,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # island-collapse → re-price → join → expand, on a copy-heavy
         # corpus that forces the collapse route — exact oracle
         "dedup_qgram_routed": _qgram_routed,
+        "dedup_jaccard_routed": _jaccard_routed,
         # RFM quintile segmentation: per-user recency/frequency/monetary
         # (µ-unit BIGINT sums), exact percentile breakpoints (broadcast
         # scalar), 1-5 scores, segment rollup — exact oracle

@@ -785,11 +785,20 @@ def embedding_cosine_dups(
     spark = embeddings.sparkSession
     from ..plans import ensure_parallelism
 
-    side = embeddings.select(F.col(id_col), F.col(vec_col)).toPandas()
+    # Probe-then-collect (the connected_components cap pattern): limit to
+    # cap+1 BEFORE toPandas so an over-cap corpus raises a clean
+    # ValueError instead of OOMing the driver materializing the whole
+    # vector table first. At <= cap rows the limited frame IS the table.
+    side = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .limit(MAX_BROADCAST_VECTORS + 1)
+        .toPandas()
+    )
     if len(side) > MAX_BROADCAST_VECTORS:
         raise ValueError(
-            f"exact all-pairs over {len(side)} vectors is infeasible; "
-            "pass n_planes to use LSH-blocked candidates"
+            f"exact all-pairs over more than {MAX_BROADCAST_VECTORS} "
+            "vectors is infeasible; pass n_planes to use LSH-blocked "
+            "candidates"
         )
     ids_b = side[id_col].to_numpy()
     mat_b = np.array([np.asarray(v, dtype=np.float64) for v in side[vec_col]])
@@ -2245,6 +2254,282 @@ def prefix_filter_pairs(
     )
 
 
+def _choose2_sql(f_col: str) -> str:
+    """C(f,2) EXACT in DECIMAL(38,0) for a BIGINT f: halve the even
+    factor BEFORE the product — ``x div 2`` on a DECIMAL returns LONG
+    and silently wraps (measured: 9e19 div 2 → 8.1e18 garbage), and
+    f·(f−1) itself crosses BIGINT near f ≈ 3e9, so neither
+    multiply-then-div nor BIGINT arithmetic survives 100 TB counts.
+    f=0/1 both yield 0 (the 0·(−1) term)."""
+    f = f_col
+    return (
+        f"(CAST(({f}) div 2 AS DECIMAL(38,0)) * (({f}) - 1) "
+        f"+ (({f}) % 2) * CAST((({f}) - 1) div 2 AS DECIMAL(38,0)))"
+    )
+
+
+def _shingle_pair_mass_expr(f_col: str) -> str:
+    """Σ C(f,2) as DECIMAL(38,0) — the ONE definition of a route's
+    candidate-pair volume, shared by jaccard_plan and
+    jaccard_pairs_routed so the standalone pricer and the router can
+    never drift (the r12 qgram-pricing-dedup lesson). Bounded by
+    (Σf)² — inside DECIMAL(38) through ~1e19 shingle rows."""
+    return (
+        f"coalesce(sum({_choose2_sql(f_col)}), "
+        f"CAST(0 AS DECIMAL(38,0)))"
+    )
+
+
+def _prefix_shingle_counts(
+    sh: DataFrame, dfc: DataFrame, tau: int, id_col: str
+) -> DataFrame:
+    """Per-shingle doc frequency INSIDE the rarest-first prefixes —
+    (shingle, f) for the prefix-filter route's candidate join, built
+    with exactly prefix_filter_pairs' prefix construction (df asc,
+    shingle asc order; prefix length |d| − ceil(τ|d|) + 1 in integer
+    ppm). Pricing must count the same rows that operator joins; the
+    equivalence is pinned in tests."""
+    wd = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    ranked = sh.join(dfc, "shingle").withColumn(
+        "__rk", F.row_number().over(wd)
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(f"(CAST({tau} AS BIGINT) * n_sh + 999999) div 1000000")
+        + F.lit(1)
+    )
+    return (
+        ranked.where(F.col("__rk") <= prefix_len)
+        .groupBy("shingle")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+
+
+def jaccard_plan(
+    documents: DataFrame,
+    threshold_ppm: int = 500_000,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT candidate-pair volume of BOTH exact-Jaccard joins, priced
+    BEFORE any pair join — the qgram_plan/band_plan methodology applied
+    to the set-similarity family. ONE row:
+
+    - ``n_docs`` / ``shingle_rows`` / ``distinct_shingles`` /
+      ``max_freq``: corpus shape after the ≥ n-words floor;
+    - ``brute_pairs``: n·(n−1)/2, the all-pairs baseline;
+    - ``inverted_pairs``: Σ C(f,2) over every shingle's doc frequency —
+      the exact candidate-pair count ngram_jaccard_pairs' single
+      inverted-index self-join materializes (its Σ f² cost term, in
+      ordered-pair form);
+    - ``prefix_pairs``: the same mass restricted to the rarest-first
+      PREFIXES — what prefix_filter_pairs' candidate join materializes
+      on its equality key (its length/positional filters prune further,
+      so this is the honest upper bound of that join's work).
+
+    Decision rule (prefix_filter_pairs' crossover, now executable via
+    jaccard_pairs_routed): inverted affordable → inverted (fewer
+    stages, no df-rank window — ~5× faster when Σ f² is small);
+    inverted over budget → prefix (rare-shingle prefixes collapse the
+    stopword-dominated f² terms: 227e9 → 3.2e9 at τ=0.9 on the 500k
+    corpus); both over budget → don't run the join. All pair counts
+    are DECIMAL(38,0) — f² crosses BIGINT near 3e9 docs."""
+    if not (0 < int(threshold_ppm) <= 1_000_000):
+        raise ValueError("threshold_ppm must be in (0, 1e6]")
+    tau = int(threshold_ppm)
+    from ..plans.scratch import scratch_persist
+
+    sh = _shingle_pair_source(documents, n, text_col, id_col, None)
+    dfc = scratch_persist(
+        sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    )
+    shape = sh.agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("shingle_rows"),
+    )
+    inv = dfc.agg(
+        F.count("*").cast("long").alias("distinct_shingles"),
+        F.coalesce(F.max("__df"), F.lit(0)).cast("long").alias("max_freq"),
+        F.expr(_shingle_pair_mass_expr("__df")).alias("__inv2"),
+    )
+    pf = _prefix_shingle_counts(sh, dfc, tau, id_col).agg(
+        F.expr(_shingle_pair_mass_expr("f")).alias("__pf2")
+    )
+    # 1-row scalar attaches (the declared cartesian pattern)
+    return (
+        shape.crossJoin(inv)
+        .crossJoin(pf)
+        .select(
+            "n_docs",
+            "shingle_rows",
+            "distinct_shingles",
+            "max_freq",
+            F.expr(_choose2_sql("n_docs")).alias("brute_pairs"),
+            F.col("__inv2").alias("inverted_pairs"),
+            F.col("__pf2").alias("prefix_pairs"),
+        )
+    )
+
+
+class JaccardBudgetExceeded(ValueError):
+    """Raised by jaccard_pairs_routed when the candidate-pair mass
+    exceeds the caller's budget on BOTH routes (inverted-index and
+    prefix-filtered). Carries both plan rows so the caller can raise
+    the threshold, apply a df-cut (ngram_jaccard_pairs' max_doc_freq),
+    or exact-dedup first without re-pricing."""
+
+    def __init__(self, msg: str, plan_inverted: dict, plan_prefix: dict):
+        super().__init__(msg)
+        self.plan_inverted = plan_inverted
+        self.plan_prefix = plan_prefix
+
+    def __reduce__(self):
+        # default BaseException reduce re-calls __init__(*args) with
+        # args=(msg,) — cross-process re-raise would TypeError
+        return (
+            type(self),
+            (self.args[0], self.plan_inverted, self.plan_prefix),
+        )
+
+
+def jaccard_pairs_routed(
+    documents: DataFrame,
+    budget: int,
+    threshold_ppm: int = 500_000,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The exact-Jaccard family behind its own pricer — the decision
+    rule prefix_filter_pairs' docstring specifies ("run the cheap
+    Σ C(f,2) aggregate first and pick the join the numbers pick"),
+    executable, with budget refusal (the qgram_edit_pairs_routed shape
+    applied to set similarity). Output contract == prefix_filter_pairs
+    EXACTLY: (doc_a, doc_b, inter, union_sz, jaccard), doc_a < doc_b,
+    ordered — both routes are lossless (the prefix lemma), so the
+    result is route-independent; only the cost differs.
+
+    Routing:
+
+    1. Price the inverted-index join: Σ C(f,2) over the full shingle
+       df table (one aggregate on the persisted shingle frame — the
+       cheap pricing the crossover note asks for). Affordable: run it
+       (single self-join + groupBy, no df-rank window — the fast route
+       whenever stopword-like shingles don't dominate).
+    2. Over budget: price the prefix-filtered join — the same mass
+       restricted to rarest-first prefixes (one window + aggregate
+       over the SAME cached shingle table, no corpus rescan).
+       Affordable: run prefix_filter_pairs — its internal
+       _shingle_pair_source call analyzes to the identical plan, so
+       scratch_persist's plan-equality lookup serves the cached
+       shingle table and the route pays no second corpus scan.
+    3. Both over budget: raise JaccardBudgetExceeded carrying both
+       plan rows (raise τ, df-cut via ngram_jaccard_pairs'
+       max_doc_freq, or exact-dedup first — boilerplate corpora where
+       even rare-prefix shingles are hot are exactly the corpora whose
+       answer is dominated by duplicate islands).
+
+    routed == prefix_filter_pairs == the brute oracle is pinned in
+    pytest on natural and near-dup-injected corpora across both budget
+    regimes; the registered gate's oracle recomputes the pair set
+    independently in SQL every round."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if not (0 < int(threshold_ppm) <= 1_000_000):
+        raise ValueError("threshold_ppm must be in (0, 1e6]")
+    tau = int(threshold_ppm)
+    from ..plans.scratch import scratch_persist
+
+    sh = _shingle_pair_source(documents, n, text_col, id_col, None)
+    # the SAME analyzed plan prefix_filter_pairs builds internally —
+    # persisted so route 2's re-derivation is a cache hit, not a rescan
+    dfc = scratch_persist(
+        sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    )
+    inv_mass = int(
+        dfc.agg(F.expr(_shingle_pair_mass_expr("__df")).alias("m"))
+        .collect()[0]["m"]
+    )
+    if inv_mass <= int(budget):
+        # inverted route over the cached shingle frame; dfc is dead
+        dfc.unpersist()
+        inter = _pair_counts(sh, id_col)
+        union_sz = F.col("na").cast("long") + F.col("nb") - F.col("i")
+        return (
+            inter.where(
+                F.col("i") * 1_000_000 >= F.lit(tau).cast("long") * union_sz
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.col("i").cast("long").alias("inter"),
+                union_sz.cast("long").alias("union_sz"),
+                (F.col("i").cast("double") / union_sz).alias("jaccard"),
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+    pf_mass = int(
+        _prefix_shingle_counts(sh, dfc, tau, id_col)
+        .agg(F.expr(_shingle_pair_mass_expr("f")).alias("m"))
+        .collect()[0]["m"]
+    )
+    if pf_mass <= int(budget):
+        # prefix route: the operator's own _shingle_pair_source /
+        # df-count plans equal the cached ones — no corpus rescan;
+        # dfc stays persisted because prefix_filter_pairs' internal
+        # df-count subtree is served from it
+        return prefix_filter_pairs(
+            documents,
+            threshold_ppm=tau,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+        )
+    # refusal: fill both plan rows from the cached frames, release
+    stats = (
+        sh.agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("shingle_rows"),
+        )
+        .crossJoin(
+            dfc.agg(
+                F.count("*").cast("long").alias("distinct_shingles"),
+                F.coalesce(F.max("__df"), F.lit(0))
+                .cast("long")
+                .alias("max_freq"),
+            )
+        )
+        .collect()[0]
+    )
+    dfc.unpersist()
+    sh.unpersist()
+    n_docs = int(stats["n_docs"])
+    plan_inverted = {
+        "n_docs": n_docs,
+        "shingle_rows": int(stats["shingle_rows"]),
+        "distinct_shingles": int(stats["distinct_shingles"]),
+        "max_freq": int(stats["max_freq"]),
+        "brute_pairs": n_docs * (n_docs - 1) // 2,
+        "cand_pairs": inv_mass,
+    }
+    plan_prefix = {
+        "n_docs": n_docs,
+        "threshold_ppm": tau,
+        "cand_pairs": pf_mass,
+    }
+    raise JaccardBudgetExceeded(
+        "exact-Jaccard join over budget on both routes: inverted-index "
+        f"{inv_mass} candidate pairs, prefix-filtered {pf_mass} vs "
+        f"budget {budget} (n_docs={n_docs}, max_shingle_freq="
+        f"{plan_inverted['max_freq']}) -- raise threshold_ppm, df-cut "
+        "via ngram_jaccard_pairs(max_doc_freq=...), or exact-dedup "
+        "first",
+        plan_inverted,
+        plan_prefix,
+    )
+
+
 def edit_distance_pairs(
     documents: DataFrame,
     k: int = 1,
@@ -2715,6 +3000,16 @@ class QgramBudgetExceeded(ValueError):
         super().__init__(msg)
         self.plan_direct = plan_direct
         self.plan_collapsed = plan_collapsed
+
+    def __reduce__(self):
+        # BaseException's default reduce re-calls __init__(*args) with
+        # args=(msg,) only, so unpickling (pytest-xdist, multiprocessing,
+        # any cross-process re-raise) would TypeError instead of
+        # re-raising the original error with its plan rows.
+        return (
+            type(self),
+            (self.args[0], self.plan_direct, self.plan_collapsed),
+        )
 
 
 def qgram_edit_pairs_routed(

@@ -211,13 +211,22 @@ def hll_estimate(
     in a BIGINT (≤ m·2^31 < 2^41 at m ≤ 512). est_distinct =
     (709·m²·2^31) div (1000·harmonic_scaled) — the standard
     alpha·m²/Σ2^−rho estimator in exact integer arithmetic
-    (HLL_ALPHA_NUM/DEN; numerator ≤ 709·512²·2^31 < 2^58). No
+    (HLL_ALPHA_NUM/DEN; numerator ≤ 709·2048²·2^31 < 2^63 — m ≤ 2048
+    is VALIDATED here: at m = 4096 the numerator is 2.55e19 > 2^63−1
+    and the harmonic branch would overflow BIGINT). No
     small-range linear-counting correction (ln is float — the
     documented bias: when n ≪ m the harmonic denominator is dominated
     by the m−n empty registers' 2^31 terms, so est floors at ≈ α·m
     (~45 at m=64) regardless of how small n is. Below ~2.5m distincts
     use the ``occupied`` column, which IS the linear-counting input
     m·ln(m/(m−occupied)), driver-side)."""
+    if m < 2 or (m & (m - 1)) != 0:
+        raise ValueError("m must be a power of two >= 2")
+    if m > 2048:
+        raise ValueError(
+            "m > 2048: the exact-integer harmonic numerator 709*m^2*2^31 "
+            "overflows BIGINT beyond m = 2048 — use a smaller sketch"
+        )
     g = list(group_cols or [])
     # coalesce: an EMPTY register table (fresh monitor, all-empty
     # batches) global-aggregates to one row with occupied=0 and a NULL
@@ -252,12 +261,15 @@ def hll_lc_values(m: int) -> list[int]:
     table exists: it is evaluated ONCE here (Python libm) and emitted
     as integer LITERALS into both engines' SQL, so the estimators stay
     bit-identical cross-engine without assuming two libms round alike.
-    m is sketch width — 64-4096 registers — so the table is tiny."""
+    m is sketch width — 64-2048 registers — so the table is tiny."""
     if m < 2 or (m & (m - 1)) != 0:
         raise ValueError("m must be a power of two >= 2")
-    if m > 4096:
-        raise ValueError("m > 4096: the LC CASE literal table is per-"
-                         "register — use a smaller sketch")
+    if m > 2048:
+        # matches hll_estimate's BIGINT-safe bound — a CASE table for a
+        # width the harmonic finisher can't legally consume is a trap
+        raise ValueError("m > 2048: beyond hll_estimate's BIGINT-safe "
+                         "bound (and the LC CASE literal table is per-"
+                         "register) — use a smaller sketch")
     return [round(m * math.log(m / (m - occ))) for occ in range(m)]
 
 
@@ -322,9 +334,10 @@ def hll_overlap(
     """HLL set algebra over two key streams: ONE row (occupied_a,
     occupied_b, occupied_union, est_a, est_b, est_union, est_inter)
     where est_union comes from the per-bucket MAX merge of the two
-    register files (the pinned idempotent merge law — union is FREE
-    for HLL, no rescan of either side) and est_inter = est_a + est_b −
-    est_union by inclusion-exclusion. The KMV twin
+    register files (the pinned idempotent merge law — union costs no
+    rescan of either side: each register table is persisted and feeds
+    both its own estimate and the max-merge from cache) and est_inter =
+    est_a + est_b − est_union by inclusion-exclusion. The KMV twin
     (dedup.kmv_source_overlap) estimates overlap from k smallest hash
     values; this is the register-file form — m ints per side no matter
     the cardinality, mergeable across shards/days without touching raw
@@ -335,8 +348,13 @@ def hll_overlap(
     near-disjoint inputs (difference of estimators) — it is an
     estimate, reported as-is; exact-join audits belong next to it
     (the gate query carries the exact columns)."""
-    ra = hll_registers(df_a, key_col, None, m)
-    rb = hll_registers(df_b, key_col, None, m)
+    from ..plans.scratch import scratch_persist
+
+    # each register frame is consumed twice (own estimate + the union
+    # max-merge); without the persist the no-double-scan property would
+    # ride on Spark exchange reuse, which AQE/plan changes can defeat
+    ra = scratch_persist(hll_registers(df_a, key_col, None, m))
+    rb = scratch_persist(hll_registers(df_b, key_col, None, m))
     ru = (
         ra.unionByName(rb)
         .groupBy("bucket")

@@ -2508,14 +2508,20 @@ class GroupedHllMonitor:
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         from ..operators.sketches import hll_registers
 
-        self.n_batches += 1
         if batch_df.isEmpty():
+            self.n_batches += 1
             return  # max-merge identity
         for r in hll_registers(
             batch_df, self.key_col, self.group_col, self.m
         ).collect():  # bounded: <= batch_groups * m rows
             k = (r[self.group_col], int(r["bucket"]))
             self.regs[k] = max(self.regs.get(k, 0), int(r["rho"]))
+        # counted only AFTER the collect succeeds (the hardened
+        # CountMinMonitor ordering): a failed-then-replayed batch must
+        # not double-count — register state is already idempotent via
+        # max-merge, this keeps the throughput log / result() guard
+        # honest too.
+        self.n_batches += 1
 
     def result(self) -> DataFrame:
         """Occupied registers (group, bucket, rho) of the merged
