@@ -7758,6 +7758,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, dist, len_a, len_b FROM island
             ORDER BY doc_a, doc_b
         """,
+        # route-independent semantics: ALL pairs with 3-gram-shingle
+        # J >= tau over documents + the last-word-dropped injected
+        # copies — brute inverted-index join, deliberately unpriced and
+        # unprefixed; matching it proves whichever route the budget
+        # picked (the gate's midpoint budget forces the prefix route)
+        # was lossless
+        "dedup_jaccard_routed": f"""
+            WITH inj AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + {JACR_INJ_OFFSET} AS doc_id,
+                       array_to_string(
+                           (string_split(text, ' '))
+                               [1 : len(string_split(text, ' ')) - 1],
+                           ' ') AS text
+                FROM documents
+                WHERE doc_id % {JACR_INJ_MOD} = 0
+                  AND len(string_split(text, ' ')) >= {JACR_INJ_MINWORDS}
+            ),
+            w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM inj
+                WHERE len(string_split(text, ' ')) >= 3
+            ),
+            s AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, len(ws) - 2),
+                    i -> array_to_string(ws[i + 1 : i + 3], ' '))))
+                    AS shingle
+                FROM w
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id
+            ),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS i
+                FROM s a
+                JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter,
+                   CAST(sa.n_sh + sb.n_sh - i AS BIGINT) AS union_sz,
+                   CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1000000 >= {JACR_TAU} * (sa.n_sh + sb.n_sh - i)
+            ORDER BY doc_a, doc_b
+        """,
         "ts_rfm_segments": """
             WITH pu AS (
                 SELECT user_id,
