@@ -399,41 +399,40 @@ def _jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scales via scripts/check_oracle.py (round-4 sweeps: 178/178 ALL MATCH
 # at sf0.001, sf0.01, and sf0.1).
 _GATE_FIRST = [
-    # Round-12 rotation. The 38 r06-cohort queries sat at lag 5 == the
-    # bound after the r11 gate, so they head this rotation (cohort
+    # Round-13 rotation. The 41 r08-cohort queries sat at lag 4 == the
+    # bound after the r12 gate, so they head this rotation (cohort
     # recomputed from CORRECTNESS_r*.json latest-green rows, NOT from
-    # comments — it matches NEXT.md's pinned r11 list). Remaining
-    # slots: permanents, r12 new/changed, then r08-cohort prepays
-    # (that cohort — 46 queries — comes due at r13; every prepay here
-    # shrinks it).
-    # --- (a) ALL 38 r06-stale queries (latest green row == r06),
+    # comments — it matches NEXT.md's pinned r12 list). Remaining
+    # slots: permanents, r13 new, then r09-cohort prepays (that cohort
+    # — 45 queries — comes due at r14; every prepay here shrinks it).
+    # --- (a) ALL 41 r08-stale queries (latest green row == r08),
     # registry order ---
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q22",
-    "doc_text_stats", "doc_token_counts", "doc_lang_id",
-    "doc_fingerprint", "doc_clean_text", "doc_repetition",
-    "doc_curation_pipeline", "doc_vocab_topk", "doc_tfidf_top_terms",
-    "doc_redact_pii", "dedup_decontaminate", "cur_split_summary",
-    "cur_mix_sources", "cur_pack_sequences", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh", "emb_snapshot_drift",
-    "emb_pca_spectrum", "dedup_clusters", "emb_lsh_topk",
-    "emb_lsh_multiprobe", "emb_ann_recall_eval", "dedup_two_stage",
-    "emb_margin_pairs_lsh", "dedup_kmv_overlap_est", "emb_knn_graph",
-    "emb_graph_clusters", "emb_quantize_int8", "dedup_bloom_words",
-    "ts_rfm_bp_audit", "ts_cadence_profile",
+    "dedup_simhash", "dedup_incremental_lsh", "dedup_substring",
+    "cur_stratified_sample", "dedup_decontaminate_flags",
+    "cur_chunk_documents", "cur_cap_per_group", "doc_quality_rules",
+    "doc_bm25_topk", "doc_span_dedup", "doc_bpe_pairs",
+    "doc_bm25_indexed", "ts_retention_cohorts", "ts_rollup_pyramid",
+    "ts_seasonal_anomaly", "ts_ohlc_bars", "ts_gap_report",
+    "ts_first_touch", "emb_dim_stats", "cur_temperature_mix",
+    "cur_temperature_sample", "emb_group_centroids",
+    "emb_label_affinity", "dedup_canonical", "mm_featurize_bytes",
+    "mm_frame_counts", "mm_metadata_stats", "emb_cosine_topk",
+    "emb_batch_topk", "emb_lsh_balance", "emb_lsh_plan",
+    "dedup_band_recall", "cur_table_profile", "cur_quality_gate",
+    "cur_schema_diff", "cur_profile_drift", "cur_ri_gate",
+    "ts_rfm_segments", "emb_cluster_quality", "ts_holt_winters",
+    "ts_forecast_eval",
     # --- (b) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (c) changed in round 12 (ADVICE r11: cms_probe now excludes
-    # NULL keys, matching cms_build — the probe side of this gate) ---
-    "ts_cms_user_topk",
-    # --- (d) new in round 12 (each swept vs its oracle at 3 scales;
-    # the driver gate is the record) ---
-    "ts_hll_users_lc", "ts_hll_overlap", "dedup_qgram_routed",
-    # --- (e) r08-cohort prepayment, registry order (fills to 50; the
-    # 46-query r08 cohort is due at r13 — each name here drops out of
-    # that head) ---
-    "ts_histogram_quantile", "cur_pack_greedy", "dedup_containment",
-    "dedup_rate_by_source", "dedup_band_balance",
+    # --- (c) new in round 13 (swept vs its oracle at 3 scales; the
+    # driver gate is the record) ---
+    "dedup_jaccard_routed",
+    # --- (d) r09-cohort prepayment, registry order (fills to 50; the
+    # 45-query r09 cohort is due at r14 — each name here drops out of
+    # that head; join_band_values doubles as the VERDICT r12 re-bench
+    # subject) ---
+    "ts_dedup_latest", "join_band_values", "ts_level_shifts",
+    "ts_user_profiles", "cur_corpus_pipeline",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
