@@ -310,6 +310,82 @@ def _hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap.crossJoin(ea).crossJoin(eb).crossJoin(ei)
 
 
+def _cms_topk_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Count-Min (NEXT.md r13 candidate): ONE independent
+    depth×width sketch per event_type over user_id — cms_build/
+    cms_probe's group_col form, state ≤ groups·depth·width cells —
+    probed at each type's exact top-2 users (row_number over
+    (true_cnt desc, user_id) — deterministic in both engines).
+    est ≥ true per (type, user) ALWAYS; over_cnt is collision mass
+    within that type's own sketch (a hot user in type A cannot inflate
+    type B's estimate — the point of per-group sketches). The oracle
+    replays the grouped cells and the per-type probes bit-exactly."""
+    from bytehub_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.where(F.col("user_id").isNotNull())
+    cms = sketches.cms_build(
+        keyed, "user_id", CMS_DEPTH, CMS_WIDTH, group_col="event_type"
+    )
+    counts = keyed.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("true_cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("true_cnt"), F.asc("user_id")
+    )
+    top = (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 2)
+        .drop("__rk")
+    )
+    probe = sketches.cms_probe(
+        cms, top, "user_id", CMS_DEPTH, CMS_WIDTH, group_col="event_type"
+    )
+    return probe.select(
+        "event_type",
+        "user_id",
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).alias("over_cnt"),
+    ).orderBy("event_type", "user_id")
+
+
+def _hll_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketches.hll_overlap_matrix end-to-end (NEXT.md r13 candidate:
+    hll_overlap generalized from 2 sides to every pair of a group
+    column's values from ONE register scan): per-event_type user
+    registers → all-pairs union max-merge → corrected estimates +
+    inclusion-exclusion intersection, next to the exact per-pair
+    distinct-user intersection (the self-audit convention). 10 pairs
+    at 5 event types; every column exact-integer and engine-replayed
+    (est_inter as-is — can go slightly negative on near-disjoint
+    pairs, pinned by the sibling hll_overlap tests)."""
+    from bytehub_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.where(F.col("user_id").isNotNull())
+    mat = sketches.hll_overlap_matrix(keyed, "user_id", "event_type", HLL_M)
+    d = keyed.select("event_type", "user_id").distinct()
+    ex = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("group_a"),
+            F.col("y.event_type").alias("group_b"),
+        )
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    return (
+        mat.join(ex, ["group_a", "group_b"], "left")
+        .na.fill({"exact_inter": 0})
+        .orderBy("group_a", "group_b")
+    )
+
+
 def _qgram_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup.qgram_edit_pairs_routed end-to-end on a corpus built to
     force the island-collapse route: the substitution injection (the
@@ -424,15 +500,14 @@ _GATE_FIRST = [
     "ts_forecast_eval",
     # --- (b) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (c) new in round 13 (swept vs its oracle at 3 scales; the
-    # driver gate is the record) ---
-    "dedup_jaccard_routed",
+    # --- (c) new in round 13 (each swept vs its oracle at 3 scales;
+    # the driver gate is the record) ---
+    "dedup_jaccard_routed", "ts_cms_topk_by_type", "ts_hll_matrix",
     # --- (d) r09-cohort prepayment, registry order (fills to 50; the
     # 45-query r09 cohort is due at r14 — each name here drops out of
     # that head; join_band_values doubles as the VERDICT r12 re-bench
     # subject) ---
     "ts_dedup_latest", "join_band_values", "ts_level_shifts",
-    "ts_user_profiles", "cur_corpus_pipeline",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
@@ -2021,6 +2096,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus that forces the collapse route — exact oracle
         "dedup_qgram_routed": _qgram_routed,
         "dedup_jaccard_routed": _jaccard_routed,
+        # grouped Count-Min: per-type sketch + per-type top-2 probe —
+        # exact oracle (bit-exact grouped cell/probe replay)
+        "ts_cms_topk_by_type": _cms_topk_by_type,
+        # all-pairs HLL overlap matrix from one register scan — exact
+        # oracle (grouped corrected estimates + exact intersections)
+        "ts_hll_matrix": _hll_matrix,
         # RFM quintile segmentation: per-user recency/frequency/monetary
         # (µ-unit BIGINT sums), exact percentile breakpoints (broadcast
         # scalar), 1-5 scores, segment rollup — exact oracle
@@ -2317,6 +2398,36 @@ def _hll_cor_est_duck(regs: str) -> str:
                            {_H.pow2_31_minus_rho_sql('rho')}), 0)
                             AS BIGINT) AS hs
                 FROM {regs}
+            )
+        )
+    )"""
+
+
+def _hll_cor_grouped_duck(regs: str, gcols: str) -> str:
+    """DuckDB subquery (gcols…, occupied, est): the LC-corrected HLL
+    estimate PER GROUP over a register CTE — the grouped form of
+    _hll_cor_est_duck (one generated definition of the corrected
+    estimator, interpolated for the matrix oracle's per-group and
+    per-pair finishes). No empty-edge COALESCE: every group present in
+    ``regs`` has ≥ 1 occupied register by construction."""
+    num = _SK.HLL_ALPHA_NUM * HLL_M * HLL_M * 2147483648
+    return f"""(
+        SELECT {gcols}, occupied,
+               CAST(CASE WHEN occupied < {HLL_M}
+                         AND est_raw * {_SK.HLL_LC_SWITCH_DEN}
+                             <= {_SK.HLL_LC_SWITCH_NUM * HLL_M}
+                    THEN {_SK.hll_lc_case_sql(HLL_M, 'occupied')}
+                    ELSE est_raw END AS BIGINT) AS est
+        FROM (
+            SELECT {gcols}, occupied,
+                   CAST({num} // ({_SK.HLL_ALPHA_DEN}
+                        * (hs + ({HLL_M} - occupied) * 2147483648))
+                        AS BIGINT) AS est_raw
+            FROM (
+                SELECT {gcols}, CAST(COUNT(*) AS BIGINT) AS occupied,
+                       CAST(SUM({_H.pow2_31_minus_rho_sql('rho')})
+                            AS BIGINT) AS hs
+                FROM {regs} GROUP BY {gcols}
             )
         )
     )"""
@@ -7530,6 +7641,123 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, true_cnt, est_cnt,
                    est_cnt - true_cnt AS over_cnt
             FROM probe ORDER BY user_id
+        """,
+        # grouped Count-Min: the ts_cms_user_topk replay with
+        # event_type carried through cells, counts, and probes — each
+        # type's sketch built and probed independently; top-2 per type
+        # by the same deterministic (cnt desc, user_id) row_number in
+        # both engines.
+        "ts_cms_topk_by_type": f"""
+            WITH k AS (
+                SELECT event_type, user_id FROM events
+                WHERE user_id IS NOT NULL
+            ),
+            hu AS (
+                SELECT DISTINCT user_id,
+                       {_H.int_h1_sql('user_id')} AS h1,
+                       {_H.int_h2_sql('user_id')} AS h2
+                FROM k
+            ),
+            cms AS (
+                SELECT k.event_type, js.j AS row,
+                       CAST((h1 + js.j * h2) % {_H.MINHASH_PRIME}
+                            % {CMS_WIDTH} AS INT) AS col,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM k JOIN hu USING (user_id)
+                CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS js(j)
+                GROUP BY 1, 2, 3
+            ),
+            counts AS (
+                SELECT event_type, user_id,
+                       CAST(COUNT(*) AS BIGINT) AS true_cnt
+                FROM k GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT event_type, user_id, true_cnt FROM (
+                    SELECT event_type, user_id, true_cnt,
+                           row_number() OVER (
+                               PARTITION BY event_type
+                               ORDER BY true_cnt DESC, user_id
+                           ) AS rk
+                    FROM counts
+                ) WHERE rk <= 2
+            ),
+            probe AS (
+                SELECT t.event_type, t.user_id, t.true_cnt,
+                       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
+                FROM top t JOIN hu USING (user_id)
+                CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS js(j)
+                LEFT JOIN cms c ON c.event_type = t.event_type
+                    AND c.row = js.j
+                    AND c.col = CAST((hu.h1 + js.j * hu.h2)
+                        % {_H.MINHASH_PRIME} % {CMS_WIDTH} AS INT)
+                GROUP BY 1, 2, 3
+            )
+            SELECT event_type, user_id, true_cnt, est_cnt,
+                   est_cnt - true_cnt AS over_cnt
+            FROM probe ORDER BY event_type, user_id
+        """,
+        # all-pairs HLL overlap matrix: per-type registers, pair frame
+        # from the distinct-group self-join, per-pair union max-merge,
+        # corrected estimates via the shared grouped finisher, exact
+        # per-pair intersections LEFT-joined (0 when disjoint).
+        "ts_hll_matrix": f"""
+            WITH k AS (
+                SELECT event_type, user_id FROM events
+                WHERE user_id IS NOT NULL
+            ),
+            h AS (
+                SELECT event_type,
+                       {_H.int_h1_sql('user_id')} AS h1,
+                       {_H.int_h2_sql('user_id')} AS h2
+                FROM k
+            ),
+            regs AS (
+                SELECT event_type, CAST(h1 % {HLL_M} AS INT) AS bucket,
+                       MAX({_H.rho_sql('h2')}) AS rho
+                FROM h GROUP BY 1, 2
+            ),
+            cor AS {_hll_cor_grouped_duck('regs', 'event_type')},
+            pairs AS (
+                SELECT a.event_type AS group_a, b.event_type AS group_b
+                FROM (SELECT DISTINCT event_type FROM regs) a
+                JOIN (SELECT DISTINCT event_type FROM regs) b
+                  ON a.event_type < b.event_type
+            ),
+            pregs AS (
+                SELECT p.group_a, p.group_b, r.bucket, r.rho
+                FROM pairs p JOIN regs r ON r.event_type = p.group_a
+                UNION ALL
+                SELECT p.group_a, p.group_b, r.bucket, r.rho
+                FROM pairs p JOIN regs r ON r.event_type = p.group_b
+            ),
+            uregs AS (
+                SELECT group_a, group_b, bucket, MAX(rho) AS rho
+                FROM pregs GROUP BY 1, 2, 3
+            ),
+            ucor AS {_hll_cor_grouped_duck('uregs', 'group_a, group_b')},
+            ex AS (
+                SELECT x.event_type AS group_a, y.event_type AS group_b,
+                       CAST(COUNT(*) AS BIGINT) AS exact_inter
+                FROM (SELECT DISTINCT event_type, user_id FROM k) x
+                JOIN (SELECT DISTINCT event_type, user_id FROM k) y
+                  ON x.user_id = y.user_id
+                 AND x.event_type < y.event_type
+                GROUP BY 1, 2
+            )
+            SELECT u.group_a, u.group_b,
+                   a.occupied AS occupied_a, b.occupied AS occupied_b,
+                   u.occupied AS occupied_union,
+                   a.est AS est_a, b.est AS est_b, u.est AS est_union,
+                   CAST(a.est + b.est - u.est AS BIGINT) AS est_inter,
+                   CAST(COALESCE(ex.exact_inter, 0) AS BIGINT)
+                       AS exact_inter
+            FROM ucor u
+            JOIN cor a ON a.event_type = u.group_a
+            JOIN cor b ON b.event_type = u.group_b
+            LEFT JOIN ex ON ex.group_a = u.group_a
+                        AND ex.group_b = u.group_b
+            ORDER BY u.group_a, u.group_b
         """,
         # HLL replay: bucket = h1 mod m, rho = trailing-zero rank of h2
         # (generated integer CASE — hashing.rho_sql), max-merged

@@ -65,30 +65,39 @@ def cms_build(
     key_col: str,
     depth: int = 4,
     width: int = 256,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch of an integer key column: occupied counter
-    cells as (row, col, cnt), row ∈ [0, depth), col ∈ [0, width).
+    cells as (group?, row, col, cnt), row ∈ [0, depth), col ∈ [0,
+    width). With ``group_col`` set, one independent sketch per group
+    value (per-source / per-day frequency tables — the hll_registers
+    grouping convention), state ≤ groups·depth·width cells.
 
     Row j's hash is the Kirsch-Mitzenmacher walk (h1 + j·h2) mod p
     mod width — pairwise-independent enough for the CM guarantee
     (est ≤ true + e/width · N with prob ≥ 1 − e^−depth per row set).
     NULL keys are excluded (both engines agree a NULL hashes nowhere).
+    A NULL group value is a group like any other (the groupBy keeps
+    it), matching hll_registers.
 
     Plan shape: explode depth rows per event (in-partition), then ONE
-    groupBy on (row, col) — partial aggregation caps the shuffle at
-    depth·width rows per map partition at ANY key cardinality; the
-    reduce side is ≤ depth·width rows total. Empty cells are implicit
-    zeros (the dense form is depth·width rows; emit occupied only).
+    groupBy on (group?, row, col) — partial aggregation caps the
+    shuffle at groups·depth·width rows per map partition at ANY key
+    cardinality; the reduce side is ≤ groups·depth·width rows total.
+    Empty cells are implicit zeros (the dense form is depth·width rows
+    per group; emit occupied only).
     """
     if depth < 1 or width < 2:
         raise ValueError("depth >= 1 and width >= 2 required")
     p = MINHASH_PRIME
+    gcols = [group_col] if group_col else []
     # project h1/h2 ONCE as columns, then explode the cheap per-j
     # arithmetic: embedding the nested quadratic mixer inside the
     # transform lambda duplicated it per struct and blew up the
     # generated code (first 10M run: 281.7s; hashed-columns form the
     # HLL twin already used: 16.4s for the same scan)
     hashed = df.where(F.col(key_col).isNotNull()).select(
+        *gcols,
         F.expr(int_h1_sql(key_col)).alias("__h1"),
         F.expr(int_h2_sql(key_col)).alias("__h2"),
     )
@@ -105,8 +114,8 @@ def cms_build(
         ]
     )
     return (
-        hashed.select(F.posexplode(arr).alias("row", "col"))
-        .groupBy("row", "col")
+        hashed.select(*gcols, F.posexplode(arr).alias("row", "col"))
+        .groupBy(*gcols, "row", "col")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
 
@@ -117,6 +126,7 @@ def cms_probe(
     key_col: str,
     depth: int = 4,
     width: int = 256,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Point-query a Count-Min sketch for each row of ``keys``:
     (key_col…, est_cnt) where est = min over rows j of the counter at
@@ -124,12 +134,21 @@ def cms_probe(
     occupied-only sketch). est_cnt ≥ the key's true count, always
     (every occurrence incremented every probed cell); the overestimate
     is other keys' collisions. ``depth``/``width`` must match the
-    build. Join is (row, col)-keyed against a ≤ depth·width-row sketch
-    — broadcast-sized by construction. NULL keys are EXCLUDED from the
-    output, matching cms_build's exclusion (ADVICE r11: a NULL key's
-    hash expressions are NULL, the join never matches, and the row
-    would come back as est_cnt = 0 — silently violating the
-    est ≥ true contract for a key the sketch never counted)."""
+    build. With ``group_col`` set (a grouped cms_build sketch), the
+    probe joins on (group, row, col) — each key row is answered by its
+    own group's sketch, and ``group_col`` must be a column of ``keys``.
+    Join is (group?, row, col)-keyed against a ≤ groups·depth·width-row
+    sketch — broadcast-sized by construction at the modest group
+    cardinalities a per-group sketch exists for (per-source, per-day);
+    at extreme group counts drop the hint and let AQE pick. NULL keys
+    are EXCLUDED from the output, matching cms_build's exclusion
+    (ADVICE r11: a NULL key's hash expressions are NULL, the join never
+    matches, and the row would come back as est_cnt = 0 — silently
+    violating the est ≥ true contract for a key the sketch never
+    counted). A NULL group row, however, probes the NULL group's sketch
+    (both engines' join semantics drop NULL equality — so the grouped
+    form joins on a null-safe group comparison to match cms_build's
+    group-preserving groupBy)."""
     p = MINHASH_PRIME
     # hash once as columns before the explode (the cms_build codegen
     # lesson) — probing a large keys frame is a legitimate use
@@ -149,9 +168,25 @@ def cms_probe(
     probes = hashed.select(
         *keys.columns, F.posexplode(arr).alias("row", "col")
     )
+    if group_col is None:
+        joined = probes.join(F.broadcast(cms), ["row", "col"], "left")
+    else:
+        # rename the sketch side so every join-condition reference is
+        # unambiguous (row/col/group exist on both sides)
+        c = (
+            cms.withColumnRenamed(group_col, "__cg")
+            .withColumnRenamed("row", "__crow")
+            .withColumnRenamed("col", "__ccol")
+        )
+        joined = probes.join(
+            F.broadcast(c),
+            (F.col("row") == F.col("__crow"))
+            & (F.col("col") == F.col("__ccol"))
+            & F.col(group_col).eqNullSafe(F.col("__cg")),
+            "left",
+        ).drop("__crow", "__ccol", "__cg")
     return (
-        probes.join(F.broadcast(cms), ["row", "col"], "left")
-        .groupBy(*keys.columns)
+        joined.groupBy(*keys.columns)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_cnt"))
     )
 
@@ -384,4 +419,99 @@ def hll_overlap(
             .cast("long")
             .alias("est_inter"),
         )
+    )
+
+
+def hll_overlap_matrix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """All-pairs HLL overlap matrix from ONE register scan:
+    (group_a, group_b, occupied_a, occupied_b, occupied_union, est_a,
+    est_b, est_union, est_inter) for every unordered group pair
+    (group_a < group_b) — hll_overlap generalized from 2 fixed sides to
+    every pair of a grouping column's values (NEXT.md r13 candidate;
+    the register-file twin of dedup.kmv_source_overlap's matrix form).
+
+    The raw data is scanned ONCE into the per-group register table
+    (hll_registers — ≤ groups·m rows no matter the input size); the
+    matrix is assembled entirely sketch-side: a distinct-groups
+    self-join builds the pair frame (groups² rows — tiny), two
+    broadcast equi-joins fan each group's registers to the pairs it
+    participates in, a (pair, bucket) max-merge forms each pair's union
+    registers (the pinned idempotent merge law), and
+    hll_estimate_corrected finishes per-group and per-pair estimates.
+    est_inter = est_a + est_b − est_union (inclusion-exclusion; like
+    hll_overlap it can go slightly negative on near-disjoint pairs —
+    reported as-is). At 100 TB this is the whole point of register
+    sketches: k sources cost one corpus scan + O(k²·m) sketch rows,
+    never k² corpus scans or an all-pairs key join.
+
+    NULL group rows form their own register group (hll_registers keeps
+    them) but are EXCLUDED from the matrix — '<' never admits a NULL
+    side; probe a NULL group's estimate via hll_estimate_corrected
+    directly. NULL keys excluded as always.
+    """
+    from ..plans.scratch import scratch_persist
+
+    # consumed three times (per-group estimates + both pair fan-outs)
+    regs = scratch_persist(hll_registers(df, key_col, group_col, m))
+    est = hll_estimate_corrected(regs, m, [group_col])
+    groups = regs.select(F.col(group_col).alias("__g")).distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("group_a"))
+        .join(
+            groups.select(F.col("__g").alias("group_b")),
+            F.col("group_a") < F.col("group_b"),
+        )
+    )
+    r = regs.withColumnRenamed(group_col, "__rg")
+    fan_a = pairs.join(
+        r, F.col("__rg") == F.col("group_a")
+    ).select("group_a", "group_b", "bucket", "rho")
+    fan_b = pairs.join(
+        r, F.col("__rg") == F.col("group_b")
+    ).select("group_a", "group_b", "bucket", "rho")
+    union_regs = (
+        fan_a.unionByName(fan_b)
+        .groupBy("group_a", "group_b", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    eu = hll_estimate_corrected(
+        union_regs, m, ["group_a", "group_b"]
+    ).select(
+        "group_a",
+        "group_b",
+        F.col("occupied").alias("occupied_union"),
+        F.col("est_distinct").alias("est_union"),
+    )
+    ea = est.select(
+        F.col(group_col).alias("group_a"),
+        F.col("occupied").alias("occupied_a"),
+        F.col("est_distinct").alias("est_a"),
+    )
+    eb = est.select(
+        F.col(group_col).alias("group_b"),
+        F.col("occupied").alias("occupied_b"),
+        F.col("est_distinct").alias("est_b"),
+    )
+    return (
+        eu.join(F.broadcast(ea), "group_a")
+        .join(F.broadcast(eb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "occupied_a",
+            "occupied_b",
+            "occupied_union",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long")
+            .alias("est_inter"),
+        )
+        .orderBy("group_a", "group_b")
     )

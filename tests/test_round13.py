@@ -179,3 +179,295 @@ def test_embedding_cosine_dups_under_cap_unchanged(spark):
     got = dedup.embedding_cosine_dups(emb, 0.4).toPandas()
     assert (got["id_a"] < got["id_b"]).all()
     assert (got["cosine_sim"] >= 0.4).all()
+
+
+# ------------------ priced exact-Jaccard router (VERDICT r12 #4)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _plant_neardups(spark):
+    """sf0.001 documents + a last-word-dropped copy of every 29th doc
+    (the gate corpus recipe) — guarantees J >= 0.6 pairs exist so the
+    equality assertions are non-vacuous."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    return docs.unionByName(
+        docs.where((F.col("doc_id") % 29 == 0) & (F.size(ws) >= 5)).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.array_join(F.slice(ws, 1, F.size(ws) - 1), " ").alias("text"),
+        )
+    )
+
+
+def test_jaccard_routed_inverted_route_equals_prefix_filter(spark):
+    """Unbounded budget takes the inverted-index route; its output must
+    equal prefix_filter_pairs exactly (both lossless — the prefix
+    lemma), including the planted near-dup pairs."""
+    corpus = _plant_neardups(spark)
+    direct = sorted(
+        map(tuple, dedup.prefix_filter_pairs(corpus, 600_000).collect())
+    )
+    routed = sorted(
+        map(
+            tuple,
+            dedup.jaccard_pairs_routed(corpus, 10**18, 600_000).collect(),
+        )
+    )
+    assert routed == direct
+    assert len(direct) > 0
+
+
+def test_jaccard_routed_prefix_route_equals_inverted(spark):
+    """Budget strictly between the two priced volumes rejects the
+    inverted join and takes the prefix route — output identical (the
+    gate corpus regime, pinned here against the other route)."""
+    corpus = _plant_neardups(spark)
+    plan = dedup.jaccard_plan(corpus, 600_000).collect()[0]
+    inv, pf = int(plan["inverted_pairs"]), int(plan["prefix_pairs"])
+    assert pf < inv  # natural text: stopword shingles dominate Σ C(f,2)
+    budget = (inv + pf) // 2
+    routed = sorted(
+        map(
+            tuple,
+            dedup.jaccard_pairs_routed(corpus, budget, 600_000).collect(),
+        )
+    )
+    direct = sorted(
+        map(tuple, dedup.prefix_filter_pairs(corpus, 600_000).collect())
+    )
+    assert routed == direct
+    assert len(routed) > 0
+
+
+def test_jaccard_routed_refusal_carries_both_plans(spark):
+    """Boilerplate corpus (every doc shares most shingles): both routes
+    over a tiny budget -> JaccardBudgetExceeded with BOTH plan rows
+    (the budget-refusal honesty contract)."""
+    rows = [
+        (i, "the same shared boilerplate words everywhere %d" % (i % 3))
+        for i in range(120)
+    ]
+    with pytest.raises(dedup.JaccardBudgetExceeded) as ei:
+        dedup.jaccard_pairs_routed(_docs(spark, rows), 10, 500_000)
+    exc = ei.value
+    assert int(exc.plan_inverted["cand_pairs"]) > 10
+    assert int(exc.plan_prefix["cand_pairs"]) > 10
+    assert exc.plan_inverted["n_docs"] == 120
+    assert exc.plan_prefix["threshold_ppm"] == 500_000
+
+
+def test_jaccard_budget_exceeded_pickle_roundtrip():
+    """__reduce__ keeps the plan rows across process boundaries (the
+    QgramBudgetExceeded ADVICE-r12 lesson applied at birth)."""
+    exc = dedup.JaccardBudgetExceeded(
+        "over budget", {"cand_pairs": 9}, {"cand_pairs": 7}
+    )
+    back = pickle.loads(pickle.dumps(exc))
+    assert isinstance(back, dedup.JaccardBudgetExceeded)
+    assert str(back) == "over budget"
+    assert back.plan_inverted == {"cand_pairs": 9}
+    assert back.plan_prefix == {"cand_pairs": 7}
+
+
+def test_jaccard_routed_validation(spark):
+    docs = _docs(spark, [(1, "a b c d")])
+    with pytest.raises(ValueError):
+        dedup.jaccard_pairs_routed(docs, -1)
+    with pytest.raises(ValueError):
+        dedup.jaccard_pairs_routed(docs, 10, threshold_ppm=0)
+    with pytest.raises(ValueError):
+        dedup.jaccard_plan(docs, threshold_ppm=2_000_000)
+
+
+def test_jaccard_plan_masses_match_pure_python(spark):
+    """jaccard_plan's priced volumes recomputed independently in pure
+    python (shingle doc-freqs -> Σ C(f,2); canonical (df, shingle)
+    order -> rarest-first prefixes -> the same mass over prefix rows).
+    Corpus includes df ties so the shingle-asc tie-break is exercised."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "alpha beta gamma other words here"),
+        (4, "completely different text lives here now"),
+        (5, "alpha beta gamma delta epsilon"),  # exact dup of 1
+        (6, "zeta eta theta iota kappa lambda"),
+    ]
+    tau = 500_000
+    n = 3
+    sh = {}  # doc -> sorted distinct shingles (insertion order kept)
+    for i, t in rows:
+        ws = t.split(" ")
+        seen, ordered = set(), []
+        for j in range(len(ws) - n + 1):
+            s = " ".join(ws[j : j + n])
+            if s not in seen:
+                seen.add(s)
+                ordered.append(s)
+        sh[i] = ordered
+    df_cnt = {}
+    for ss in sh.values():
+        for s in ss:
+            df_cnt[s] = df_cnt.get(s, 0) + 1
+    inv = sum(f * (f - 1) // 2 for f in df_cnt.values())
+    pf_cnt = {}
+    for ss in sh.values():
+        n_sh = len(ss)
+        plen = n_sh - (tau * n_sh + 999_999) // 1_000_000 + 1
+        ranked = sorted(ss, key=lambda s: (df_cnt[s], s))
+        for s in ranked[: int(plen)]:
+            pf_cnt[s] = pf_cnt.get(s, 0) + 1
+    pf = sum(f * (f - 1) // 2 for f in pf_cnt.values())
+    plan = dedup.jaccard_plan(_docs(spark, rows), tau, n=n).collect()[0]
+    assert int(plan["inverted_pairs"]) == inv
+    assert int(plan["prefix_pairs"]) == pf
+    assert int(plan["n_docs"]) == 6
+    assert int(plan["brute_pairs"]) == 15
+
+
+# --------------------------------- grouped Count-Min (NEXT.md r13 #2)
+
+
+def test_cms_grouped_equals_per_group_builds(spark):
+    """The grouped sketch restricted to one group == cms_build over
+    that group's rows alone — per-group sketches are INDEPENDENT (the
+    reason they exist: a hot key in group A cannot inflate group B)."""
+    ev = load_table(spark, SF, "events").where(F.col("user_id").isNotNull())
+    grouped = {
+        (r["event_type"], r["row"], r["col"]): r["cnt"]
+        for r in S.cms_build(
+            ev, "user_id", 4, 64, group_col="event_type"
+        ).collect()
+    }
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    assert len(types) >= 2
+    for t in types[:3]:
+        solo = {
+            (t, r["row"], r["col"]): r["cnt"]
+            for r in S.cms_build(
+                ev.where(F.col("event_type") == t), "user_id", 4, 64
+            ).collect()
+        }
+        assert solo == {k: v for k, v in grouped.items() if k[0] == t}
+
+
+def test_cms_grouped_probe_isolation(spark):
+    """Synthetic two-group frame: user 1 is 100-hot in group A and
+    2-hot in group B. The grouped probe of (B, 1) must answer from B's
+    own sketch (est == 2 — no cross-group collision is even possible
+    at 2 keys in 256 cells), while an ungrouped sketch would be
+    polluted to >= 102."""
+    rows = [("A", 1)] * 100 + [("B", 1)] * 2 + [("B", 2)] * 5
+    df = spark.createDataFrame(rows, "g string, user_id long")
+    cms = S.cms_build(df, "user_id", 4, 256, group_col="g")
+    keys = spark.createDataFrame(
+        [("A", 1), ("B", 1), ("B", 2)], "g string, user_id long"
+    )
+    got = {
+        (r["g"], r["user_id"]): r["est_cnt"]
+        for r in S.cms_probe(cms, keys, "user_id", 4, 256, group_col="g").collect()
+    }
+    assert got == {("A", 1): 100, ("B", 1): 2, ("B", 2): 5}
+    flat = S.cms_build(df, "user_id", 4, 256)
+    flat_probe = {
+        r["user_id"]: r["est_cnt"]
+        for r in S.cms_probe(
+            flat, keys.select("user_id").distinct(), "user_id", 4, 256
+        ).collect()
+    }
+    assert flat_probe[1] == 102  # the pollution the grouped form avoids
+
+
+def test_cms_grouped_merge_law(spark):
+    """Additivity holds per group: summing the two halves' grouped
+    sketches cell-by-cell == the one-shot grouped sketch (the law that
+    makes grouped sketches mergeable across shards/days)."""
+    ev = load_table(spark, SF, "events").where(F.col("user_id").isNotNull())
+    whole = {
+        (r["event_type"], r["row"], r["col"]): r["cnt"]
+        for r in S.cms_build(
+            ev, "user_id", 4, 64, group_col="event_type"
+        ).collect()
+    }
+    merged: dict = {}
+    for part in (
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+    ):
+        for r in S.cms_build(
+            part, "user_id", 4, 64, group_col="event_type"
+        ).collect():
+            k = (r["event_type"], r["row"], r["col"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == whole
+
+
+def test_cms_grouped_null_group_probes_null_sketch(spark):
+    """A NULL group value is a group like any other: build keeps it and
+    the probe's null-safe group join answers from it (plain equality
+    would return est 0 and break est >= true)."""
+    rows = [(None, 7)] * 4 + [("X", 7)] * 9
+    df = spark.createDataFrame(rows, "g string, user_id long")
+    cms = S.cms_build(df, "user_id", 4, 256, group_col="g")
+    keys = spark.createDataFrame([(None, 7), ("X", 7)], "g string, user_id long")
+    got = {
+        (r["g"], r["user_id"]): r["est_cnt"]
+        for r in S.cms_probe(cms, keys, "user_id", 4, 256, group_col="g").collect()
+    }
+    assert got == {(None, 7): 4, ("X", 7): 9}
+
+
+# ------------------------------ HLL overlap matrix (NEXT.md r13 #2)
+
+
+def test_hll_matrix_matches_pairwise_hll_overlap(spark):
+    """Every matrix row must equal hll_overlap run on that pair's two
+    slices — the matrix is the k-way generalization, not a different
+    estimator."""
+    ev = load_table(spark, SF, "events").where(F.col("user_id").isNotNull())
+    mat = S.hll_overlap_matrix(ev, "user_id", "event_type", 64).collect()
+    types = sorted(
+        r[0] for r in ev.select("event_type").distinct().collect()
+    )
+    assert len(mat) == len(types) * (len(types) - 1) // 2
+    by_pair = {(r["group_a"], r["group_b"]): r for r in mat}
+    for ga, gb in list(by_pair)[:3]:
+        solo = S.hll_overlap(
+            ev.where(F.col("event_type") == ga),
+            ev.where(F.col("event_type") == gb),
+            "user_id",
+            64,
+        ).collect()[0]
+        row = by_pair[(ga, gb)]
+        for c in (
+            "occupied_a", "occupied_b", "occupied_union",
+            "est_a", "est_b", "est_union", "est_inter",
+        ):
+            assert row[c] == solo[c], (ga, gb, c)
+
+
+def test_hll_matrix_identical_groups(spark):
+    """Two groups over the SAME key set: union registers == each side's
+    registers, so est_union == est_a == est_b and est_inter == est_a
+    exactly (register-level identity, no estimator slack)."""
+    rows = [("p", i) for i in range(50)] + [("q", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, user_id long")
+    row = S.hll_overlap_matrix(df, "user_id", "g", 64).collect()[0]
+    assert row["group_a"] == "p" and row["group_b"] == "q"
+    assert row["est_a"] == row["est_b"] == row["est_union"]
+    assert row["est_inter"] == row["est_a"]
+    assert row["occupied_union"] == row["occupied_a"]
+
+
+def test_hll_matrix_single_group_is_empty(spark):
+    """One group -> no pairs: empty result with the full 9-column
+    schema intact."""
+    df = spark.createDataFrame([("only", 1)], "g string, user_id long")
+    mat = S.hll_overlap_matrix(df, "user_id", "g", 64)
+    assert mat.count() == 0
+    assert mat.columns == [
+        "group_a", "group_b", "occupied_a", "occupied_b",
+        "occupied_union", "est_a", "est_b", "est_union", "est_inter",
+    ]
