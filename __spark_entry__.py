@@ -7687,7 +7687,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
                 FROM top t JOIN hu USING (user_id)
                 CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS js(j)
-                LEFT JOIN cms c ON c.event_type = t.event_type
+                LEFT JOIN cms c
+                    ON c.event_type IS NOT DISTINCT FROM t.event_type
                     AND c.row = js.j
                     AND c.col = CAST((hu.h1 + js.j * hu.h2)
                         % {_H.MINHASH_PRIME} % {CMS_WIDTH} AS INT)
@@ -7695,7 +7696,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, user_id, true_cnt, est_cnt,
                    est_cnt - true_cnt AS over_cnt
-            FROM probe ORDER BY event_type, user_id
+            FROM probe ORDER BY event_type NULLS FIRST, user_id
         """,
         # all-pairs HLL overlap matrix: per-type registers, pair frame
         # from the distinct-group self-join, per-pair union max-merge,

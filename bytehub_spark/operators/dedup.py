@@ -2180,20 +2180,7 @@ def prefix_filter_pairs(
     tau = int(threshold_ppm)
     sh = _shingle_pair_source(documents, n, text_col, id_col, None)
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    wd = Window.partitionBy(id_col).orderBy("__df", "shingle")
-    ranked = sh.join(dfc, "shingle").withColumn(
-        "__rk", F.row_number().over(wd)
-    )
-    # BIGINT before the ppm product: n_sh is INT32 and tau*n_sh wraps
-    # past ~2148 distinct shingles (the repo-pinned CAST-first gotcha)
-    prefix_len = (
-        F.col("n_sh")
-        - F.expr(f"(CAST({tau} AS BIGINT) * n_sh + 999999) div 1000000")
-        + F.lit(1)
-    )
-    prefix = ranked.where(F.col("__rk") <= prefix_len).select(
-        id_col, "n_sh", "__rk", "shingle"
-    )
+    prefix = _ranked_prefix(sh, dfc, tau, id_col)
     a, b = prefix.alias("a"), prefix.alias("b")
     ai, bi = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
     # PPJoin positional filter, LOSSLESS: for a qualifying pair's
@@ -2280,15 +2267,22 @@ def _shingle_pair_mass_expr(f_col: str) -> str:
     )
 
 
-def _prefix_shingle_counts(
+def _ranked_prefix(
     sh: DataFrame, dfc: DataFrame, tau: int, id_col: str
 ) -> DataFrame:
-    """Per-shingle doc frequency INSIDE the rarest-first prefixes —
-    (shingle, f) for the prefix-filter route's candidate join, built
-    with exactly prefix_filter_pairs' prefix construction (df asc,
-    shingle asc order; prefix length |d| − ceil(τ|d|) + 1 in integer
-    ppm). Pricing must count the same rows that operator joins; the
-    equivalence is pinned in tests."""
+    """THE rarest-first prefix construction — the one definition both
+    the operator (prefix_filter_pairs' candidate join) and the pricer
+    (_prefix_shingle_counts → jaccard_plan / jaccard_pairs_routed)
+    consume, so priced rows ARE joined rows by construction (the r12
+    qgram-pricing-dedup lesson, applied to the prefix build itself):
+    rank each doc's distinct shingles by the global canonical order
+    (document frequency asc, shingle asc), keep ranks ≤
+    |d| − ceil(τ·|d|) + 1 in integer ppm. Returns (id, n_sh, __rk,
+    shingle) — __rk feeds PPJoin's positional filter.
+
+    BIGINT before the ppm product: n_sh is INT32 and tau*n_sh wraps
+    past ~2148 distinct shingles (the repo-pinned CAST-first gotcha).
+    The per-doc window partitions by doc — never global."""
     wd = Window.partitionBy(id_col).orderBy("__df", "shingle")
     ranked = sh.join(dfc, "shingle").withColumn(
         "__rk", F.row_number().over(wd)
@@ -2298,8 +2292,20 @@ def _prefix_shingle_counts(
         - F.expr(f"(CAST({tau} AS BIGINT) * n_sh + 999999) div 1000000")
         + F.lit(1)
     )
+    return ranked.where(F.col("__rk") <= prefix_len).select(
+        id_col, "n_sh", "__rk", "shingle"
+    )
+
+
+def _prefix_shingle_counts(
+    sh: DataFrame, dfc: DataFrame, tau: int, id_col: str
+) -> DataFrame:
+    """Per-shingle doc frequency INSIDE the rarest-first prefixes —
+    (shingle, f) for the prefix-filter route's candidate join, grouped
+    straight off _ranked_prefix so pricer and operator share one
+    prefix definition; the equivalence is pinned in tests."""
     return (
-        ranked.where(F.col("__rk") <= prefix_len)
+        _ranked_prefix(sh, dfc, tau, id_col)
         .groupBy("shingle")
         .agg(F.count("*").cast("long").alias("f"))
     )
@@ -2372,7 +2378,25 @@ def jaccard_plan(
     )
 
 
-class JaccardBudgetExceeded(ValueError):
+class _BudgetExceeded(ValueError):
+    """Base for priced-join budget refusals: stores the refused msg +
+    two plan dicts and pickles cleanly. BaseException's default reduce
+    re-calls __init__(*args) with args=(msg,) only, so without this
+    ONE __reduce__ every subclass's unpickle (pytest-xdist,
+    multiprocessing, any cross-process re-raise) would TypeError
+    instead of re-raising the original error with its plan rows (the
+    ADVICE r12 QgramBudgetExceeded bug — fixed here once so the next
+    budget-refusal exception can't re-introduce it)."""
+
+    def __init__(self, msg: str, plan_a: dict, plan_b: dict):
+        super().__init__(msg)
+        self._plans = (plan_a, plan_b)
+
+    def __reduce__(self):
+        return (type(self), (self.args[0], *self._plans))
+
+
+class JaccardBudgetExceeded(_BudgetExceeded):
     """Raised by jaccard_pairs_routed when the candidate-pair mass
     exceeds the caller's budget on BOTH routes (inverted-index and
     prefix-filtered). Carries both plan rows so the caller can raise
@@ -2380,17 +2404,9 @@ class JaccardBudgetExceeded(ValueError):
     or exact-dedup first without re-pricing."""
 
     def __init__(self, msg: str, plan_inverted: dict, plan_prefix: dict):
-        super().__init__(msg)
+        super().__init__(msg, plan_inverted, plan_prefix)
         self.plan_inverted = plan_inverted
         self.plan_prefix = plan_prefix
-
-    def __reduce__(self):
-        # default BaseException reduce re-calls __init__(*args) with
-        # args=(msg,) — cross-process re-raise would TypeError
-        return (
-            type(self),
-            (self.args[0], self.plan_inverted, self.plan_prefix),
-        )
 
 
 def jaccard_pairs_routed(
@@ -2989,7 +3005,7 @@ def qgram_edit_pairs(
     )
 
 
-class QgramBudgetExceeded(ValueError):
+class QgramBudgetExceeded(_BudgetExceeded):
     """Raised by qgram_edit_pairs_routed when the segment join's priced
     candidate volume exceeds the caller's budget on BOTH routes (direct
     and island-collapsed). Carries both plan rows so the caller can
@@ -2997,19 +3013,9 @@ class QgramBudgetExceeded(ValueError):
     re-pricing."""
 
     def __init__(self, msg: str, plan_direct: dict, plan_collapsed: dict):
-        super().__init__(msg)
+        super().__init__(msg, plan_direct, plan_collapsed)
         self.plan_direct = plan_direct
         self.plan_collapsed = plan_collapsed
-
-    def __reduce__(self):
-        # BaseException's default reduce re-calls __init__(*args) with
-        # args=(msg,) only, so unpickling (pytest-xdist, multiprocessing,
-        # any cross-process re-raise) would TypeError instead of
-        # re-raising the original error with its plan rows.
-        return (
-            type(self),
-            (self.args[0], self.plan_direct, self.plan_collapsed),
-        )
 
 
 def qgram_edit_pairs_routed(
