@@ -35,7 +35,17 @@ spark = get_spark("monitors_100m")
 ev = spark.read.parquet(SRC_PARQUET)
 n_events = ev.count()
 print(f"events: {n_events:,}")
-ev.repartition(20).write.parquet(src)
+# 8 MB row groups: with maxFilesPerTrigger=1 a micro-batch's scan
+# parallelism IS the trigger file's row-group count — the r13 lesson:
+# a default-block-size rewrite gave ONE ~80 MB row group per 5M-event
+# file and every batch ran its scan+hash on a single task ((20+1)/21
+# straggler stages, 4.4s/batch serial); the r12 numbers were taken on
+# files that happened to split 19 ways. Pin the layout so the
+# datapoint measures the monitors, not parquet writer luck. (Real
+# deployments: size ingest row groups for per-trigger parallelism.)
+ev.repartition(20).write.option(
+    "parquet.block.size", 8 * 1024 * 1024
+).parquet(src)
 keyed = spark.read.parquet(src).where(F.col("user_id").isNotNull())
 
 
