@@ -243,7 +243,7 @@ def hll_estimate(
 
     harmonic_scaled = Σ_buckets 2^(31−rho), empty buckets contributing
     2^31 — i.e. 2^31 · Σ 2^−rho, the harmonic denominator held EXACTLY
-    in a BIGINT (≤ m·2^31 < 2^42 at the validated max m = 2048).
+    in a BIGINT (≤ m·2^31 = 2^42 at the validated max m = 2048).
     est_distinct =
     (709·m²·2^31) div (1000·harmonic_scaled) — the standard
     alpha·m²/Σ2^−rho estimator in exact integer arithmetic

@@ -2523,8 +2523,12 @@ class GroupedHllMonitor:
         # identity for free (the CountMinMonitor VERDICT r12 #5 fix,
         # applied to the sibling). Explicit projection keeps the scan
         # pruned independent of hll_registers internals.
+        # dict.fromkeys: group_col == key_col is a legal config (group
+        # by the key itself) and a duplicate select would make every
+        # downstream reference ambiguous
+        cols = list(dict.fromkeys((self.group_col, self.key_col)))
         for r in hll_registers(
-            batch_df.select(self.group_col, self.key_col),
+            batch_df.select(*cols),
             self.key_col, self.group_col, self.m
         ).collect():  # bounded: <= batch_groups * m rows
             k = (r[self.group_col], int(r["bucket"]))

@@ -471,3 +471,17 @@ def test_hll_matrix_single_group_is_empty(spark):
         "group_a", "group_b", "occupied_a", "occupied_b",
         "occupied_union", "est_a", "est_b", "est_union", "est_inter",
     ]
+
+
+def test_grouped_hll_monitor_group_equals_key(spark):
+    """group_col == key_col is a legal config (group by the key
+    itself); the per-batch projection must not duplicate the column
+    (review-pass catch: select(k, k) made every downstream reference
+    ambiguous and killed the stream on batch one)."""
+    from bytehub_spark.streaming import GroupedHllMonitor
+
+    mon = GroupedHllMonitor(key_col="user_id", group_col="user_id")
+    df = spark.createDataFrame([(i % 3,) for i in range(30)], "user_id long")
+    mon.process_batch(df, epoch_id=0)
+    assert mon.n_batches == 1
+    assert len(mon.regs) == 3  # one register group per key value
