@@ -42,13 +42,17 @@ cartesian/py_eval fails, and arrow_eval growth fails unless the
 snapshot is refreshed deliberately (a new pandas-UDF boundary should be
 a reviewed decision, not an accident).
 
-Snapshot state (reviewed): py_eval=0 everywhere; the 25 cartesian=true
-entries are all benign SCALAR-ATTACH joins — a 1-row aggregate
-(corpus total, cutoff timestamp, weight normalizer) broadcast-nested-
-loop-joined onto a data frame, the standard way to attach a scalar
-without a collect. No registered query does a data-by-data cartesian
-(separately pinned per-operator in tests/test_plans.py). The check
-exists for the TRANSITION: a formerly clean query growing one.
+Snapshot state (reviewed): py_eval=0 everywhere; the cartesian=true
+entries (39 as of r13) are all one of two declared benign classes —
+(a) SCALAR-ATTACH joins: a 1-row aggregate (corpus total, cutoff
+timestamp, weight normalizer) broadcast-nested-loop-joined onto a data
+frame, the standard way to attach a scalar without a collect; (b) the
+ts_hll_matrix pair build: a '<' self-join over the DISTINCT-GROUPS
+frame (≤ group-cardinality rows, sketch-side — bounded no matter the
+input size; pinned in tests/test_plans.py). No registered query does a
+data-by-data cartesian (separately pinned per-operator in
+tests/test_plans.py). The check exists for the TRANSITION: a formerly
+clean query growing one.
 
 Round-5 adjudication of the two new flags over all 178 plans:
 - global_sort: ONE hit (mm_shard_manifest) — a REAL catch: token_budget

@@ -325,3 +325,29 @@ def test_round3d_ops_plan_shapes(spark):
     p = _plan(text.bpe_encode(docs, n_merges=2))
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_hll_overlap_matrix_plan_shape(spark):
+    """The matrix's ONLY nested-loop is the distinct-groups pair build
+    (a '<' self-join over a frame bounded by the GROUP CARDINALITY —
+    sketch-side, never data-side); the register fan-outs and the
+    estimate attaches are hash/broadcast equi-joins, and there is no
+    Python anywhere. The raw data is scanned once: exactly one
+    events-parquet scan node in the whole plan."""
+    from bytehub_spark.operators import sketches
+
+    ev = load_table(spark, SF, "events")
+    mat = sketches.hll_overlap_matrix(ev, "user_id", "event_type", 64)
+    p = _plan(mat)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the pair build is the only nested-loop shape; its subtree appears
+    # once per register fan-out branch (DataFrame reuse gets no CSE),
+    # both instances reading the persisted ≤ groups-row register cache
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in p
+    # single corpus scan: every register reuse (estimates + both
+    # fan-outs + the pair frame's distinct) reads the persisted
+    # register table, not the parquet (the plan string still PRINTS
+    # the cached frame's lineage per reference, so counting scan nodes
+    # is not meaningful — the InMemoryRelation is the contract)
+    assert "InMemoryRelation" in p
