@@ -2591,3 +2591,114 @@ def stream_hll_by_group(
         .start()
     )
     return q, mon
+
+
+class GroupedCountMinMonitor:
+    """Per-group streaming Count-Min frequency sketches (19th monitor)
+    — ONE independent depth×width counter table per group value
+    (``operators.sketches.cms_build``'s group_col form): per-source /
+    per-day frequency monitoring where a hot key in one group must not
+    inflate another group's estimates (the isolation the batch gate
+    ts_cms_topk_by_type pins). State ≤ groups·depth·width ints on the
+    driver — bounded whenever the GROUP domain is bounded, while the
+    key domain stays unbounded; the per-batch shuffle is capped by
+    map-side combine at the same (group, row, col) domain.
+
+    Counters are ADDITIVE per (group, row, col) within each group's own
+    sketch (the cms merge law, pinned in tests), so summing per-batch
+    grouped sketches over ANY batching reproduces the one-shot grouped
+    sketch to the integer — stream == batch structural and exact. Like
+    CountMinMonitor, additivity DOUBLE-COUNTS a replayed epoch, so
+    process_batch dedups on epoch_id with the hardened ordering:
+    nothing mutates and no epoch is stamped until the batch's cell
+    list has fully materialized (a failed batch's re-delivery — the one
+    case the guard exists for — replays cleanly).
+
+    result() surfaces the group column as STRING (NULL preserved, the
+    GroupedHllMonitor convention); probe it per group with
+    ``operators.sketches.cms_probe(..., group_col=...)`` after casting
+    the keys frame's group column to string to match."""
+
+    def __init__(
+        self,
+        key_col: str = "user_id",
+        group_col: str = "event_type",
+        depth: int = 4,
+        width: int = 256,
+    ):
+        if depth < 1 or width < 2:
+            raise ValueError("depth >= 1 and width >= 2 required")
+        self.key_col = key_col
+        self.group_col = group_col
+        self.depth = int(depth)
+        self.width = int(width)
+        self.cells: dict[tuple, int] = {}  # (group, row, col) -> cnt
+        self.n_batches = 0
+        self._last_epoch: int | None = None
+
+    def process_batch(
+        self, batch_df: DataFrame, epoch_id: int | None = None
+    ) -> None:
+        from ..operators.sketches import cms_build
+
+        if epoch_id is not None and epoch_id == self._last_epoch:
+            return
+        # no isEmpty() pre-check (the r13 per-batch-cost fix): an empty
+        # batch collects to zero cells — the additive identity — and
+        # the pre-check cost a full extra unpruned job per batch.
+        # dict.fromkeys: group_col == key_col is a legal config and a
+        # duplicate select would make downstream references ambiguous.
+        cols = list(dict.fromkeys((self.group_col, self.key_col)))
+        for r in cms_build(
+            batch_df.select(*cols), self.key_col,
+            self.depth, self.width, group_col=self.group_col
+        ).collect():  # bounded: <= batch_groups * depth * width rows
+            k = (r[self.group_col], r["row"], r["col"])
+            self.cells[k] = self.cells.get(k, 0) + int(r["cnt"])
+        self.n_batches += 1
+        self._last_epoch = epoch_id
+
+    def result(self) -> DataFrame:
+        """Occupied counter cells (group, row, col, cnt) of the merged
+        per-group sketches — equals cms_build(stream, key,
+        group_col=group) over the concatenated stream exactly (group
+        compared as string)."""
+        from pyspark.sql.session import SparkSession
+
+        if self.n_batches == 0:
+            raise RuntimeError(
+                "GroupedCountMinMonitor.result() before any micro-batch "
+                "was processed"
+            )
+        spark = SparkSession.getActiveSession()
+        rows = [
+            (g, int(r), int(c), int(n))
+            for (g, r, c), n in sorted(
+                self.cells.items(),
+                key=lambda kv: (str(kv[0][0]), kv[0][1], kv[0][2]),
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            f"{self.group_col} string, row int, col int, cnt long",
+        )
+
+
+def stream_cms_by_group(
+    events: DataFrame,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    depth: int = 4,
+    width: int = 256,
+):
+    """Attach a GroupedCountMinMonitor to an event stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = GroupedCountMinMonitor(key_col, group_col, depth, width)
+    q = (
+        events.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

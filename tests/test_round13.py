@@ -485,3 +485,115 @@ def test_grouped_hll_monitor_group_equals_key(spark):
     mon.process_batch(df, epoch_id=0)
     assert mon.n_batches == 1
     assert len(mon.regs) == 3  # one register group per key value
+
+
+# ------------------- GroupedCountMinMonitor (19th monitor, r14 prepay)
+
+
+def test_grouped_cms_monitor_stream_equals_batch(spark, tmp_path):
+    """GroupedCountMinMonitor over arbitrary file micro-batches ==
+    one-shot grouped cms_build on the full table, to the integer —
+    per-group additivity, no arrival-order assumption."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from bytehub_spark import streaming as st
+
+    ev = load_table(spark, SF, "events")
+    pdf = ev.select("event_id", "user_id", "event_type").toPandas()
+    src = str(tmp_path / "gcms_src")
+    os.makedirs(src)
+    bounds = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        spark.createDataFrame(pdf.iloc[bounds[i]:bounds[i + 1]]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q, mon = st.stream_cms_by_group(stream, str(tmp_path / "ck_gcms"))
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = (
+        mon.result()
+        .toPandas()
+        .sort_values(["event_type", "row", "col"])
+        .reset_index(drop=True)
+    )
+    want = (
+        S.cms_build(ev, "user_id", group_col="event_type")
+        .select(
+            F.col("event_type").cast("string"), "row", "col", "cnt"
+        )
+        .orderBy("event_type", "row", "col")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    n_groups = got["event_type"].nunique()
+    assert len(got) <= n_groups * 4 * 256  # bounded-state claim
+
+
+def test_grouped_cms_monitor_epoch_replay_guard(spark):
+    """Additive counters double-count a replayed epoch — the guard and
+    its hardened ordering (state/epoch untouched until the collect
+    succeeds) mirror CountMinMonitor."""
+    from bytehub_spark.streaming import GroupedCountMinMonitor
+
+    ev = load_table(spark, SF, "events").limit(200)
+    mon = GroupedCountMinMonitor()
+    mon.process_batch(ev, epoch_id=0)
+    cells0 = dict(mon.cells)
+    assert cells0
+    mon.process_batch(ev, epoch_id=0)  # replay — no-op
+    assert mon.cells == cells0
+    mon.process_batch(ev, epoch_id=1)  # new epoch — counts again
+    assert mon.cells == {k: 2 * v for k, v in cells0.items()}
+
+
+def test_grouped_cms_monitor_failed_batch_not_stamped(spark, monkeypatch):
+    """A batch that dies mid-collect must leave cells AND the epoch
+    stamp untouched, so the re-delivery (the one case the guard exists
+    for) counts exactly once."""
+    from bytehub_spark.streaming import GroupedCountMinMonitor
+
+    ev = load_table(spark, SF, "events").limit(100)
+    mon = GroupedCountMinMonitor()
+    import bytehub_spark.operators.sketches as sk
+
+    real = sk.cms_build
+
+    def boom(*a, **k):
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(sk, "cms_build", boom)
+    with pytest.raises(RuntimeError):
+        mon.process_batch(ev, epoch_id=5)
+    assert mon.cells == {} and mon.n_batches == 0
+    monkeypatch.setattr(sk, "cms_build", real)
+    mon.process_batch(ev, epoch_id=5)  # the re-delivery
+    assert mon.n_batches == 1 and mon.cells
+
+
+def test_grouped_cms_monitor_isolation_and_guard(spark):
+    """Group isolation carries into the monitor (a hot key in group A
+    never inflates group B's cells), and result() refuses before any
+    batch."""
+    from bytehub_spark.streaming import GroupedCountMinMonitor
+
+    rows = [("A", 1)] * 50 + [("B", 1)] * 2
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    mon = GroupedCountMinMonitor()
+    mon.process_batch(df)
+    b_cells = {k: v for k, v in mon.cells.items() if k[0] == "B"}
+    assert set(b_cells.values()) == {2}
+    with pytest.raises(RuntimeError):
+        GroupedCountMinMonitor().result()
+    with pytest.raises(ValueError):
+        GroupedCountMinMonitor(width=1)
