@@ -386,6 +386,22 @@ def _hll_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation.weighted_sample end-to-end (NEXT.md r13/14 candidate:
+    A-ES weighted sampling with the float-pow hazard dissolved by the
+    exact-integer max-of-w-uniforms reformulation): weight = 1 +
+    n_chars % 8 (data-derived, 1..8, non-degenerate at every sf),
+    top-25 by integer A-ES priority. The oracle replays the same
+    draws via generate_series ≤ w_eff and MAX — bit-identical
+    priorities, so the driver hash-compares the actual selection, not
+    a tolerance band. Plan: TakeOrderedAndProject, ZERO exchanges —
+    a weighted sample costs one scan at any size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (1 + F.col("n_chars") % 8).alias("w")
+    )
+    return curation.weighted_sample(docs, 25, "w", "doc_id", cap=8)
+
+
 def _qgram_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup.qgram_edit_pairs_routed end-to-end on a corpus built to
     force the island-collapse route: the substitution injection (the
@@ -503,11 +519,12 @@ _GATE_FIRST = [
     # --- (c) new in round 13 (each swept vs its oracle at 3 scales;
     # the driver gate is the record) ---
     "dedup_jaccard_routed", "ts_cms_topk_by_type", "ts_hll_matrix",
+    "cur_weighted_sample",
     # --- (d) r09-cohort prepayment, registry order (fills to 50; the
     # 45-query r09 cohort is due at r14 — each name here drops out of
     # that head; join_band_values doubles as the VERDICT r12 re-bench
     # subject) ---
-    "ts_dedup_latest", "join_band_values", "ts_level_shifts",
+    "ts_dedup_latest", "join_band_values",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
@@ -2102,6 +2119,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all-pairs HLL overlap matrix from one register scan — exact
         # oracle (grouped corrected estimates + exact intersections)
         "ts_hll_matrix": _hll_matrix,
+        # A-ES weighted top-k sample in exact integer arithmetic
+        # (max-of-w-uniforms reformulation) — exact oracle
+        "cur_weighted_sample": _weighted_sample,
         # RFM quintile segmentation: per-user recency/frequency/monetary
         # (µ-unit BIGINT sums), exact percentile breakpoints (broadcast
         # scalar), 1-5 scores, segment rollup — exact oracle
@@ -7759,6 +7779,35 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ex ON ex.group_a = u.group_a
                         AND ex.group_b = u.group_b
             ORDER BY u.group_a, u.group_b
+        """,
+        # A-ES weighted sample replay: the same per-draw integer mixer
+        # (seed = WSAMPLE_SEED + r) via generate_series <= w_eff and
+        # MAX — bit-identical priorities, identical (priority desc, id)
+        # top-k. No floats: the u^(1/w) law is computed as max of w
+        # uniforms.
+        "cur_weighted_sample": f"""
+            WITH w AS (
+                SELECT doc_id, 1 + (n_chars % 8) AS weight
+                FROM documents
+            ),
+            eff AS (
+                SELECT doc_id, weight,
+                       GREATEST(LEAST(CAST(COALESCE(weight, 1)
+                           AS INTEGER), 8), 1) AS w_eff
+                FROM w
+            ),
+            pri AS (
+                SELECT doc_id, weight, w_eff,
+                       CAST(MAX({_H.int_mix_sql(
+                           'doc_id',
+                           f'({curation.WSAMPLE_SEED} + g.r)')})
+                           AS BIGINT) AS priority
+                FROM eff CROSS JOIN generate_series(1, 8) AS g(r)
+                WHERE g.r <= w_eff
+                GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, weight, w_eff, priority
+            FROM pri ORDER BY priority DESC, doc_id LIMIT 25
         """,
         # HLL replay: bucket = h1 mod m, rho = trailing-zero rank of h2
         # (generated integer CASE — hashing.rho_sql), max-merged

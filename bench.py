@@ -138,10 +138,12 @@ BENCH_QUERIES = [
     "ts_hll_overlap",
     "dedup_qgram_routed",
     # r13: the routed (priced) exact-Jaccard join, grouped Count-Min,
-    # all-pairs HLL overlap matrix — benched at birth
+    # all-pairs HLL overlap matrix, A-ES weighted sample — benched at
+    # birth
     "dedup_jaccard_routed",
     "ts_cms_topk_by_type",
     "ts_hll_matrix",
+    "cur_weighted_sample",
 ]
 
 

@@ -597,3 +597,83 @@ def test_grouped_cms_monitor_isolation_and_guard(spark):
         GroupedCountMinMonitor().result()
     with pytest.raises(ValueError):
         GroupedCountMinMonitor(width=1)
+
+
+# ------------------- weighted deterministic sample (A-ES, r14 prepay)
+
+
+def test_weighted_sample_matches_pure_python(spark):
+    """Selection == a pure-python replay of the same integer draws
+    (clamp, NULL weight, tie-break and all) — the op is deterministic
+    arithmetic, so the pin is exact equality, not statistics."""
+    from bytehub_spark.operators import curation
+    from bytehub_spark.operators.hashing import int_mix
+
+    rows = [(i, [None, -3, 1, 2, 5, 8, 99][i % 7]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    got = [
+        (r["doc_id"], r["weight"], r["w_eff"], r["priority"])
+        for r in curation.weighted_sample(df, 30, "w", cap=8).collect()
+    ]
+    py = []
+    for i, w in rows:
+        weff = max(1, min(w if w is not None else 1, 8))
+        pri = max(
+            int_mix(i, curation.WSAMPLE_SEED + r)
+            for r in range(1, weff + 1)
+        )
+        py.append((i, w, weff, pri))
+    py.sort(key=lambda t: (-t[3], t[0]))
+    assert got == py[:30]
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    """priority is max over the first w draws, so raising a key's
+    weight can only raise its priority (superset max) — the exact
+    structural law behind 'heavier keys win more often'."""
+    from bytehub_spark.operators import curation
+
+    ids = spark.range(300).withColumnRenamed("id", "doc_id")
+    lo = curation.weighted_sample(
+        ids.withColumn("w", F.lit(1)), 300, "w", cap=8
+    )
+    hi = curation.weighted_sample(
+        ids.withColumn("w", F.lit(8)), 300, "w", cap=8
+    )
+    pl = {r["doc_id"]: r["priority"] for r in lo.collect()}
+    ph = {r["doc_id"]: r["priority"] for r in hi.collect()}
+    assert all(ph[i] >= pl[i] for i in pl)
+    assert any(ph[i] > pl[i] for i in pl)
+
+
+def test_weighted_sample_favors_heavy_keys(spark):
+    """1,000 ids, half weight 8 / half weight 1: the A-ES law gives a
+    weight-8 id ~8x the selection odds, so the top-100 is dominated by
+    heavy ids (deterministic outcome of fixed hashes — not a flaky
+    statistical bound)."""
+    from bytehub_spark.operators import curation
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 8).otherwise(1).alias("w"),
+    )
+    top = curation.weighted_sample(df, 100, "w", cap=8).collect()
+    heavy = sum(1 for r in top if r["weight"] == 8)
+    assert heavy >= 70
+
+
+def test_weighted_sample_validation_and_plan(spark):
+    from bytehub_spark.operators import curation
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("w")
+    )
+    with pytest.raises(ValueError):
+        curation.weighted_sample(df, 0, "w")
+    with pytest.raises(ValueError):
+        curation.weighted_sample(df, 5, "w", cap=65)
+    # the no-shuffle claim: TakeOrderedAndProject, zero exchanges
+    out = curation.weighted_sample(df, 5, "w", cap=4)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange") == 0
