@@ -169,8 +169,35 @@ def cms_probe(
         *keys.columns, F.posexplode(arr).alias("row", "col")
     )
     if group_col is None:
+        # Grouped/ungrouped mismatch guard (ADVICE r13): an ungrouped
+        # probe against a GROUPED sketch joins every group's cells per
+        # (row, col) and the F.min across groups can fall BELOW the
+        # key's true total — silently breaking est >= true. Unlike the
+        # depth/width-mismatch misuse class this one is cheaply
+        # detectable: the grouped sketch carries its group column.
+        extra = set(cms.columns) - {"row", "col", "cnt"}
+        if extra:
+            raise ValueError(
+                "cms_probe without group_col against a grouped sketch "
+                f"(extra sketch column(s) {sorted(extra)}); pass "
+                "group_col= to probe each key against its own group's "
+                "sketch"
+            )
         joined = probes.join(F.broadcast(cms), ["row", "col"], "left")
     else:
+        # symmetric guard: a grouped probe needs the sketch's group
+        # column (an ungrouped sketch has no per-group cells to match)
+        if group_col not in cms.columns:
+            raise ValueError(
+                f"cms_probe(group_col={group_col!r}) against a sketch "
+                "without that column — build with cms_build(..., "
+                "group_col=) or drop group_col here"
+            )
+        if group_col not in keys.columns:
+            raise ValueError(
+                f"cms_probe: group_col {group_col!r} must be a column "
+                "of keys"
+            )
         # rename the sketch side so every join-condition reference is
         # unambiguous (row/col/group exist on both sides)
         c = (

@@ -2480,6 +2480,22 @@ def stream_hll_distinct(
     return q, mon
 
 
+def _group_to_string(g):
+    """Render a collected group value the way Spark's CAST(x AS STRING)
+    would, so the grouped monitors' result() frames (group surfaced as
+    STRING) accept any group_col type — int source ids, dates,
+    timestamps — instead of failing createDataFrame schema verification
+    on non-str values (ADVICE r13). NULL is preserved; bool is
+    lowercased to match Spark ("true"/"false", not Python's
+    "True"/"False"). str(date)/str(datetime) already match Spark's
+    date/timestamp cast formatting."""
+    if g is None:
+        return None
+    if isinstance(g, bool):
+        return "true" if g else "false"
+    return str(g)
+
+
 class GroupedHllMonitor:
     """Per-group HyperLogLog distinct monitor (18th) — the
     per-source / per-day distinct-user rollup the HLL docstring names
@@ -2555,7 +2571,7 @@ class GroupedHllMonitor:
             )
         spark = SparkSession.getActiveSession()
         rows = [
-            (g, int(b), int(r))
+            (_group_to_string(g), int(b), int(r))
             for (g, b), r in sorted(
                 self.regs.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
             )
@@ -2672,7 +2688,7 @@ class GroupedCountMinMonitor:
             )
         spark = SparkSession.getActiveSession()
         rows = [
-            (g, int(r), int(c), int(n))
+            (_group_to_string(g), int(r), int(c), int(n))
             for (g, r, c), n in sorted(
                 self.cells.items(),
                 key=lambda kv: (str(kv[0][0]), kv[0][1], kv[0][2]),

@@ -521,10 +521,14 @@ def test_grouped_cms_monitor_stream_equals_batch(spark, tmp_path):
         assert q.awaitTermination(180)
     finally:
         q.stop()
+    # both sides sorted by the SAME engine + na_position (ADVICE r13:
+    # pandas sort_values puts NaN/None last, Spark orderBy puts NULLs
+    # first ascending — a NULL event_type in the corpus would misalign
+    # the frames and fail the exact-equality assert spuriously)
     got = (
         mon.result()
         .toPandas()
-        .sort_values(["event_type", "row", "col"])
+        .sort_values(["event_type", "row", "col"], na_position="first")
         .reset_index(drop=True)
     )
     want = (
@@ -532,8 +536,9 @@ def test_grouped_cms_monitor_stream_equals_batch(spark, tmp_path):
         .select(
             F.col("event_type").cast("string"), "row", "col", "cnt"
         )
-        .orderBy("event_type", "row", "col")
         .toPandas()
+        .sort_values(["event_type", "row", "col"], na_position="first")
+        .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     n_groups = got["event_type"].nunique()

@@ -1,0 +1,144 @@
+"""Round-14 tests: ADVICE-r13 fixes (grouped monitors accept non-string
+group columns, cms_probe grouped/ungrouped mismatch guards), grouped
+KMV, and the weighted_sample cap router.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bytehub_spark.operators import sketches as S
+from bytehub_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------- grouped monitors: non-string group (ADVICE r13 #1)
+
+
+def test_grouped_monitors_accept_int_group_col(spark):
+    """result() surfaces the group column as STRING; with an int
+    group_col (a documented-legal config — source ids, dates) the row
+    build must CAST, not hand raw ints to a string-typed
+    createDataFrame (TypeError at schema verification pre-fix). The
+    string values must match Spark's own CAST(x AS STRING) so a batch
+    twin comparison stays exact."""
+    from bytehub_spark.streaming import (
+        GroupedCountMinMonitor,
+        GroupedHllMonitor,
+    )
+
+    ev = load_table(spark, SF, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    # int group: user_id % 3; also exercises NULL preservation via a
+    # NULL-group slice
+    src = ev.select(
+        "user_id",
+        F.when(F.col("event_id") % 7 != 0, F.col("user_id") % 3).alias(
+            "grp"
+        ),
+    )
+    mon = GroupedCountMinMonitor(key_col="user_id", group_col="grp")
+    mon.process_batch(src, epoch_id=0)
+    got = mon.result()  # pre-fix: TypeError here
+    want = (
+        S.cms_build(src, "user_id", group_col="grp")
+        .select(F.col("grp").cast("string"), "row", "col", "cnt")
+    )
+    key = lambda t: (t[0] is None, str(t[0]), t[1], t[2])  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+    assert {r["grp"] for r in got.collect()} >= {"0", "1", "2", None}
+
+    hmon = GroupedHllMonitor(key_col="user_id", group_col="grp")
+    hmon.process_batch(src)
+    hgot = hmon.result()
+    hwant = S.hll_registers(src, "user_id", "grp", 64).select(
+        F.col("grp").cast("string"), "bucket", "rho"
+    )
+    assert sorted(map(tuple, hgot.collect()), key=key) == sorted(
+        map(tuple, hwant.collect()), key=key
+    )
+
+
+def test_group_to_string_matches_spark_cast(spark):
+    """_group_to_string must equal Spark's CAST(x AS STRING) for the
+    group types a monitor can legally see — incl. the bool lowercase
+    edge Python's str() gets wrong."""
+    import datetime
+
+    from bytehub_spark.streaming.ingest import _group_to_string
+
+    vals = [
+        (5, "int"),
+        (True, "boolean"),
+        (False, "boolean"),
+        (datetime.date(2024, 1, 2), "date"),
+        (datetime.datetime(2024, 1, 2, 3, 4, 5), "timestamp"),
+        (2.5, "double"),
+        ("s", "string"),
+        (None, "string"),
+    ]
+    df = spark.createDataFrame(
+        [(i,) for i in range(len(vals))], "i int"
+    ).select(
+        F.array(
+            *[
+                F.lit(v).cast(t).cast("string")
+                for v, t in vals
+            ]
+        ).alias("casts")
+    )
+    spark_casts = df.collect()[0]["casts"]
+    for (v, _), want in zip(vals, spark_casts):
+        assert _group_to_string(v) == want, (v, want)
+
+
+# ------------------- cms_probe mismatch guards (ADVICE r13 #2)
+
+
+def test_cms_probe_grouped_ungrouped_mismatch_raises(spark):
+    """Ungrouped probe of a grouped sketch can return est < true (min
+    across groups) — must raise, not silently break the contract; the
+    symmetric misuse (grouped probe of an ungrouped sketch / group_col
+    missing from keys) raises too. The correct pairings still work and
+    est >= true holds."""
+    ev = load_table(spark, SF, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    grouped = S.cms_build(ev, "user_id", group_col="event_type")
+    flat = S.cms_build(ev, "user_id")
+    keys = ev.select("user_id", "event_type").distinct().limit(20)
+
+    with pytest.raises(ValueError, match="grouped sketch"):
+        S.cms_probe(grouped, keys.select("user_id"), "user_id")
+    with pytest.raises(ValueError, match="without that column"):
+        S.cms_probe(flat, keys, "user_id", group_col="event_type")
+    with pytest.raises(ValueError, match="column of keys"):
+        S.cms_probe(
+            grouped, keys.select("user_id"), "user_id",
+            group_col="event_type",
+        )
+
+    # correct pairings: est >= true on every probed row
+    true_flat = {
+        r["user_id"]: r["c"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("c"))
+        .join(keys.select("user_id").distinct(), "user_id")
+        .collect()
+    }
+    for r in S.cms_probe(flat, keys.select("user_id").distinct(),
+                         "user_id").collect():
+        assert r["est_cnt"] >= true_flat[r["user_id"]]
+    true_grp = {
+        (r["user_id"], r["event_type"]): r["c"]
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+        .join(keys, ["user_id", "event_type"])
+        .collect()
+    }
+    for r in S.cms_probe(
+        grouped, keys, "user_id", group_col="event_type"
+    ).collect():
+        assert r["est_cnt"] >= true_grp[(r["user_id"], r["event_type"])]
