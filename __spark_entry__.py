@@ -108,6 +108,10 @@ JACR_INJ_OFFSET = 60_000_000
 CMS_DEPTH = 4
 CMS_WIDTH = 256
 HLL_M = 64
+# grouped KMV: 64 keeps sf0.001 on the complete-sketch branch (15
+# users < k → est == m) and sf0.01+ on the estimator branch (150+
+# users) — both CASE arms swept by the triple-scale sweep.
+KMVSK_K = 64
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -386,6 +390,48 @@ def _hll_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped KMV (NEXT.md r14 candidate: the third sketch gets the
+    group_col treatment): sketches.kmv_sketch/kmv_estimate — one
+    independent bottom-k (k = 64) of mixer-hashed user_ids per
+    event_type, finished to integer distinct estimates next to the
+    exact COUNT(DISTINCT) and err_ppm (the kmv_source_distinct audit
+    convention). Join on a null-safe group comparison (a NULL type
+    would be a group like any other); at sf0.001 the sketch is
+    complete (est == m == exact), at sf0.01+ the (k−1)·P div u_k
+    estimator branch fires. The oracle replays hash, bottom-k, and
+    estimate bit-exactly."""
+    from bytehub_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.where(F.col("user_id").isNotNull())
+    sk = sketches.kmv_sketch(
+        keyed, "user_id", KMVSK_K, group_col="event_type"
+    )
+    est = sketches.kmv_estimate(sk, KMVSK_K, ["event_type"])
+    exact = keyed.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    ).withColumnRenamed("event_type", "__et")
+    return (
+        est.join(
+            exact, F.col("event_type").eqNullSafe(F.col("__et"))
+        )
+        .drop("__et")
+        .select(
+            "event_type",
+            "m",
+            "u_k",
+            "est_distinct",
+            "exact_distinct",
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 1000000"
+                " div greatest(exact_distinct, 1)"
+            ).cast("long").alias("err_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """curation.weighted_sample end-to-end (NEXT.md r13/14 candidate:
     A-ES weighted sampling with the float-pow hazard dissolved by the
@@ -491,40 +537,40 @@ def _jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scales via scripts/check_oracle.py (round-4 sweeps: 178/178 ALL MATCH
 # at sf0.001, sf0.01, and sf0.1).
 _GATE_FIRST = [
-    # Round-13 rotation. The 41 r08-cohort queries sat at lag 4 == the
-    # bound after the r12 gate, so they head this rotation (cohort
+    # Round-14 rotation. The 43 r09-cohort queries sat at lag 4 == the
+    # bound after the r13 gate, so they head this rotation (cohort
     # recomputed from CORRECTNESS_r*.json latest-green rows, NOT from
-    # comments — it matches NEXT.md's pinned r12 list). Remaining
-    # slots: permanents, r13 new, then r09-cohort prepays (that cohort
-    # — 45 queries — comes due at r14; every prepay here shrinks it).
-    # --- (a) ALL 41 r08-stale queries (latest green row == r08),
+    # comments — it matches NEXT.md's pinned r13 list). Remaining
+    # slots: permanents, r14 new, then r10-cohort prepays (that cohort
+    # — 45 queries — comes due at r15; every prepay here shrinks it).
+    # --- (a) ALL 43 r09-stale queries (latest green row == r09),
     # registry order ---
-    "dedup_simhash", "dedup_incremental_lsh", "dedup_substring",
-    "cur_stratified_sample", "dedup_decontaminate_flags",
-    "cur_chunk_documents", "cur_cap_per_group", "doc_quality_rules",
-    "doc_bm25_topk", "doc_span_dedup", "doc_bpe_pairs",
-    "doc_bm25_indexed", "ts_retention_cohorts", "ts_rollup_pyramid",
-    "ts_seasonal_anomaly", "ts_ohlc_bars", "ts_gap_report",
-    "ts_first_touch", "emb_dim_stats", "cur_temperature_mix",
-    "cur_temperature_sample", "emb_group_centroids",
-    "emb_label_affinity", "dedup_canonical", "mm_featurize_bytes",
-    "mm_frame_counts", "mm_metadata_stats", "emb_cosine_topk",
-    "emb_batch_topk", "emb_lsh_balance", "emb_lsh_plan",
-    "dedup_band_recall", "cur_table_profile", "cur_quality_gate",
-    "cur_schema_diff", "cur_profile_drift", "cur_ri_gate",
-    "ts_rfm_segments", "emb_cluster_quality", "ts_holt_winters",
-    "ts_forecast_eval",
+    "ts_level_shifts", "ts_user_profiles", "cur_corpus_pipeline",
+    "emb_label_outliers", "emb_pca_project", "emb_pq_topk",
+    "emb_ivf_pq_topk", "dedup_lsh_novelty", "mm_chunk_audio",
+    "emb_ivf_topk", "link_fuzzy_docs", "ts_decay_score",
+    "ts_sketch_accuracy", "doc_bigram_lm", "cur_sample_k_per_group",
+    "dedup_source_overlap", "emb_stored_ivf_pq", "emb_pq_novelty",
+    "doc_domain_affinity", "cur_quality_rebalance", "ts_top_paths",
+    "ts_quality_audit", "ts_churn_labels", "ts_rollup_incremental",
+    "ts_mad_outliers", "ts_heavy_hitters", "emb_hard_negatives",
+    "doc_langid_confusion", "doc_bigram_xent", "ts_value_drift",
+    "emb_ivf_pq_append", "mm_tile_plan", "ts_weekly_growth",
+    "doc_sentence_stats", "cur_split_leakage", "doc_line_dedup",
+    "doc_ngram_novelty", "dedup_token_inflation", "dedup_span_coverage",
+    "join_band_plan", "join_skew_profile", "dedup_savings_profile",
+    "cur_dataset_card",
     # --- (b) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (c) new in round 13 (each swept vs its oracle at 3 scales;
-    # the driver gate is the record) ---
-    "dedup_jaccard_routed", "ts_cms_topk_by_type", "ts_hll_matrix",
-    "cur_weighted_sample",
-    # --- (d) r09-cohort prepayment, registry order (fills to 50; the
-    # 45-query r09 cohort is due at r14 — each name here drops out of
-    # that head; join_band_values doubles as the VERDICT r12 re-bench
-    # subject) ---
-    "ts_dedup_latest", "join_band_values",
+    # --- (c) new in round 14 (swept vs its oracle at 3 scales; the
+    # driver gate is the record) ---
+    "ts_kmv_by_type",
+    # --- (d) r10-cohort prepayment, registry order skipped in favor of
+    # the two storm-window bench outliers (VERDICT r13 #2: their clean
+    # re-bench pairs with a fresh gate row) + the cohort's registry
+    # head (fills to 50; the 45-query r10 cohort is due at r15 — each
+    # name here drops out of that head) ---
+    "dedup_prefix_filter", "doc_kn_bigram", "ts_time_travel",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
@@ -2119,6 +2165,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all-pairs HLL overlap matrix from one register scan — exact
         # oracle (grouped corrected estimates + exact intersections)
         "ts_hll_matrix": _hll_matrix,
+        # grouped KMV: per-type bottom-k sketch + integer distinct
+        # estimate next to exact — exact oracle (bit-exact replay)
+        "ts_kmv_by_type": _kmv_by_type,
         # A-ES weighted top-k sample in exact integer arithmetic
         # (max-of-w-uniforms reformulation) — exact oracle
         "cur_weighted_sample": _weighted_sample,
@@ -7717,6 +7766,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, user_id, true_cnt, est_cnt,
                    est_cnt - true_cnt AS over_cnt
             FROM probe ORDER BY event_type NULLS FIRST, user_id
+        """,
+        # grouped KMV: distinct (type, mixer-hash), per-type bottom-k
+        # by row_number, the (k-1)*P // u_k estimator (or m when the
+        # sketch is complete), exact distinct + err_ppm joined
+        # null-safely (IS NOT DISTINCT FROM mirrors eqNullSafe).
+        "ts_kmv_by_type": f"""
+            WITH k AS (
+                SELECT DISTINCT event_type,
+                       {_H.int_h1_sql('user_id')} AS h
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            sk AS (
+                SELECT event_type, h FROM (
+                    SELECT event_type, h,
+                           row_number() OVER (
+                               PARTITION BY event_type ORDER BY h
+                           ) AS r
+                    FROM k
+                ) WHERE r <= {KMVSK_K}
+            ),
+            est AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS m,
+                       CAST(MAX(h) AS BIGINT) AS u_k
+                FROM sk GROUP BY 1
+            ),
+            ex AS (
+                SELECT event_type,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                           AS exact_distinct
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            )
+            SELECT e.event_type, m, u_k,
+                   CAST(CASE WHEN m < {KMVSK_K} THEN m
+                        ELSE CAST({KMVSK_K - 1} AS BIGINT)
+                             * {_H.MINHASH_PRIME} // u_k END
+                       AS BIGINT) AS est_distinct,
+                   exact_distinct,
+                   CAST(abs(CASE WHEN m < {KMVSK_K} THEN m
+                            ELSE CAST({KMVSK_K - 1} AS BIGINT)
+                                 * {_H.MINHASH_PRIME} // u_k END
+                            - exact_distinct) * 1000000
+                        // greatest(exact_distinct, 1)
+                       AS BIGINT) AS err_ppm
+            FROM est e JOIN ex x
+                ON e.event_type IS NOT DISTINCT FROM x.event_type
+            ORDER BY e.event_type NULLS FIRST
         """,
         # all-pairs HLL overlap matrix: per-type registers, pair frame
         # from the distinct-group self-join, per-pair union max-merge,

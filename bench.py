@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "ts_cms_topk_by_type",
     "ts_hll_matrix",
     "cur_weighted_sample",
+    # r14: grouped KMV (per-type bottom-k distinct estimate), benched
+    # at birth
+    "ts_kmv_by_type",
 ]
 
 

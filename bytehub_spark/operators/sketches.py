@@ -543,3 +543,124 @@ def hll_overlap_matrix(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+    group_col: str | None = None,
+) -> DataFrame:
+    """KMV (k minimum values, Bar-Yossef et al. 2002) sketch of an
+    integer key column as (group?, h) rows — the third mergeable
+    sketch gets the cms_build/hll_registers ``group_col`` treatment:
+    one independent bottom-k per group value, state ≤ groups·k hash
+    values. vs HLL registers, KMV keeps the hash VALUES, so sketches
+    also support union/intersection estimation by set algebra
+    (dedup.kmv_source_overlap's text-corpus form); vs CMS it answers
+    distinct-count, not frequency.
+
+    The hash is the engine-portable integer mixer (int_h1_sql, uniform
+    on [0, 2^31−1)), so sketch contents and estimates replay bit-exact
+    in the DuckDB oracle. NULL keys are excluded (a NULL hashes
+    nowhere); a NULL group value is a group like any other.
+
+    Merge law (pinned in tests): kmv_sketch(A ∪ B) ==
+    kmv_merge(kmv_sketch(A) ∪ kmv_sketch(B)) — bottom-k of a union is
+    the bottom-k of the unions' bottom-ks, and duplicates collapse via
+    DISTINCT, so re-merged shards and re-delivered rows never skew the
+    estimate (idempotent, like HLL's max and unlike CMS's add).
+
+    Scale shape: one distinct on (group?, h) — map-side partial
+    aggregation first — then the per-group bottom-k runs SHARDED
+    (h % 32 window bottom-k, then bottom-k over the ≤ 32·k survivors
+    via a bounded sort_array finisher): no single-task global sort per
+    group at any key cardinality, no global window in the ungrouped
+    form (the finisher is an aggregation).
+    """
+    if k < 2:
+        raise ValueError("k >= 2 required")
+    gcols = [group_col] if group_col else []
+    # dict.fromkeys: group_col == key_col is legal (sketch the key
+    # domain grouped by itself) — a duplicate select would make every
+    # downstream reference ambiguous
+    cols = list(dict.fromkeys((*gcols, key_col)))
+    hashed = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*cols)
+        .select(*gcols, F.expr(int_h1_sql(key_col)).alias("h"))
+        .distinct()
+    )
+    return _kmv_bottom_k(hashed, k, gcols)
+
+
+def _kmv_bottom_k(fp: DataFrame, k: int, gcols: list[str]) -> DataFrame:
+    """Per-group k minimum distinct h values of a (group…, h) frame.
+    Two passes: a SHARDED window bottom-k (h % 32 — partitionBy always
+    includes the shard key, so no global window even with no groups)
+    caps survivors at 32·k per group, then a sort_array/slice finisher
+    aggregation picks the true bottom-k from that bounded set (an agg,
+    not a window — flag-free and map-side combinable in the ungrouped
+    form)."""
+    from pyspark.sql import Window
+
+    w_shard = Window.partitionBy(*gcols, "__shard").orderBy("h")
+    survivors = (
+        fp.withColumn("__shard", F.col("h") % 32)
+        .withColumn("__r", F.row_number().over(w_shard))
+        .where(F.col("__r") <= k)
+        .drop("__shard", "__r")
+    )
+    return (
+        survivors.groupBy(*gcols)
+        .agg(
+            F.slice(F.sort_array(F.collect_list("h")), 1, k).alias("__hs")
+        )
+        .select(*gcols, F.explode("__hs").alias("h"))
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame, k: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge a union of KMV sketch frames back to one bottom-k per
+    group — bottom-k of the concatenated (group…, h) rows, duplicate
+    hash values collapsed. kmv_merge(kmv_sketch(A) ∪ kmv_sketch(B)) ==
+    kmv_sketch(A ∪ B) exactly (the pinned merge law): the streaming /
+    multi-shard state update."""
+    gcols = list(group_cols or [])
+    return _kmv_bottom_k(
+        sketches.select(*gcols, "h").distinct(), k, gcols
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Finish a KMV sketch into per-group distinct estimates:
+    (group…, m, u_k, est_distinct) with est = (k−1)·P div u_k (hashes
+    uniform on [0, P) ⇒ the k-th minimum sits near k/n·P), or exactly
+    m when the sketch is complete (m < k — fewer than k distinct hash
+    values exist, so the sketch IS the distinct set). Pure integer
+    arithmetic — (k−1)·P < 2^63 at any sane k — replayed bit-exact by
+    the oracle (`//` in DuckDB, `div` here). Estimates DISTINCT HASHES;
+    at 2^31-scale key domains the collision deficit vs true distinct
+    keys is far below the sketch's own ~1/√(k−2) relative error."""
+    gcols = list(group_cols or [])
+    P = MINHASH_PRIME
+    return (
+        sketch.groupBy(*gcols)
+        .agg(
+            F.count("*").cast("long").alias("m"),
+            F.max("h").cast("long").alias("u_k"),
+        )
+        .select(
+            *gcols,
+            "m",
+            "u_k",
+            F.expr(
+                f"CASE WHEN m < {k} THEN m "
+                f"ELSE CAST({k - 1} AS BIGINT) * {P} div u_k END"
+            ).cast("long").alias("est_distinct"),
+        )
+    )

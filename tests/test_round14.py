@@ -142,3 +142,90 @@ def test_cms_probe_grouped_ungrouped_mismatch_raises(spark):
         grouped, keys, "user_id", group_col="event_type"
     ).collect():
         assert r["est_cnt"] >= true_grp[(r["user_id"], r["event_type"])]
+
+
+# ------------------- grouped KMV (NEXT.md r14 candidate)
+
+
+def test_kmv_sketch_merge_law_and_isolation(spark):
+    """bottom-k of a union == merged bottom-ks (the shard/stream state
+    update), re-merge of the SAME sketch is a no-op (idempotence), and
+    a grouped build equals per-group solo builds (independence — the
+    grouped-CMS isolation convention)."""
+    ev = load_table(spark, SF, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    key = lambda t: (str(t[0]), t[1])  # noqa: E731
+    whole = sorted(
+        map(tuple, S.kmv_sketch(
+            ev, "user_id", 8, group_col="event_type").collect()),
+        key=key,
+    )
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    ska = S.kmv_sketch(a, "user_id", 8, group_col="event_type")
+    skb = S.kmv_sketch(b, "user_id", 8, group_col="event_type")
+    merged = S.kmv_merge(ska.unionByName(skb), 8, ["event_type"])
+    assert sorted(map(tuple, merged.collect()), key=key) == whole
+    # idempotence: merging a sketch with itself changes nothing
+    re = S.kmv_merge(
+        merged.unionByName(merged), 8, ["event_type"]
+    )
+    assert sorted(map(tuple, re.collect()), key=key) == whole
+    # isolation: grouped build == per-group solo builds
+    for g in ["click", "view"]:
+        solo = sorted(
+            r["h"]
+            for r in S.kmv_sketch(
+                ev.where(F.col("event_type") == g), "user_id", 8
+            ).collect()
+        )
+        grp = sorted(t[1] for t in whole if t[0] == g)
+        assert solo == grp, g
+
+
+def test_kmv_estimate_branches_and_contracts(spark):
+    """Complete sketch (m < k): est == m == the true distinct-hash
+    count. Estimator branch (m == k): est = (k-1)*P div u_k, checked
+    against a pure-python replay of the same hashes; accuracy within
+    the sketch's ~1/sqrt(k-2) law (x4 slack). NULL keys excluded; a
+    NULL group is a group like any other; k < 2 raises."""
+    from bytehub_spark.operators.hashing import MINHASH_PRIME, int_mix
+
+    ev = load_table(spark, SF, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    users = [r["user_id"] for r in ev.select("user_id").distinct().collect()]
+    hs = sorted({int_mix(u, 0) for u in users})
+    # complete: k = 64 > 15 users
+    est = S.kmv_estimate(S.kmv_sketch(ev, "user_id", 64), 64).collect()
+    assert len(est) == 1 and est[0]["m"] == len(hs)
+    assert est[0]["est_distinct"] == len(hs)
+    # estimator branch: k = 8 < 15 — replay exactly
+    est8 = S.kmv_estimate(S.kmv_sketch(ev, "user_id", 8), 8).collect()[0]
+    u_k = hs[7]
+    want = 7 * MINHASH_PRIME // u_k
+    assert (est8["m"], est8["u_k"], est8["est_distinct"]) == (8, u_k, want)
+    assert abs(want - len(hs)) <= 4 * len(hs) / (8 - 2) ** 0.5
+    # NULL keys excluded / NULL group kept
+    src = spark.createDataFrame(
+        [(None, "g"), (1, "g"), (2, None), (None, None)],
+        "k int, g string",
+    )
+    sk = S.kmv_sketch(src, "k", 4, group_col="g")
+    got = {(r["g"], r["h"] is not None) for r in sk.collect()}
+    assert got == {("g", True), (None, True)}
+    with pytest.raises(ValueError, match="k >= 2"):
+        S.kmv_sketch(src, "k", 1)
+
+
+def test_kmv_sketch_group_eq_key_col(spark):
+    """group_col == key_col is legal (sketch the key domain grouped by
+    itself — the r13 GroupedHll lesson): one h per group, each the
+    key's own mixer hash."""
+    from bytehub_spark.operators.hashing import int_mix
+
+    src = spark.createDataFrame([(i % 4,) for i in range(40)], "k int")
+    sk = S.kmv_sketch(src, "k", 8, group_col="k")
+    rows = {(r["k"], r["h"]) for r in sk.collect()}
+    assert rows == {(v, int_mix(v, 0)) for v in range(4)}
