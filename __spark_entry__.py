@@ -448,6 +448,23 @@ def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.weighted_sample(docs, 25, "w", "doc_id", cap=8)
 
 
+def _weighted_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted_sample cap ROUTER's >64 regime end-to-end (VERDICT
+    r13 #4: the route is the operator's choice now): weight = 1 +
+    n_chars % 200 (spans [1, 200] — genuinely past the unroll cap),
+    cap = 128, so the operator self-routes to the higher-order-function
+    shape (array_max over transform/sequence — no unrolled projection,
+    no explode, no shuffle) AND the clamp to [1, 128] is live for
+    weights in (128, 200]. The oracle replays the identical integer
+    draws via generate_series ≤ w_eff + MAX — the driver hash-compares
+    the actual routed selection. Plan: still TakeOrderedAndProject with
+    ZERO exchanges (pinned in pytest across the boundary)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (1 + F.col("n_chars") % 200).alias("w")
+    )
+    return curation.weighted_sample(docs, 25, "w", "doc_id", cap=128)
+
+
 def _qgram_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup.qgram_edit_pairs_routed end-to-end on a corpus built to
     force the island-collapse route: the substitution injection (the
@@ -562,15 +579,15 @@ _GATE_FIRST = [
     "cur_dataset_card",
     # --- (b) permanent value-gates (empty below sf0.01) ---
     "tpch_q11", "tpch_q20", "tpch_q21",
-    # --- (c) new in round 14 (swept vs its oracle at 3 scales; the
-    # driver gate is the record) ---
-    "ts_kmv_by_type",
+    # --- (c) new in round 14 (each swept vs its oracle at 3 scales;
+    # the driver gate is the record) ---
+    "ts_kmv_by_type", "cur_weighted_routed",
     # --- (d) r10-cohort prepayment, registry order skipped in favor of
     # the two storm-window bench outliers (VERDICT r13 #2: their clean
-    # re-bench pairs with a fresh gate row) + the cohort's registry
-    # head (fills to 50; the 45-query r10 cohort is due at r15 — each
-    # name here drops out of that head) ---
-    "dedup_prefix_filter", "doc_kn_bigram", "ts_time_travel",
+    # re-bench pairs with a fresh gate row) (fills to 50; the 45-query
+    # r10 cohort is due at r15 — each name here drops out of that
+    # head) ---
+    "dedup_prefix_filter", "doc_kn_bigram",
     # (recompute cohorts from CORRECTNESS_r*.json, never from comments)
 ]
 
@@ -2171,6 +2188,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A-ES weighted top-k sample in exact integer arithmetic
         # (max-of-w-uniforms reformulation) — exact oracle
         "cur_weighted_sample": _weighted_sample,
+        # the cap router's >64 regime (HOF shape + live clamp) — exact
+        # oracle (generate_series replay)
+        "cur_weighted_routed": _weighted_routed,
         # RFM quintile segmentation: per-user recency/frequency/monetary
         # (µ-unit BIGINT sums), exact percentile breakpoints (broadcast
         # scalar), 1-5 scores, segment rollup — exact oracle
@@ -7899,6 +7919,34 @@ def oracle_sql() -> dict[str, str]:
                            f'({curation.WSAMPLE_SEED} + g.r)')})
                            AS BIGINT) AS priority
                 FROM eff CROSS JOIN generate_series(1, 8) AS g(r)
+                WHERE g.r <= w_eff
+                GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, weight, w_eff, priority
+            FROM pri ORDER BY priority DESC, doc_id LIMIT 25
+        """,
+        # the router's >64 regime: same replay, weights in [1, 200]
+        # clamped to cap=128 — the generate_series bound is the cap,
+        # the WHERE keeps only r <= w_eff (identical draw set to the
+        # routed transform/sequence shape)
+        "cur_weighted_routed": f"""
+            WITH w AS (
+                SELECT doc_id, 1 + (n_chars % 200) AS weight
+                FROM documents
+            ),
+            eff AS (
+                SELECT doc_id, weight,
+                       GREATEST(LEAST(CAST(COALESCE(weight, 1)
+                           AS INTEGER), 128), 1) AS w_eff
+                FROM w
+            ),
+            pri AS (
+                SELECT doc_id, weight, w_eff,
+                       CAST(MAX({_H.int_mix_sql(
+                           'doc_id',
+                           f'({curation.WSAMPLE_SEED} + g.r)')})
+                           AS BIGINT) AS priority
+                FROM eff CROSS JOIN generate_series(1, 128) AS g(r)
                 WHERE g.r <= w_eff
                 GROUP BY 1, 2, 3
             )

@@ -144,9 +144,10 @@ BENCH_QUERIES = [
     "ts_cms_topk_by_type",
     "ts_hll_matrix",
     "cur_weighted_sample",
-    # r14: grouped KMV (per-type bottom-k distinct estimate), benched
-    # at birth
+    # r14: grouped KMV (per-type bottom-k distinct estimate) + the
+    # weighted_sample cap router's >64 HOF regime, benched at birth
     "ts_kmv_by_type",
+    "cur_weighted_routed",
 ]
 
 
@@ -249,28 +250,35 @@ def main() -> None:
         attempts.append(_run_once(spark, queries, sf_dir))
     chosen = min(range(len(attempts)), key=lambda i: attempts[i]["value"])
     best = attempts[chosen]
-    print(
-        json.dumps(
-            {
-                "metric": "bytehub_spark headline query wall time",
-                "value": best["value"],
-                "unit": "sec",
-                "queries": best["queries"],
-                "sf": sf,
-                # contention telemetry: >~1000 ticks across the window
-                # means the wall times above are steal-inflated (judge
-                # protocol: adjudicate from these, don't re-run blind).
-                # attempts[] carries every window measured (length 2 when
-                # the first exceeded STEAL_RETRY_THRESHOLD); the top-level
-                # fields mirror attempts[chosen].
-                "steal_ticks_before": best["steal_ticks_before"],
-                "steal_ticks_after": best["steal_ticks_after"],
-                "steal_ticks_delta": best["steal_ticks_delta"],
-                "attempts": attempts,
-                "chosen": chosen,
-            }
-        )
-    )
+    payload = {
+        "metric": "bytehub_spark headline query wall time",
+        "value": best["value"],
+        "unit": "sec",
+        "queries": best["queries"],
+        "sf": sf,
+        # contention telemetry: >~1000 ticks across the window
+        # means the wall times above are steal-inflated (judge
+        # protocol: adjudicate from these, don't re-run blind).
+        # attempts[] carries every window measured (length 2 when
+        # the first exceeded STEAL_RETRY_THRESHOLD); the top-level
+        # fields mirror attempts[chosen].
+        "steal_ticks_before": best["steal_ticks_before"],
+        "steal_ticks_after": best["steal_ticks_after"],
+        "steal_ticks_delta": best["steal_ticks_delta"],
+        "attempts": attempts,
+        "chosen": chosen,
+    }
+    print(json.dumps(payload))
+    # Machine-readable local history (VERDICT r13 #6): the driver's
+    # BENCH_r*.json stores only a truncated stdout tail, which made the
+    # r13 storm-window triage depend on re-parsing raw strings. When
+    # SPARK_GRAFT_BENCH_OUT is set, persist the FULL payload (per-query
+    # best-of-3 + per-attempt steal) to that path for the committed
+    # BENCH_LOCAL_r{N}.json record.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -564,6 +564,21 @@ def sample_k_per_group(
 # sketch family's h1/h2 streams on the same key.
 WSAMPLE_SEED = 2654435769
 
+# Routing boundary for weighted_sample: caps up to this many draws are
+# driver-unrolled IF-gated mixer expressions under GREATEST (widest
+# codegen-friendly projection — measured fine through 64); past it the
+# unrolled projection outgrows codegen budgets, so the operator routes
+# itself to the higher-order-function shape (max over transform/
+# sequence) — same priority law, still ZERO exchanges (VERDICT r13 #4:
+# the route is the operator's choice, not caller homework).
+WSAMPLE_UNROLL_CAP = 64
+
+# Refusal bound for the routed shape: per-row work is O(min(weight,
+# cap)) mixer rounds, so a cap past this is a config error (bucket
+# heavy-tailed raw weights into [1, cap] instead — the priced-refusal
+# convention: refuse loudly rather than run a pathological plan).
+WSAMPLE_MAX_CAP = 1 << 20
+
 
 def weighted_sample(
     df: DataFrame,
@@ -585,27 +600,37 @@ def weighted_sample(
 
     Weights are COALESCEd (NULL → 1) then clamped to [1, cap],
     surfaced as ``w_eff`` so the clamp is visible in the output, not
-    silent. The cap bounds per-row work: the draws are cap
-    driver-unrolled mixer expressions gated by IF(w_eff >= r, h_r, -1)
-    under GREATEST — no explode, no transform() lambda (the repo's
-    codegen lessons), one projection. Weights are RELATIVE priorities;
-    pre-bucket heavy-tailed raw weights into [1, cap] before calling
-    (cap ≤ 64 validated — beyond that the unrolled projection outgrows
-    codegen budgets and an explode+groupBy shape wins).
+    silent. The cap bounds per-row work and ROUTES the priority shape
+    (self-routing, the jaccard_pairs_routed convention): cap ≤
+    WSAMPLE_UNROLL_CAP (64) builds cap driver-unrolled mixer
+    expressions gated by IF(w_eff >= r, h_r, -1) under GREATEST — the
+    widest codegen-friendly projection; past 64 the unrolled projection
+    outgrows codegen budgets, so the operator switches to
+    array_max(transform(sequence(1, w_eff), r -> mix(id, SEED + r)))
+    — the same priority law as a JVM higher-order function, per-row
+    work O(w_eff) with NO row explosion and NO groupBy shuffle. Both
+    shapes produce bit-identical output (pinned across the boundary in
+    tests). cap > WSAMPLE_MAX_CAP (2^20) raises — bucket heavy-tailed
+    raw weights into [1, cap] instead of paying 2^20 mixer rounds per
+    row.
 
     Scale: top-k is orderBy(priority desc, id).limit(k) =
     TakeOrderedAndProject — per-partition running top-k, then a
-    k·partitions driver merge. NO full shuffle, NO global sort: a
-    weighted sample of 100 TB costs one scan. Output (id, weight,
-    w_eff, priority), priority-desc / id-asc ordered; ids are assumed
-    unique (the sample is keyed by id).
+    k·partitions driver merge. NO full shuffle, NO global sort (BOTH
+    shapes — pinned): a weighted sample of 100 TB costs one scan.
+    Output (id, weight, w_eff, priority), priority-desc / id-asc
+    ordered; ids are assumed unique (the sample is keyed by id).
     """
     from .hashing import int_mix_sql
 
     if k < 1:
         raise ValueError("k >= 1 required")
-    if not (1 <= int(cap) <= 64):
-        raise ValueError("cap must be in [1, 64]")
+    if not (1 <= int(cap) <= WSAMPLE_MAX_CAP):
+        raise ValueError(
+            f"cap must be in [1, {WSAMPLE_MAX_CAP}] — per-row work in "
+            "the routed shape is O(cap) mixer rounds; pre-bucket "
+            "heavy-tailed weights instead of raising the cap further"
+        )
     cap = int(cap)
     w_eff = F.greatest(
         F.least(F.coalesce(F.col(weight_col), F.lit(1)).cast("int"),
@@ -617,14 +642,25 @@ def weighted_sample(
         F.col(weight_col).alias("weight"),
         w_eff.alias("w_eff"),
     )
-    draws = [
-        F.expr(
-            f"IF(w_eff >= {r}, "
-            f"{int_mix_sql(id_col, WSAMPLE_SEED + r)}, -1)"
+    if cap <= WSAMPLE_UNROLL_CAP:
+        draws = [
+            F.expr(
+                f"IF(w_eff >= {r}, "
+                f"{int_mix_sql(id_col, WSAMPLE_SEED + r)}, -1)"
+            )
+            for r in range(1, cap + 1)
+        ]
+        pri = draws[0] if cap == 1 else F.greatest(*draws)
+    else:
+        # routed shape: the seed argument is the SQL fragment
+        # "(WSAMPLE_SEED + r)" over the lambda variable — int_mix_sql
+        # only ever adds the seed once inside the first residue, so a
+        # parenthesized expression substitutes soundly for the literal
+        # (intermediates stay < 2^62 + 2^61: seed ≤ 2^32 + 2^20)
+        mix = int_mix_sql(id_col, f"({WSAMPLE_SEED} + r)")
+        pri = F.expr(
+            f"array_max(transform(sequence(1, w_eff), r -> {mix}))"
         )
-        for r in range(1, cap + 1)
-    ]
-    pri = draws[0] if cap == 1 else F.greatest(*draws)
     return (
         base.select(
             id_col, "weight", "w_eff", pri.cast("long").alias("priority")
