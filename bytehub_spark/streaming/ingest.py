@@ -2718,3 +2718,119 @@ def stream_cms_by_group(
         .start()
     )
     return q, mon
+
+
+class GroupedKmvMonitor:
+    """Per-group streaming KMV distinct-cardinality sketches (20th
+    monitor) — the third sketch family completes the grouped-monitor
+    triple (CMS = frequency, HLL = distinct registers, KMV = distinct
+    hash VALUES): one independent bottom-k of mixer-hashed integer keys
+    per group value, through ``operators.sketches.kmv_sketch``'s
+    group_col kernel. vs GroupedHllMonitor, KMV state supports set
+    algebra downstream (union/intersection estimation on the surviving
+    hashes) and its estimate is the exact distinct count whenever a
+    group's sketch is complete (m < k).
+
+    State ≤ groups·k BIGINTs on the driver — bounded whenever the GROUP
+    domain is bounded, while the key domain stays unbounded. The merge
+    is bottom_k(state ∪ batch_sketch) with duplicates collapsed — the
+    kmv_merge law pinned in the batch tests — which is IDEMPOTENT:
+    re-delivered rows, replayed epochs, and overlapping batches all
+    land in the identical sketch (no epoch guard needed, unlike the
+    additive CMS monitors; the HLL max-merge argument, on sets). So
+    result() equals kmv_sketch over the concatenation of all batches
+    row for row, structurally, over ANY batching.
+
+    No per-batch isEmpty() pre-check (the r13 per-batch-cost lesson):
+    an empty batch collects to the empty set — the merge identity —
+    and the input is pruned to (group, key) before hashing.
+
+    result() surfaces the group column as STRING (NULL preserved, the
+    grouped-monitor convention); ``estimates()`` finishes it through
+    ``kmv_estimate`` into per-group (m, u_k, est_distinct)."""
+
+    def __init__(
+        self,
+        key_col: str = "user_id",
+        group_col: str = "event_type",
+        k: int = 256,
+    ):
+        if k < 2:
+            raise ValueError("k >= 2 required")
+        self.key_col = key_col
+        self.group_col = group_col
+        self.k = int(k)
+        self.hashes: dict[object, list[int]] = {}  # group -> sorted bottom-k
+        self.n_batches = 0
+
+    def process_batch(
+        self, batch_df: DataFrame, epoch_id: int | None = None
+    ) -> None:
+        from ..operators.sketches import kmv_sketch
+
+        # dict.fromkeys: group_col == key_col is a legal config and a
+        # duplicate select would make downstream references ambiguous.
+        cols = list(dict.fromkeys((self.group_col, self.key_col)))
+        batch: dict[object, set[int]] = {}
+        for r in kmv_sketch(
+            batch_df.select(*cols), self.key_col, self.k,
+            group_col=self.group_col
+        ).collect():  # bounded: <= batch_groups * k rows
+            batch.setdefault(r[self.group_col], set()).add(int(r["h"]))
+        for g, hs in batch.items():
+            merged = set(self.hashes.get(g, ())) | hs
+            self.hashes[g] = sorted(merged)[: self.k]
+        self.n_batches += 1
+
+    def result(self) -> DataFrame:
+        """Surviving bottom-k hashes (group, h) of the merged per-group
+        sketches — equals kmv_sketch(stream, key, k, group_col=group)
+        over the concatenated stream exactly (group compared as
+        string)."""
+        from pyspark.sql.session import SparkSession
+
+        if self.n_batches == 0:
+            raise RuntimeError(
+                "GroupedKmvMonitor.result() before any micro-batch was "
+                "processed"
+            )
+        spark = SparkSession.getActiveSession()
+        rows = [
+            (_group_to_string(g), int(h))
+            for g in sorted(self.hashes, key=_group_key)
+            for h in self.hashes[g]
+        ]
+        return spark.createDataFrame(
+            rows, f"{self.group_col} string, h long"
+        )
+
+    def estimates(self) -> DataFrame:
+        """Per-group (m, u_k, est_distinct) through kmv_estimate — the
+        integer estimator, exact when a group's sketch is complete."""
+        from ..operators.sketches import kmv_estimate
+
+        return kmv_estimate(self.result(), self.k, [self.group_col])
+
+
+def _group_key(g):
+    """NULL-first string sort key for driver-side group iteration."""
+    return (g is not None, str(g))
+
+
+def stream_kmv_by_group(
+    events: DataFrame,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = 256,
+):
+    """Attach a GroupedKmvMonitor to an event stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = GroupedKmvMonitor(key_col, group_col, k)
+    q = (
+        events.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

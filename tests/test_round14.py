@@ -296,3 +296,106 @@ def test_weighted_sample_cap_refusal(spark):
     assert weighted_sample(
         src, 1, "w", cap=WSAMPLE_MAX_CAP
     ).collect()[0]["w_eff"] == 2
+
+
+# ------------------- GroupedKmvMonitor (20th monitor)
+
+
+def test_grouped_kmv_monitor_stream_equals_batch(spark, tmp_path):
+    """GroupedKmvMonitor over arbitrary file micro-batches ==
+    kmv_sketch(group_col=) on the full table, hash for hash — the
+    bottom-k-of-union merge law, no arrival-order assumption; and
+    estimates() == kmv_estimate over the same sketch."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from bytehub_spark import streaming as st
+
+    ev = load_table(spark, SF, "events")
+    pdf = ev.select("event_id", "user_id", "event_type").toPandas()
+    src = str(tmp_path / "gkmv_src")
+    os.makedirs(src)
+    bounds = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        spark.createDataFrame(pdf.iloc[bounds[i]:bounds[i + 1]]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q, mon = st.stream_kmv_by_group(stream, str(tmp_path / "ck_gkmv"), k=8)
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    assert mon.n_batches == 3
+    got = (
+        mon.result()
+        .toPandas()
+        .sort_values(["event_type", "h"], na_position="first")
+        .reset_index(drop=True)
+    )
+    want = (
+        S.kmv_sketch(ev, "user_id", 8, group_col="event_type")
+        .select(F.col("event_type").cast("string"), "h")
+        .toPandas()
+        .sort_values(["event_type", "h"], na_position="first")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    n_groups = got["event_type"].nunique()
+    assert len(got) <= n_groups * 8  # bounded-state claim
+    est = (
+        mon.estimates()
+        .toPandas()
+        .sort_values("event_type", na_position="first")
+        .reset_index(drop=True)
+    )
+    want_est = (
+        S.kmv_estimate(
+            S.kmv_sketch(ev, "user_id", 8, group_col="event_type")
+            .select(F.col("event_type").cast("string"), "h"),
+            8,
+            ["event_type"],
+        )
+        .toPandas()
+        .sort_values("event_type", na_position="first")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(est, want_est, check_dtype=False)
+
+
+def test_grouped_kmv_monitor_replay_idempotent(spark):
+    """Bottom-k-of-union is IDEMPOTENT — a replayed batch (same or
+    different epoch id) cannot move the state, so the monitor needs no
+    epoch guard (contrast the additive CMS monitors). Also: int
+    group_col accepted (STRING surfacing), group==key legal,
+    result() before any batch raises, k < 2 raises."""
+    from bytehub_spark.streaming import GroupedKmvMonitor
+
+    ev = load_table(spark, SF, "events").limit(200)
+    mon = GroupedKmvMonitor(k=8)
+    mon.process_batch(ev, epoch_id=0)
+    state0 = {g: list(v) for g, v in mon.hashes.items()}
+    assert state0
+    mon.process_batch(ev, epoch_id=1)  # replayed content, new epoch
+    assert {g: list(v) for g, v in mon.hashes.items()} == state0
+    # int group col -> string surfacing via the shared cast helper
+    intg = GroupedKmvMonitor(key_col="user_id", group_col="grp", k=4)
+    src = ev.select("user_id", (F.col("user_id") % 3).alias("grp"))
+    intg.process_batch(src, epoch_id=0)
+    gvals = {r["grp"] for r in intg.result().collect()}
+    assert gvals <= {"0", "1", "2"} and gvals
+    # group == key is legal
+    gk = GroupedKmvMonitor(key_col="user_id", group_col="user_id", k=4)
+    gk.process_batch(ev.select("user_id"), epoch_id=0)
+    assert all(len(v) == 1 for v in gk.hashes.values())
+    with pytest.raises(RuntimeError, match="before any micro-batch"):
+        GroupedKmvMonitor().result()
+    with pytest.raises(ValueError, match="k >= 2"):
+        GroupedKmvMonitor(k=1)
