@@ -452,17 +452,18 @@ def _weighted_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The weighted_sample cap ROUTER's >64 regime end-to-end (VERDICT
     r13 #4: the route is the operator's choice now): weight = 1 +
     n_chars % 200 (spans [1, 200] — genuinely past the unroll cap),
-    cap = 128, so the operator self-routes to the higher-order-function
-    shape (array_max over transform/sequence — no unrolled projection,
-    no explode, no shuffle) AND the clamp to [1, 128] is live for
-    weights in (128, 200]. The oracle replays the identical integer
+    cap = 150 (> WSAMPLE_UNROLL_CAP = 128, the r14-measured boundary),
+    so the operator self-routes to the higher-order-function shape
+    (array_max over transform/sequence — no unrolled projection, no
+    explode, no shuffle) AND the clamp to [1, 150] is live for weights
+    in (150, 200]. The oracle replays the identical integer
     draws via generate_series ≤ w_eff + MAX — the driver hash-compares
     the actual routed selection. Plan: still TakeOrderedAndProject with
     ZERO exchanges (pinned in pytest across the boundary)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", (1 + F.col("n_chars") % 200).alias("w")
     )
-    return curation.weighted_sample(docs, 25, "w", "doc_id", cap=128)
+    return curation.weighted_sample(docs, 25, "w", "doc_id", cap=150)
 
 
 def _qgram_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7925,10 +7926,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, weight, w_eff, priority
             FROM pri ORDER BY priority DESC, doc_id LIMIT 25
         """,
-        # the router's >64 regime: same replay, weights in [1, 200]
-        # clamped to cap=128 — the generate_series bound is the cap,
-        # the WHERE keeps only r <= w_eff (identical draw set to the
-        # routed transform/sequence shape)
+        # the router's >128 regime (the r14-measured boundary): same
+        # replay, weights in [1, 200] clamped to cap=150 — the
+        # generate_series bound is the cap, the WHERE keeps only
+        # r <= w_eff (identical draw set to the routed
+        # transform/sequence shape)
         "cur_weighted_routed": f"""
             WITH w AS (
                 SELECT doc_id, 1 + (n_chars % 200) AS weight
@@ -7937,7 +7939,7 @@ def oracle_sql() -> dict[str, str]:
             eff AS (
                 SELECT doc_id, weight,
                        GREATEST(LEAST(CAST(COALESCE(weight, 1)
-                           AS INTEGER), 128), 1) AS w_eff
+                           AS INTEGER), 150), 1) AS w_eff
                 FROM w
             ),
             pri AS (
@@ -7946,7 +7948,7 @@ def oracle_sql() -> dict[str, str]:
                            'doc_id',
                            f'({curation.WSAMPLE_SEED} + g.r)')})
                            AS BIGINT) AS priority
-                FROM eff CROSS JOIN generate_series(1, 128) AS g(r)
+                FROM eff CROSS JOIN generate_series(1, 150) AS g(r)
                 WHERE g.r <= w_eff
                 GROUP BY 1, 2, 3
             )

@@ -235,24 +235,26 @@ def test_kmv_sketch_group_eq_key_col(spark):
 
 
 def test_weighted_sample_routes_across_cap_boundary(spark):
-    """cap=64 (unrolled GREATEST) and cap=65 (routed HOF shape) give
-    BIT-IDENTICAL output on data whose weights never exceed 64 — the
-    clamp is the same, so the only difference is the route. Also: the
-    routed shape replays exactly in pure python (the A-ES
-    max-of-w-uniforms law at a cap the unrolled shape can't reach),
-    and its plan keeps TakeOrderedAndProject with zero exchanges."""
+    """cap=UNROLL_CAP (unrolled GREATEST) and cap=UNROLL_CAP+1 (routed
+    HOF shape) give BIT-IDENTICAL output on data whose weights never
+    exceed the boundary — the clamp is the same, so the only
+    difference is the route. Also: the routed shape replays exactly in
+    pure python (the A-ES max-of-w-uniforms law at a cap the unrolled
+    shape can't reach), and its plan keeps TakeOrderedAndProject with
+    zero exchanges."""
     from bytehub_spark.operators.curation import (
         WSAMPLE_SEED,
+        WSAMPLE_UNROLL_CAP as UC,
         weighted_sample,
     )
     from bytehub_spark.operators.hashing import int_mix
 
     src = spark.createDataFrame(
-        [(i, (i * 7) % 64 + 1 if i % 5 else None) for i in range(300)],
+        [(i, (i * 7) % UC + 1 if i % 5 else None) for i in range(300)],
         "doc_id int, w int",
     )
-    a = weighted_sample(src, 25, "w", id_col="doc_id", cap=64).collect()
-    b = weighted_sample(src, 25, "w", id_col="doc_id", cap=65).collect()
+    a = weighted_sample(src, 25, "w", id_col="doc_id", cap=UC).collect()
+    b = weighted_sample(src, 25, "w", id_col="doc_id", cap=UC + 1).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     # pure-python replay of the routed shape at cap=200 with weights
     # that genuinely exceed 64 (the regime the unroll refused before)
