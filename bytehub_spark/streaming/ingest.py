@@ -2834,3 +2834,108 @@ def stream_kmv_by_group(
         .start()
     )
     return q, mon
+
+
+class WeightedSampleMonitor:
+    """Streaming deterministic weighted top-k sample (21st monitor) —
+    ``operators.curation.weighted_sample``'s A-ES selection maintained
+    incrementally: top-k by the exact-integer A-ES priority (max of
+    w_eff mixer draws) with (priority desc, id asc) ordering. Because
+    the priority is a PURE FUNCTION of (id, w_eff) and top-k-of-union
+    == top-k of per-batch top-ks (the KMV bottom-k argument, flipped),
+    the merge is an idempotent max-merge: re-delivered rows produce
+    byte-identical candidates that dedupe on id, so replays cannot
+    move the state and no epoch guard is needed. State is ≤ k rows on
+    the driver, each batch contributes one scan + a k·partitions
+    TakeOrderedAndProject — a running weighted sample over an
+    unbounded stream at O(k) memory.
+
+    Assumes ids are unique across the stream (the weighted_sample
+    contract); a re-delivery of the SAME row is fine, two different
+    weights under one id are caller error (the batch operator keys the
+    sample by id the same way).
+
+    result() == weighted_sample(concatenation of all batches) row for
+    row (pinned), same columns (id, weight, w_eff, priority)."""
+
+    def __init__(
+        self,
+        k: int = 100,
+        weight_col: str = "w",
+        id_col: str = "doc_id",
+        cap: int = 8,
+    ):
+        if k < 1:
+            raise ValueError("k >= 1 required")
+        self.k = int(k)
+        self.weight_col = weight_col
+        self.id_col = id_col
+        self.cap = int(cap)
+        # id -> (priority, weight, w_eff); ordering recomputed on read
+        self.rows: dict[object, tuple] = {}
+        self.n_batches = 0
+        self._schema = None  # captured from the batch operator's output
+
+    def process_batch(
+        self, batch_df: DataFrame, epoch_id: int | None = None
+    ) -> None:
+        from ..operators.curation import weighted_sample
+
+        out = weighted_sample(
+            batch_df.select(self.id_col, self.weight_col),
+            self.k, self.weight_col, self.id_col, self.cap
+        )
+        if self._schema is None:
+            # the batch operator's own schema (id/weight types follow
+            # the input) so result() round-trips exactly
+            self._schema = out.schema
+        for r in out.collect():  # bounded: <= k rows per batch
+            self.rows[r[self.id_col]] = (
+                int(r["priority"]), r["weight"], int(r["w_eff"])
+            )
+        if len(self.rows) > self.k:
+            keep = sorted(
+                self.rows.items(), key=lambda kv: (-kv[1][0], kv[0])
+            )[: self.k]
+            self.rows = dict(keep)
+        self.n_batches += 1
+
+    def result(self) -> DataFrame:
+        """The current top-k sample (id, weight, w_eff, priority),
+        (priority desc, id asc) ordered — equals the batch operator
+        over the concatenated stream exactly."""
+        from pyspark.sql.session import SparkSession
+
+        if self.n_batches == 0:
+            raise RuntimeError(
+                "WeightedSampleMonitor.result() before any micro-batch "
+                "was processed"
+            )
+        spark = SparkSession.getActiveSession()
+        ordered = sorted(
+            self.rows.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )
+        rows = [
+            (i, w, int(we), int(p)) for i, (p, w, we) in ordered
+        ]
+        return spark.createDataFrame(rows, self._schema)
+
+
+def stream_weighted_sample(
+    docs: DataFrame,
+    checkpoint_dir: str,
+    k: int = 100,
+    weight_col: str = "w",
+    id_col: str = "doc_id",
+    cap: int = 8,
+):
+    """Attach a WeightedSampleMonitor to a stream. Returns
+    (StreamingQuery, monitor)."""
+    mon = WeightedSampleMonitor(k, weight_col, id_col, cap)
+    q = (
+        docs.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, mon

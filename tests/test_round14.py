@@ -401,3 +401,70 @@ def test_grouped_kmv_monitor_replay_idempotent(spark):
         GroupedKmvMonitor().result()
     with pytest.raises(ValueError, match="k >= 2"):
         GroupedKmvMonitor(k=1)
+
+
+# ------------------- WeightedSampleMonitor (21st monitor)
+
+
+def test_weighted_sample_monitor_stream_equals_batch(spark, tmp_path):
+    """WeightedSampleMonitor over file micro-batches == the batch
+    weighted_sample over the full table, row for row (priority desc,
+    id asc) — top-k-of-union == top-k of per-batch top-ks for a
+    priority that is a pure function of (id, w_eff)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from bytehub_spark import streaming as st
+    from bytehub_spark.operators.curation import weighted_sample
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", (1 + F.col("n_chars") % 8).alias("w")
+    )
+    pdf = docs.toPandas()
+    src = str(tmp_path / "wsm_src")
+    os.makedirs(src)
+    bounds = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        spark.createDataFrame(pdf.iloc[bounds[i]:bounds[i + 1]]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q, mon = st.stream_weighted_sample(
+        stream, str(tmp_path / "ck_wsm"), k=17, cap=8
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    assert mon.n_batches == 3
+    got = mon.result().toPandas()
+    want = weighted_sample(docs, 17, "w", "doc_id", cap=8).toPandas()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_weighted_sample_monitor_replay_idempotent(spark):
+    """Re-delivered batches produce byte-identical candidates that
+    dedupe on id — the state cannot move (no epoch guard needed);
+    result() before any batch raises; k < 1 raises."""
+    from bytehub_spark.streaming import WeightedSampleMonitor
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", (1 + F.col("n_chars") % 8).alias("w")
+    ).limit(60)
+    mon = WeightedSampleMonitor(k=9, cap=8)
+    mon.process_batch(docs, epoch_id=0)
+    state0 = dict(mon.rows)
+    assert 0 < len(state0) <= 9
+    mon.process_batch(docs, epoch_id=1)  # replayed content
+    assert mon.rows == state0
+    with pytest.raises(RuntimeError, match="before any micro-batch"):
+        WeightedSampleMonitor().result()
+    with pytest.raises(ValueError, match="k >= 1"):
+        WeightedSampleMonitor(k=0)
