@@ -664,3 +664,125 @@ def kmv_estimate(
             ).cast("long").alias("est_distinct"),
         )
     )
+
+
+def kmv_overlap_matrix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """All-pairs KMV overlap matrix from ONE corpus scan — the KMV twin
+    of ``hll_overlap_matrix``, with the property register sketches
+    cannot offer: because KMV keeps hash VALUES, intersections come
+    from actual membership (h ∈ S_a AND h ∈ S_b inside the union
+    bottom-k — the Beyer et al. 2007 estimator) instead of
+    inclusion-exclusion, so they cannot go negative, and whenever a
+    pair's union sketch is COMPLETE (fewer than k distinct hashes) the
+    reported intersection and union are EXACT, not estimates.
+
+    Output per unordered group pair (group_a < group_b): (m_a, m_b,
+    est_a, est_b, kk, u_kk, est_union, p_both, est_inter,
+    jaccard_ppm) where kk = |union bottom-k|, p_both = members of the
+    union bottom-k present in BOTH sides, est_union = kk when complete
+    else (k−1)·P div u_kk, est_inter = p_both·est_union div kk, and
+    jaccard_ppm = p_both·10^6 div kk. All integer arithmetic — the
+    DuckDB oracle replays every column bit-exact.
+
+    Scale shape (the hll_overlap_matrix argument): one corpus scan
+    into ≤ groups·k sketch rows (kmv_sketch's sharded bottom-k), then
+    the matrix is assembled entirely sketch-side — a distinct-groups
+    '<' self-join builds the pair frame (the declared benign cartesian
+    class: bounded by group cardinality at ANY input size), two
+    broadcast equi-joins fan each group's hashes to its pairs, a
+    per-pair distinct + sharded bottom-k forms each union sketch, and
+    membership flags ride along via a 3-key re-join. k sources cost
+    one scan + O(k²·k_sketch) sketch rows, never k² corpus scans.
+
+    NULL group rows form their own sketch group (kmv_sketch keeps
+    them) but are EXCLUDED from the matrix — '<' never admits a NULL
+    side; probe a NULL group via kmv_estimate directly. NULL keys
+    excluded as always.
+    """
+    from ..plans.scratch import scratch_persist
+
+    # consumed three times (per-group estimates + both pair fan-outs)
+    sk = scratch_persist(kmv_sketch(df, key_col, k, group_col))
+    est = kmv_estimate(sk, k, [group_col])
+    groups = sk.select(F.col(group_col).alias("__g")).distinct()
+    pairs = groups.select(F.col("__g").alias("group_a")).join(
+        groups.select(F.col("__g").alias("group_b")),
+        F.col("group_a") < F.col("group_b"),
+    )
+    s = sk.withColumnRenamed(group_col, "__sg")
+    fan_a = pairs.join(s, F.col("__sg") == F.col("group_a")).select(
+        "group_a", "group_b", "h",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    fan_b = pairs.join(s, F.col("__sg") == F.col("group_b")).select(
+        "group_a", "group_b", "h",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    # one row per (pair, h) with side-membership flags
+    tagged = scratch_persist(
+        fan_a.unionByName(fan_b)
+        .groupBy("group_a", "group_b", "h")
+        .agg(
+            F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+        )
+    )
+    union_k = _kmv_bottom_k(
+        tagged.select("group_a", "group_b", "h"),
+        k,
+        ["group_a", "group_b"],
+    )
+    per_pair = (
+        union_k.join(tagged, ["group_a", "group_b", "h"])
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.count("*").cast("long").alias("kk"),
+            F.max("h").cast("long").alias("u_kk"),
+            F.sum(F.col("in_a") * F.col("in_b"))
+            .cast("long")
+            .alias("p_both"),
+        )
+    )
+    P = MINHASH_PRIME
+    ea = est.select(
+        F.col(group_col).alias("group_a"),
+        F.col("m").alias("m_a"),
+        F.col("est_distinct").alias("est_a"),
+    )
+    eb = est.select(
+        F.col(group_col).alias("group_b"),
+        F.col("m").alias("m_b"),
+        F.col("est_distinct").alias("est_b"),
+    )
+    return (
+        per_pair.join(F.broadcast(ea), "group_a")
+        .join(F.broadcast(eb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "m_a",
+            "m_b",
+            "est_a",
+            "est_b",
+            "kk",
+            "u_kk",
+            F.expr(
+                f"CASE WHEN kk < {k} THEN kk "
+                f"ELSE CAST({k - 1} AS BIGINT) * {P} div u_kk END"
+            ).cast("long").alias("est_union"),
+            "p_both",
+        )
+        .withColumn(
+            "est_inter",
+            F.expr("p_both * est_union div kk").cast("long"),
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("p_both * 1000000 div kk").cast("long"),
+        )
+        .orderBy("group_a", "group_b")
+    )

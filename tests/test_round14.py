@@ -468,3 +468,74 @@ def test_weighted_sample_monitor_replay_idempotent(spark):
         WeightedSampleMonitor().result()
     with pytest.raises(ValueError, match="k >= 1"):
         WeightedSampleMonitor(k=0)
+
+
+# ------------------- kmv_overlap_matrix (r15 gate candidate)
+
+
+def _kmv_matrix_replay(groups_to_users, k):
+    """Pure-python replay of kmv_overlap_matrix on a {group: set(keys)}
+    dict — every output column, exact."""
+    from bytehub_spark.operators.hashing import MINHASH_PRIME, int_mix
+
+    sk = {
+        g: sorted({int_mix(u, 0) for u in us})[:k]
+        for g, us in groups_to_users.items()
+    }
+    est = {}
+    for g, hs in sk.items():
+        m, u_k = len(hs), hs[-1] if hs else None
+        est[g] = m if m < k else (k - 1) * MINHASH_PRIME // u_k
+    out = []
+    gs = sorted(g for g in groups_to_users if g is not None)
+    for i, a in enumerate(gs):
+        for b in gs[i + 1:]:
+            union = sorted(set(sk[a]) | set(sk[b]))[:k]
+            kk, u_kk = len(union), union[-1]
+            p = sum(1 for h in union if h in set(sk[a]) and h in set(sk[b]))
+            eu = kk if kk < k else (k - 1) * MINHASH_PRIME // u_kk
+            out.append((a, b, len(sk[a]), len(sk[b]), est[a], est[b],
+                        kk, u_kk, eu, p, p * eu // kk,
+                        p * 10**6 // kk))
+    return out
+
+
+@pytest.mark.parametrize("k", [64, 4])
+def test_kmv_overlap_matrix_replays_exactly(spark, k):
+    """Both CASE arms (k=64: every sf0.001 sketch complete — EXACT
+    unions/intersections; k=4: estimator branch live) replay
+    bit-exact in pure python; when complete, est_inter equals the true
+    per-pair distinct-user intersection."""
+    ev = load_table(spark, SF, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    rows = S.kmv_overlap_matrix(ev, "user_id", "event_type", k).collect()
+    got = [tuple(r) for r in rows]
+    gu = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        gu.setdefault(r["event_type"], set()).add(r["user_id"])
+    want = _kmv_matrix_replay(gu, k)
+    assert got == want
+    if k == 64:
+        # complete regime: exact set algebra, not estimates
+        for r in rows:
+            inter = len(gu[r["group_a"]] & gu[r["group_b"]])
+            union = len(gu[r["group_a"]] | gu[r["group_b"]])
+            assert r["est_inter"] == inter
+            assert r["est_union"] == union
+            assert r["p_both"] == inter
+
+
+def test_kmv_overlap_matrix_null_group_excluded(spark):
+    """A NULL group sketches (kmv_sketch keeps it) but never pairs —
+    '<' admits no NULL side; pair count is C(non-null groups, 2)."""
+    src = spark.createDataFrame(
+        [(i, ["a", "b", "c", None][i % 4]) for i in range(80)],
+        "k int, g string",
+    )
+    out = S.kmv_overlap_matrix(src, "k", "g", 16).collect()
+    assert len(out) == 3  # C(3,2)
+    assert all(
+        r["group_a"] is not None and r["group_b"] is not None
+        for r in out
+    )
