@@ -1,6 +1,7 @@
 """Round-14 tests: ADVICE-r13 fixes (grouped monitors accept non-string
 group columns, cms_probe grouped/ungrouped mismatch guards), grouped
-KMV, and the weighted_sample cap router.
+KMV (+ GroupedKmvMonitor), the weighted_sample cap router (+
+WeightedSampleMonitor), and kmv_overlap_matrix.
 """
 
 import pytest
