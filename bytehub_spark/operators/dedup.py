@@ -1551,9 +1551,19 @@ def kmv_source_overlap(
     merging touches only #pairs·2k sketch rows.
     """
     P = 2147483647
-    fp = kmv_fingerprints(documents, text_col, group_col)
-    sketch = kmv_bottom_k(fp, k)
-    srcs = fp.select("src").distinct()
+    from ..plans.scratch import scratch_persist
+
+    # fp is read by several branches (sketch, source list, and in
+    # include_exact mode both sides of the exact join); unpersisted it
+    # re-ran the whole scan + Arrow-UDF hash + distinct per branch
+    # (r14 optimization round, guide §2.4/§4) — persist it once.
+    fp = scratch_persist(kmv_fingerprints(documents, text_col, group_col))
+    # the sketch is likewise read twice (sk_a / sk_b fan-outs below)
+    sketch = scratch_persist(kmv_bottom_k(fp, k))
+    # every non-empty source has >= 1 sketch row, so the distinct
+    # source list can come off the (<= sources*k row) sketch instead
+    # of the full fingerprint table — same set, cheaper branch.
+    srcs = sketch.select("src").distinct()
     src_pairs = (
         srcs.select(F.col("src").alias("src_a"))
         .join(srcs.select(F.col("src").alias("src_b")))
@@ -2178,9 +2188,30 @@ def prefix_filter_pairs(
     if not (0 < int(threshold_ppm) <= 1_000_000):
         raise ValueError("threshold_ppm must be in (0, 1e6]")
     tau = int(threshold_ppm)
+    from ..plans.scratch import scratch_persist
+
     sh = _shingle_pair_source(documents, n, text_col, id_col, None)
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    prefix = _ranked_prefix(sh, dfc, tau, id_col)
+    # persist the ranked prefix: the self-join reads it on BOTH sides
+    # (without the cache the df-join + per-doc rank window executes
+    # twice — measured as two identical 3.9 MB exchange fills at
+    # sf0.1), and pin the join-side partitioning to the session's
+    # shuffle parallelism on the join key: the candidate join's
+    # per-row cost (PPJoin predicate over f² shingle matches) is
+    # compute-dense while its input bytes are tiny, so AQE's
+    # byte-based coalescing serialized it onto 1-5 tasks. The
+    # explicit-N repartition is the same shingle-hash exchange the
+    # join requires, opted out of coalescing; N follows
+    # spark.sql.shuffle.partitions (conf-parameterised, not a local
+    # constant).
+    n_part = int(
+        documents.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"
+        )
+    )
+    prefix = scratch_persist(
+        _ranked_prefix(sh, dfc, tau, id_col).repartition(n_part, "shingle")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     ai, bi = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
     # PPJoin positional filter, LOSSLESS: for a qualifying pair's
@@ -2219,6 +2250,19 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
+    # The verify join below amplifies every candidate row into ~|a| shingle
+    # rows before the (doc_b, shingle) probe — per-row compute the AQE
+    # byte-based coalescing cannot see (measured at sf0.1: the distinct
+    # output coalesced to ONE task and the verify ran serial, 2×~1.5s).
+    # Pin the candidate frame to the session's shuffle parallelism on
+    # the verify key: the SAME hash partitioning the join needs anyway,
+    # so at scale this exchange replaces (not adds to) the join's
+    # ENSURE_REQUIREMENTS exchange; the explicit N opts it out of AQE
+    # coalescing. Parameterised via spark.sql.shuffle.partitions.
+    n_part = int(
+        cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cand = cand.repartition(n_part, "doc_a")
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
@@ -2880,31 +2924,30 @@ def qgram_edit_pairs(
        collision-bound on this corpus — 6.6M candidate tuples at 5k
        docs because 30-char prefixes have a FLAT trigram df, rarest
        element df ≈ 600).
-    2. **Q-gram count filter** (Gravano et al., VLDB 2001): gram
-       multisets made sets by occurrence index — element = (gram,
-       occ); one edit touches ≤ q grams, so the multiset intersection
-       (= matching (gram, occ) rows, Σ_g min(cnt_a, cnt_b)) must reach
-       max(|Qa|, |Qb|) − k·q. Surviving candidates only then pay the
-       DP. Applied as a filter, the bound needs no floor — below
-       q·(k+1) it goes nonpositive and prunes nothing, which is why
-       the POPULATION contract starts there.
-    3. Exact ``levenshtein()`` verify (built-in both engines; the
+    2. Exact ``levenshtein()`` verify (built-in both engines; the
        Spark-codepoints vs DuckDB-bytes caveat from edit_distance_pairs
        applies — ASCII-guard multi-byte corpora).
 
-    The whole chain (segment split → ±k windows → count bound → DP) is
-    property-swept against brute-force all-pairs DP in
-    tests/test_property_round11.py (an off-by-one window or a
-    tightened count bound fails it); the registered gate's oracle is
-    the deliberately-brute all-pairs join, so the driver run proves
-    losslessness on real data every round.
+    The r11-r13 implementation ran a third stage between them — the
+    Gravano (VLDB 2001) positional q-gram count bound as a pre-DP
+    filter. MEASURED OUT in the r14 optimization round: at the default
+    30-char prefix the DP verify is ≤ ~900 codegen integer ops per
+    candidate with ZERO extra shuffles (the sa/sb string joins exist
+    either way), while the count filter cost a (doc, gram) window
+    shuffle, a persisted gram table, two candidate×~29-gram explode
+    joins and an aggregation exchange BEFORE the same DP on survivors —
+    more network per candidate than the DP it saved (guide §2.3/§2.4:
+    the filter only pays for prefixes long enough that O(L²) DP
+    dominates O(L) gram rows, i.e. hundreds of chars, not 30). The
+    lossless-chain property sweep (tests/test_property_round11.py)
+    pins the candidate window + DP against brute force; output is
+    bit-identical with or without the count filter by construction.
 
     Scale: index is k+1 rows/doc, probes ~200 rows/doc, both slim; the
     equi-join shuffles on (segment_idx, partner_len, substring) — hot
     keys are shared boilerplate prefixes, i.e. real duplicate islands
-    (the exact_dedup skew story). The occ window partitions by doc;
-    nothing global. Verify cost is one integer DP per candidate that
-    survives the count bound.
+    (the exact_dedup skew story). Nothing global. Verify cost is one
+    integer DP per candidate.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -2955,43 +2998,12 @@ def qgram_edit_pairs(
         )
         .distinct()
     )
-    # (gram, occ) set elements for the count filter: matching rows ==
-    # multiset intersection Sum_g min(cnt_a, cnt_b)
-    pos_grams = base.select(
-        "doc_id",
-        (F.col("len") - q + 1).cast("long").alias("n"),
-        F.posexplode(
-            F.expr(f"transform(sequence(1, length(s) - {q} + 1),"
-                   f" i -> substring(s, i, {q}))")
-        ).alias("__p", "g"),
-    )
-    w_occ = Window.partitionBy("doc_id", "g").orderBy("__p")
-    grams = scratch_persist(
-        pos_grams.withColumn("occ", F.row_number().over(w_occ)).select(
-            "doc_id", "n", "g", "occ"
-        )
-    )
-    ga = grams.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "g", "occ"
-    )
-    gb = grams.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "g", "occ"
-    )
-    counted = (
-        cand.join(ga, "doc_a")
-        .join(gb, ["doc_b", "g", "occ"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("shared"))
-        .where(
-            F.col("shared") >= F.greatest("na", "nb") - F.lit(int(k * q))
-        )
-    )
     sa = base.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = base.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     # project the DP once, filter on the column (Filter + Project don't
     # CSE — the edit_distance_pairs lesson)
     return (
-        counted.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",

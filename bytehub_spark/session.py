@@ -45,6 +45,24 @@ def get_spark(
         # deployments on high-latency object stores should lower it via
         # extra_conf so wide listings fan out to executors.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+        # InferFiltersFromGenerate derives `size(arr)>0 AND isnotnull(arr)`
+        # from every explode() and pushes it down — results-identical by
+        # definition (Generate itself drops empty/null arrays), but every
+        # generator in this codebase explodes a DERIVED expression
+        # (shingle transforms, PassJoin segment lambdas, hash arrays), so
+        # after project-collapse the inferred filter RE-EVALUATES that
+        # expression per row (twice: size + isnotnull), and filter
+        # pushdown parks it BELOW the ensure_parallelism fan-out exchange,
+        # serializing the most expensive lambda of the query onto the
+        # narrow pre-shuffle scan tasks. Measured on the shingle source
+        # (sf0.1, warm): aggregate over exploded shingles 5.07s -> 0.64s,
+        # jaccard_plan collect 7.3s -> 1.95s. The rule's upside (early
+        # row pruning before other operators) never applies here — no
+        # operator explodes a stored column where emptiness is data.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

