@@ -627,33 +627,51 @@ def minhash_band_balance(
         minhash_signatures(documents, n_hashes, n, text_col, id_col),
         StorageLevel.MEMORY_AND_DISK,
     )
-    out = None
+    # ONE generator emits every shape's (bands, band, bh) bucket keys
+    # (Σ bands rows/doc, e.g. 32+16+8=56) and ONE two-level aggregation
+    # serves all shapes — the r14 optimization round fused the previous
+    # per-shape loop (3 explodes over sig + 3×2 aggregation exchanges +
+    # a 3-way union) into a single pass; same rows, same integer
+    # arithmetic, one signature-table scan at any corpus size
+    # (guide §2.3/§2.4).
     for bands in bands_options:
         assert n_hashes % bands == 0
-        b = _band_buckets(sig, n_hashes, bands, id_col)
-        per_bucket = b.groupBy("band", "bh").agg(F.count("*").alias("c"))
-        stats = (
-            per_bucket.groupBy("band")
-            .agg(
-                F.sum("c").cast("long").alias("n_rows"),
-                F.count("*").cast("long").alias("n_buckets"),
-                F.max("c").cast("long").alias("max_bucket_rows"),
-                F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("cand_pairs"),
-            )
-            .select(
-                F.lit(bands).cast("int").alias("bands"),
-                "band",
-                "n_rows",
-                "n_buckets",
-                "max_bucket_rows",
-                "cand_pairs",
-                F.expr("(max_bucket_rows * 1000000 div n_rows) * n_buckets + ((max_bucket_rows * 1000000 % n_rows) * n_buckets) div n_rows")
-                .cast("long")
-                .alias("imbalance_ppm"),
-            )
+    shape_cols = [
+        F.struct(
+            F.lit(bands).cast("int").alias("bands"),
+            F.lit(b).alias("band"),
+            _band_fold(F.col("sig"), b, n_hashes // bands).alias("bh"),
         )
-        out = stats if out is None else out.unionByName(stats)
-    return out.orderBy("bands", "band")
+        for bands in bands_options
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.explode(F.array(*shape_cols)).alias("bb")
+    ).select("bb.bands", "bb.band", "bb.bh")
+    per_bucket = buckets.groupBy("bands", "band", "bh").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        per_bucket.groupBy("bands", "band")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("c").cast("long").alias("max_bucket_rows"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("cand_pairs"),
+        )
+        .select(
+            "bands",
+            "band",
+            "n_rows",
+            "n_buckets",
+            "max_bucket_rows",
+            "cand_pairs",
+            F.expr("(max_bucket_rows * 1000000 div n_rows) * n_buckets + ((max_bucket_rows * 1000000 % n_rows) * n_buckets) div n_rows")
+            .cast("long")
+            .alias("imbalance_ppm"),
+        )
+        .orderBy("bands", "band")
+    )
 
 
 def simhash64(
