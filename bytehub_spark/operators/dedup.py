@@ -2073,41 +2073,66 @@ def minhash_band_recall(
     sig = scratch_persist(
         minhash_signatures(documents, n_hashes, n, text_col, id_col)
     )
-    out = None
+    # Fused shape evaluation (r14 optimization round, the band_balance
+    # pattern): one shape-tagged bucket frame, ONE candidate self-join
+    # on (bands, band, bh) and ONE truth left-join/rollup serve every
+    # shape — the previous per-shape loop ran 3 bucket self-joins,
+    # 3 distincts and 3 truth joins over the same signature table.
+    # Same rows, one signature scan + one candidate join at any size.
     for bands in bands_options:
         assert n_hashes % bands == 0
-        b = _band_buckets(sig, n_hashes, bands, id_col)
-        left = b.select(F.col(id_col).alias("doc_a"), "band", "bh")
-        right = b.select(F.col(id_col).alias("doc_b"), "band", "bh")
-        cand = (
-            left.join(right, ["band", "bh"])
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-            .withColumn("hit", F.lit(1))
+    shape_cols = [
+        F.struct(
+            F.lit(bands).cast("int").alias("bands"),
+            F.lit(b).alias("band"),
+            _band_fold(F.col("sig"), b, n_hashes // bands).alias("bh"),
         )
-        stats = (
-            truth.join(cand, ["doc_a", "doc_b"], "left")
-            .withColumn("j_bucket", F.expr("CAST(j_ppm div 100000 AS INT)"))
-            .groupBy("j_bucket")
-            .agg(
-                F.count("*").cast("long").alias("n_true"),
-                F.coalesce(F.sum("hit"), F.lit(0))
-                .cast("long")
-                .alias("n_captured"),
-            )
-            .select(
-                F.lit(bands).cast("int").alias("bands"),
-                "j_bucket",
-                "n_true",
-                "n_captured",
-                F.expr("n_captured * 1000000 div n_true")
-                .cast("long")
-                .alias("recall_ppm"),
-            )
+        for bands in bands_options
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*shape_cols)).alias("bb")
+    ).select(id_col, "bb.bands", "bb.band", "bb.bh")
+    left = buckets.select(
+        F.col(id_col).alias("doc_a"), "bands", "band", "bh"
+    )
+    right = buckets.select(
+        F.col(id_col).alias("doc_b"), "bands", "band", "bh"
+    )
+    cand = (
+        left.join(right, ["bands", "band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("bands", "doc_a", "doc_b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    truth_x = truth.withColumn(
+        "bands",
+        F.explode(
+            F.array(*[F.lit(b).cast("int") for b in bands_options])
+        ),
+    )
+    return (
+        truth_x.join(cand, ["bands", "doc_a", "doc_b"], "left")
+        .withColumn("j_bucket", F.expr("CAST(j_ppm div 100000 AS INT)"))
+        .groupBy("bands", "j_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.coalesce(F.sum("hit"), F.lit(0))
+            .cast("long")
+            .alias("n_captured"),
         )
-        out = stats if out is None else out.unionByName(stats)
-    return out.orderBy("bands", "j_bucket")
+        .select(
+            "bands",
+            "j_bucket",
+            "n_true",
+            "n_captured",
+            F.expr("n_captured * 1000000 div n_true")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("bands", "j_bucket")
+    )
 
 
 def savings_profile(
