@@ -34,6 +34,7 @@ from bytehub_spark.operators import (
     text,
     tpch,
 )
+from bytehub_spark.plans.scratch import scratch_persist
 from bytehub_spark.sources import load_table
 from bytehub_spark.sources import zorder as zorder_src
 
@@ -2289,16 +2290,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("word_idx"),
         "dedup_bloom_decontaminate": lambda spark, sf: (
             lambda docs: (
-                lambda train, bench: dedup.bloom_decontaminate(
-                    train, bench, 4, 1 << 18, 4
-                )
-                .withColumnRenamed("n_maybe_shingles", "n_bloom_shingles")
-                .join(
-                    dedup.decontaminate(train, bench, 4).withColumnRenamed(
-                        "n_hit_shingles", "n_exact_shingles"
+                # bloom and exact decontamination share ONE persisted
+                # train-side (id, shingle) explode and ONE persisted
+                # bench-side distinct shingle relation (r14 opt: the two
+                # operators each re-derived both — two corpus scans +
+                # explodes and two benchmark shingle pipelines per run)
+                lambda train, bench: (
+                    lambda tsh, bsh: dedup.bloom_decontaminate(
+                        train, bench, 4, 1 << 18, 4,
+                        train_shingles=tsh, bench_shingles=bsh,
+                    )
+                    .withColumnRenamed("n_maybe_shingles", "n_bloom_shingles")
+                    .join(
+                        dedup.decontaminate(
+                            train, bench, 4,
+                            train_shingles=tsh, bench_shingles=bsh,
+                        ).withColumnRenamed(
+                            "n_hit_shingles", "n_exact_shingles"
+                        ),
+                        "doc_id",
+                        "left",
+                    )
+                )(
+                    scratch_persist(
+                        dedup.shingle_sets(train, "text", "doc_id", 4)
                     ),
-                    "doc_id",
-                    "left",
+                    scratch_persist(
+                        dedup.shingle_sets(bench, "text", "doc_id", 4)
+                        .select("shingle")
+                        .distinct()
+                    ),
                 )
                 .select(
                     "doc_id",

@@ -926,9 +926,16 @@ def domain_reweight_by_loss(
     domain-keyed rollup; the min/total normalizers are #domains-row
     broadcasts. Nothing driver-side.
     """
+    from ..plans.scratch import scratch_persist
     from .text import bigram_xent_terms
 
-    per_dom = (
+    # #domains rows, but its lineage is the whole bigram-LM pipeline
+    # (two count tables + bigram-keyed join). The frame feeds FOUR
+    # appearances in the final plan (floor_row, lev's join input, tot's
+    # aggregate, the final join) and Spark does not CSE across them —
+    # without the persist the LM pipeline executed 4x per run
+    # (measured r14-opt: cur_budget_alloc ran 31 jobs / 60 stages).
+    per_dom = scratch_persist(
         bigram_xent_terms(documents, {"domain": group_col})
         .groupBy("domain")
         .agg(

@@ -243,6 +243,8 @@ def decontaminate(
     n: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    train_shingles: DataFrame | None = None,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
     n-gram shingle with an eval/benchmark corpus.
@@ -253,10 +255,24 @@ def decontaminate(
     training-side shingle explosion is embarrassingly parallel. Returns
     (id, n_hit_shingles) for contaminated docs — downstream either drops
     them or masks the overlapping spans.
+
+    ``train_shingles`` / ``bench_shingles`` (optional) are precomputed
+    stand-ins for the internally derived shingle frames — (id, shingle)
+    exploded rows and a distinct (shingle,) relation respectively — for
+    callers that run several decontamination operators over the same
+    corpus in one plan (r14 optimization round): passing one persisted
+    frame to each operator turns N corpus scans + shingle explodes into
+    one at any scale. Results are identical by construction.
     """
-    train_sh = shingle_sets(documents, text_col, id_col, n)
+    train_sh = (
+        train_shingles
+        if train_shingles is not None
+        else shingle_sets(documents, text_col, id_col, n)
+    )
     bench_sh = (
-        shingle_sets(benchmark, text_col, id_col, n)
+        bench_shingles
+        if bench_shingles is not None
+        else shingle_sets(benchmark, text_col, id_col, n)
         .select("shingle")
         .distinct()
     )
@@ -1735,6 +1751,7 @@ def bloom_build_words(
     k_hashes: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Build the packed Bloom-filter word table (word_idx, word) over a
     corpus's distinct word n-gram shingles — the construction half of
@@ -1751,12 +1768,15 @@ def bloom_build_words(
     """
     m = int(m_bits)
     k = int(k_hashes)
+    # ``shingles`` (optional): a precomputed distinct (shingle,) frame —
+    # the decontaminate sharing hook (r14 optimization round)
     sh = (
-        shingle_sets(documents, text_col, id_col, n)
+        shingles
+        if shingles is not None
+        else shingle_sets(documents, text_col, id_col, n)
         .select("shingle")
         .distinct()
-        .withColumn("__bid", F.lit(0))
-    )
+    ).withColumn("__bid", F.lit(0))
     bh = _h1_h2(sh, "__bid")
     bpos = bh.select(
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
@@ -1783,6 +1803,8 @@ def bloom_decontaminate(
     k_hashes: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    train_shingles: DataFrame | None = None,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded-memory benchmark decontamination: a Bloom filter over the
     benchmark's word n-gram shingles replaces the exact shingle set, so
@@ -1817,9 +1839,18 @@ def bloom_decontaminate(
     """
     m = int(m_bits)
     k = int(k_hashes)
-    bloom = bloom_build_words(benchmark, n, m, k, text_col, id_col)
+    # optional precomputed frames, same contract as ``decontaminate``'s:
+    # train_shingles = (id, shingle) exploded rows, bench_shingles = the
+    # benchmark's distinct (shingle,) relation (r14 optimization round)
+    bloom = bloom_build_words(
+        benchmark, n, m, k, text_col, id_col, shingles=bench_shingles
+    )
 
-    train_sh = shingle_sets(documents, text_col, id_col, n)
+    train_sh = (
+        train_shingles
+        if train_shingles is not None
+        else shingle_sets(documents, text_col, id_col, n)
+    )
     th = _h1_h2(train_sh, id_col)
     tpos = th.select(
         id_col,
@@ -1969,15 +2000,23 @@ def dup_span_coverage(
     totals = df.groupBy(group_col).agg(
         F.sum(F.size("__w").cast("long")).alias("total_tokens")
     )
-    idx_sh = df.where(F.size("__w") >= n).select(
-        F.col(id_col),
-        F.col(group_col),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(__w) - {n}), "
-                f"i -> concat_ws(' ', slice(__w, i + 1, {n})))"
-            )
-        ).alias("__i", "shingle"),
+    from ..plans.scratch import scratch_persist
+
+    # consumed twice (corpus-wide count + the frequency-filtered join
+    # back); without the persist the whole posexplode — the CPU-dense
+    # stage — runs once per consumer (r14 opt; the _shingle_pair_source
+    # precedent)
+    idx_sh = scratch_persist(
+        df.where(F.size("__w") >= n).select(
+            F.col(id_col),
+            F.col(group_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(__w) - {n}), "
+                    f"i -> concat_ws(' ', slice(__w, i + 1, {n})))"
+                )
+            ).alias("__i", "shingle"),
+        )
     )
     hot = (
         idx_sh.groupBy("shingle")

@@ -1617,29 +1617,84 @@ def lsh_plane_plan(
     (the GEMM join would shuffle ~10² GB), 16 → 33.7M, 20 → 8.5M; the
     whole three-shape table cost 13.5s — the same "selectivity must
     grow with corpus size" rule minhash_band_balance encodes for
-    (bands, rows). Each shape is one expression-level signature pass
-    over the (id, vec) projection (scratch-persisted here so the
-    source is scanned once, spill-safe at MEMORY_AND_DISK) + a slim
-    two-level aggregation; cost is linear in corpus per shape, never
-    quadratic. All integer; replayed exactly by the DuckDB oracle.
+    (bands, rows). ALL shapes come from ONE Arrow-batched GEMM over
+    the largest shape's plane set (each shape's buckets are bit-slices
+    of the shared sign matrix — bit-identical to per-shape signatures
+    by construction) + one two-level aggregation; cost is one linear
+    corpus pass for the whole table, never quadratic. All integer;
+    replayed exactly by the DuckDB oracle.
     When NO shape fits the budget every ``recommended`` is false —
     grow planes_options or bands.
     """
     from pyspark import StorageLevel
 
     from ..plans.scratch import scratch_persist
+    from .hashing import plane_sign_matrix
 
     src = scratch_persist(
         embeddings.select(id_col, vec_col), StorageLevel.MEMORY_AND_DISK
     )
-    out = None
-    for p in planes_options:
-        stats = _lsh_bucket_stats(src, p, bands, id_col, vec_col).select(
-            F.lit(p).cast("int").alias("n_planes"),
-            "band", "n_rows", "n_buckets", "max_bucket_rows",
-            "cand_pairs", "imbalance_ppm",
+    # Fused shape evaluation (r14 optimization round, the
+    # minhash_band_balance pattern): ONE Arrow GEMM against the largest
+    # shape's full plane set (max(p)·bands columns — shape p's band b
+    # reads bit columns [b·p, (b+1)·p), exactly hyperplane_signature at
+    # plane_offset = b·p) emits every shape's bucket per row, so the
+    # source is scanned and the signature bits computed ONCE for all
+    # shapes, vs one pass + an independent (and overlapping) GEMM per
+    # shape. Bucket values are bit-identical to the per-shape path by
+    # construction — same plane_sign_matrix planes, same packing.
+    shapes = [int(p) for p in planes_options]
+    total_planes = max(p * bands for p in shapes)
+
+    @F.pandas_udf("array<long>")
+    def _multi_sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs.tolist()])
+        Q = np.floor(V * 1e6).astype(np.int64)
+        S = plane_sign_matrix(total_planes, Q.shape[1], 0)
+        bits = (Q @ S > 0).astype(np.int64)
+        cols = []
+        for p in shapes:
+            w = 1 << np.arange(p, dtype=np.int64)
+            for b in range(bands):
+                cols.append(bits[:, b * p : (b + 1) * p] @ w)
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    planes_arr = F.array(*[F.lit(p).cast("int") for p in shapes])
+    buck = (
+        src.select(_multi_sig(F.col(vec_col)).alias("bk"))
+        .select(F.posexplode("bk").alias("pos", "bucket"))
+        .select(
+            F.element_at(
+                planes_arr, (F.col("pos") / F.lit(bands)).cast("int") + 1
+            ).alias("n_planes"),
+            F.expr(f"CAST(pos % {int(bands)} AS INT)").alias("band"),
+            "bucket",
         )
-        out = stats if out is None else out.unionByName(stats)
+    )
+    per_bucket = buck.groupBy("n_planes", "band", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    # <= len(shapes)·bands rows, but consumed by the shape rollup, the
+    # best-shape scalar AND the final join — persist or the whole
+    # signature pass re-runs per consumer (measured 26 jobs / 90 stages
+    # for this 18-row frame's 4 appearances)
+    out = scratch_persist(
+        per_bucket.groupBy("n_planes", "band")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("c").cast("long").alias("max_bucket_rows"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("cand_pairs"),
+        )
+        .withColumn(
+            "imbalance_ppm",
+            F.expr(
+                "(max_bucket_rows * 1000000 div n_rows) * n_buckets + ((max_bucket_rows * 1000000 % n_rows) * n_buckets) div n_rows"
+            ).cast("long"),
+        )
+    )
     tot = (
         out.groupBy("n_planes")
         .agg(F.sum("cand_pairs").cast("long").alias("shape_cand_pairs"))

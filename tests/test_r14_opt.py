@@ -1,0 +1,132 @@
+"""Round-14 OPTIMIZATION equivalence pins: every structural rewrite in
+the optimization round must produce bit-identical rows to the shape it
+replaced. These tests pin the rewrites whose internals changed (the
+oracle gate already pins end-to-end values; these isolate the operator).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bytehub_spark.operators import dedup, similarity
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document with enough words to shingle",
+        "the quick brown fox leaps over the lazy dog again and again",
+        "short one",
+        "benchmark answer text that leaks into the training corpus set",
+        "another benchmark answer text that leaks into training data",
+        "numbers one two three four five six seven eight nine ten",
+    ]
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import random
+
+    rng = random.Random(14)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_lsh_plane_plan_fused_matches_per_shape_stats(spark, vecs):
+    """The fused multi-shape GEMM must reproduce _lsh_bucket_stats'
+    per-shape rows exactly (same planes, same bit packing)."""
+    bands = 3
+    plan = similarity.lsh_plane_plan(
+        vecs, planes_options=(4, 6), bands=bands, budget_pairs=10**9
+    )
+    got = _rows(
+        plan.select(
+            "n_planes", "band", "n_rows", "n_buckets",
+            "max_bucket_rows", "cand_pairs", "imbalance_ppm",
+        )
+    )
+    want = []
+    for p in (4, 6):
+        stats = similarity._lsh_bucket_stats(
+            vecs, p, bands, "vec_id", "embedding"
+        ).withColumn("n_planes", F.lit(p).cast("int"))
+        want.extend(
+            _rows(
+                stats.select(
+                    "n_planes", "band", "n_rows", "n_buckets",
+                    "max_bucket_rows", "cand_pairs", "imbalance_ppm",
+                )
+            )
+        )
+    assert got == sorted(want)
+
+
+def test_lsh_plane_plan_verdict_columns(spark, vecs):
+    """recommended = smallest within-budget shape, all-false when none
+    fits (unchanged contract after the persist/fusion rewrite)."""
+    plan = similarity.lsh_plane_plan(
+        vecs, planes_options=(4, 6), bands=3, budget_pairs=10**9
+    ).collect()
+    rec = {r["n_planes"] for r in plan if r["recommended"]}
+    assert rec == {4}
+    none_fit = similarity.lsh_plane_plan(
+        vecs, planes_options=(4, 6), bands=3, budget_pairs=0
+    ).collect()
+    assert not any(r["recommended"] for r in none_fit)
+
+
+def test_decontaminate_precomputed_shingles_equivalent(spark, docs):
+    train = docs.where(F.col("doc_id") < 5)
+    bench = docs.where(F.col("doc_id") >= 5)
+    base = _rows(dedup.decontaminate(train, bench, n=4))
+    tsh = dedup.shingle_sets(train, "text", "doc_id", 4)
+    bsh = (
+        dedup.shingle_sets(bench, "text", "doc_id", 4)
+        .select("shingle")
+        .distinct()
+    )
+    shared = _rows(
+        dedup.decontaminate(
+            train, bench, n=4, train_shingles=tsh, bench_shingles=bsh
+        )
+    )
+    assert base == shared
+
+
+def test_bloom_decontaminate_precomputed_shingles_equivalent(spark, docs):
+    train = docs.where(F.col("doc_id") < 5)
+    bench = docs.where(F.col("doc_id") >= 5)
+    base = _rows(dedup.bloom_decontaminate(train, bench, 4, 1 << 12, 4))
+    tsh = dedup.shingle_sets(train, "text", "doc_id", 4)
+    bsh = (
+        dedup.shingle_sets(bench, "text", "doc_id", 4)
+        .select("shingle")
+        .distinct()
+    )
+    shared = _rows(
+        dedup.bloom_decontaminate(
+            train, bench, 4, 1 << 12, 4,
+            train_shingles=tsh, bench_shingles=bsh,
+        )
+    )
+    assert base == shared
+    words = _rows(dedup.bloom_build_words(bench, 4, 1 << 12, 4))
+    words_pre = _rows(
+        dedup.bloom_build_words(bench, 4, 1 << 12, 4, shingles=bsh)
+    )
+    assert words == words_pre
