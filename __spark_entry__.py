@@ -370,7 +370,9 @@ def _hll_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     keyed = ev.where(F.col("user_id").isNotNull())
     mat = sketches.hll_overlap_matrix(keyed, "user_id", "event_type", HLL_M)
-    d = keyed.select("event_type", "user_id").distinct()
+    # both sides of the exact-intersection self-join — persist or the
+    # events-wide distinct runs twice (r14 opt)
+    d = scratch_persist(keyed.select("event_type", "user_id").distinct())
     ex = (
         d.alias("x")
         .join(

@@ -909,28 +909,49 @@ def margin_pairs(
             block, schema="dir string, a_id long, b_id long, cos_u long"
         )
     )
-    wa = Window.partitionBy("a_id").orderBy(
-        F.col("cos_u").desc(), F.col("b_id").asc()
+    # Forward side needs NO window at all: the UDF already emitted each
+    # a-row's global top-k, so sa = plain sum and the best pair is a
+    # min_by under the (cos_u desc, b_id asc) tie rule — one aggregation
+    # replaces the rank window + the rank-1/sum branch join (r14 opt).
+    fstats = (
+        parts.where("dir = 'f'")
+        .groupBy("a_id")
+        .agg(
+            F.sum("cos_u").alias("sa"),
+            F.min_by(
+                F.struct("b_id", "cos_u"),
+                F.struct((-F.col("cos_u")).alias("nc"), F.col("b_id")),
+            ).alias("__best"),
+        )
+        .select(
+            "a_id",
+            F.col("__best.b_id").alias("b_id"),
+            F.col("__best.cos_u").alias("cos_u"),
+            "sa",
+        )
     )
-    f_ranked = parts.where("dir = 'f'").withColumn(
-        "r", F.row_number().over(wa)
-    )
-    a_sum = f_ranked.groupBy("a_id").agg(F.sum("cos_u").alias("sa"))
-    f1 = f_ranked.where("r = 1").select("a_id", "b_id", "cos_u")
+    # Backward side still needs the window (partition-local partials
+    # must combine to a global top-k first), but runs it ONCE: sum and
+    # best-a come from one aggregation over the top-k rows instead of
+    # two branches re-running the window.
     wb = Window.partitionBy("b_id").orderBy(
         F.col("cos_u").desc(), F.col("a_id").asc()
     )
-    bwd = (
+    bstats = (
         parts.where("dir = 'b'")
         .withColumn("r", F.row_number().over(wb))
         .where(F.col("r") <= k)
+        .groupBy("b_id")
+        .agg(
+            F.sum("cos_u").alias("sb"),
+            F.min_by(
+                F.col("a_id"),
+                F.struct((-F.col("cos_u")).alias("nc"), F.col("a_id")),
+            ).alias("best_a"),
+        )
     )
-    b_sum = bwd.groupBy("b_id").agg(F.sum("cos_u").alias("sb"))
-    b1 = bwd.where("r = 1").select("b_id", F.col("a_id").alias("best_a"))
     return (
-        f1.join(a_sum, "a_id")
-        .join(F.broadcast(b_sum), "b_id")
-        .join(F.broadcast(b1), "b_id")
+        fstats.join(F.broadcast(bstats), "b_id")
         .where(F.col("sa") + F.col("sb") > 0)
         .withColumn(
             "margin_u", F.expr(f"(2 * {k} * cos_u * 1000000) div (sa + sb)")
@@ -1095,31 +1116,53 @@ def margin_pairs_lsh(
         .distinct()
     )
     scored = _int_gemm_scored(cand, qa, qb)
+    # Each side's rank window runs ONCE: top-k sum/count and the rank-1
+    # row come from a single aggregation over the windowed rows
+    # (min_by under the same (cos_u desc, id asc) tie rule), replacing
+    # the two-branch-per-side shape whose four consumers re-ran the
+    # windows and needed three joins to reassemble (r14 opt).
     wa = Window.partitionBy("a_id").orderBy(
         F.col("cos_u").desc(), F.col("b_id").asc()
     )
     wb = Window.partitionBy("b_id").orderBy(
         F.col("cos_u").desc(), F.col("a_id").asc()
     )
-    fwd = scored.withColumn("r", F.row_number().over(wa)).where(
-        F.col("r") <= k
+    a_stats = (
+        scored.withColumn("r", F.row_number().over(wa))
+        .where(F.col("r") <= k)
+        .groupBy("a_id")
+        .agg(
+            F.sum("cos_u").alias("sa"),
+            F.count("*").alias("ca"),
+            F.min_by(
+                F.struct("b_id", "cos_u"),
+                F.struct((-F.col("cos_u")).alias("nc"), F.col("b_id")),
+            ).alias("__best"),
+        )
+        .select(
+            "a_id",
+            F.col("__best.b_id").alias("b_id"),
+            F.col("__best.cos_u").alias("cos_u"),
+            "sa",
+            "ca",
+        )
     )
-    a_agg = fwd.groupBy("a_id").agg(
-        F.sum("cos_u").alias("sa"), F.count("*").alias("ca")
+    b_stats = (
+        scored.withColumn("r", F.row_number().over(wb))
+        .where(F.col("r") <= k)
+        .groupBy("b_id")
+        .agg(
+            F.sum("cos_u").alias("sb"),
+            F.count("*").alias("cb"),
+            F.min_by(
+                F.col("a_id"),
+                F.struct((-F.col("cos_u")).alias("nc"), F.col("a_id")),
+            ).alias("best_a"),
+        )
     )
-    f1 = fwd.where("r = 1").select("a_id", "b_id", "cos_u")
-    bwd = scored.withColumn("r", F.row_number().over(wb)).where(
-        F.col("r") <= k
-    )
-    b_agg = bwd.groupBy("b_id").agg(
-        F.sum("cos_u").alias("sb"), F.count("*").alias("cb")
-    )
-    b1 = bwd.where("r = 1").select("b_id", F.col("a_id").alias("best_a"))
     return (
-        f1.where(F.col("cos_u") > 0)
-        .join(a_agg, "a_id")
-        .join(b_agg, "b_id")
-        .join(b1, "b_id")
+        a_stats.where(F.col("cos_u") > 0)
+        .join(b_stats, "b_id")
         .where(F.col("cb") * F.col("sa") + F.col("ca") * F.col("sb") > 0)
         .withColumn(
             "margin_u",
@@ -1754,6 +1797,12 @@ def cluster_quality(
         ),
         StorageLevel.MEMORY_AND_DISK,
     )
+    # comp is consumed twice (multi-member rollup + the edge-component
+    # join) but deliberately NOT persisted: its tail is an orderBy that
+    # Catalyst elides under both aggregating consumers, while a persist
+    # would materialize the global sort (measured r14-opt: 15 jobs/32
+    # stages -> 18/43 WITH a persist here). The duplicated work is only
+    # the vertex-distinct + broadcast attach over the cached edge probe.
     comp = connected_components(
         mutual.select("doc_a", "doc_b"),
         vertices=embeddings.select(F.col(id_col)),
