@@ -304,8 +304,10 @@ def _hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = keyed.where(F.col("event_id") % 2 == 0)
     b = keyed.where(F.col("event_id") % 3 == 0)
     overlap = sketches.hll_overlap(a, b, "user_id", HLL_M)
-    da = a.select("user_id").distinct()
-    db = b.select("user_id").distinct()
+    # each distinct feeds its own count AND the exact-intersection join
+    # — persist or the events-wide distinct runs twice per side (r14 opt)
+    da = scratch_persist(a.select("user_id").distinct())
+    db = scratch_persist(b.select("user_id").distinct())
     ea = da.agg(F.count("*").cast("long").alias("exact_a"))
     eb = db.agg(F.count("*").cast("long").alias("exact_b"))
     ei = da.join(db, "user_id").agg(

@@ -375,14 +375,35 @@ def band_plan(
     base = scratch_persist(
         _band_quantized(df, keys, value_col), StorageLevel.MEMORY_AND_DISK
     )
-    out = None
-    for e in eps_options:
-        s = band_stats_from_counts(
-            _band_bucket_counts(base, keys, int(e)), keys
+    # Fused ε evaluation (r14 opt, the minhash_band_balance pattern):
+    # ONE explode-tagged bucketing pass + one (eps, keys, bucket) count
+    # serves every candidate width — band_stats_from_counts already
+    # partitions/groups by eps_u, so the fused counts frame drops
+    # straight in. Replaces one full pass + stats pipeline per ε.
+    eps_list = [int(e) for e in eps_options]
+    bucketed = base.select(
+        *keys,
+        "v_u",
+        F.explode(
+            F.array(*[F.lit(e).cast("long") for e in eps_list])
+        ).alias("eps_u"),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "CAST((v_u div eps_u) - (CASE WHEN v_u % eps_u < 0 "
+            "THEN 1 ELSE 0 END) AS BIGINT)"
+        ),
+    )
+    counts = bucketed.groupBy("eps_u", *keys, "bucket").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    # 1 row per ε, but consumed by the best-width scalar AND the final
+    # verdict join — persist or the whole pricing pass re-runs per
+    # consumer (the lsh_plane_plan lesson)
+    out = scratch_persist(
+        band_stats_from_counts(counts, keys).withColumn(
+            "within_budget", F.col("cand_pairs") <= F.lit(int(budget_pairs))
         )
-        out = s if out is None else out.unionByName(s)
-    out = out.withColumn(
-        "within_budget", F.col("cand_pairs") <= F.lit(int(budget_pairs))
     )
     best = out.agg(
         F.max(F.when(F.col("within_budget"), F.col("eps_u"))).alias("_best")

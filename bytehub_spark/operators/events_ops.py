@@ -1409,6 +1409,13 @@ def funnel(
             .agg(F.min("ts").alias(f"t{i}"))
         )
         counts = counts.unionByName(_count(stage, i, s))
+    from ..plans.scratch import scratch_persist
+
+    # len(steps) rows, but consumed three times (itself + the step-1
+    # scalar + the shifted previous-step frame); without the persist the
+    # whole per-step aggregation chain re-ran per consumer (r14 opt:
+    # 22 jobs/43 stages -> measured below)
+    counts = scratch_persist(counts)
     first = counts.where(F.col("step") == 1).select(
         F.col("n_users").alias("n_first")
     )

@@ -423,30 +423,51 @@ def hll_overlap(
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
     )
+    # Fused finisher (r14 opt): tag the three register files and run the
+    # GROUPED corrected estimator once — one aggregation pipeline and a
+    # 3-row→1-row conditional rollup replace three independent estimate
+    # pipelines stitched by two scalar-attach cross joins. Per-group
+    # math is identical to the ungrouped estimator by construction
+    # (same hll_estimate_corrected, group key = the tag).
+    tagged = (
+        ra.select(F.lit("a").alias("__t"), "bucket", "rho")
+        .unionByName(rb.select(F.lit("b").alias("__t"), "bucket", "rho"))
+        .unionByName(ru.select(F.lit("u").alias("__t"), "bucket", "rho"))
+    )
+    est = hll_estimate_corrected(tagged, m, ["__t"])
 
-    def _est(regs: DataFrame, tag: str) -> DataFrame:
-        return hll_estimate_corrected(regs, m).select(
-            F.col("occupied").alias(f"occupied_{tag}"),
-            F.col("est_distinct").alias(f"est_{tag}"),
-        )
+    def _pick(tag: str, col: str) -> F.Column:
+        return F.max(F.when(F.col("__t") == tag, F.col(col)))
 
-    # three 1-row frames; the cross joins are the declared 1-row
-    # scalar-attach pattern (PLANS.json cartesian=true class)
-    return (
-        _est(ra, "a")
-        .crossJoin(_est(rb, "b"))
-        .crossJoin(_est(ru, "union"))
-        .select(
-            "occupied_a",
-            "occupied_b",
-            "occupied_union",
-            "est_a",
-            "est_b",
-            "est_union",
-            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
-            .cast("long")
-            .alias("est_inter"),
+    # an EMPTY side has no tagged rows, so its group is absent — the
+    # ungrouped estimator's defined empty answer is occupied 0 / est 0
+    # (LC at occ 0), restored here by the coalesces
+    return est.agg(
+        F.coalesce(_pick("a", "occupied"), F.lit(0))
+        .cast("long")
+        .alias("occupied_a"),
+        F.coalesce(_pick("b", "occupied"), F.lit(0))
+        .cast("long")
+        .alias("occupied_b"),
+        F.coalesce(_pick("u", "occupied"), F.lit(0))
+        .cast("long")
+        .alias("occupied_union"),
+        F.coalesce(_pick("a", "est_distinct"), F.lit(0))
+        .cast("long")
+        .alias("est_a"),
+        F.coalesce(_pick("b", "est_distinct"), F.lit(0))
+        .cast("long")
+        .alias("est_b"),
+        F.coalesce(_pick("u", "est_distinct"), F.lit(0))
+        .cast("long")
+        .alias("est_union"),
+        (
+            F.coalesce(_pick("a", "est_distinct"), F.lit(0))
+            + F.coalesce(_pick("b", "est_distinct"), F.lit(0))
+            - F.coalesce(_pick("u", "est_distinct"), F.lit(0))
         )
+        .cast("long")
+        .alias("est_inter"),
     )
 
 
