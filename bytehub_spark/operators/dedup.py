@@ -1763,8 +1763,19 @@ def bloom_build_words(
     frame, bounded at m_bits/32 rows forever). Shingle → FNV-1a (h1,h2)
     → Kirsch-Mitzenmacher positions pos_j = (h1 + j·h2) mod m_bits,
     packed 32 bits/word (keeps every word positive in BIGINT in Spark
-    AND the DuckDB oracle). Built by one distinct + one bit_or
-    aggregate; output ≤ m_bits/32 rows regardless of corpus size.
+    AND the DuckDB oracle). Built by ONE bit_or aggregate straight over
+    the shingle occurrences; output ≤ m_bits/32 rows regardless of
+    corpus size.
+
+    No distinct: bit_or is idempotent, so duplicate occurrences set the
+    same bits and the word table is identical with or without it — and
+    the distinct was the plan's only corpus-sized exchange (it shuffled
+    every shingle STRING; measured 4.9 MB vs the agg's ≤ m_bits/32-row
+    partials at sf0.1). Without it the bit_or's map-side partial
+    aggregation bounds what crosses the wire at m_bits/32 rows per map
+    task no matter the corpus size (guide §2.3 "aggregate before you
+    shuffle"), and the hash UDF's extra duplicate rows are one
+    vectorized Arrow pass (r14 optimization round).
     """
     m = int(m_bits)
     k = int(k_hashes)
@@ -1773,9 +1784,7 @@ def bloom_build_words(
     sh = (
         shingles
         if shingles is not None
-        else shingle_sets(documents, text_col, id_col, n)
-        .select("shingle")
-        .distinct()
+        else shingle_sets(documents, text_col, id_col, n).select("shingle")
     ).withColumn("__bid", F.lit(0))
     bh = _h1_h2(sh, "__bid")
     bpos = bh.select(

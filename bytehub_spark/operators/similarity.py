@@ -181,21 +181,37 @@ def lsh_cosine_buckets(
     ``n_planes`` bits each (band b uses planes [b·n, (b+1)·n)). Candidates
     later match on (band, bucket) — OR-composition across bands, the same
     recall amplification _band_buckets gives MinHash (P[miss] =
-    (1-p^n)^bands instead of 1-p^n)."""
-    cols = [F.col(id_col), F.col(vec_col)]
-    bucket_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            hyperplane_signature(
-                embeddings, n_planes, vec_col, plane_offset=b * n_planes
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
+    (1-p^n)^bands instead of 1-p^n).
+
+    All bands come from ONE Arrow-batched GEMM over the full
+    bands·n_planes plane set (r14 optimization round, the lsh_plane_plan
+    fusion): band b's bucket packs bit columns [b·n, (b+1)·n) of the
+    shared sign matrix — bit-identical to per-band hyperplane_signature
+    at plane_offset = b·n by construction (same plane_sign_matrix
+    columns, same packing), at 1 Python pass instead of ``bands``.
+    """
+    from .hashing import plane_sign_matrix
+
+    n = int(n_planes)
+    nb = int(bands)
+    total = n * nb
+
+    @F.pandas_udf("array<long>")
+    def _band_sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs.tolist()])
+        Q = np.floor(V * 1e6).astype(np.int64)
+        S = plane_sign_matrix(total, Q.shape[1], 0)
+        bits = (Q @ S > 0).astype(np.int64)
+        w = 1 << np.arange(n, dtype=np.int64)
+        cols = [bits[:, b * n : (b + 1) * n] @ w for b in range(nb)]
+        return pd.Series(list(np.stack(cols, axis=1)))
+
     return embeddings.select(
-        *cols, F.explode(F.array(*bucket_structs)).alias("bb")
-    ).select(
-        *cols, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(_band_sigs(F.col(vec_col))).alias("band", "bucket"),
     )
 
 
@@ -1378,10 +1394,41 @@ def knn_graph(
     (LSH recall, not an error — emb_lsh_balance monitors bucket sizes;
     grow n_planes with corpus size to hold candidates/vector flat).
     """
-    quant = _quantized_vectors(embeddings, id_col, vec_col)
-    buck = lsh_cosine_buckets(
-        embeddings, n_planes, id_col, vec_col, bands=bands
-    ).select(id_col, "band", "bucket")
+    return _knn_rows(
+        embeddings, k, n_planes, bands, id_col, vec_col
+    ).orderBy(id_col, "rank")
+
+
+def _knn_rows(
+    embeddings: DataFrame,
+    k: int,
+    n_planes: int,
+    bands: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """knn_graph's rows WITHOUT the final presentation sort — the form
+    internal consumers (mutual-kNN edges) build on, so persisting their
+    intermediates never materializes a global sort nobody reads (the
+    cluster_quality anti-lesson, r14 optimization round). quant and
+    buck each feed BOTH sides of a self-join and Spark does not CSE
+    across join sides, so both are scratch-persisted: each is slim
+    (ids + 8-byte buckets / ≤dim longs per row — corpus-row-sized, not
+    candidate-sized; MEMORY_AND_DISK spills at scale)."""
+    from pyspark import StorageLevel
+
+    from ..plans.scratch import scratch_persist
+
+    quant = scratch_persist(
+        _quantized_vectors(embeddings, id_col, vec_col),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    buck = scratch_persist(
+        lsh_cosine_buckets(
+            embeddings, n_planes, id_col, vec_col, bands=bands
+        ).select(id_col, "band", "bucket"),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     a = buck.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = buck.select(F.col(id_col).alias("b_id"), "band", "bucket")
     cand = (
@@ -1407,7 +1454,6 @@ def knn_graph(
             F.col("b_id").alias("neighbor_id"),
             "cos_u",
         )
-        .orderBy(id_col, "rank")
     )
 
 
@@ -1457,10 +1503,19 @@ def _mutual_knn_edges(
     """(doc_a, doc_b, cos_u) mutual-kNN edges with doc_a < doc_b — the
     single definition of mutuality (threshold placement, reciprocity
     join, tie rule) shared by graph_clusters and cluster_quality so the
-    two can never drift (code-review r07)."""
-    knn = knn_graph(embeddings, k, n_planes, bands, id_col, vec_col)
-    fwd = knn.where(F.col("cos_u") >= min_cos_u).select(
-        id_col, "neighbor_id", "cos_u"
+    two can never drift (code-review r07).
+
+    fwd feeds BOTH sides of the reciprocity join; persisting it pays
+    the rank window once instead of twice (edge-sized: ≤ k rows per
+    vector after the threshold filter). Built on _knn_rows, not
+    knn_graph, so the persist materializes no presentation sort."""
+    from ..plans.scratch import scratch_persist
+
+    knn = _knn_rows(embeddings, k, n_planes, bands, id_col, vec_col)
+    fwd = scratch_persist(
+        knn.where(F.col("cos_u") >= min_cos_u).select(
+            id_col, "neighbor_id", "cos_u"
+        )
     )
     rev = fwd.select(
         F.col("neighbor_id").alias(id_col),
