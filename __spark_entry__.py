@@ -507,15 +507,22 @@ def _qgram_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "text",
             )
         )
-    # price the PRE-copy frame (V): copying every doc c+1 times scales
-    # the direct volume to (c+1)²·V while the collapsed (rep-level)
-    # volume stays <= V, so (c+1)·V sits strictly between the routes —
-    # and the pricer scans a (c+1)× smaller frame than pricing the
-    # corpus would
-    plan = dedup.qgram_plan(inj, k=QGRAM_K, q=QGRAM_Q).collect()[0]
-    budget = int(plan["seg_join_tuples"]) * (QGRAM_COPIES + 1)
+    # budget = (c+1)·V where V = the PRE-copy direct volume: copying
+    # every doc c+1 times scales the direct volume to exactly (c+1)²·V
+    # (seg_join_tuples is bilinear in the per-prefix counts — every
+    # (i, l, sub) term is (Σc_x)(Σc_y), and freq(corpus).c =
+    # (c+1)·freq(inj).c row-for-row), while the collapsed (rep-level)
+    # volume stays <= V, so (c+1)·V sits strictly between the routes.
+    # Derived via the callable-budget hook from the router's OWN
+    # pricing pass — direct // (c+1) == (c+1)·V exactly (divisible by
+    # construction) — instead of the r13 shape that ran a full
+    # standalone qgram_plan(inj) job first (r14 opt: one pricing pass,
+    # not two; routing and output are unchanged).
     return dedup.qgram_edit_pairs_routed(
-        corpus, budget, k=QGRAM_K, q=QGRAM_Q
+        corpus,
+        lambda direct, collapsed: direct // (QGRAM_COPIES + 1),
+        k=QGRAM_K,
+        q=QGRAM_Q,
     )
 
 
@@ -545,9 +552,14 @@ def _jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    plan = dedup.jaccard_plan(corpus, JACR_TAU).collect()[0]
-    budget = (int(plan["inverted_pairs"]) + int(plan["prefix_pairs"])) // 2
-    return dedup.jaccard_pairs_routed(corpus, budget, JACR_TAU)
+    # budget = midpoint of the two priced route volumes, derived via
+    # the callable-budget hook from the router's own fused pricing
+    # pass (r14 opt) — the r13 shape ran a full standalone
+    # jaccard_plan(corpus) job first, duplicating every pricing
+    # aggregate. Same int, same route, same output.
+    return dedup.jaccard_pairs_routed(
+        corpus, lambda inv, pf: (inv + pf) // 2, JACR_TAU
+    )
 
 
 # The driver's correctness gate covers the FIRST 50 entries of queries().

@@ -16,6 +16,8 @@ Designed as a staged pipeline for 100 TB corpora:
 
 from __future__ import annotations
 
+from typing import Callable
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -2546,7 +2548,7 @@ class JaccardBudgetExceeded(_BudgetExceeded):
 
 def jaccard_pairs_routed(
     documents: DataFrame,
-    budget: int,
+    budget: int | Callable[[int, int], int],
     threshold_ppm: int = 500_000,
     n: int = 3,
     text_col: str = "text",
@@ -2585,7 +2587,7 @@ def jaccard_pairs_routed(
     pytest on natural and near-dup-injected corpora across both budget
     regimes; the registered gate's oracle recomputes the pair set
     independently in SQL every round."""
-    if budget < 0:
+    if not callable(budget) and budget < 0:
         raise ValueError("budget must be >= 0")
     if not (0 < int(threshold_ppm) <= 1_000_000):
         raise ValueError("threshold_ppm must be in (0, 1e6]")
@@ -2598,10 +2600,35 @@ def jaccard_pairs_routed(
     dfc = scratch_persist(
         sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     )
-    inv_mass = int(
-        dfc.agg(F.expr(_shingle_pair_mass_expr("__df")).alias("m"))
-        .collect()[0]["m"]
-    )
+    pf_mass: int | None = None
+    if callable(budget):
+        # budget as a function of (inverted_pairs, prefix_pairs) — r14
+        # opt, the qgram_edit_pairs_routed shape: callers whose budget
+        # is derived from the pricing (the gate's midpoint rule)
+        # previously ran a standalone jaccard_plan pass just to compute
+        # the int, duplicating every pricing aggregate this function
+        # re-runs. Both masses come from ONE fused collect here (the
+        # 1-row scalar-attach crossJoin, jaccard_plan's own shape); the
+        # callable returns the int budget and routing proceeds
+        # identically to passing the same int directly.
+        row = (
+            dfc.agg(F.expr(_shingle_pair_mass_expr("__df")).alias("__inv"))
+            .crossJoin(
+                _prefix_shingle_counts(sh, dfc, tau, id_col).agg(
+                    F.expr(_shingle_pair_mass_expr("f")).alias("__pf")
+                )
+            )
+            .collect()[0]
+        )
+        inv_mass, pf_mass = int(row["__inv"]), int(row["__pf"])
+        budget = int(budget(inv_mass, pf_mass))
+        if budget < 0:
+            raise ValueError("budget must be >= 0")
+    else:
+        inv_mass = int(
+            dfc.agg(F.expr(_shingle_pair_mass_expr("__df")).alias("m"))
+            .collect()[0]["m"]
+        )
     if inv_mass <= int(budget):
         # inverted route over the cached shingle frame; dfc is dead
         dfc.unpersist()
@@ -2620,11 +2647,12 @@ def jaccard_pairs_routed(
             )
             .orderBy("doc_a", "doc_b")
         )
-    pf_mass = int(
-        _prefix_shingle_counts(sh, dfc, tau, id_col)
-        .agg(F.expr(_shingle_pair_mass_expr("f")).alias("m"))
-        .collect()[0]["m"]
-    )
+    if pf_mass is None:
+        pf_mass = int(
+            _prefix_shingle_counts(sh, dfc, tau, id_col)
+            .agg(F.expr(_shingle_pair_mass_expr("f")).alias("m"))
+            .collect()[0]["m"]
+        )
     if pf_mass <= int(budget):
         # prefix route: the operator's own _shingle_pair_source /
         # df-count plans equal the cached ones — no corpus rescan;
@@ -3123,7 +3151,7 @@ class QgramBudgetExceeded(_BudgetExceeded):
 
 def qgram_edit_pairs_routed(
     documents: DataFrame,
-    budget: int,
+    budget: int | Callable[[int, int], int],
     k: int = 3,
     q: int = 2,
     prefix_chars: int = 30,
@@ -3173,7 +3201,7 @@ def qgram_edit_pairs_routed(
     from ..plans import ensure_parallelism
     from ..plans.scratch import scratch_persist
 
-    if budget < 0:
+    if not callable(budget) and budget < 0:
         raise ValueError("budget must be >= 0")
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -3198,6 +3226,18 @@ def qgram_edit_pairs_routed(
     vols = _qgram_volumes_both(freq, int(k), min_len).collect()[0]
     direct_tuples = int(vols["seg_join_tuples"])
     collapsed_tuples = int(vols["collapsed_tuples"])
+    if callable(budget):
+        # budget as a function of the two priced volumes (r14 opt):
+        # callers whose budget is DERIVED from the pricing (the gate's
+        # "strictly between the routes" constructions) previously ran a
+        # second, standalone qgram_plan pass just to compute the int —
+        # a full duplicate of the pricing job this function already
+        # runs. The callable sees (direct_tuples, collapsed_tuples)
+        # from THIS pass and returns the int budget; routing and
+        # output are identical to passing the same int directly.
+        budget = int(budget(direct_tuples, collapsed_tuples))
+        if budget < 0:
+            raise ValueError("budget must be >= 0")
     if direct_tuples <= int(budget):
         # run the direct join OVER the persisted members frame (the
         # rep_frame trick: s is its own lowercased prefix, so the
@@ -3255,8 +3295,16 @@ def qgram_edit_pairs_routed(
     # cached frame it never reads (review r12, second pass)
     freq.unpersist()
     # one representative per distinct prefix; the prefix string itself
-    # is the rep's text (lower/substring are idempotent on it)
-    reps = members.groupBy("s").agg(F.min("doc_id").alias("doc_id"))
+    # is the rep's text (lower/substring are idempotent on it).
+    # Persisted: the aggregate feeds THREE consumers (rep_frame below
+    # plus both rid sides of the keyed join) and Spark does not CSE
+    # across join sides — unpersisted, the groupBy ran three times per
+    # action (measured 3 identical 642 KB-shuffle stages at sf0.1).
+    # Size is one slim row per distinct prefix — island-collapsed by
+    # definition, safe at any corpus size.
+    reps = scratch_persist(
+        members.groupBy("s").agg(F.min("doc_id").alias("doc_id"))
+    )
     rep_frame = reps.select("doc_id", F.col("s").alias(text_col))
     rep_pairs = qgram_edit_pairs(
         rep_frame,

@@ -130,3 +130,70 @@ def test_bloom_decontaminate_precomputed_shingles_equivalent(spark, docs):
         dedup.bloom_build_words(bench, 4, 1 << 12, 4, shingles=bsh)
     )
     assert words == words_pre
+
+
+# --- callable-budget hook on the priced routers (r14 opt: the gates'
+# budget is derived from the router's own pricing pass instead of a
+# standalone duplicate qgram_plan/jaccard_plan job) ---
+
+
+def _copied_corpus(spark, docs, copies=3):
+    corpus = docs.select("doc_id", "text")
+    for i in range(1, copies + 1):
+        corpus = corpus.unionByName(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 1000)).alias("doc_id"),
+                "text",
+            )
+        )
+    return corpus
+
+
+def test_qgram_routed_callable_budget_equals_int(spark, docs):
+    """budget=f(direct, collapsed) must route and emit EXACTLY like the
+    same int budget: f = direct // (copies+1) on a copied corpus is the
+    gate's construction (collapsed < budget < direct)."""
+    corpus = _copied_corpus(spark, docs)
+    plan = dedup.qgram_plan(docs.select("doc_id", "text")).collect()[0]
+    int_budget = int(plan["seg_join_tuples"]) * 4
+    via_int = _rows(dedup.qgram_edit_pairs_routed(corpus, int_budget))
+    via_fn = _rows(
+        dedup.qgram_edit_pairs_routed(corpus, lambda d, c: d // 4)
+    )
+    assert via_fn == via_int
+    assert len(via_fn) > 0
+
+
+def test_qgram_routed_callable_budget_direct_route(spark, docs):
+    """An unbounded callable budget must take the direct route and match
+    the direct operator bit-for-bit."""
+    corpus = docs.select("doc_id", "text")
+    direct = _rows(dedup.qgram_edit_pairs(corpus))
+    via_fn = _rows(
+        dedup.qgram_edit_pairs_routed(corpus, lambda d, c: d)
+    )
+    assert via_fn == direct
+
+
+def test_jaccard_routed_callable_budget_equals_int(spark, docs):
+    """The midpoint callable must route and emit exactly like the same
+    int (the gate's construction: prefix route whenever pf < inv)."""
+    corpus = docs.select("doc_id", "text")
+    plan = dedup.jaccard_plan(corpus, 600_000).collect()[0]
+    int_budget = (int(plan["inverted_pairs"]) + int(plan["prefix_pairs"])) // 2
+    via_int = _rows(dedup.jaccard_pairs_routed(corpus, int_budget, 600_000))
+    via_fn = _rows(
+        dedup.jaccard_pairs_routed(
+            corpus, lambda inv, pf: (inv + pf) // 2, 600_000
+        )
+    )
+    assert via_fn == via_int
+    assert len(via_fn) > 0
+
+
+def test_routed_callable_budget_negative_raises(spark, docs):
+    corpus = docs.select("doc_id", "text")
+    with pytest.raises(ValueError, match="budget must be >= 0"):
+        dedup.qgram_edit_pairs_routed(corpus, lambda d, c: -1)
+    with pytest.raises(ValueError, match="budget must be >= 0"):
+        dedup.jaccard_pairs_routed(corpus, lambda inv, pf: -1)
