@@ -2789,20 +2789,24 @@ def edit_distance_pairs(
         )
         .distinct()
     )
-    # project the DP once, filter on the column: Filter + Project are
-    # separate physical operators and Catalyst does not CSE across
-    # them, so where(lev)/select(lev) runs the O(p^2) DP twice per
-    # surviving pair — and on this operator's skew story most
-    # candidates DO survive
+    # THRESHOLD form of the DP (r14 opt): levenshtein(sa, sb, k) runs
+    # the banded O(k·L) diagonal algorithm and returns the exact
+    # distance when <= k, -1 otherwise — emitted values are identical
+    # to the full DP on every surviving row by definition. This also
+    # defuses the pushdown duplication: Catalyst substitutes the dist
+    # alias into the pushed filter (the plan showed TWO levenshtein
+    # nodes despite the project-then-filter shape), so each candidate
+    # paid the full O(L²) DP twice; now even the duplicated eval is the
+    # k-banded early-exit form.
     return (
         cand.select(
             "doc_a",
             "doc_b",
-            F.levenshtein("sa", "sb").cast("long").alias("dist"),
+            F.levenshtein("sa", "sb", int(k)).cast("long").alias("dist"),
             F.length("sa").cast("long").alias("len_a"),
             F.length("sb").cast("long").alias("len_b"),
         )
-        .where(F.col("dist") <= F.lit(int(k)))
+        .where(F.col("dist") >= 0)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -3119,19 +3123,21 @@ def qgram_edit_pairs(
     )
     sa = base.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = base.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    # project the DP once, filter on the column (Filter + Project don't
-    # CSE — the edit_distance_pairs lesson)
+    # threshold-banded DP (r14 opt — the edit_distance_pairs note):
+    # levenshtein(sa, sb, k) is the O(k·L) early-exit form, exact on
+    # every row it keeps; filter pushdown duplicates the expression
+    # either way, so make each eval cheap instead of fighting Catalyst.
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("sa", "sb").cast("long").alias("dist"),
+            F.levenshtein("sa", "sb", int(k)).cast("long").alias("dist"),
             F.length("sa").cast("long").alias("len_a"),
             F.length("sb").cast("long").alias("len_b"),
         )
-        .where(F.col("dist") <= F.lit(int(k)))
+        .where(F.col("dist") >= 0)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -71,10 +71,14 @@ def blocked_fuzzy_pairs(
         F.col(id_col).alias("right_id"),
         F.substring(text_col, 1, prefix_len).alias("_rpfx"),
     )
-    dist = F.levenshtein("_lpfx", "_rpfx")
+    # threshold-banded DP (r14 opt): O(max_dist·L) early-exit form,
+    # exact on every row it keeps (-1 only above max_dist, which the
+    # filter drops) — the where/select pair evaluates the expression
+    # twice either way, so each eval is the cheap banded one
+    dist = F.levenshtein("_lpfx", "_rpfx", int(max_dist))
     return (
         lf.join(rf, on=keys)
-        .where(dist <= F.lit(max_dist))
+        .where(dist >= 0)
         .select("left_id", "right_id", dist.alias("dist"))
     )
 
