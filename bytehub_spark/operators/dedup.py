@@ -427,19 +427,27 @@ def minhash_signatures(
     )
 
 
-def _band_fold(sig_col, b: int, r: int) -> F.Column:
-    """Horner fold of one band's signature slice, mod 2^31-1.
+def _band_fold(b: int, r: int, sig: str = "sig") -> str:
+    """SQL text of the Horner fold of one band's signature slice, mod
+    2^31-1: acc = acc·K + sig[j] (mod p) per member — sig values < p and
+    K ≈ 2^20, so every intermediate < 2^51: plain BIGINT in Spark
+    (ANSI-safe) and in the DuckDB oracle. Collisions (bucket space 2^31)
+    only ADD candidate pairs — LSH recall is unaffected and both engines
+    collide identically.
 
-    acc = acc·K + sig[j] (mod p) per member — sig values < p and K ≈ 2^20,
-    so every intermediate < 2^51: plain BIGINT in Spark (ANSI-safe) and in
-    the DuckDB oracle. Collisions (bucket space 2^31) only ADD candidate
-    pairs — LSH recall is unaffected and both engines collide identically.
+    Emitted as SQL TEXT, not a Column chain (r14 opt, guide §7.3 driver
+    cost): the Column form cost ~6 Py4J round-trips per fold member ×
+    Σbands folds per query — ~2.6s of pure driver time per
+    band_recall plan build. One F.expr over the generated text is one
+    round-trip; the parsed tree (pmod/GetArrayItem/int literals) is
+    node-identical to what the Column API built, so every bucket value
+    is unchanged by construction.
     """
     from .hashing import BAND_K
 
-    acc = sig_col[b * r]
+    acc = f"{sig}[{b * r}]"
     for i in range(1, r):
-        acc = F.pmod(acc * F.lit(BAND_K) + sig_col[b * r + i], F.lit(MINHASH_PRIME))
+        acc = f"pmod({acc} * {BAND_K} + {sig}[{b * r + i}], {MINHASH_PRIME})"
     return acc
 
 
@@ -450,15 +458,12 @@ def _band_buckets(
     of each band's signature slice (engine-portable — no xxhash64). Slim
     rows — the shuffle unit for every LSH join."""
     r = n_hashes // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            _band_fold(F.col("sig"), b, r).alias("bh"),
-        )
+    folds = ", ".join(
+        f"named_struct('band', {b}, 'bh', {_band_fold(b, r)})"
         for b in range(bands)
-    ]
+    )
     return sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+        F.col(id_col), F.expr(f"explode(array({folds}))").alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 
@@ -654,17 +659,14 @@ def minhash_band_balance(
     # (guide §2.3/§2.4).
     for bands in bands_options:
         assert n_hashes % bands == 0
-    shape_cols = [
-        F.struct(
-            F.lit(bands).cast("int").alias("bands"),
-            F.lit(b).alias("band"),
-            _band_fold(F.col("sig"), b, n_hashes // bands).alias("bh"),
-        )
+    shape_structs = ", ".join(
+        f"named_struct('bands', {bands}, 'band', {b}, "
+        f"'bh', {_band_fold(b, n_hashes // bands)})"
         for bands in bands_options
         for b in range(bands)
-    ]
+    )
     buckets = sig.select(
-        F.explode(F.array(*shape_cols)).alias("bb")
+        F.expr(f"explode(array({shape_structs}))").alias("bb")
     ).select("bb.bands", "bb.band", "bb.bh")
     per_bucket = buckets.groupBy("bands", "band", "bh").agg(
         F.count("*").alias("c")
@@ -2131,17 +2133,14 @@ def minhash_band_recall(
     # Same rows, one signature scan + one candidate join at any size.
     for bands in bands_options:
         assert n_hashes % bands == 0
-    shape_cols = [
-        F.struct(
-            F.lit(bands).cast("int").alias("bands"),
-            F.lit(b).alias("band"),
-            _band_fold(F.col("sig"), b, n_hashes // bands).alias("bh"),
-        )
+    shape_structs = ", ".join(
+        f"named_struct('bands', {bands}, 'band', {b}, "
+        f"'bh', {_band_fold(b, n_hashes // bands)})"
         for bands in bands_options
         for b in range(bands)
-    ]
+    )
     buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*shape_cols)).alias("bb")
+        F.col(id_col), F.expr(f"explode(array({shape_structs}))").alias("bb")
     ).select(id_col, "bb.bands", "bb.band", "bb.bh")
     left = buckets.select(
         F.col(id_col).alias("doc_a"), "bands", "band", "bh"

@@ -45,6 +45,18 @@ def get_spark(
         # deployments on high-latency object stores should lower it via
         # extra_conf so wide listings fan out to executors.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+        # PySpark 4's DataFrame-debugging wrapper (_with_origin) costs
+        # THREE extra Py4J round-trips per Column/DataFrame API call
+        # (conf.get of stackTracesInDataFrameContext + PySparkCurrentOrigin
+        # .set + .clear) plus a Python stack walk — pure driver-side
+        # plan-BUILD overhead that buys only richer error call-site
+        # context, never a different result. Measured (r14 opt, guide
+        # §7.3 driver-cost class): ~36s of the 92-query battery was
+        # Python-side construction; chatty builders drop ~3x with this
+        # off (dedup_band_balance build 2.2s -> 0.7s, cur_funnel_flags
+        # 0.8s -> 0.5s). Scale-independent: driver chatter costs the
+        # same on a 100 TB cluster as on local[32].
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # InferFiltersFromGenerate derives `size(arr)>0 AND isnotnull(arr)`
         # from every explode() and pushes it down — results-identical by
         # definition (Generate itself drops empty/null arrays), but every
