@@ -2906,41 +2906,54 @@ def qgram_plan(
     return _qgram_volume_from_freq(freq, int(k), min_len)
 
 
-def _qgram_volumes_both(freq: DataFrame, k: int, min_len: int) -> DataFrame:
-    """BOTH route volumes in one pass over a prepared distinct-prefix
-    frequency frame (s, c, len): (seg_join_tuples, collapsed_tuples),
-    where collapsed is the same aggregate with every island weight at
-    1 (one representative per prefix). The two sums share the exploded
-    segment/probe tables and the (i, l, sub) equi-join — pricing the
-    re-route costs one extra SUM column, not a second pricing job
-    (qgram_edit_pairs_routed's hot path)."""
+def _qgram_exploded(
+    freq: DataFrame, k: int, min_len: int
+) -> tuple[DataFrame, DataFrame]:
+    """The PassJoin segment/probe tables exploded at the
+    per-distinct-prefix level, keyed by the prefix string itself:
+    seg rows (s, c, i, l, sub) where l is the prefix's own length, and
+    probe rows (s, c, i, l, sub) where l is the partner length. ONE
+    definition of the exploded tables: the pricing aggregates
+    (_qgram_volumes_from_exploded) and the routed operator's collapsed
+    join both read these exact frames, so priced volume == joined
+    volume stays structural (r14 opt: the collapsed route previously
+    re-ran both interpreted-lambda explodes a second time over the
+    rep frame — the same rows these tables already hold)."""
     seg_expr, probe_expr = _passjoin_seg_probe_exprs(int(k), min_len)
-    segs_w = (
-        freq.select("c", "len", F.explode(F.expr(seg_expr)).alias("sg"))
-        .groupBy(
-            F.col("sg.i").alias("i"),
-            F.col("len").alias("l"),
-            F.col("sg.sub").alias("sub"),
-        )
-        .agg(
-            F.sum("c").alias("cs"),
-            F.count("*").cast("long").alias("cs1"),
-        )
-    )
+    seg_s = freq.select(
+        "s", "c", F.col("len").alias("l"), F.explode(F.expr(seg_expr)).alias("sg")
+    ).select("s", "c", "l", F.col("sg.i").alias("i"), F.col("sg.sub").alias("sub"))
     # NOTE: freq lacks an `l` column for probes' transform over partner
     # lengths — probe_expr reads len (the doc's own length); explode
     # yields pr.l = the partner length, the join key
-    probes_w = (
-        freq.select("c", F.explode(F.expr(probe_expr)).alias("pr"))
-        .groupBy(
-            F.col("pr.i").alias("i"),
-            F.col("pr.l").alias("l"),
-            F.col("pr.sub").alias("sub"),
-        )
-        .agg(
-            F.sum("c").alias("cp"),
-            F.count("*").cast("long").alias("cp1"),
-        )
+    probe_s = freq.select(
+        "s", "c", F.explode(F.expr(probe_expr)).alias("pr")
+    ).select(
+        "s",
+        "c",
+        F.col("pr.i").alias("i"),
+        F.col("pr.l").alias("l"),
+        F.col("pr.sub").alias("sub"),
+    )
+    return seg_s, probe_s
+
+
+def _qgram_volumes_from_exploded(
+    seg_s: DataFrame, probe_s: DataFrame
+) -> DataFrame:
+    """BOTH route volumes from prepared exploded segment/probe tables:
+    (seg_join_tuples, collapsed_tuples), where collapsed is the same
+    aggregate with every island weight at 1 (one representative per
+    prefix). The two sums share the exploded tables and the (i, l, sub)
+    equi-join — pricing the re-route costs one extra SUM column, not a
+    second pricing job (qgram_edit_pairs_routed's hot path)."""
+    segs_w = seg_s.groupBy("i", "l", "sub").agg(
+        F.sum("c").alias("cs"),
+        F.count("*").cast("long").alias("cs1"),
+    )
+    probes_w = probe_s.groupBy("i", "l", "sub").agg(
+        F.sum("c").alias("cp"),
+        F.count("*").cast("long").alias("cp1"),
     )
     return segs_w.join(probes_w, ["i", "l", "sub"]).agg(
         F.coalesce(
@@ -2957,6 +2970,15 @@ def _qgram_volumes_both(freq: DataFrame, k: int, min_len: int) -> DataFrame:
             ),
             F.lit(0),
         ).cast("decimal(38,0)").alias("collapsed_tuples"),
+    )
+
+
+def _qgram_volumes_both(freq: DataFrame, k: int, min_len: int) -> DataFrame:
+    """BOTH route volumes in one pass over a prepared distinct-prefix
+    frequency frame (s, c, len) — the _qgram_exploded tables aggregated
+    by _qgram_volumes_from_exploded (one definition each)."""
+    return _qgram_volumes_from_exploded(
+        *_qgram_exploded(freq, int(k), min_len)
     )
 
 
@@ -3228,7 +3250,17 @@ def qgram_edit_pairs_routed(
         .agg(F.count("*").cast("long").alias("c"))
         .withColumn("len", F.length("s").cast("int"))
     )
-    vols = _qgram_volumes_both(freq, int(k), min_len).collect()[0]
+    # The exploded segment/probe tables are persisted HERE, above the
+    # pricing aggregation (r14 opt): the pricing pass fills them, and
+    # when the collapsed route wins, its candidate join reads the SAME
+    # cached rows instead of re-running both interpreted-lambda
+    # explodes over the rep frame (~half this query's executor CPU at
+    # sf0.1). Size is bounded by distinct prefixes × ~(2k+1)²(k+1)
+    # slim rows — island-collapsed by definition, never corpus-sized.
+    seg_s, probe_s = _qgram_exploded(freq, int(k), min_len)
+    seg_s = scratch_persist(seg_s)
+    probe_s = scratch_persist(probe_s)
+    vols = _qgram_volumes_from_exploded(seg_s, probe_s).collect()[0]
     direct_tuples = int(vols["seg_join_tuples"])
     collapsed_tuples = int(vols["collapsed_tuples"])
     if callable(budget):
@@ -3247,10 +3279,12 @@ def qgram_edit_pairs_routed(
         # run the direct join OVER the persisted members frame (the
         # rep_frame trick: s is its own lowercased prefix, so the
         # operator's lower/substring re-derivation is idempotent) —
-        # no second corpus scan; the dead freq frame is released
+        # no second corpus scan; the dead pricing frames are released
         # (review r12: the first fix unpersisted members too and
         # delegated on `documents`, paying a redundant full rescan)
         freq.unpersist()
+        seg_s.unpersist()
+        probe_s.unpersist()
         return qgram_edit_pairs(
             members,
             k=k,
@@ -3264,6 +3298,8 @@ def qgram_edit_pairs_routed(
         # frequency frame to fill in the full plan rows for the caller
         stats = _qgram_freq_stats(freq).collect()[0]
         freq.unpersist()
+        seg_s.unpersist()
+        probe_s.unpersist()
         members.unpersist()
         n, ndp = int(stats["n_docs"]), int(stats["n_distinct_prefixes"])
         plan_direct = {
@@ -3299,39 +3335,37 @@ def qgram_edit_pairs_routed(
     # rep-join/expansion job doesn't carry an O(distinct prefixes)
     # cached frame it never reads (review r12, second pass)
     freq.unpersist()
-    # one representative per distinct prefix; the prefix string itself
-    # is the rep's text (lower/substring are idempotent on it).
-    # Persisted: the aggregate feeds THREE consumers (rep_frame below
-    # plus both rid sides of the keyed join) and Spark does not CSE
-    # across join sides — unpersisted, the groupBy ran three times per
-    # action (measured 3 identical 642 KB-shuffle stages at sf0.1).
-    # Size is one slim row per distinct prefix — island-collapsed by
-    # definition, safe at any corpus size.
-    reps = scratch_persist(
-        members.groupBy("s").agg(F.min("doc_id").alias("doc_id"))
-    )
-    rep_frame = reps.select("doc_id", F.col("s").alias(text_col))
-    rep_pairs = qgram_edit_pairs(
-        rep_frame,
-        k=k,
-        q=q,
-        prefix_chars=prefix_chars,
-        text_col=text_col,
-        id_col="doc_id",
-    )
-    # map rep ids back to their prefix keys (rep id -> s), then expand
-    # each rep pair to all member cross pairs at the same distance
-    rid = reps.select(F.col("doc_id").alias("rid"), "s")
+    # Collapsed candidate join DIRECTLY over the persisted pricing
+    # tables (r14 opt): the prefix string is its own representative key
+    # (distinct prefixes ↔ reps is a bijection, and lower/substring are
+    # idempotent on s), so the rep-id indirection of the previous shape
+    # — a min(doc_id) rep aggregate, a rep-level qgram_edit_pairs that
+    # re-exploded both tables, and two rid-mapping joins back to the
+    # prefix keys — collapses to ONE (i, l, sub) equi-join of the
+    # cached seg/probe rows plus the banded-levenshtein verify on the
+    # pair keys themselves. Pair set, distances and lens are identical:
+    # string-ordered (sa, sb) instead of rep-id-ordered pairs feed the
+    # symmetric member expansion below, which orders final ids itself.
     keyed = (
-        rep_pairs.join(
-            rid.select(F.col("rid").alias("doc_a"), F.col("s").alias("sa")),
-            "doc_a",
-        )
+        seg_s.select(F.col("s").alias("sa_"), "i", "l", "sub")
         .join(
-            rid.select(F.col("rid").alias("doc_b"), F.col("s").alias("sb")),
-            "doc_b",
+            probe_s.select(F.col("s").alias("sb_"), "i", "l", "sub"),
+            ["i", "l", "sub"],
         )
-        .select("sa", "sb", "dist", "len_a", "len_b")
+        .where(F.col("sa_") != F.col("sb_"))
+        .select(
+            F.least("sa_", "sb_").alias("sa"),
+            F.greatest("sa_", "sb_").alias("sb"),
+        )
+        .distinct()
+        .select(
+            "sa",
+            "sb",
+            F.levenshtein("sa", "sb", int(k)).cast("long").alias("dist"),
+            F.length("sa").cast("long").alias("len_a"),
+            F.length("sb").cast("long").alias("len_b"),
+        )
+        .where(F.col("dist") >= 0)
     )
     ma = members.select(F.col("s").alias("sa"), F.col("doc_id").alias("ia"))
     mb = members.select(F.col("s").alias("sb"), F.col("doc_id").alias("ib"))
