@@ -2234,6 +2234,7 @@ def prefix_filter_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prefix: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold similarity self-join via prefix filtering
     (Chaudhuri/Ganti/Kaushik SSJoin, ICDE 2006; Xiao et al. PPJoin,
@@ -2283,27 +2284,34 @@ def prefix_filter_pairs(
     from ..plans.scratch import scratch_persist
 
     sh = _shingle_pair_source(documents, n, text_col, id_col, None)
-    dfc = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    # persist the ranked prefix: the self-join reads it on BOTH sides
-    # (without the cache the df-join + per-doc rank window executes
-    # twice — measured as two identical 3.9 MB exchange fills at
-    # sf0.1), and pin the join-side partitioning to the session's
-    # shuffle parallelism on the join key: the candidate join's
-    # per-row cost (PPJoin predicate over f² shingle matches) is
-    # compute-dense while its input bytes are tiny, so AQE's
-    # byte-based coalescing serialized it onto 1-5 tasks. The
-    # explicit-N repartition is the same shingle-hash exchange the
-    # join requires, opted out of coalescing; N follows
-    # spark.sql.shuffle.partitions (conf-parameterised, not a local
-    # constant).
-    n_part = int(
-        documents.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions", "200"
+    if prefix is None:
+        dfc = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        # persist the ranked prefix: the self-join reads it on BOTH sides
+        # (without the cache the df-join + per-doc rank window executes
+        # twice — measured as two identical 3.9 MB exchange fills at
+        # sf0.1), and pin the join-side partitioning to the session's
+        # shuffle parallelism on the join key: the candidate join's
+        # per-row cost (PPJoin predicate over f² shingle matches) is
+        # compute-dense while its input bytes are tiny, so AQE's
+        # byte-based coalescing serialized it onto 1-5 tasks. The
+        # explicit-N repartition is the same shingle-hash exchange the
+        # join requires, opted out of coalescing; N follows
+        # spark.sql.shuffle.partitions (conf-parameterised, not a local
+        # constant).
+        n_part = int(
+            documents.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"
+            )
         )
-    )
-    prefix = scratch_persist(
-        _ranked_prefix(sh, dfc, tau, id_col).repartition(n_part, "shingle")
-    )
+        prefix = scratch_persist(
+            _ranked_prefix(sh, dfc, tau, id_col).repartition(
+                n_part, "shingle"
+            )
+        )
+    # else: the caller (jaccard_pairs_routed) hands in ITS persisted
+    # ranked-prefix frame — the same _ranked_prefix + repartition
+    # construction its pricing pass already filled, so the route pays
+    # no second df-count + rank-window execution (r14 opt).
     a, b = prefix.alias("a"), prefix.alias("b")
     ai, bi = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
     # PPJoin positional filter, LOSSLESS: for a qualifying pair's
@@ -2599,6 +2607,29 @@ def jaccard_pairs_routed(
     dfc = scratch_persist(
         sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     )
+    # The ranked-prefix frame, built lazily (only routes that price or
+    # join the prefix mass pay for it) with prefix_filter_pairs' OWN
+    # construction — repartitioned on the join key and persisted, so
+    # the pricing pass FILLS the exact frame the prefix route joins
+    # (r14 opt: previously the pricing ran the df-join + rank-window
+    # pipeline transiently and the operator re-ran it from scratch).
+    ranked: DataFrame | None = None
+
+    def _ranked() -> DataFrame:
+        nonlocal ranked
+        if ranked is None:
+            n_part = int(
+                documents.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "200"
+                )
+            )
+            ranked = scratch_persist(
+                _ranked_prefix(sh, dfc, tau, id_col).repartition(
+                    n_part, "shingle"
+                )
+            )
+        return ranked
+
     pf_mass: int | None = None
     if callable(budget):
         # budget as a function of (inverted_pairs, prefix_pairs) — r14
@@ -2609,13 +2640,17 @@ def jaccard_pairs_routed(
         # re-runs. Both masses come from ONE fused collect here (the
         # 1-row scalar-attach crossJoin, jaccard_plan's own shape); the
         # callable returns the int budget and routing proceeds
-        # identically to passing the same int directly.
+        # identically to passing the same int directly. The prefix
+        # mass aggregates the PERSISTED ranked frame — identical rows
+        # to _prefix_shingle_counts (repartition is row-preserving;
+        # the round13 pricer==operator pin covers it).
         row = (
             dfc.agg(F.expr(_shingle_pair_mass_expr("__df")).alias("__inv"))
             .crossJoin(
-                _prefix_shingle_counts(sh, dfc, tau, id_col).agg(
-                    F.expr(_shingle_pair_mass_expr("f")).alias("__pf")
-                )
+                _ranked()
+                .groupBy("shingle")
+                .agg(F.count("*").cast("long").alias("f"))
+                .agg(F.expr(_shingle_pair_mass_expr("f")).alias("__pf"))
             )
             .collect()[0]
         )
@@ -2629,8 +2664,11 @@ def jaccard_pairs_routed(
             .collect()[0]["m"]
         )
     if inv_mass <= int(budget):
-        # inverted route over the cached shingle frame; dfc is dead
+        # inverted route over the cached shingle frame; dfc (and the
+        # ranked prefix, when the callable pricing filled it) is dead
         dfc.unpersist()
+        if ranked is not None:
+            ranked.unpersist()
         inter = _pair_counts(sh, id_col)
         union_sz = F.col("na").cast("long") + F.col("nb") - F.col("i")
         return (
@@ -2648,21 +2686,23 @@ def jaccard_pairs_routed(
         )
     if pf_mass is None:
         pf_mass = int(
-            _prefix_shingle_counts(sh, dfc, tau, id_col)
+            _ranked()
+            .groupBy("shingle")
+            .agg(F.count("*").cast("long").alias("f"))
             .agg(F.expr(_shingle_pair_mass_expr("f")).alias("m"))
             .collect()[0]["m"]
         )
     if pf_mass <= int(budget):
-        # prefix route: the operator's own _shingle_pair_source /
-        # df-count plans equal the cached ones — no corpus rescan;
-        # dfc stays persisted because prefix_filter_pairs' internal
-        # df-count subtree is served from it
+        # prefix route over the pricing's OWN ranked-prefix frame — the
+        # candidate join reads the rows the mass aggregate just filled;
+        # dfc stays persisted because the frame's lineage reads it
         return prefix_filter_pairs(
             documents,
             threshold_ppm=tau,
             n=n,
             text_col=text_col,
             id_col=id_col,
+            prefix=_ranked(),
         )
     # refusal: fill both plan rows from the cached frames, release
     stats = (
@@ -2681,6 +2721,8 @@ def jaccard_pairs_routed(
         .collect()[0]
     )
     dfc.unpersist()
+    if ranked is not None:
+        ranked.unpersist()
     sh.unpersist()
     n_docs = int(stats["n_docs"])
     plan_inverted = {
