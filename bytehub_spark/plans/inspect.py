@@ -108,9 +108,27 @@ def ensure_parallelism(df: DataFrame, factor: float = 1.0) -> DataFrame:
     """
     spark = df.sparkSession
     target = max(1, int(spark.sparkContext.defaultParallelism * factor))
-    if df.rdd.getNumPartitions() >= target:
+    # Memoize the wide-enough decision by the ANALYZED plan's semantic
+    # hash (r14 opt, guide §7.3): df.rdd forces full optimization +
+    # physical planning + RDD conversion just to read a partition
+    # count — measured 0.86s on margin_pairs_lsh's candidate frame —
+    # and harness reps/sibling operators rebuild semantically identical
+    # frames. semanticHash only canonicalizes the already-analyzed
+    # plan; equal plans in one session plan to the same partition
+    # count, and a (vanishingly unlikely, 32-bit) collision can only
+    # mis-skip/mis-add a repartition — a performance effect, never a
+    # result change.
+    key = (df.semanticHash(), target)
+    wide = _ensure_par_memo.get(key)
+    if wide is None:
+        wide = df.rdd.getNumPartitions() >= target
+        _ensure_par_memo[key] = wide
+    if wide:
         return df
     return df.repartition(target)
+
+
+_ensure_par_memo: dict[tuple[int, int], bool] = {}
 
 
 # ---------------------------------------------------------------------------
