@@ -259,26 +259,27 @@ def main() -> None:
         # contention telemetry: >~1000 ticks across the window
         # means the wall times above are steal-inflated (judge
         # protocol: adjudicate from these, don't re-run blind).
-        # attempts[] carries every window measured (length 2 when
-        # the first exceeded STEAL_RETRY_THRESHOLD); the top-level
-        # fields mirror attempts[chosen].
         "steal_ticks_before": best["steal_ticks_before"],
         "steal_ticks_after": best["steal_ticks_after"],
         "steal_ticks_delta": best["steal_ticks_delta"],
-        "attempts": attempts,
+        "n_attempts": len(attempts),
         "chosen": chosen,
     }
+    # stdout carries ONLY the compact line: the driver stores a
+    # truncated stdout TAIL, and r13's line — bloated by the full
+    # attempts[] array (every per-query timing x every attempt) — was
+    # cut mid-line, so the driver parsed nothing and the r14
+    # round-over-round comparison was empty (VERDICT r14 item 1).
+    # Per-attempt detail goes EXCLUSIVELY to SPARK_GRAFT_BENCH_OUT.
     print(json.dumps(payload))
-    # Machine-readable local history (VERDICT r13 #6): the driver's
-    # BENCH_r*.json stores only a truncated stdout tail, which made the
-    # r13 storm-window triage depend on re-parsing raw strings. When
-    # SPARK_GRAFT_BENCH_OUT is set, persist the FULL payload (per-query
-    # best-of-3 + per-attempt steal) to that path for the committed
-    # BENCH_LOCAL_r{N}.json record.
+    # Machine-readable local history (VERDICT r13 #6): when
+    # SPARK_GRAFT_BENCH_OUT is set, persist the FULL payload (compact
+    # fields + every attempt's per-query best-of-3 and steal window)
+    # to that path for the committed BENCH_LOCAL_r{N}.json record.
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if out_path:
         with open(out_path, "w") as f:
-            json.dump(payload, f, indent=1)
+            json.dump({**payload, "attempts": attempts}, f, indent=1)
 
 
 if __name__ == "__main__":
