@@ -1270,10 +1270,19 @@ def line_dedup(
     Sort-by-pos happens inside each doc's collected array (bounded by
     lines-per-doc), not as a shuffle.
     """
-    lines = documents.select(
-        id_col,
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("__lh", F.md5(F.trim(F.col("line"))))
+    from ..plans.scratch import scratch_persist
+
+    # the line frame feeds BOTH the boilerplate-frequency aggregate and
+    # the membership join; Spark does not CSE across those branches, so
+    # without the persist the split+posexplode+md5 (and whatever text
+    # derivation the caller stacked under text_col) runs twice per
+    # action (r15 opt, the bigram_xent_terms pattern).
+    lines = scratch_persist(
+        documents.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        ).withColumn("__lh", F.md5(F.trim(F.col("line"))))
+    )
     boiler = (
         lines.groupBy("__lh")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))

@@ -93,14 +93,28 @@ def resample_locf(events: DataFrame, freq: str = "1h") -> DataFrame:
     resample: grid via sequence(), LOCF per user key — one shuffle on
     (user_id), grid cross-join is broadcast (keys × small grid).
     """
-    dedup = ts.dedup_latest(
-        events.select("user_id", F.col("ts").alias("time"), "value", "event_id"),
-        time_col="time",
-        created_col="event_id",  # deterministic tiebreak: latest event wins
-        partition_by=["user_id"],
-    ).drop("event_id")
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    from ..plans.scratch import scratch_persist
+
+    # persist the dedup: downstream it feeds BOTH resample's key-list
+    # aggregate and the LOCF branch (two full window passes without the
+    # cache), and the grid-bounds agg below reads it too — ONE events
+    # scan + rank window per run instead of three scans + two windows
+    # (r15 opt). Bounds off the dedup are exact: dedup_latest keeps one
+    # row per (user_id, time), so every distinct non-null ts survives,
+    # and min/max ignore nulls in both engines.
+    dedup = scratch_persist(
+        ts.dedup_latest(
+            events.select(
+                "user_id", F.col("ts").alias("time"), "value", "event_id"
+            ),
+            time_col="time",
+            created_col="event_id",  # deterministic tiebreak: latest event wins
+            partition_by=["user_id"],
+        ).drop("event_id")
+    )
+    bounds = dedup.agg(
+        F.date_trunc("hour", F.min("time")).alias("t0"),
+        F.max("time").alias("t1"),
     ).collect()[0]
     out = ts.resample(
         dedup,

@@ -151,10 +151,16 @@ def repetition_ratio(documents: DataFrame, n: int = 3) -> DataFrame:
     # inside the transform lambda re-splits the text per n-gram (O(words²)
     # per doc — measured 7s vs 0.3s on 5k docs). Also guard short docs:
     # sequence(0, -1) is DESCENDING in Spark, not empty.
+    # Per-gram elements are direct __w[i+j] refs, NOT slice(__w, i+1, n):
+    # slice allocates a fresh n-element array per gram before concat_ws
+    # reads it — pure per-row allocation the element refs skip (guide
+    # §1.2 per-task work; identical strings: split() never yields NULL
+    # elements, so concat_ws sees the same n tokens either way).
+    elems = ", ".join(f"__w[i + {j}]" for j in range(n))
     grams = F.expr(
         f"CASE WHEN size(__w) >= {n} THEN "
         f"transform(sequence(0, size(__w) - {n}), "
-        f"i -> concat_ws(' ', slice(__w, i + 1, {n}))) "
+        f"i -> concat_ws(' ', {elems})) "
         f"ELSE array() END"
     )
     return (
@@ -659,28 +665,24 @@ def bigram_lm_score(documents: DataFrame) -> DataFrame:
     agg map-side), then one shuffle join of doc bigrams against them on
     the bigram/unigram key — the TF-IDF shape, linear in corpus size.
     """
+    from ..plans.scratch import scratch_persist
+
     toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    doc_bi = (
-        documents.where(n >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
-    )
+    # the exploded (doc_id, w1, bigram) frame feeds BOTH the bigram-count
+    # aggregate and the verify join; Spark does not CSE across those
+    # branches, so persist it (one explode per run — the
+    # bigram_xent_terms pattern). w1 is carried FROM the explode (the
+    # zip_with lambda already holds the first token), replacing the
+    # per-joined-row split(bigram)[0] re-parse AND the inferred
+    # isnotnull(split(...)[0]) join-key filter below the join.
+    doc_bi = scratch_persist(_bigram_w1_pairs(documents, {"doc_id": "doc_id"}))
     uni = (
         documents.select(F.explode(toks).alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
     )
     bi = doc_bi.groupBy("bigram").agg(F.count("*").alias("c2"))
-    joined = (
-        doc_bi.join(bi, "bigram")
-        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
-        .join(uni, "w1")
-    )
+    joined = doc_bi.join(bi, "bigram").join(uni, "w1")
     cond_p = F.col("c2").cast("double") / F.col("c1").cast("double")
     bits = F.length(F.bin(F.col("c2")))
     return (
@@ -695,6 +697,45 @@ def bigram_lm_score(documents: DataFrame) -> DataFrame:
             F.col("sum_bits").cast("double") / F.col("n_bigrams").cast("double"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _bigram_w1_pairs(documents: DataFrame, carry: dict[str, str]) -> DataFrame:
+    """The corpus bigram explode shared by bigram_lm_score and
+    bigram_xent_terms: (carry..., w1, bigram) rows, one per adjacent
+    token pair, built so the per-row work is minimal —
+
+    - the words array is materialized ONCE per row (``__w``): inlining
+      split(text) into the zip_with expression re-splits the text ~5x
+      per row (size guard + two slices + the filter — measured on the
+      r14 shingle source, the same fix as repetition_ratio);
+    - the explode emits ``w1`` (the pair's first token) NEXT TO the
+      concatenated bigram string, straight from the zip_with lambda —
+      identical to split(bigram, ' ')[0] by construction (tokens cannot
+      contain the delimiter), so downstream joins on w1 never re-parse
+      the bigram and the optimizer's inferred join-key notnull filter
+      tests a plain column instead of a split.
+    """
+    w = F.col("__w")
+    m = F.size(w)
+    pairs = F.zip_with(
+        F.slice(w, 1, m - 1),
+        F.slice(w, 2, m - 1),
+        lambda a, b: F.struct(
+            a.alias("w1"), F.concat(a, F.lit(" "), b).alias("bigram")
+        ),
+    )
+    sel = [F.col(src).alias(dst) for dst, src in carry.items()]
+    out = list(carry.keys())
+    return (
+        documents.withColumn("__w", F.split(F.col("text"), " "))
+        .where(m >= 2)
+        .select(*sel, F.explode(pairs).alias("__p"))
+        .select(
+            *out,
+            F.col("__p.w1").alias("w1"),
+            F.col("__p.bigram").alias("bigram"),
+        )
     )
 
 
@@ -811,32 +852,21 @@ def bigram_xent_terms(
     the verify join; Spark does not CSE across those branches, so it is
     scratch-persisted here (one explode per run, all three callers).
     """
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
     from ..plans.scratch import scratch_persist
 
-    doc_bi = scratch_persist(
-        documents.where(n >= 2).select(
-            *[F.col(src).alias(dst) for dst, src in carry.items()],
-            F.explode(bigrams).alias("bigram"),
-        )
-    )
+    # _bigram_w1_pairs materializes the words array once per row and
+    # carries w1 from the zip_with lambda (identical to
+    # split(bigram, ' ')[0] by construction), so neither the explode
+    # nor the verify join re-splits any string (r15 opt).
+    doc_bi = scratch_persist(_bigram_w1_pairs(documents, carry))
+    toks = F.split(F.col("text"), " ")
     uni = (
         documents.select(F.explode(toks).alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
     )
     bi = doc_bi.groupBy("bigram").agg(F.count("*").alias("c2"))
-    joined = (
-        doc_bi.join(bi, "bigram")
-        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
-        .join(uni, "w1")
-    )
+    joined = doc_bi.join(bi, "bigram").join(uni, "w1")
     term = F.floor((plog2(F.col("c1")) - plog2(F.col("c2"))) * F.lit(1e9))
     return joined.select(
         *carry.keys(), "bigram", term.alias("xent_nbits")

@@ -1,5 +1,5 @@
 """Dump .explain("formatted") for named bench/gate queries to
-plans/r14/<query>_<tag>.txt — driver-only (no jobs run), safe to use
+$SPARK_GRAFT_PLANS_DIR (default plans/r15)/<query>_<tag>.txt — driver-only (no jobs run), safe to use
 while another harness owns the executors.
 
 Usage: python scripts/explain_query.py <tag> <query> [query ...]
@@ -23,13 +23,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("explain_query")
     queries = entry_mod.queries()
-    os.makedirs("plans/r14", exist_ok=True)
+    out_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "plans/r15")
+    os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = queries[name](spark, sf_dir)
         txt = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        path = f"plans/r14/{name}_{tag}.txt"
+        path = f"{out_dir}/{name}_{tag}.txt"
         with open(path, "w") as f:
             f.write(txt)
         n_ex = txt.count("Exchange")
