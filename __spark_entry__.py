@@ -1048,6 +1048,9 @@ def _semantic_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonzero = F.expr(
         "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + x * x) > 0"
     )
+    # NOT persisted (measured r15): twins feeds three consumers, but the
+    # filter over the cached embeddings table is cheaper than the
+    # persist fill + cache reads at every SF tried (1.30 -> 1.42s).
     twins = (
         emb.where((F.col("vec_id") % 53 == 0) & nonzero)
         .withColumn("vec_id", F.col("vec_id") + F.lit(1000000000))

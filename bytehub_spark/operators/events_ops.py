@@ -2218,17 +2218,49 @@ def scd2_history(events: DataFrame) -> DataFrame:
     that). Run detection lives in _user_runs, SHARED with the
     streaming Scd2Monitor.
     """
-    grouped = _user_runs(events).withColumnRenamed("run", "version")
-    wv = Window.partitionBy("user_id").orderBy("version")
+    # Runs-filter formulation (r15 opt, guide §2.4: fewer full-data
+    # passes): instead of _user_runs' groupBy over EVERY event row (a
+    # full-size re-sort + two SortAggregates at 600k rows sf0.1), mark
+    # run starts in the same window pass that detects changes, FILTER
+    # to the start rows (one per run), and derive the whole output from
+    # start rows alone:
+    #   - valid_from = the start row's ts (== min ts of the run: rows
+    #     are ordered by ts, and all run rows share event_type);
+    #   - version   = row_number over start rows (== the running-sum
+    #     run number: runs are numbered in start order);
+    #   - valid_to  = lead(ts) over start rows (== next run's min ts);
+    #   - n_events  = next start's row_number − this start's (last run:
+    #     user's total + 1), exact because runs tile the user's rows.
+    # Equivalence to the _user_runs construction is pinned in
+    # tests/test_r15_opt.py; the streaming Scd2Monitor keeps consuming
+    # _user_runs unchanged.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    first_row = F.lag("event_id").over(w).isNull()
+    chg = (
+        F.when(first_row | ~prev.eqNullSafe(F.col("event_type")), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    starts = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__chg", chg)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(Window.partitionBy("user_id")))
+        .where(F.col("__chg") == 1)
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    n_events = (
+        F.coalesce(F.lead("__rn").over(ws), F.col("__n") + F.lit(1))
+        - F.col("__rn")
+    )
     return (
-        grouped.withColumn("valid_to", F.lead("valid_from").over(wv))
-        .select(
+        starts.select(
             "user_id",
-            F.col("version").cast("long").alias("version"),
+            F.row_number().over(ws).cast("long").alias("version"),
             "event_type",
-            "valid_from",
-            "valid_to",
-            "n_events",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(ws).alias("valid_to"),
+            n_events.cast("long").alias("n_events"),
         )
         .orderBy("user_id", "version")
     )
