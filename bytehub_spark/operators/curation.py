@@ -1235,38 +1235,35 @@ def pipeline_card(
     # time — pure driver). Same rows, same single-job execution, ~5x
     # smaller plan (guide §3.3: very wide unions make planning itself
     # the bottleneck).
-    stage_rows = F.array(
-        *[
-            F.struct(
-                F.lit(stage).cast("int").alias("stage"),
-                F.lit(name).alias("name"),
-                F.col(c_in).cast("long").alias("n_in"),
-                F.col(c_out).cast("long").alias("n_out"),
-                (F.col(c_in) - F.col(c_out)).cast("long").alias("n_dropped"),
-            )
-            for stage, name, c_in, c_out in (
-                (0, "gate", "nc", "n0"),
-                (1, "exact_dedup", "n0", "n1"),
-                (2, "lsh_neardedup", "n1", "n2"),
-                (3, "decontaminate", "n2", "n3"),
-            )
-        ]
-        + [
-            F.struct(
-                F.lit(4).cast("int").alias("stage"),
-                F.lit("pack").alias("name"),
-                F.col("n3").cast("long").alias("n_in"),
-                F.expr(
-                    f"(tok + {int(max_tokens) - 1}) div {int(max_tokens)}"
-                )
-                .cast("long")
-                .alias("n_out"),
-                F.lit(0).cast("long").alias("n_dropped"),
-            )
+    # the stage-row struct array is emitted as ONE SQL text (r15 opt,
+    # the _band_fold pattern): the Column-API form cost ~30 chatty
+    # builder calls (~6 Py4J round-trips each, eager JVM analysis per
+    # Dataset) for what parses to a node-identical literal-struct tree
+    def _srow(stage: int, name: str, c_in: str, c_out: str) -> str:
+        return (
+            f"named_struct('stage', {stage}, 'name', '{name}', "
+            f"'n_in', CAST({c_in} AS BIGINT), "
+            f"'n_out', CAST({c_out} AS BIGINT), "
+            f"'n_dropped', CAST({c_in} - {c_out} AS BIGINT))"
+        )
+
+    pack_out = f"(tok + {int(max_tokens) - 1}) div {int(max_tokens)}"
+    rows_sql = ", ".join(
+        [
+            _srow(0, "gate", "nc", "n0"),
+            _srow(1, "exact_dedup", "n0", "n1"),
+            _srow(2, "lsh_neardedup", "n1", "n2"),
+            _srow(3, "decontaminate", "n2", "n3"),
+            (
+                "named_struct('stage', 4, 'name', 'pack', "
+                "'n_in', CAST(n3 AS BIGINT), "
+                f"'n_out', CAST({pack_out} AS BIGINT), "
+                "'n_dropped', CAST(0 AS BIGINT))"
+            ),
         ]
     )
     return (
-        counts.select(F.explode(stage_rows).alias("r"))
+        counts.select(F.expr(f"explode(array({rows_sql}))").alias("r"))
         .select("r.stage", "r.name", "r.n_in", "r.n_out", "r.n_dropped")
         .orderBy("stage")
     )

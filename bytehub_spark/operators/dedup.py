@@ -573,29 +573,30 @@ def minhash_lsh_pairs(
     # the (band, bh) equi-join shuffles slim rows, not signature arrays
     buckets = _band_buckets(sig, n_hashes, bands, id_col)
     a, b2 = buckets.alias("a"), buckets.alias("b")
+    # join condition and agreement estimate as single SQL texts (r15
+    # opt, the _band_fold pattern): parses to the same operator tree as
+    # the Column chain at a fraction of the plan-build round-trips
     pairs = (
         a.join(
             b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            F.expr(
+                f"a.band = b.band AND a.bh = b.bh "
+                f"AND a.{id_col} < b.{id_col}"
+            ),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
+        .selectExpr(f"a.{id_col} AS doc_a", f"b.{id_col} AS doc_b")
         .distinct()
     )
-    sig_a = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
-    sig_b = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    sig_a = sig.selectExpr(f"{id_col} AS doc_a", "sig AS sig_a")
+    sig_b = sig.selectExpr(f"{id_col} AS doc_b", "sig AS sig_b")
     est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        .cast("double") / F.lit(float(n_hashes))
+        "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
+        f"v -> v)) AS DOUBLE) / CAST({float(n_hashes)} AS DOUBLE)"
     )
     return (
         pairs.join(sig_a, "doc_a")
         .join(sig_b, "doc_b")
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .selectExpr("doc_a", "doc_b", f"{est} AS est_jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
