@@ -1875,33 +1875,42 @@ def bloom_decontaminate(
         else shingle_sets(documents, text_col, id_col, n)
     )
     th = _h1_h2(train_sh, id_col)
-    tpos = th.select(
-        id_col,
-        "__h1",
-        "__h2",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
-    ).select(
-        id_col,
-        "__h1",
-        "__h2",
-        F.pmod(F.col("__h1") + F.col("j") * F.col("__h2"), F.lit(m)).alias("pos"),
+    # All k probes are evaluated PER SHINGLE ROW against the word table
+    # collected into one broadcast map (≤ m_bits/32 entries — bounded,
+    # never corpus-sized), replacing the r14 shape's explode(k) +
+    # word_idx broadcast-join + k×-row shuffle into the (id, h1, h2)
+    # aggregate (guide §2.3 shuffle-fewer-bytes: the exploded position
+    # frame was the query's one corpus-sized exchange — 4 probe rows
+    # per shingle at k=4, measured 5.1 MB vs 1.3 MB at sf0.1; at any
+    # corpus size this cuts the exchange to 1 slim row per shingle).
+    # The (id, h1, h2) group-then-==k stays EXACTLY as documented: the
+    # per-row set-bit count s sums over a group's rows to the same
+    # n_set the per-probe-row sum produced (s is identical across rows
+    # of a colliding group), so (h1, h2)-collision merging — including
+    # the degenerate n_rows·s == k keeps — is bit-identical.
+    words_map = bloom.agg(
+        F.map_from_arrays(
+            F.collect_list("word_idx"), F.collect_list("word")
+        ).alias("__bm")
     )
-    probed = (
-        tpos.withColumn("word_idx", F.expr("pos div 32"))
-        .withColumn("bit", F.expr("CAST(pos % 32 AS INT)"))
-        .join(F.broadcast(bloom), "word_idx", "left")
-        .withColumn(
-            "hit",
-            F.when(
-                F.col("word").isNotNull()
-                & (F.expr("(shiftright(word, bit) & 1)") == 1),
-                1,
-            ).otherwise(0),
+    def _probe_bit(j: int) -> str:
+        return (
+            f"(shiftright(coalesce(element_at(__bm, "
+            f"pmod(__h1 + {j} * __h2, {m}) div 32), 0), "
+            f"CAST(pmod(__h1 + {j} * __h2, {m}) % 32 AS INT)) & 1)"
         )
+
+    # k explicit CASE terms, NOT an aggregate() lambda: higher-order-
+    # function lambdas run interpreted (measured 6.8s vs 1.3s at sf0.1)
+    s_expr = " + ".join(
+        f"CASE WHEN {_probe_bit(j)} = 1 THEN 1 ELSE 0 END"
+        for j in range(k)
     )
     return (
-        probed.groupBy(id_col, "__h1", "__h2")
-        .agg(F.sum("hit").alias("n_set"))
+        th.crossJoin(F.broadcast(words_map))
+        .selectExpr(id_col, "__h1", "__h2", f"{s_expr} AS __s")
+        .groupBy(id_col, "__h1", "__h2")
+        .agg(F.sum("__s").alias("n_set"))
         .where(F.col("n_set") == k)
         .groupBy(id_col)
         .agg(F.count("*").alias("n_maybe_shingles"))
