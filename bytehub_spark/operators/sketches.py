@@ -416,8 +416,12 @@ def hll_overlap(
     # each register frame is consumed twice (own estimate + the union
     # max-merge); without the persist the no-double-scan property would
     # ride on Spark exchange reuse, which AQE/plan changes can defeat
-    ra = scratch_persist(hll_registers(df_a, key_col, None, m))
-    rb = scratch_persist(hll_registers(df_b, key_col, None, m))
+    # coalesce(1): register files are bounded at m rows no matter the
+    # input size, and the inherited 32-way agg partitioning made every
+    # consumer stage schedule 32 tasks over ~64 cached rows (r15 opt,
+    # the hll_overlap_matrix measurement)
+    ra = scratch_persist(hll_registers(df_a, key_col, None, m).coalesce(1))
+    rb = scratch_persist(hll_registers(df_b, key_col, None, m).coalesce(1))
     ru = (
         ra.unionByName(rb)
         .groupBy("bucket")
@@ -505,8 +509,19 @@ def hll_overlap_matrix(
     """
     from ..plans.scratch import scratch_persist
 
-    # consumed three times (per-group estimates + both pair fan-outs)
-    regs = scratch_persist(hll_registers(df, key_col, group_col, m))
+    # consumed six times (per-group estimates twice via ea/eb, the
+    # distinct-groups frame, both pair fan-outs) — persisted AND
+    # coalesced to one partition: the register table is bounded at
+    # groups·m rows NO MATTER the input size (the whole point of the
+    # sketch), yet it inherits the aggregation's full shuffle
+    # partitioning, so every consumer stage scheduled 32 tasks over a
+    # ~320-row cache (measured: six ~170 ms 32-task stages per run,
+    # ~1s of pure task scheduling at sf0.1). coalesce(1) narrows the
+    # final register merge and every downstream read to one task —
+    # scale-safe because the frame is sketch-sized by construction.
+    regs = scratch_persist(
+        hll_registers(df, key_col, group_col, m).coalesce(1)
+    )
     est = hll_estimate_corrected(regs, m, [group_col])
     groups = regs.select(F.col(group_col).alias("__g")).distinct()
     pairs = (
@@ -727,8 +742,10 @@ def kmv_overlap_matrix(
     """
     from ..plans.scratch import scratch_persist
 
-    # consumed three times (per-group estimates + both pair fan-outs)
-    sk = scratch_persist(kmv_sketch(df, key_col, k, group_col))
+    # consumed three times (per-group estimates + both pair fan-outs);
+    # coalesce(1): the sketch is bounded at groups*k rows no matter the
+    # input size (the hll_overlap_matrix task-scheduling measurement)
+    sk = scratch_persist(kmv_sketch(df, key_col, k, group_col).coalesce(1))
     est = kmv_estimate(sk, k, [group_col])
     groups = sk.select(F.col(group_col).alias("__g")).distinct()
     pairs = groups.select(F.col("__g").alias("group_a")).join(
@@ -751,6 +768,8 @@ def kmv_overlap_matrix(
         .agg(
             F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
         )
+        # bounded at pairs*2k rows - same coalesce rationale as `sk`
+        .coalesce(1)
     )
     union_k = _kmv_bottom_k(
         tagged.select("group_a", "group_b", "h"),
