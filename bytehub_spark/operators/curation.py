@@ -658,15 +658,30 @@ def weighted_sample(
         ]
         pri = draws[0] if cap == 1 else F.greatest(*draws)
     else:
-        # routed shape: the seed argument is the SQL fragment
-        # "(WSAMPLE_SEED + r)" over the lambda variable — int_mix_sql
-        # only ever adds the seed once inside the first residue, so a
-        # parenthesized expression substitutes soundly for the literal
-        # (intermediates stay < 2^62 + 2^61: seed ≤ 2^32 + 2^20)
-        mix = int_mix_sql(id_col, f"({WSAMPLE_SEED} + r)")
-        pri = F.expr(
-            f"array_max(transform(sequence(1, w_eff), r -> {mix}))"
+        # routed shape, as CHAINED transforms (r15 opt): int_mix_sql's
+        # text nests each round's operand h three times — free under
+        # whole-stage codegen (subexpression elimination), but
+        # higher-order-function lambdas run INTERPRETED, where every
+        # textual occurrence re-evaluates, compounding to ~9 residue
+        # computations per mixer round per draw. Binding each round to
+        # its own transform makes h a lambda VARIABLE (evaluated once);
+        # the arithmetic — base residue, affine round, two quadratic
+        # rounds mod p — is the same operations in the same order, so
+        # every priority is bit-identical (pinned across the route
+        # boundary in tests). Intermediates unchanged (< 2^62 + 2^61:
+        # seed ≤ 2^32 + 2^20).
+        from .hashing import MINHASH_PRIME, PLANE_A, PLANE_C
+
+        m_, a_, c_ = MINHASH_PRIME, PLANE_A, PLANE_C
+        t0 = (
+            f"transform(sequence(1, w_eff), r -> "
+            f"((CAST({id_col} AS BIGINT) % {m_} + {m_} "
+            f"+ ({WSAMPLE_SEED} + r)) % {m_}))"
         )
+        t1 = f"transform({t0}, h -> ((h * {a_} + {c_}) % {m_}))"
+        t2 = f"transform({t1}, h -> ((h * h + {a_} * h + {c_}) % {m_}))"
+        t3 = f"transform({t2}, h -> ((h * h + {a_} * h + {c_}) % {m_}))"
+        pri = F.expr(f"array_max({t3})")
     return (
         base.select(
             id_col, "weight", "w_eff", pri.cast("long").alias("priority")

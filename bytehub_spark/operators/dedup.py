@@ -445,6 +445,10 @@ def _band_fold(b: int, r: int, sig: str = "sig") -> str:
     """
     from .hashing import BAND_K
 
+    # guard the text interpolation (ADVICE r14): a column name needing
+    # backticks would generate invalid/subtly-wrong SQL silently
+    if not sig.isidentifier():
+        raise ValueError(f"_band_fold: sig must be a plain identifier, got {sig!r}")
     acc = f"{sig}[{b * r}]"
     for i in range(1, r):
         acc = f"pmod({acc} * {BAND_K} + {sig}[{b * r + i}], {MINHASH_PRIME})"
@@ -1606,8 +1610,12 @@ def kmv_source_overlap(
     # re-ran the whole scan + Arrow-UDF hash + distinct per branch
     # (r14 optimization round, guide §2.4/§4) — persist it once.
     fp = scratch_persist(kmv_fingerprints(documents, text_col, group_col))
-    # the sketch is likewise read twice (sk_a / sk_b fan-outs below)
-    sketch = scratch_persist(kmv_bottom_k(fp, k))
+    # the sketch is likewise read twice (sk_a / sk_b fan-outs below);
+    # coalesce(1): bounded at sources*k rows no matter the corpus size,
+    # and the inherited shuffle partitioning otherwise schedules a full
+    # task wave per consumer over a few hundred cached rows (r15 opt,
+    # the sketches.py hll_overlap_matrix measurement)
+    sketch = scratch_persist(kmv_bottom_k(fp, k).coalesce(1))
     # every non-empty source has >= 1 sketch row, so the distinct
     # source list can come off the (<= sources*k row) sketch instead
     # of the full fingerprint table — same set, cheaper branch.
@@ -1818,6 +1826,50 @@ def bloom_build_words(
     )
 
 
+def _bloom_probe_set_count(
+    th: DataFrame, bloom: DataFrame, m: int, k: int
+) -> DataFrame:
+    """Attach ``__s`` = how many of the row's k Kirsch-Mitzenmacher
+    probe bits are set in the packed word table ``bloom`` — WITHOUT
+    exploding k probe rows per shingle: k broadcast hash joins (one
+    per probe, each an O(1) codegen probe of the ≤ m/32-row table)
+    replace the r14 explode + single join + k×-row shuffle shape, so
+    the downstream (id, h1, h2) exchange carries ONE slim row per
+    shingle. Shared by bloom_decontaminate and
+    streaming.BloomFilterMonitor so batch and stream probes cannot
+    drift.
+
+    Measured out (recorded so nobody retries them): (a) all-k probes
+    via a collected map/dense-array cell cross-joined onto the rows —
+    element_at on a MAP is a linear key scan (the m=2^22 monitor ran
+    ~5x slower), and even the O(1) dense ARRAY loses because the
+    nested-loop join copies the whole cell into every joined row
+    buffer (stage-sum 1.18 → 1.94s at sf0.1); (b) an aggregate()
+    lambda over the probes — higher-order-function lambdas run
+    interpreted (6.8s vs 1.6s). Expects ``__h1``/``__h2`` columns;
+    the k word columns are dropped before return."""
+    probed = th
+    hits = []
+    for j in range(int(k)):
+        bj = bloom.selectExpr(
+            f"word_idx AS __wi{j}", f"word AS __w{j}"
+        )
+        probed = probed.join(
+            F.broadcast(bj),
+            F.expr(
+                f"pmod(__h1 + {j} * __h2, {m}) div 32 = __wi{j}"
+            ),
+            "left",
+        )
+        hits.append(
+            f"CASE WHEN __w{j} IS NOT NULL AND (shiftright(__w{j}, "
+            f"CAST(pmod(__h1 + {j} * __h2, {m}) % 32 AS INT)) & 1) = 1 "
+            f"THEN 1 ELSE 0 END"
+        )
+    keep = [c for c in th.columns]
+    return probed.selectExpr(*keep, f"{' + '.join(hits)} AS __s")
+
+
 def bloom_decontaminate(
     documents: DataFrame,
     benchmark: DataFrame,
@@ -1865,8 +1917,17 @@ def bloom_decontaminate(
     # optional precomputed frames, same contract as ``decontaminate``'s:
     # train_shingles = (id, shingle) exploded rows, bench_shingles = the
     # benchmark's distinct (shingle,) relation (r14 optimization round)
-    bloom = bloom_build_words(
-        benchmark, n, m, k, text_col, id_col, shingles=bench_shingles
+    from ..plans.scratch import scratch_persist
+
+    # persist + coalesce: the k probe joins below each broadcast the
+    # word table — unpersisted, every broadcast build re-ran the whole
+    # benchmark scan + Arrow hash + bit_or pipeline (k×). Bounded at
+    # m_bits/32 rows no matter the benchmark size, so one partition
+    # (r15 opt, the sketches.py bounded-frame convention).
+    bloom = scratch_persist(
+        bloom_build_words(
+            benchmark, n, m, k, text_col, id_col, shingles=bench_shingles
+        ).coalesce(1)
     )
 
     train_sh = (
@@ -1875,40 +1936,20 @@ def bloom_decontaminate(
         else shingle_sets(documents, text_col, id_col, n)
     )
     th = _h1_h2(train_sh, id_col)
-    # All k probes are evaluated PER SHINGLE ROW against the word table
-    # collected into one broadcast map (≤ m_bits/32 entries — bounded,
-    # never corpus-sized), replacing the r14 shape's explode(k) +
-    # word_idx broadcast-join + k×-row shuffle into the (id, h1, h2)
-    # aggregate (guide §2.3 shuffle-fewer-bytes: the exploded position
-    # frame was the query's one corpus-sized exchange — 4 probe rows
-    # per shingle at k=4, measured 5.1 MB vs 1.3 MB at sf0.1; at any
-    # corpus size this cuts the exchange to 1 slim row per shingle).
-    # The (id, h1, h2) group-then-==k stays EXACTLY as documented: the
-    # per-row set-bit count s sums over a group's rows to the same
-    # n_set the per-probe-row sum produced (s is identical across rows
-    # of a colliding group), so (h1, h2)-collision merging — including
-    # the degenerate n_rows·s == k keeps — is bit-identical.
-    words_map = bloom.agg(
-        F.map_from_arrays(
-            F.collect_list("word_idx"), F.collect_list("word")
-        ).alias("__bm")
-    )
-    def _probe_bit(j: int) -> str:
-        return (
-            f"(shiftright(coalesce(element_at(__bm, "
-            f"pmod(__h1 + {j} * __h2, {m}) div 32), 0), "
-            f"CAST(pmod(__h1 + {j} * __h2, {m}) % 32 AS INT)) & 1)"
-        )
-
-    # k explicit CASE terms, NOT an aggregate() lambda: higher-order-
-    # function lambdas run interpreted (measured 6.8s vs 1.3s at sf0.1)
-    s_expr = " + ".join(
-        f"CASE WHEN {_probe_bit(j)} = 1 THEN 1 ELSE 0 END"
-        for j in range(k)
-    )
+    # All k probes are evaluated PER SHINGLE ROW (k broadcast hash
+    # probes of the ≤ m_bits/32-row word table), replacing the r14
+    # shape's explode(k) + word_idx broadcast-join + k×-row shuffle
+    # into the (id, h1, h2) aggregate (guide §2.3 shuffle-fewer-bytes:
+    # the exploded position frame was the query's one corpus-sized
+    # exchange — 4 probe rows per shingle at k=4, measured 5.1 MB vs
+    # 1.3 MB at sf0.1; at any corpus size this cuts the exchange to 1
+    # slim row per shingle). The (id, h1, h2) group-then-==k stays
+    # EXACTLY as documented: the per-row set-bit count __s sums over a
+    # colliding group's rows to the same n_set the per-probe-row sum
+    # produced, so (h1, h2)-collision merging — including the
+    # degenerate n_rows·s == k keeps — is bit-identical.
     return (
-        th.crossJoin(F.broadcast(words_map))
-        .selectExpr(id_col, "__h1", "__h2", f"{s_expr} AS __s")
+        _bloom_probe_set_count(th, bloom, m, k)
         .groupBy(id_col, "__h1", "__h2")
         .agg(F.sum("__s").alias("n_set"))
         .where(F.col("n_set") == k)
@@ -2278,6 +2319,16 @@ def prefix_filter_pairs(
     is i·1e6 ≥ τ_ppm·(|a|+|b|−i) — no float round-trip at the
     boundary (the est_jaccard lesson from pipeline_card). The emitted
     jaccard double is display-only, derived from the same integers.
+
+    ``prefix`` (optional, ADVICE r14 contract note): a PREPARED ranked-
+    prefix frame — it must be ``_ranked_prefix(sh, dfc, tau, id_col)``
+    over the SAME documents/n/threshold_ppm/text_col/id_col this call
+    receives (columns: id_col, n_sh, __rk, shingle), normally already
+    repartitioned on the shingle and scratch-persisted. A frame built
+    with different parameters silently yields FALSE NEGATIVES (the
+    prefix lemma no longer covers every qualifying pair). The only
+    intended caller is ``jaccard_pairs_routed``, which hands in the
+    exact frame its pricing pass filled (r14 opt).
 
     PPJoin's POSITIONAL filter tightens the candidate join further
     (also lossless — proof at the predicate): a match at prefix ranks

@@ -118,9 +118,18 @@ def ensure_parallelism(df: DataFrame, factor: float = 1.0) -> DataFrame:
     # count, and a (vanishingly unlikely, 32-bit) collision can only
     # mis-skip/mis-add a repartition — a performance effect, never a
     # result change.
-    key = (df.semanticHash(), target)
+    # Scoped per Spark application (ADVICE r14): a process-global memo
+    # would survive session restarts / source-layout changes and could
+    # permanently skip the fan-out this function exists to add. Bounded:
+    # cleared wholesale past 4096 entries (one session's worth of
+    # distinct plans is a few hundred; staleness within one application
+    # is the documented trade — partition counts of identical analyzed
+    # plans don't change mid-application for the parquet sources here).
+    key = (spark.sparkContext.applicationId, df.semanticHash(), target)
     wide = _ensure_par_memo.get(key)
     if wide is None:
+        if len(_ensure_par_memo) > 4096:
+            _ensure_par_memo.clear()
         wide = df.rdd.getNumPartitions() >= target
         _ensure_par_memo[key] = wide
     if wide:
@@ -128,7 +137,7 @@ def ensure_parallelism(df: DataFrame, factor: float = 1.0) -> DataFrame:
     return df.repartition(target)
 
 
-_ensure_par_memo: dict[tuple[int, int], bool] = {}
+_ensure_par_memo: dict[tuple[str, int, int], bool] = {}
 
 
 # ---------------------------------------------------------------------------

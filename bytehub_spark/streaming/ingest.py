@@ -1513,37 +1513,26 @@ class BloomFilterMonitor:
         )
 
     def _covered_count(self, batch_df: DataFrame) -> int:
-        from ..operators.dedup import _h1_h2, shingle_sets
+        from ..operators.dedup import (
+            _bloom_probe_set_count,
+            _h1_h2,
+            shingle_sets,
+        )
 
         m, k = self.m_bits, self.k_hashes
         sh = shingle_sets(batch_df, self.text_col, self.id_col, self.n)
         h = _h1_h2(sh, self.id_col)
-        pos = h.select(
-            self.id_col,
-            "__h1",
-            "__h2",
-            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
-        ).select(
-            self.id_col,
-            "__h1",
-            "__h2",
-            F.pmod(F.col("__h1") + F.col("j") * F.col("__h2"), F.lit(m)).alias("pos"),
-        )
-        probed = (
-            pos.withColumn("word_idx", F.expr("pos div 32"))
-            .withColumn("bit", F.expr("CAST(pos % 32 AS INT)"))
-            .join(F.broadcast(self.state), "word_idx", "left")
-            .withColumn(
-                "hit",
-                F.when(
-                    F.col("word").isNotNull()
-                    & (F.expr("(shiftright(word, bit) & 1)") == 1),
-                    1,
-                ).otherwise(0),
-            )
-        )
-        per_sh = probed.groupBy(self.id_col, "__h1", "__h2").agg(
-            (F.sum("hit") == k).cast("int").alias("all_set")
+        # all k probes evaluated per shingle row (k broadcast hash
+        # probes of the bounded word table) — the r15
+        # bloom_decontaminate shape: no position explode, the
+        # (id, h1, h2) exchange carries one slim row per shingle
+        # instead of k probe rows. Identical counts: the per-row
+        # set-bit sum aggregates to the same n_set the per-probe-row
+        # sum produced, including (h1, h2)-collision groups.
+        per_sh = (
+            _bloom_probe_set_count(h, self.state, m, k)
+            .groupBy(self.id_col, "__h1", "__h2")
+            .agg((F.sum("__s") == k).cast("int").alias("all_set"))
         )
         return (
             per_sh.groupBy(self.id_col)
