@@ -1055,11 +1055,19 @@ def _semantic_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where((F.col("vec_id") % 53 == 0) & nonzero)
         .withColumn("vec_id", F.col("vec_id") + F.lit(1000000000))
     )
-    out = similarity.semantic_dedup(
-        emb.unionByName(twins), threshold=0.95
-    ).toPandas()
+    # count the sides FIRST and hand the operator its own sizing rule's
+    # value (r15 opt): semantic_dedup's n_cells prepass would otherwise
+    # run a THIRD full pass over the union (re-evaluating the twins'
+    # aggregate-HOF norm filter); n_base + n_twins IS the union count
+    # by construction, so the chosen n_cells — and therefore every
+    # cluster and verdict — is identical.
     n_base = emb.count()
     n_twins = twins.count()
+    out = similarity.semantic_dedup(
+        emb.unionByName(twins),
+        threshold=0.95,
+        n_cells=similarity.semantic_dedup_cells(n_base + n_twins),
+    ).toPandas()
     twin_rows = out[out["vec_id"] >= 1000000000]
     dropped = out[~out["keep"]]
     minima_kept = bool(
