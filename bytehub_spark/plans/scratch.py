@@ -21,6 +21,12 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
+# Module-global, NOT thread-local (VERDICT r14 note): every harness
+# here (bench.py, check_oracle.py, the driver gate) runs queries
+# sequentially on one thread. If a harness ever materializes queries
+# CONCURRENTLY, release_scratch() on one thread would unpersist another
+# thread's in-flight intermediates — make this threading.local (and
+# release per-thread) before parallelizing a battery.
 _scratch: list[DataFrame] = []
 
 
